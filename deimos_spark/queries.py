@@ -1,0 +1,504 @@
+"""Declared query registry: SURVEY.md §2B operator inventory, one entry per
+operator, each with a Spark DataFrame builder and (where SQL-expressible) a
+DuckDB oracle SQL string.
+
+Contract (driver protocol, __spark_entry__.py): the driver runs the builder
+at sf0.01 and the oracle through DuckDB on the same parquet, then compares
+row-count + schema + order-insensitive value-hash. Column names are aliased
+identically on both sides; integer-typed oracle outputs are CAST to match
+Spark's output types (Spark length()/size()/year() → INT, count() → BIGINT,
+DuckDB defaults to BIGINT/HUGEINT).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deimos_spark.catalog import load_table
+from deimos_spark.functions.text import (
+    LANG_PROBES,
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_count,
+)
+from deimos_spark.operators import dedup, relational, simsearch
+from deimos_spark.session import apply_runtime_confs
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    note: str = ""
+
+
+# --------------------------------------------------------------------------
+# Text / LLM-op builders (parameterized ones live here; simple ones call the
+# operator modules directly).
+# --------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B32: per-language document stats."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B31: exact-dedup cardinality via 128-bit content hash (md5 is
+    byte-identical across Spark/DuckDB, making this oracle-checkable)."""
+    d = _docs(spark, sf_dir)
+    return d.agg(F.countDistinct(F.md5("text")).alias("cnt"))
+
+
+def q_dedup_keep_min_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping canonical (min) id per content group."""
+    return (
+        dedup.dedup_by_content_hash(_docs(spark, sf_dir))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) per language."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("n_tokens", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword probes) — distribution of predictions
+    and agreement with the labeled lang column."""
+    d = _docs(spark, sf_dir)
+    pred = lang_guess("text")
+    return (
+        d.withColumn("lang_pred", pred)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)
+            ).cast("bigint").alias("agree"),
+        )
+    )
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: composite [0,1] score, aggregated per source."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("q", quality_score("text"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 3).alias("avg_q"), F.count(F.lit(1)).alias("c"))
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 digest bucket histogram."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.withColumn("bucket", F.substring(fingerprint("text"), 1, 1))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B33: brute-force cosine top-10 vs the vec_id=0 embedding."""
+    e = _emb(spark, sf_dir)
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return simsearch.cosine_topk(e, [float(x) for x in qvec], k=10)
+
+
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: SRP-LSH bucket pruning then exact cosine. Approximate →
+    no oracle; deterministic given the fixed seed."""
+    e = _emb(spark, sf_dir)
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return simsearch.cosine_topk_lsh(
+        e, [float(x) for x in qvec], k=10, n_planes=8, probe_hamming=2
+    )
+
+
+def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity scan vs the doc_id=0 document."""
+    d = _docs(spark, sf_dir)
+    qtext = d.filter(F.col("doc_id") == 0).select("text").head()[0]
+    return dedup.jaccard_vs_query(d, qtext, n=3, k=20)
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (verified by exact Jaccard).
+    Not ANSI-SQL-expressible (xxhash64 seeds) → rows-only check."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), jaccard_threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) — rows-only check."""
+    return dedup.simhash_near_pairs(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH-bucketed self-join —
+    rows-only check (LSH recall is seed-dependent; exact variant below is
+    the oracle-checked baseline)."""
+    return simsearch.pairwise_cosine_above(
+        _emb(spark, sf_dir), threshold=0.4, n_planes=6
+    ).orderBy("id_a", "id_b")
+
+
+def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
+    return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL helpers (shared expression fragments, DuckDB dialect)
+# --------------------------------------------------------------------------
+
+_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+
+def _duck_shingles(text_expr: str, n: int = 3) -> str:
+    w = f"string_split_regex(trim({text_expr}), '\\s+')"
+    return (
+        f"list_transform(generate_series(1, greatest(len({w}) - {n - 1}, 1)), "
+        f"i -> array_to_string(({w})[i:i+{n - 1}], ' '))"
+    )
+
+
+def _duck_lang_scores() -> str:
+    parts = []
+    for lang, words in LANG_PROBES.items():
+        hits = " + ".join(
+            f"len(regexp_extract_all(text, '\\b{w}\\b'))" for w in words
+        )
+        parts.append(f"({hits}) AS s_{lang}")
+    return ", ".join(parts)
+
+
+_DUCK_LANG_CASE = (
+    "CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en' "
+    "WHEN s_de >= s_fr AND s_de >= s_es THEN 'de' "
+    "WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END"
+)
+
+_DUCK_QUALITY = (
+    "round(greatest(0.0, least(1.0, "
+    "length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) / length(text) "
+    "- length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / length(text) "
+    f"- CASE WHEN length(text) / len({_DUCK_TOKENS}) > 12 THEN 0.2 ELSE 0.0 END"
+    ")), 4)"
+)
+
+
+# --------------------------------------------------------------------------
+# The registry
+# --------------------------------------------------------------------------
+
+def all_queries() -> dict[str, QuerySpec]:
+    r = relational
+    specs = [
+        QuerySpec(
+            "b01_scan_count", r.scan_count,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem",
+        ),
+        QuerySpec(
+            "b02_projection", r.projection,
+            "SELECT l_orderkey, l_quantity FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber LIMIT 100",
+        ),
+        QuerySpec(
+            "b03_filter", r.filter_predicates,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders "
+            "WHERE o_orderstatus IN ('F','O') "
+            "AND o_totalprice BETWEEN 1000 AND 200000 "
+            "AND o_orderpriority LIKE '1%'",
+        ),
+        QuerySpec(
+            "b04_join_inner", r.join_inner,
+            "SELECT n_name, CAST(count(*) AS BIGINT) AS c FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name",
+        ),
+        QuerySpec(
+            "b05_join_multiway", r.join_multiway,
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS c FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+        ),
+        QuerySpec(
+            "b06_join_left_outer", r.join_left_outer,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer "
+            "LEFT JOIN orders ON c_custkey = o_custkey WHERE o_orderkey IS NULL",
+        ),
+        QuerySpec(
+            "b07_join_semi", r.join_semi,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)",
+        ),
+        QuerySpec(
+            "b08_join_anti", r.join_anti,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer "
+            "WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)",
+        ),
+        QuerySpec(
+            "b09_join_broadcast", r.join_broadcast_hint,
+            "SELECT r_name, CAST(count(*) AS BIGINT) AS c FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+            note="plan-level op: result must equal b05",
+        ),
+        QuerySpec(
+            "b10_join_theta", r.join_theta,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "AND l.l_shipdate > o.o_orderdate",
+        ),
+        QuerySpec(
+            "b11_agg_hash", r.agg_hash,
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        ),
+        QuerySpec(
+            "b12_distinct_count", r.distinct_count,
+            "SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS cnt FROM orders",
+        ),
+        QuerySpec(
+            "b13_approx_distinct", r.approx_distinct, None,
+            note="HLL++ approximate — rows-only check (±5% vs exact by design)",
+        ),
+        QuerySpec(
+            "b14_rollup", r.rollup_agg,
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c "
+            "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+        ),
+        QuerySpec(
+            "b15_having", r.having,
+            "SELECT o_custkey, CAST(count(*) AS BIGINT) AS c FROM orders "
+            "GROUP BY o_custkey HAVING count(*) > 5 "
+            "ORDER BY c DESC, o_custkey LIMIT 20",
+        ),
+        QuerySpec(
+            "b16_sort_topk", r.sort_topk,
+            "SELECT o_orderkey FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 50",
+        ),
+        QuerySpec(
+            "b17_limit", r.limit_simple,
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10",
+        ),
+        QuerySpec(
+            "b18_window_rank", r.window_rank,
+            "SELECT c_mktsegment, c_custkey FROM ("
+            "SELECT c_mktsegment, c_custkey, row_number() OVER ("
+            "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) rn "
+            "FROM customer) t WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey",
+        ),
+        QuerySpec(
+            "b19_window_running", r.window_running,
+            "SELECT o_custkey, o_orderkey, round(sum(o_totalprice) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_total "
+            "FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100",
+        ),
+        QuerySpec(
+            "b20_keep_last_per_key", r.keep_last_per_key,
+            "SELECT user_id, event_type FROM ("
+            "SELECT user_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+            "FROM events) t WHERE rn = 1",
+            note="deimos per-batch compaction (A14), analytic form",
+        ),
+        QuerySpec(
+            "b21_union_distinct", r.union_distinct,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT o_custkey AS k FROM orders "
+            "UNION SELECT c_custkey FROM customer) t",
+        ),
+        QuerySpec(
+            "b22_intersect", r.intersect_keys,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT c_custkey AS k FROM customer "
+            "INTERSECT SELECT o_custkey FROM orders) t",
+        ),
+        QuerySpec(
+            "b22b_except", r.except_keys,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT c_custkey AS k FROM customer "
+            "EXCEPT SELECT o_custkey FROM orders) t",
+        ),
+        QuerySpec(
+            "b23_scalar_subquery", r.scalar_subquery,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM orders "
+            "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
+        ),
+        QuerySpec(
+            "b24_case_when", r.case_when,
+            "SELECT CAST(sum(CASE WHEN o_orderpriority LIKE '1%' "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent FROM orders",
+        ),
+        QuerySpec(
+            "b25_string_funcs", r.string_funcs,
+            "SELECT upper(substr(c_name, 1, 8)) AS u, "
+            "CAST(length(c_name) AS INT) AS l FROM customer "
+            "ORDER BY c_custkey LIMIT 20",
+        ),
+        QuerySpec(
+            "b26_date_funcs", r.date_funcs,
+            "SELECT CAST(year(o_orderdate) AS INT) AS y, "
+            "CAST(month(o_orderdate) AS INT) AS m, "
+            "CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2",
+        ),
+        QuerySpec(
+            "b27_math_funcs", r.math_funcs,
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07",
+        ),
+        QuerySpec(
+            "b28_json_funcs", r.json_funcs,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM events "
+            "WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50",
+        ),
+        QuerySpec(
+            "b29_array_funcs", r.array_funcs,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM embeddings "
+            "WHERE len(embedding) = 64",
+        ),
+        QuerySpec(
+            "c04_time_bucket", r.time_bucket,
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS bucket_s, "
+            "CAST(count(*) AS BIGINT) AS c, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1",
+            note="batch form of streaming tumbling-window agg (SURVEY C4)",
+        ),
+        QuerySpec(
+            "a15_batch_slicer", r.batch_slicer_histogram,
+            "SELECT slice, CAST(count(*) AS BIGINT) AS c FROM ("
+            "SELECT CAST(row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS slice "
+            "FROM events) t GROUP BY slice",
+            note="deimos BatchSlicer (A15), analytic form",
+        ),
+        # ---------------- LLM-data operators ----------------
+        QuerySpec(
+            "b31_dedup_exact", q_dedup_exact,
+            "SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS cnt FROM documents",
+        ),
+        QuerySpec(
+            "b31b_dedup_keep_min", q_dedup_keep_min_id,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM ("
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) t",
+        ),
+        QuerySpec(
+            "b32_text_stats", q_text_stats,
+            "SELECT lang, CAST(count(*) AS BIGINT) AS c, "
+            "round(avg(n_chars), 2) AS avg_chars FROM documents GROUP BY lang",
+        ),
+        QuerySpec(
+            "t01_token_stats", q_token_stats,
+            "SELECT lang, "
+            f"round(avg(len({_DUCK_TOKENS})), 2) AS avg_tokens, "
+            f"CAST(sum(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens "
+            "FROM documents GROUP BY lang",
+        ),
+        QuerySpec(
+            "t02_lang_id", q_lang_id,
+            f"WITH s AS (SELECT text, lang, {_duck_lang_scores()} FROM documents) "
+            f"SELECT {_DUCK_LANG_CASE} AS lang_pred, "
+            "CAST(count(*) AS BIGINT) AS c, "
+            f"CAST(sum(CASE WHEN ({_DUCK_LANG_CASE}) = lang THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS agree FROM s GROUP BY 1",
+        ),
+        QuerySpec(
+            "t03_quality", q_quality,
+            f"SELECT source, round(avg({_DUCK_QUALITY}), 3) AS avg_q, "
+            "CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY source",
+        ),
+        QuerySpec(
+            "t04_fingerprint", q_fingerprint,
+            "SELECT substr(md5(text), 1, 1) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS c FROM documents GROUP BY 1",
+        ),
+        QuerySpec(
+            "b33_simsearch_topk", q_simsearch_topk,
+            "SELECT vec_id, round(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            "), 4) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10",
+        ),
+        QuerySpec(
+            "b33b_simsearch_lsh", q_simsearch_lsh, None,
+            note="SRP-LSH approximate top-k — rows-only",
+        ),
+        QuerySpec(
+            "t05_jaccard_vs_query", q_jaccard_vs_query,
+            "WITH q AS (SELECT text AS qt FROM documents WHERE doc_id = 0) "
+            "SELECT doc_id, round(CASE WHEN uni = 0 THEN 0.0 ELSE inter / uni END, 4) "
+            "AS jaccard FROM ("
+            "SELECT doc_id, "
+            f"len(list_intersect(list_distinct({_duck_shingles('text')}), "
+            f"list_distinct({_duck_shingles('qt')}))) AS inter, "
+            f"len(list_distinct(list_concat(list_distinct({_duck_shingles('text')}), "
+            f"list_distinct({_duck_shingles('qt')})))) AS uni "
+            "FROM documents, q) t ORDER BY jaccard DESC, doc_id LIMIT 20",
+        ),
+        QuerySpec(
+            "t06_minhash_pairs", q_minhash_pairs, None,
+            note="MinHash-LSH near-dup — xxhash64 seeds not in DuckDB; rows-only",
+        ),
+        QuerySpec(
+            "t07_simhash_pairs", q_simhash_pairs, None,
+            note="SimHash near-dup — rows-only",
+        ),
+        QuerySpec(
+            "t08_embedding_neardup", q_embedding_neardup, None,
+            note="LSH-bucketed cosine near-dup — rows-only",
+        ),
+        QuerySpec(
+            "t09_cosine_pairs_exact", q_cosine_pairs_exact,
+            "SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t "
+            "WHERE sim >= 0.4",
+        ),
+    ]
+    return {s.name: s for s in specs}
