@@ -1,0 +1,87 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"b11_agg_hash": sec, ...}, "sf": 0.1}
+
+Each query is timed as a full collect() (plan + execute + fetch). The
+session is created and warmed outside the timed region — we measure query
+execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deimos_spark.queries import all_queries
+from deimos_spark.session import get_spark
+
+# Headline set: every operator family, weighted toward the scans/joins/aggs
+# that dominate at 100 TB.
+HEADLINE = [
+    "b01_scan_count",
+    "b03_filter",
+    "b05_join_multiway",
+    "b07_join_semi",
+    "b10_join_theta",
+    "b11_agg_hash",
+    "b12_distinct_count",
+    "b14_rollup",
+    "b15_having",
+    "b16_sort_topk",
+    "b18_window_rank",
+    "b19_window_running",
+    "b20_keep_last_per_key",
+    "b21_union_distinct",
+    "b23_scalar_subquery",
+    "b26_date_funcs",
+    "b27_math_funcs",
+    "b28_json_funcs",
+    "c04_time_bucket",
+    "b31_dedup_exact",
+    "t01_token_stats",
+    "t02_lang_id",
+    "b33_simsearch_topk",
+    "t06_minhash_pairs",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("deimos_spark_bench")
+    spark.range(1).collect()  # warm the JVM / executor threads
+
+    specs = all_queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from deimos_spark.functions.text import shingles, tokens
@@ -48,18 +48,72 @@ def dedup_by_content_hash(
 
 # ---------------------------------------------------------------- MinHash + LSH
 
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature_from_shingles(
+    shingle_col: Column, num_hashes: int = 32
+) -> Column:
+    """MinHash signature as array<bigint> from a precomputed shingle array:
+    one fold over the shingles, updating all num_hashes mins per element
+    (single pass — the shingle array is never re-evaluated)."""
+    return F.aggregate(
+        shingle_col,
+        F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(s, F.lit(j)) for j in range(num_hashes)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+
+
 def minhash_signature(
     col: Column | str, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
-    """MinHash signature as array<bigint>: for seed j, min over shingles of
-    xxhash64(shingle, j). Pure codegen (higher-order functions + xxhash64)."""
-    sh = shingles(col, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
+    """MinHash signature from raw text (prefer the _from_shingles variant
+    inside pipelines so the shingle array is computed once per row)."""
+    return minhash_signature_from_shingles(shingles(col, shingle_n), num_hashes)
+
+
+def exploded_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles in exploded form: (_id, _s).
+
+    posexplode + window-lead instead of per-row array lambdas: higher-order
+    functions run interpreted in Spark, while this shape is whole-stage
+    codegen'd end-to-end. Docs with fewer than n tokens contribute their
+    whole trimmed text as the single shingle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
     )
+    w = Window.partitionBy("_id").orderBy("_p")
+    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, n)]
+    full = (
+        toks.select(
+            "_id",
+            F.concat_ws(" ", *parts).alias("_s"),
+            parts[-1].isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .select("_id", "_s")
+    )
+    short_docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.trim(F.col(text_col)).alias("_s"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nt"),
+        )
+        .filter(F.col("_nt") < n)
+        .select("_id", "_s")
+    )
+    return full.union(short_docs).distinct()
 
 
 def minhash_lsh_pairs(
@@ -75,46 +129,69 @@ def minhash_lsh_pairs(
 
     bands=8 × rows=4 over 32 hashes ⇒ s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59.
     Candidates = equi-join on (band_id, band_hash); each candidate pair is
-    verified with exact shingle Jaccard. Returns (id_a, id_b, jaccard).
+    verified with exact shingle Jaccard (computed on the exploded shingle
+    relation — inter via equi-join count, union via |A|+|B|-inter — so the
+    whole pipeline is joins + hash aggregates, no interpreted lambdas).
+
+    Hash family: h_j = h1 + j*h2 (double hashing, wraparound arithmetic) —
+    2 xxhash64 calls per shingle instead of num_hashes.
     """
     rows = num_hashes // bands
-    sig = minhash_signature(text_col, num_hashes, shingle_n)
-    with_sig = df.select(
-        F.col(id_col), F.col(text_col), sig.alias("_sig")
+    shingled = exploded_shingles(df, text_col, id_col, shingle_n)
+    hashed = shingled.select(
+        "_id",
+        F.xxhash64("_s", F.lit(0)).alias("_h1"),
+        F.xxhash64("_s", F.lit(1)).alias("_h2"),
     )
-    banded = with_sig.select(
-        id_col,
-        text_col,
+    # signature: num_hashes mins in ONE hash aggregate (map-side combine
+    # shrinks the shuffle to num_docs × num_hashes longs)
+    sig = hashed.groupBy("_id").agg(
+        *[
+            F.min(F.col("_h1") + F.lit(j) * F.col("_h2")).alias(f"_m{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    banded = sig.select(
+        "_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            *[F.element_at("_sig", b * rows + r + 1) for r in range(rows)]
+                            *[F.col(f"_m{b * rows + r}") for r in range(rows)]
                         ).alias("bh"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, text_col, "bb.band", "bb.bh")
+    ).select("_id", "bb.band", "bb.bh")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("ta"), "band", "bh"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("tb"), "band", "bh"
-    )
+    left = banded.select(F.col("_id").alias("id_a"), "band", "bh")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "bh")
     cand = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ta", "tb")
+        .select("id_a", "id_b")
         .distinct()
     )
-    jac = ngram_jaccard_expr(F.col("ta"), F.col("tb"), shingle_n)
+    sizes = shingled.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    inter = (
+        cand.join(shingled.select(F.col("_id").alias("id_a"), "_s"), "id_a")
+        .join(shingled.select(F.col("_id").alias("id_b"), "_s"), ["id_b", "_s"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    verified = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0})
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+    )
+    jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
-        cand.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        verified.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
 
@@ -188,6 +265,39 @@ def simhash64(col: Column | str) -> Column:
     return packed
 
 
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _sh) 64-bit SimHash per document, computed in exploded shape:
+    explode tokens → one xxhash64 per token → 64 conditional sums in a
+    single hash aggregate → pack sign bits. Fully codegen'd (the
+    `simhash64` column expression is the per-row-array equivalent, which
+    runs interpreted — use this one in pipelines)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
+    ).select(id_col, F.xxhash64("_w").alias("_h"))
+    agg = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        mask = (1 << i) if i < 63 else -(1 << 63)
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"_b{i}") > 0, F.lit(mask).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), packed.alias("_sh"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -200,7 +310,7 @@ def simhash_near_pairs(
     any pair within hamming 3 must agree on ≥1 chunk (pigeonhole), so an
     equi-join per chunk finds all candidates without a cartesian product.
     """
-    sh = df.select(F.col(id_col), simhash64(text_col).alias("_sh"))
+    sh = simhash_fingerprints(df, text_col, id_col)
     chunks = sh.select(
         id_col,
         "_sh",

@@ -17,6 +17,10 @@ from pyspark.sql import SparkSession
 # deterministic, oracle-comparable results.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # Non-ANSI semantics: wraparound integer arithmetic (hash families in
+    # dedup need modular math) and permissive casts — matching the
+    # reference's permissive coercion behavior (SURVEY §1.2).
+    "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
