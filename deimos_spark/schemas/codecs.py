@@ -1,0 +1,138 @@
+"""Codec backends: schema-aware encode/decode between struct columns and
+wire bytes, mirroring the reference's pluggable schema backends
+(behavior per /root/reference/lib/deimos/schema_backends/*: avro_local,
+avro_schema_registry, avro_validation≈json, plain, mock — studied for
+behavior only).
+
+All codecs share one Column-level contract:
+    encode(struct_col) -> BinaryType column
+    decode(binary_col) -> struct column (nullable; NULL in = NULL out,
+                          preserving tombstones)
+
+The JSON codec is the functional default in this sandbox (spark-avro jar is
+not present); the Avro codec self-gates on availability so the same pipeline
+code runs unchanged where the jar exists. Confluent registry framing
+(magic byte 0 + 4-byte schema id, big-endian) is codec-independent byte
+plumbing implemented with concat/substring over BinaryType.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Protocol
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from deimos_spark.schemas.avro import AvroSchema
+
+
+class Codec(Protocol):
+    def encode(self, struct_col: Column) -> Column: ...
+    def decode(self, binary_col: Column) -> Column: ...
+
+
+class JsonCodec:
+    """JSON-on-the-wire codec (reference analogue: avro_validation backend —
+    validates against the schema, serializes as plain structures)."""
+
+    def __init__(self, schema: AvroSchema | T.StructType):
+        self.struct = schema.struct if isinstance(schema, AvroSchema) else schema
+
+    def encode(self, struct_col: Column) -> Column:
+        return F.when(
+            struct_col.isNotNull(), F.to_json(struct_col).cast("binary")
+        )
+
+    def decode(self, binary_col: Column) -> Column:
+        return F.from_json(binary_col.cast("string"), self.struct)
+
+
+class PlainCodec:
+    """Pass-through string codec (reference: plain.rb — payload.to_s)."""
+
+    def __init__(self, schema: object = None):
+        pass
+
+    def encode(self, struct_col: Column) -> Column:
+        return F.when(
+            struct_col.isNotNull(), F.to_json(struct_col).cast("binary")
+        )
+
+    def decode(self, binary_col: Column) -> Column:
+        return binary_col.cast("string")
+
+
+class MockCodec(JsonCodec):
+    """Test codec: JSON wire format, no validation (reference: mock.rb)."""
+
+
+class AvroCodec:
+    """Binary Avro codec via spark-avro's to_avro/from_avro. Self-gates:
+    raises a clear error at construction if the Avro data source jar is not
+    loaded (org.apache.spark:spark-avro must be on the classpath)."""
+
+    def __init__(self, schema: AvroSchema):
+        self.schema = schema
+        self.json_schema = json.dumps(schema.raw)
+        try:
+            from pyspark.sql.avro.functions import from_avro, to_avro  # noqa: F401
+
+            self._to_avro, self._from_avro = to_avro, from_avro
+        except ImportError as e:  # pragma: no cover
+            raise NotImplementedError(
+                "spark-avro python bindings unavailable"
+            ) from e
+
+    def encode(self, struct_col: Column) -> Column:
+        return F.when(
+            struct_col.isNotNull(), self._to_avro(struct_col, self.json_schema)
+        )
+
+    def decode(self, binary_col: Column) -> Column:
+        return self._from_avro(binary_col, self.json_schema)
+
+
+CODECS: dict[str, type] = {
+    "json": JsonCodec,
+    "plain": PlainCodec,
+    "mock": MockCodec,
+    "avro": AvroCodec,
+}
+
+
+def get_codec(name: str, schema: AvroSchema | T.StructType | None = None):
+    try:
+        cls = CODECS[name]
+    except KeyError:
+        raise ValueError(f"unknown codec {name!r}; available: {sorted(CODECS)}")
+    return cls(schema)
+
+
+# ---------------------------------------------------------- registry framing
+
+MAGIC_BYTE = b"\x00"
+
+
+def add_registry_frame(binary_col: Column, schema_id: int) -> Column:
+    """Prefix Confluent wire-format framing: 1 magic byte (0) + 4-byte
+    big-endian schema id (reference behavior: avro_schema_registry.rb wire
+    format). NULL payloads (tombstones) stay NULL."""
+    frame = MAGIC_BYTE + schema_id.to_bytes(4, "big")
+    return F.when(
+        binary_col.isNotNull(), F.concat(F.lit(frame), binary_col)
+    )
+
+
+def strip_registry_frame(binary_col: Column) -> Column:
+    """Drop the 5-byte Confluent header before codec decode."""
+    return F.when(
+        binary_col.isNotNull(), F.substring(binary_col, 6, 2147483647)
+    )
+
+
+def extract_schema_id(binary_col: Column) -> Column:
+    """Read the 4-byte big-endian schema id from a framed message
+    (conv/hex over the id bytes — pure JVM expression)."""
+    return F.conv(F.hex(F.substring(binary_col, 2, 4)), 16, 10).cast("int")

@@ -1,0 +1,134 @@
+"""Consume path: message batches → decode → filter → compact/slice →
+MERGE into a keyed table, with tombstone deletes.
+
+Pipeline parity with the reference's batch consumption (behavior studied
+from /root/reference/lib/deimos/active_record_consume/
+batch_consumption.rb — behavior only):
+
+  filter(process_message?) → if compacted&keyed: keep-last-per-key →
+  partition into upserts / tombstones → bulk upsert + bulk delete;
+  else: slice batch (order-preserving) → apply slices sequentially.
+
+Works in two modes with the SAME pipeline code:
+- batch mode: `consume_batch(df)` on any kafka-shaped DataFrame
+  (key BINARY, value BINARY, partition INT, offset LONG);
+- streaming mode: `attach(stream_df)` wires the pipeline into
+  `foreachBatch` of a Structured Streaming query (Kafka source or
+  file-stream in tests); checkpointing gives at-least-once, and the keyed
+  MERGE makes the sink idempotent → effectively exactly-once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deimos_spark.operators.compaction import compact_keep_last, slice_batch
+from deimos_spark.operators.merge import KeyedParquetTable
+from deimos_spark.schemas.avro import AvroSchema
+from deimos_spark.schemas.codecs import get_codec
+
+
+@dataclass
+class ConsumerConfig:
+    schema: AvroSchema
+    key_cols: list[str]
+    codec: str = "json"
+    compacted: bool = True
+    # process_message? analogue: Column predicate over the decoded payload
+    filter_predicate: Column | None = None
+    # record_attributes analogue: rename/derive columns pre-merge
+    record_transform: Callable[[DataFrame], DataFrame] | None = None
+    order_cols: tuple[str, ...] = ("partition", "offset")
+
+
+class BatchConsumer:
+    def __init__(self, config: ConsumerConfig, table: KeyedParquetTable):
+        self.config = config
+        self.table = table
+        self.codec = get_codec(config.codec, config.schema)
+
+    # ------------------------------------------------------------- decode
+
+    def decode(self, raw: DataFrame) -> DataFrame:
+        """kafka-shaped (key, value, partition, offset) → payload columns +
+        (_key struct, _tombstone, order cols). NULL value = tombstone
+        (reference: nil payload → deletion)."""
+        cfg = self.config
+        decoded = raw.withColumn("_payload", self.codec.decode(F.col("value")))
+        # key columns come from the payload when present, else from the key
+        # codec — here we decode the key struct for tombstones, where the
+        # payload is NULL and the key is the only content.
+        key_struct_type = self._key_struct_type()
+        key_decoded = F.from_json(
+            F.col("key").cast("string"), key_struct_type
+        )
+        out = decoded.select(
+            *[F.col(c) for c in cfg.order_cols],
+            F.col("value").isNull().alias("_tombstone"),
+            key_decoded.alias("_key"),
+            F.col("_payload"),
+        )
+        # flatten payload fields; for tombstones fall back to key fields
+        flat = []
+        for f in cfg.schema.struct.fields:
+            if f.name in cfg.key_cols:
+                flat.append(
+                    F.coalesce(
+                        F.col(f"_payload.{f.name}"), F.col(f"_key.{f.name}")
+                    ).alias(f.name)
+                )
+            else:
+                flat.append(F.col(f"_payload.{f.name}").alias(f.name))
+        return out.select(*cfg.order_cols, "_tombstone", *flat)
+
+    def _key_struct_type(self):
+        from pyspark.sql import types as T
+
+        fields = [
+            f for f in self.config.schema.struct.fields
+            if f.name in self.config.key_cols
+        ]
+        return T.StructType(fields or [T.StructField("_none", T.StringType())])
+
+    # -------------------------------------------------------------- apply
+
+    def consume_batch(self, raw: DataFrame) -> None:
+        cfg = self.config
+        df = self.decode(raw)
+        if cfg.filter_predicate is not None:
+            df = df.filter(cfg.filter_predicate)
+
+        if cfg.compacted:
+            df = compact_keep_last(df, cfg.key_cols, cfg.order_cols)
+            self._apply(df)
+        else:
+            # order-preserving mode: slices applied sequentially, each slice
+            # has distinct keys (reference BatchSlicer)
+            for sl in slice_batch(df, cfg.key_cols, cfg.order_cols):
+                self._apply(sl)
+
+    def _apply(self, df: DataFrame) -> None:
+        cfg = self.config
+        payload_cols = [f.name for f in cfg.schema.struct.fields]
+        upserts = df.filter(~F.col("_tombstone")).select(*payload_cols)
+        deletes = df.filter(F.col("_tombstone")).select(*cfg.key_cols)
+        if cfg.record_transform is not None:
+            upserts = cfg.record_transform(upserts)
+        self.table.merge(upserts=upserts, delete_keys=deletes)
+
+    # ---------------------------------------------------------- streaming
+
+    def attach(self, stream_df: DataFrame, checkpoint: str, **options):
+        """Wire into Structured Streaming: each micro-batch runs the same
+        consume pipeline inside foreachBatch (per-batch atomicity = C2)."""
+        return (
+            stream_df.writeStream.foreachBatch(
+                lambda batch, _id: self.consume_batch(batch)
+            )
+            .option("checkpointLocation", checkpoint)
+            .options(**options)
+        )

@@ -1,0 +1,182 @@
+"""Produce path: DataFrame → schema-projected, coerced, keyed, encoded
+messages → sink (Kafka / memory / outbox table / files).
+
+Pipeline parity with the reference's producer middleware (behavior studied
+from /root/reference/lib/deimos/ext/producer_middleware.rb and
+lib/deimos/message.rb — behavior only):
+
+  transform → auto-fields (message_id=uuid, timestamp=now if schema has
+  them and payload lacks them) → coerce to schema → key extraction (field
+  path / payload_key / key schema) → tombstone detection (NULL payload) →
+  encode key+value → topic routing.
+
+The whole pipeline is ONE logical plan: on a cluster the produce of a
+100 TB backfill is a single distributed write, no driver loops. Sinks are
+pluggable like the reference's backends (kafka / kafka_async / outbox /
+test).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deimos_spark.functions.coerce import coerce_to_schema
+from deimos_spark.schemas.avro import AvroSchema, generate_key_schema
+from deimos_spark.schemas.codecs import get_codec
+
+
+@dataclass
+class TopicConfig:
+    """Topic registration: schema + key config, mirroring the reference's
+    schema_route DSL (topic/schema/namespace/key_config)."""
+
+    topic: str
+    schema: AvroSchema
+    key_field: str | None = None        # key_config field: 'col' (dotted ok)
+    key_schema: AvroSchema | None = None  # key_config schema: 'Name_key'
+    plain_key: bool = False             # key_config plain: true
+    codec: str = "json"
+    topic_prefix: str = ""
+
+    @property
+    def full_topic(self) -> str:
+        return f"{self.topic_prefix}{self.topic}"
+
+
+class Producer:
+    """engine.producer(topic_config).publish(df) — see module docstring."""
+
+    def __init__(
+        self,
+        config: TopicConfig,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+    ):
+        self.config = config
+        self.transform = transform
+        self.value_codec = get_codec(config.codec, config.schema)
+        if config.key_schema is not None:
+            self._key_schema = config.key_schema
+        elif config.key_field is not None and "." not in config.key_field:
+            self._key_schema = generate_key_schema(config.schema, config.key_field)
+        else:
+            self._key_schema = None
+        self.key_codec = (
+            get_codec(config.codec, self._key_schema) if self._key_schema else None
+        )
+
+    # ------------------------------------------------------------ pipeline
+
+    def build_messages(self, df: DataFrame) -> DataFrame:
+        """df → (key BINARY, value BINARY, topic STRING, partition_key)."""
+        cfg = self.config
+        if self.transform is not None:
+            df = self.transform(df)
+        df = self._add_auto_fields(df)
+        coerced = coerce_to_schema(df, cfg.schema.struct)
+
+        value_struct = F.when(
+            ~self._is_tombstone(df), F.struct(*[F.col(c) for c in coerced.columns])
+        )
+        out = coerced.withColumn("_value_struct", value_struct)
+
+        key_col = self._key_column(out)
+        encoded_value = self.value_codec.encode(F.col("_value_struct"))
+        result = out.select(
+            key_col.alias("key"),
+            encoded_value.alias("value"),
+            F.lit(cfg.full_topic).alias("topic"),
+        )
+        # partition key defaults to the encoded key (reference:
+        # producer_middleware.rb:50-56)
+        return result.withColumn("partition_key", F.col("key"))
+
+    def _add_auto_fields(self, df: DataFrame) -> DataFrame:
+        """message_id=UUID / timestamp=now autofill when the schema declares
+        them (reference: message.rb:38-56). Nondeterminism is confined to
+        this produce path by design."""
+        schema_fields = {f.name for f in self.config.schema.struct.fields}
+        if "message_id" in schema_fields:
+            src = F.col("message_id") if "message_id" in df.columns else F.lit(None)
+            df = df.withColumn("message_id", F.coalesce(src, F.expr("uuid()")))
+        if "timestamp" in schema_fields:
+            src = F.col("timestamp") if "timestamp" in df.columns else F.lit(None)
+            df = df.withColumn(
+                "timestamp", F.coalesce(src, F.current_timestamp().cast("string"))
+            )
+        return df
+
+    def _is_tombstone(self, df: DataFrame) -> Column:
+        """A row is a tombstone when every non-key payload column is NULL
+        (reference Message#blank payload → nil → delete downstream)."""
+        key_field = self.config.key_field
+        payload_cols = [
+            c
+            for c in self.config.schema.struct.fieldNames()
+            if c in df.columns and c != key_field
+        ]
+        if not payload_cols:
+            return F.lit(False)
+        cond = F.lit(True)
+        for c in payload_cols:
+            cond = cond & F.col(c).isNull()
+        return cond
+
+    def _key_column(self, df: DataFrame) -> Column:
+        cfg = self.config
+        if cfg.key_field is None and self.key_codec is None:
+            if cfg.plain_key and "payload_key" in df.columns:
+                return F.col("payload_key").cast("string").cast("binary")
+            return F.lit(None).cast("binary")
+        if cfg.key_field is not None and "." in cfg.key_field:
+            # dotted path navigates nested payload (producer_middleware.rb:112-118)
+            return F.col(cfg.key_field).cast("string").cast("binary")
+        key_name = self._key_schema.struct.fieldNames()[0]
+        key_struct = F.struct(F.col(key_name))
+        return self.key_codec.encode(key_struct)
+
+    # --------------------------------------------------------------- sinks
+
+    def publish(self, df: DataFrame, backend: str = "memory", **kw) -> DataFrame | None:
+        """Dispatch like the reference's backend switch
+        (producer.rb:148-161): kafka / kafka_async / outbox / memory."""
+        messages = self.build_messages(df)
+        if backend in ("kafka", "kafka_async"):
+            return self._publish_kafka(messages, sync=backend == "kafka", **kw)
+        if backend == "outbox":
+            return self._publish_outbox(messages, **kw)
+        if backend == "memory":
+            return messages  # caller collects/asserts — the test backend
+        if backend == "files":
+            messages.write.mode("append").parquet(kw["path"])
+            return None
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def _publish_kafka(self, messages: DataFrame, sync: bool, **kw):
+        bootstrap = kw.get("bootstrap_servers")
+        if not bootstrap:
+            raise NotImplementedError(
+                "Kafka publish needs bootstrap_servers (and the "
+                "spark-sql-kafka package on the classpath)"
+            )
+        (
+            messages.select("key", "value", "topic")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("kafka.acks", "all" if sync else "1")
+            .save()
+        )
+        return None
+
+    def _publish_outbox(self, messages: DataFrame, **kw):
+        """Write encoded messages into the outbox table inside the caller's
+        batch (reference: backends/outbox.rb); the relay
+        (sources.outbox.OutboxRelay) moves them to Kafka later."""
+        from deimos_spark.sources.outbox import OutboxTable
+
+        outbox: OutboxTable = kw["outbox"]
+        outbox.append(messages)
+        return None

@@ -1,0 +1,55 @@
+"""Compaction (A14) and batch slicing (A15) — mirrors the reference's
+batch_slicer_spec scenario: messages [C1,A1,B1,A2,C2,C3] (letter=key,
+number=occurrence) slice to [[C1,A1,B1],[A2,C2],[C3]].
+"""
+
+from pyspark.sql import Row
+
+from deimos_spark.operators.compaction import compact_keep_last, slice_batch, slice_ids
+
+
+def _batch(spark):
+    # arrival order via offset; key=k
+    rows = [
+        Row(k="C", v="C1", partition=0, offset=0),
+        Row(k="A", v="A1", partition=0, offset=1),
+        Row(k="B", v="B1", partition=0, offset=2),
+        Row(k="A", v="A2", partition=0, offset=3),
+        Row(k="C", v="C2", partition=0, offset=4),
+        Row(k="C", v="C3", partition=0, offset=5),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_compact_keep_last(spark):
+    out = compact_keep_last(_batch(spark), ["k"], ["partition", "offset"])
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"A": "A2", "B": "B1", "C": "C3"}
+
+
+def test_compact_preserves_unkeyed(spark):
+    rows = [
+        Row(k=None, v="u1", partition=0, offset=0),
+        Row(k=None, v="u2", partition=0, offset=1),
+        Row(k="A", v="A1", partition=0, offset=2),
+        Row(k="A", v="A2", partition=0, offset=3),
+    ]
+    out = compact_keep_last(spark.createDataFrame(rows), ["k"], ["offset"])
+    vs = sorted(r["v"] for r in out.collect())
+    assert vs == ["A2", "u1", "u2"]  # unkeyed rows all kept
+
+
+def test_slice_ids_match_reference_algorithm(spark):
+    out = slice_ids(_batch(spark), ["k"], ["partition", "offset"])
+    got = {r["v"]: r["_slice"] for r in out.collect()}
+    assert got == {"C1": 1, "A1": 1, "B1": 1, "A2": 2, "C2": 2, "C3": 3}
+
+
+def test_slice_batch_materializes_reference_slices(spark):
+    slices = slice_batch(_batch(spark), ["k"], ["partition", "offset"])
+    as_sets = [sorted(r["v"] for r in s.collect()) for s in slices]
+    assert as_sets == [["A1", "B1", "C1"], ["A2", "C2"], ["C3"]]
+    # each slice has distinct keys
+    for s in slices:
+        ks = [r["k"] for r in s.collect()]
+        assert len(ks) == len(set(ks))
