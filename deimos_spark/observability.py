@@ -1,0 +1,165 @@
+"""Observability: metrics, payload logging, error policy / DLQ routing.
+
+Reference parity (behavior only):
+- A34 metrics: publish counts, consume lag, outbox pending/lag gauges
+  (ext/producer_metrics_listener.rb, outbox_producer.rb send_pending_metrics)
+  → a MetricsRegistry fed by a StreamingQueryListener and direct calls.
+- A36 payload logging modes: full payloads / keys only / counts / headers
+  (lib/deimos/logging.rb).
+- A40/A22 error policy: fatal-error classifier + dead-letter routing for
+  invalid records (consumer.rb fatal_error?, batch_record_list rejections).
+- A30 retry: bounded retry with jittered sleep for transient sink errors
+  (utils/deadlock_retry.rb — 2 retries, randomized backoff).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+logger = logging.getLogger("deimos_spark")
+
+
+# ------------------------------------------------------------------ metrics
+
+class MetricsRegistry:
+    """Counters + gauges + timers; provider-pluggable like the reference's
+    metrics backends (mock/datadog...) — here: in-memory + log lines."""
+
+    def __init__(self):
+        self.counters: dict[str, int] = defaultdict(int)
+        self.gauges: dict[str, float] = {}
+        self.timers: dict[str, list[float]] = defaultdict(list)
+
+    def increment(self, name: str, by: int = 1, **tags) -> None:
+        self.counters[_k(name, tags)] += by
+
+    def gauge(self, name: str, value: float, **tags) -> None:
+        self.gauges[_k(name, tags)] = value
+
+    def time(self, name: str, seconds: float, **tags) -> None:
+        self.timers[_k(name, tags)].append(seconds)
+
+
+def _k(name: str, tags: dict) -> str:
+    if not tags:
+        return name
+    return name + "{" + ",".join(f"{k}={v}" for k, v in sorted(tags.items())) + "}"
+
+
+METRICS = MetricsRegistry()
+
+
+def make_query_listener(registry: MetricsRegistry = METRICS):
+    """StreamingQueryListener → registry bridge: rows/sec, batch duration,
+    input backlog — the consume-lag analogue."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _Listener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            registry.increment("stream.started")
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            registry.gauge("stream.input_rows_per_sec", p.inputRowsPerSecond or 0.0)
+            registry.gauge("stream.processed_rows_per_sec", p.processedRowsPerSecond or 0.0)
+            registry.increment("stream.batches")
+            registry.increment("stream.rows", p.numInputRows)
+
+        def onQueryTerminated(self, event):
+            registry.increment("stream.terminated")
+
+        def onQueryIdle(self, event):
+            pass
+
+    return _Listener()
+
+
+# ----------------------------------------------------------- payload logging
+
+def log_batch(
+    df: DataFrame,
+    mode: str = "counts",
+    key_cols: tuple[str, ...] = (),
+    log: Callable[[str], None] = logger.info,
+    sample: int = 20,
+) -> None:
+    """The reference's 4 payload-log modes: 'payloads' (full rows), 'keys'
+    (key columns only), 'counts' (row count), 'headers' (schema)."""
+    if mode == "counts":
+        log(f"batch rows={df.count()}")
+    elif mode == "keys":
+        rows = df.select(*key_cols).limit(sample).collect()
+        log(f"batch keys={[tuple(r) for r in rows]}")
+    elif mode == "payloads":
+        rows = df.limit(sample).collect()
+        log(f"batch payloads={[r.asDict() for r in rows]}")
+    elif mode == "headers":
+        log(f"batch schema={df.schema.simpleString()}")
+    else:
+        raise ValueError(f"unknown log mode {mode!r}")
+
+
+# -------------------------------------------------------------- error policy
+
+@dataclass
+class ErrorPolicy:
+    """Swallow-vs-reraise with a fatal classifier (reference: consumer.rb
+    fatal_error?, config reraise_errors)."""
+
+    reraise: bool = False
+    fatal: Callable[[Exception], bool] = lambda e: False
+    on_error: Callable[[Exception], None] = lambda e: None
+
+    def handle(self, e: Exception) -> None:
+        self.on_error(e)
+        if self.reraise or self.fatal(e):
+            raise e
+        logger.warning("swallowed consumer error: %s", e)
+
+
+def route_invalid(
+    df: DataFrame,
+    valid_predicate,
+    dlq_path: str | None = None,
+) -> DataFrame:
+    """Partition a batch into valid rows (returned) and invalid rows
+    (appended to a dead-letter parquet table when dlq_path given) —
+    the reference's should_consume?/invalid-record instrumentation."""
+    invalid = df.filter(~F.coalesce(valid_predicate, F.lit(False)))
+    if dlq_path is not None:
+        invalid.withColumn("_dlq_at", F.current_timestamp()).write.mode(
+            "append"
+        ).parquet(dlq_path)
+    return df.filter(F.coalesce(valid_predicate, F.lit(False)))
+
+
+# -------------------------------------------------------------------- retry
+
+def with_retry(
+    fn: Callable[[], None],
+    retries: int = 2,
+    is_retryable: Callable[[Exception], bool] = lambda e: True,
+    base_sleep: float = 0.5,
+    max_jitter: float = 5.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> None:
+    """Bounded retry with jittered backoff (reference: deadlock_retry.rb —
+    2 retries, 0.5–5.5s randomized sleep)."""
+    attempt = 0
+    while True:
+        try:
+            fn()
+            return
+        except Exception as e:
+            if attempt >= retries or not is_retryable(e):
+                raise
+            attempt += 1
+            sleep(base_sleep + random.random() * max_jitter)

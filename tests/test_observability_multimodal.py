@@ -1,0 +1,184 @@
+"""Observability (metrics/logging/error policy/retry), test helpers,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from deimos_spark import observability as obs
+from deimos_spark.operators import multimodal as mm
+from deimos_spark.operators.merge import KeyedParquetTable
+from deimos_spark.schemas.avro import parse_avsc
+from deimos_spark.schemas.codecs import (
+    add_registry_frame,
+    extract_schema_id,
+    get_codec,
+    strip_registry_frame,
+)
+from deimos_spark.streaming.consumer import BatchConsumer, ConsumerConfig
+from deimos_spark.streaming.producer import Producer, TopicConfig
+from deimos_spark.testing import MemorySink
+from deimos_spark.testing import test_consume_batch as drive_consume_batch
+
+MY_SCHEMA = parse_avsc(
+    {
+        "type": "record",
+        "name": "MySchema",
+        "fields": [
+            {"name": "test_id", "type": "string"},
+            {"name": "some_int", "type": "int"},
+        ],
+    }
+)
+
+
+# ------------------------------------------------------------------ metrics
+
+def test_metrics_registry():
+    r = obs.MetricsRegistry()
+    r.increment("publish", topic="t")
+    r.increment("publish", by=4, topic="t")
+    r.gauge("lag", 2.5, topic="t")
+    r.time("batch", 0.1)
+    assert r.counters["publish{topic=t}"] == 5
+    assert r.gauges["lag{topic=t}"] == 2.5
+    assert r.timers["batch"] == [0.1]
+
+
+def test_log_batch_modes(spark):
+    df = spark.createDataFrame([Row(test_id="a", some_int=1)])
+    lines = []
+    for mode in ("counts", "keys", "payloads", "headers"):
+        obs.log_batch(df, mode=mode, key_cols=("test_id",), log=lines.append)
+    assert "rows=1" in lines[0]
+    assert "('a',)" in lines[1]
+    assert "some_int" in lines[2]
+    assert "struct" in lines[3]
+    with pytest.raises(ValueError):
+        obs.log_batch(df, mode="nope")
+
+
+def test_error_policy():
+    seen = []
+    p = obs.ErrorPolicy(reraise=False, on_error=seen.append)
+    p.handle(ValueError("x"))  # swallowed
+    assert len(seen) == 1
+    p2 = obs.ErrorPolicy(reraise=False, fatal=lambda e: isinstance(e, KeyError))
+    with pytest.raises(KeyError):
+        p2.handle(KeyError("fatal"))
+
+
+def test_route_invalid_to_dlq(spark, tmp_path):
+    df = spark.createDataFrame([Row(k="a", v=1), Row(k=None, v=2), Row(k="c", v=None)])
+    dlq = str(tmp_path / "dlq")
+    valid = obs.route_invalid(df, F.col("k").isNotNull() & F.col("v").isNotNull(), dlq)
+    assert sorted(r["k"] for r in valid.collect()) == ["a"]
+    dlq_rows = spark.read.parquet(dlq)
+    assert dlq_rows.count() == 2
+    assert "_dlq_at" in dlq_rows.columns
+
+
+def test_with_retry():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("deadlock")
+
+    obs.with_retry(flaky, retries=2, sleep=lambda s: None)
+    assert len(calls) == 3
+
+    with pytest.raises(OSError):
+        obs.with_retry(
+            lambda: (_ for _ in ()).throw(OSError("x")),
+            retries=1,
+            sleep=lambda s: None,
+        )
+
+
+# ------------------------------------------------------------- test helpers
+
+def test_memory_sink_and_assertions(spark):
+    sink = MemorySink()
+    p = Producer(TopicConfig(topic="t", schema=MY_SCHEMA, key_field="test_id"))
+    sink.publish(p, spark.createDataFrame([Row(test_id="a", some_int=1)]))
+    sink.assert_sent("t", {"test_id": "a", "some_int": 1})
+    sink.assert_sent("t", {"some_int": 1})  # subset match
+    with pytest.raises(AssertionError):
+        sink.assert_sent("t", {"some_int": 99})
+    with pytest.raises(AssertionError):
+        sink.assert_sent("other", {"some_int": 1})
+
+
+def test_test_consume_batch_driver(spark, tmp_path):
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "tbl"), ["test_id"], schema=MY_SCHEMA.struct
+    )
+    p = Producer(TopicConfig(topic="t", schema=MY_SCHEMA, key_field="test_id"))
+    c = BatchConsumer(ConsumerConfig(schema=MY_SCHEMA, key_cols=["test_id"]), table)
+    drive_consume_batch(spark, p, c, [Row(test_id="a", some_int=1)])
+    assert table.read().count() == 1
+
+
+# ------------------------------------------------------------ registry frame
+
+def test_registry_framing_roundtrip(spark):
+    codec = get_codec("json", MY_SCHEMA)
+    df = spark.createDataFrame([Row(test_id="a", some_int=7)])
+    framed = df.select(
+        add_registry_frame(
+            codec.encode(F.struct("test_id", "some_int")), schema_id=42
+        ).alias("b")
+    )
+    out = framed.select(
+        extract_schema_id(F.col("b")).alias("sid"),
+        codec.decode(strip_registry_frame(F.col("b"))).alias("p"),
+    ).head()
+    assert out["sid"] == 42
+    assert out["p"]["test_id"] == "a" and out["p"]["some_int"] == 7
+
+
+# --------------------------------------------------------------- multimodal
+
+def _media_df(spark):
+    rows = [
+        Row(
+            media_id=i,
+            content=bytes([i] * 64),
+            meta=Row(mime="image/png", width=64, height=64, duration_ms=None, sample_rate=None),
+        )
+        for i in range(3)
+    ]
+    return spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+
+def test_image_features_deterministic(spark):
+    df = _media_df(spark)
+    out = mm.extract_image_features(df, out_dim=8)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 3
+    assert len(rows[0]["features"]) == 8
+    assert rows[0]["n_bytes"] == 64
+    # deterministic: rerun gives identical features
+    rows2 = {r["media_id"]: r for r in mm.extract_image_features(df, out_dim=8).collect()}
+    assert rows[1]["features"] == rows2[1]["features"]
+
+
+def test_frame_sampling_fanout(spark):
+    out = mm.sample_frames(_media_df(spark), every_n=16, max_frames=3)
+    rows = out.collect()
+    assert len(rows) == 9  # 3 videos × 3 frames
+    assert all(len(bytes(r["frame"])) == 16 for r in rows)
+
+
+def test_media_stats_prunes_binary(spark, tmp_path):
+    path = str(tmp_path / "media")
+    _media_df(spark).write.parquet(path)
+    out = mm.media_stats(spark.read.parquet(path))
+    r = out.head()
+    assert r["mime"] == "image/png" and r["c"] == 3 and r["avg_width"] == 64.0
+    # column pruning: the parquet ReadSchema must not include `content`
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "content" not in read_schema[0]
