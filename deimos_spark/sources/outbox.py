@@ -97,6 +97,17 @@ class OutboxTable:
     def pending_count(self) -> int:
         return self.read().count()
 
+    def decode_messages(self, codec) -> DataFrame:
+        """A33 decode-for-inspection: view pending messages with payloads
+        decoded back to structs (reference: kafka_message.rb#decoded)."""
+        return self.read().select(
+            "id",
+            "topic",
+            F.col("key").cast("string").alias("key_str"),
+            codec.decode(F.col("message")).alias("payload"),
+            "created_at",
+        )
+
     def lag_seconds(self) -> float:
         """max age of pending messages (reference metric: outbox lag =
         now - min(created_at) per topic)."""

@@ -1,0 +1,84 @@
+"""Write-through CDC: emit create/update/tombstone messages from table
+state changes (the Spark analogue of the reference's ActiveRecord
+callback hooks — /root/reference/lib/deimos/kafka_source.rb, behavior
+only: emit on create/update/destroy, update only when watched attributes
+changed, destroy emits a key-only tombstone).
+
+Without row-level callbacks, Spark derives the change feed from a
+snapshot diff (the same technique the reference uses for bulk-import
+interception: refetch and emit). For a table format with a native change
+feed (Delta CDF) the diff step is replaced by reading the feed; the emit
+contract is identical.
+
+Scale: the diff is one full-outer join on the key — shuffle-partitioned,
+no driver materialization; watched-attr comparison is a codegen'd struct
+inequality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    watched_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Diff two table snapshots into a change set.
+
+    Returns rows of the NEW payload (key cols + payload) plus `_op` ∈
+    {'create','update','delete'}; deletes carry only key columns (payload
+    NULL) — the tombstone contract. Updates are emitted only when a
+    watched column changed (watched_cols=None → any payload column).
+    """
+    payload_cols = [c for c in new.columns if c not in key_cols]
+    watched = list(watched_cols) if watched_cols is not None else payload_cols
+
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in key_cols],
+        F.struct(*[F.col(c) for c in watched]).alias("_old_w"),
+    )
+    n = new.select(
+        *key_cols,
+        *payload_cols,
+        F.struct(*[F.col(c) for c in watched]).alias("_new_w"),
+    )
+    cond = [n[k] == o[f"_ok_{k}"] for k in key_cols]
+    joined = n.join(o, cond, "full_outer")
+
+    new_exists = F.col(key_cols[0]).isNotNull()
+    old_exists = F.col(f"_ok_{key_cols[0]}").isNotNull()
+    op = (
+        F.when(new_exists & ~old_exists, F.lit("create"))
+        .when(~new_exists & old_exists, F.lit("delete"))
+        .when(F.col("_new_w") != F.col("_old_w"), F.lit("update"))
+    )
+    changed = joined.withColumn("_op", op).filter(F.col("_op").isNotNull())
+
+    out_cols = [
+        F.coalesce(F.col(k), F.col(f"_ok_{k}")).alias(k) for k in key_cols
+    ] + [
+        F.when(F.col("_op") != "delete", F.col(c)).alias(c) for c in payload_cols
+    ]
+    return changed.select(*out_cols, "_op")
+
+
+def emit_changes(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    producer,
+    watched_cols: Sequence[str] | None = None,
+    backend: str = "memory",
+    **kw,
+):
+    """Diff + publish through the produce pipeline: creates/updates as
+    payloads, deletes as tombstones (NULL payload columns make the
+    producer's tombstone detection fire)."""
+    changes = snapshot_diff(old, new, key_cols, watched_cols).drop("_op")
+    return producer.publish(changes, backend=backend, **kw)

@@ -41,6 +41,9 @@ class TopicConfig:
     plain_key: bool = False             # key_config plain: true
     codec: str = "json"
     topic_prefix: str = ""
+    # A29: truncate string payload columns to DDL limits pre-publish
+    # (reference: kafka_source.rb truncate_columns)
+    truncate_limits: dict[str, int] = field(default_factory=dict)
 
     @property
     def full_topic(self) -> str:
@@ -49,6 +52,15 @@ class TopicConfig:
 
 class Producer:
     """engine.producer(topic_config).publish(df) — see module docstring."""
+
+    # A12: global / per-instance emission disable (reference:
+    # producer.rb disable_producers — a thread-local guard; here an
+    # explicit switch usable as a context manager)
+    _globally_disabled: bool = False
+
+    @classmethod
+    def disable_all(cls) -> "_DisableCtx":
+        return _DisableCtx(cls)
 
     def __init__(
         self,
@@ -75,6 +87,9 @@ class Producer:
         cfg = self.config
         if self.transform is not None:
             df = self.transform(df)
+        for col, limit in cfg.truncate_limits.items():
+            if col in df.columns:
+                df = df.withColumn(col, F.substring(F.col(col), 1, limit))
         df = self._add_auto_fields(df)
         coerced = coerce_to_schema(df, cfg.schema.struct)
 
@@ -142,7 +157,10 @@ class Producer:
 
     def publish(self, df: DataFrame, backend: str = "memory", **kw) -> DataFrame | None:
         """Dispatch like the reference's backend switch
-        (producer.rb:148-161): kafka / kafka_async / outbox / memory."""
+        (producer.rb:148-161): kafka / kafka_async / outbox / memory.
+        Returns None (and publishes nothing) while producers are disabled."""
+        if Producer._globally_disabled:
+            return None
         messages = self.build_messages(df)
         if backend in ("kafka", "kafka_async"):
             return self._publish_kafka(messages, sync=backend == "kafka", **kw)
@@ -180,3 +198,16 @@ class Producer:
         outbox: OutboxTable = kw["outbox"]
         outbox.append(messages)
         return None
+
+
+class _DisableCtx:
+    def __init__(self, cls):
+        self._cls = cls
+
+    def __enter__(self):
+        self._cls._globally_disabled = True
+        return self
+
+    def __exit__(self, *exc):
+        self._cls._globally_disabled = False
+        return False
