@@ -32,9 +32,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# (session, dir, table) → DataFrame plan cache: skips re-reading parquet
+# footers for schema inference on every builder call. Plans are immutable;
+# the underlying files are read fresh at each execution.
+_df_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Path layout per TESTDATA.md."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    df = _df_cache.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        _df_cache[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:

@@ -137,12 +137,39 @@ def minhash_lsh_pairs(
     2 xxhash64 calls per shingle instead of num_hashes.
     """
     rows = num_hashes // bands
-    shingled = exploded_shingles(df, text_col, id_col, shingle_n)
-    hashed = shingled.select(
-        "_id",
-        F.xxhash64("_s", F.lit(0)).alias("_h1"),
-        F.xxhash64("_s", F.lit(1)).alias("_h2"),
+    # Shingle *hashes*, not shingle strings: tokens are hashed to longs
+    # before the window, so the per-doc sort and every downstream shuffle
+    # carries 8-byte longs instead of ~40-byte strings. A shingle's identity
+    # is the combined hash of its n token hashes (128 bits via _h1/_h2 —
+    # collision-free in practice).
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    ).select("_id", "_p", F.xxhash64("_w").alias("_th"))
+    w = Window.partitionBy("_id").orderBy("_p")
+    leads = [F.col("_th")] + [F.lead("_th", i).over(w) for i in range(1, shingle_n)]
+    hashed = (
+        toks.select(
+            "_id",
+            F.xxhash64(*leads).alias("_h1"),
+            F.xxhash64(*leads, F.lit(1)).alias("_h2"),
+            leads[-1].isNotNull().alias("_full"),
+        )
+        .filter("_full")
+        .select("_id", "_h1", "_h2")
     )
+    # docs with < n tokens contribute their whole text as one shingle
+    short_docs = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.xxhash64(F.trim(F.col(text_col))).alias("_h1"),
+            F.xxhash64(F.trim(F.col(text_col)), F.lit(1)).alias("_h2"),
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nt"),
+        )
+        .filter(F.col("_nt") < shingle_n)
+        .select("_id", "_h1", "_h2")
+    )
+    hashed = hashed.union(short_docs).distinct()
     # signature: num_hashes mins in ONE hash aggregate (map-side combine
     # shrinks the shuffle to num_docs × num_hashes longs)
     sig = hashed.groupBy("_id").agg(
@@ -176,10 +203,13 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = shingled.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    sizes = hashed.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
-        cand.join(shingled.select(F.col("_id").alias("id_a"), "_s"), "id_a")
-        .join(shingled.select(F.col("_id").alias("id_b"), "_s"), ["id_b", "_s"])
+        cand.join(hashed.select(F.col("_id").alias("id_a"), "_h1", "_h2"), "id_a")
+        .join(
+            hashed.select(F.col("_id").alias("id_b"), "_h1", "_h2"),
+            ["id_b", "_h1", "_h2"],
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
