@@ -1,0 +1,89 @@
+"""Plan-shape regression tests: the 100 TB-readiness assertions.
+
+These don't check results (the oracle does) — they check that Catalyst
+produced the plan we want at scale: filters pushed to parquet, columns
+pruned, dimension joins broadcast, top-k as TakeOrderedAndProject (no
+global sort), partial aggregation present. If a refactor silently degrades
+a plan (e.g. a UDF blocks pushdown), these fail.
+"""
+
+import pytest
+
+from deimos_spark.operators import relational as r
+from deimos_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    df.collect()  # run so AQE finalizes (isFinalPlan=true, codegen visible)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(r.filter_predicates(spark, SF))
+    assert "PushedFilters: [IsNotNull" in plan
+    # the IN predicate must be pushed to the scan, not just residual
+    assert "In(o_orderstatus" in plan
+
+
+def test_projection_prunes_columns(spark):
+    plan = _plan(r.projection(spark, SF))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark):
+    plan = _plan(r.join_multiway(spark, SF))
+    # (AQE plan string repeats initial+final plan → count, don't equate)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(r.sort_topk(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_has_partial_phase(spark):
+    plan = _plan(r.agg_hash(spark, SF))
+    # two HashAggregate nodes = partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_keep_last_uses_agg_not_window(spark):
+    plan = _plan(r.keep_last_per_key(spark, SF))
+    # max_by plans as SortAggregate with a partial phase: the shuffle moves
+    # one row per (key, input-partition), unlike a window which shuffles
+    # and sorts EVERY row — that's the property that matters at 100 TB
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+
+
+def test_theta_join_is_not_cartesian(spark):
+    plan = _plan(r.join_theta(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_joins_planned_as_such(spark):
+    assert "LeftSemi" in _plan(r.join_semi(spark, SF))
+    assert "LeftAnti" in _plan(r.join_anti(spark, SF))
+
+
+def test_whole_stage_codegen_everywhere_hot(spark):
+    plan = _plan(r.agg_hash(spark, SF))
+    # codegen'd operators carry the *(n) stage marker in the plan string
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan  # no python UDFs in the hot path
+
+
+def test_no_python_udfs_in_any_declared_query(spark):
+    """LLM ops included: everything stays JVM-side (Arrow/pandas paths are
+    only in the multimodal kernels, which are not declared queries)."""
+    for name, spec in all_queries().items():
+        plan = _plan(spec.builder(spark, SF))
+        assert "BatchEvalPython" not in plan, f"python UDF leaked into {name}"
+        assert "CartesianProduct" not in plan, f"cartesian product in {name}"
