@@ -26,7 +26,7 @@ from deimos_spark.functions.text import (
     quality_score,
     token_count,
 )
-from deimos_spark.operators import dedup, relational, simsearch
+from deimos_spark.operators import asof, dedup, relational, simsearch
 from deimos_spark.session import apply_runtime_confs
 
 
@@ -182,6 +182,104 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest signup at or
+    before it (union-window plan — one shuffle, no pair blowup)."""
+    e = _events(spark, sf_dir)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    out = asof.asof_join(
+        purchases, signups, ["user_id"], "ts", ["event_id"], strict=False
+    )
+    return out.select(
+        F.col("event_id"), F.col("event_id_right").alias("matched_id")
+    )
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: (view → purchase) pairs within 10 minutes, same user.
+    ts is long nanos → bounds in nanos."""
+    e = _events(spark, sf_dir)
+    views = e.filter(F.col("event_type") == "view")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    pairs = asof.interval_join(
+        views.select("user_id", "ts"),
+        purchases.select("user_id", "ts"),
+        ["user_id"],
+        "ts",
+        "ts",
+        lower=0,
+        upper=600 * 10**9,
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event counts per user (explicit value list → fixed columns,
+    which is also what keeps pivot scalable: one pass, no value discovery)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    )
+
+
+def q_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily aggregates composed FROM
+    the hourly continuous aggregate (re-aggregation, not re-scan) — the
+    pattern that makes multi-resolution rollups cheap at scale."""
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    hourly = e.groupBy(F.date_trunc("hour", ts).alias("h")).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("value").alias("sv")
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", F.col("h")).alias("d"))
+        .agg(F.sum("c").alias("c"), F.round(F.sum("sv"), 2).alias("sum_value"))
+        .select(F.col("d").cast("date").cast("string").alias("day_s"), "c", "sum_value")
+    )
+    return daily
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish sub-word segmentation stats (regex pre-tokenization)."""
+    d = _docs(spark, sf_dir)
+    pieces = F.expr(
+        "regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+    return (
+        d.select("lang", F.size(pieces).alias("np"))
+        .groupBy("lang")
+        .agg(
+            F.sum("np").cast("bigint").alias("total_pieces"),
+            F.round(F.avg("np"), 2).alias("avg_pieces"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -491,6 +589,56 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "t08_embedding_neardup", q_embedding_neardup, None,
             note="LSH-bucketed cosine near-dup — rows-only",
+        ),
+        QuerySpec(
+            "x01_asof_join", q_asof_join,
+            "SELECT l.event_id, r.event_id AS matched_id FROM "
+            "(SELECT * FROM events WHERE event_type = 'purchase') l "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r "
+            "ON l.user_id = r.user_id AND r.ts <= l.ts",
+            note="as-of join via union-window (custom operator)",
+        ),
+        QuerySpec(
+            "x02_interval_join", q_interval_join,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT * FROM events WHERE event_type = 'view') l JOIN "
+            "(SELECT * FROM events WHERE event_type = 'purchase') r "
+            "ON l.user_id = r.user_id "
+            "AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 600 SECONDS",
+            note="interval join (equi key + range filter)",
+        ),
+        QuerySpec(
+            "x03_pivot", q_pivot,
+            "SELECT user_id, "
+            + ", ".join(
+                "CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+                " AS {t}".format(t=t)
+                for t in EVENT_TYPES
+            )
+            + " FROM events GROUP BY user_id",
+        ),
+        QuerySpec(
+            "x04_percentile", q_percentile,
+            "SELECT o_orderstatus, "
+            "round(quantile_cont(o_totalprice, 0.5), 2) AS p50, "
+            "round(quantile_cont(o_totalprice, 0.9), 2) AS p90 "
+            "FROM orders GROUP BY o_orderstatus",
+        ),
+        QuerySpec(
+            "x05_rollup_hierarchy", q_rollup_hierarchy,
+            "SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day_s, "
+            "CAST(count(*) AS BIGINT) AS c, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1",
+            note="daily rollup computed from hourly aggregate (hierarchical)",
+        ),
+        QuerySpec(
+            "t10_bpe_tokens", q_bpe_tokens,
+            "SELECT lang, "
+            "CAST(sum(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))) AS BIGINT) AS total_pieces, "
+            "round(avg(len(regexp_extract_all(text, "
+            "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))), 2) AS avg_pieces "
+            "FROM documents GROUP BY lang",
         ),
         QuerySpec(
             "t09_cosine_pairs_exact", q_cosine_pairs_exact,

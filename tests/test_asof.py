@@ -1,0 +1,62 @@
+"""As-of join and interval join unit tests (hand-checkable scenarios)."""
+
+from pyspark.sql import Row
+
+from deimos_spark.operators.asof import asof_join, interval_join
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="a", ts=10, lv="L1"),
+            Row(k="a", ts=20, lv="L2"),
+            Row(k="a", ts=5, lv="L0"),
+            Row(k="b", ts=10, lv="L3"),
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="a", ts=8, rv="R8"),
+            Row(k="a", ts=10, rv="R10"),
+            Row(k="a", ts=15, rv="R15"),
+            Row(k="c", ts=1, rv="RC"),
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, ["k"], "ts", ["rv"], strict=False)
+    got = {(r["k"], r["ts"]): r["rv_right"] for r in out.collect()}
+    assert got == {
+        ("a", 5): None,      # no right row at or before ts=5
+        ("a", 10): "R10",    # tie matches when inclusive
+        ("a", 20): "R15",
+        ("b", 10): None,     # key with no right rows
+    }
+
+
+def test_asof_backward_strict(spark):
+    left, right = _sides(spark)
+    out = asof_join(left, right, ["k"], "ts", ["rv"], strict=True)
+    got = {(r["k"], r["ts"]): r["rv_right"] for r in out.collect()}
+    assert got[("a", 10)] == "R8"  # tie excluded under strict <
+    assert got[("a", 20)] == "R15"
+
+
+def test_asof_preserves_left_rowcount(spark):
+    left, right = _sides(spark)
+    assert asof_join(left, right, ["k"], "ts", ["rv"]).count() == left.count()
+
+
+def test_interval_join_bounds(spark):
+    left = spark.createDataFrame([Row(k="a", ts=100), Row(k="a", ts=200)])
+    right = spark.createDataFrame(
+        [Row(k="a", ts=100), Row(k="a", ts=150), Row(k="a", ts=161), Row(k="b", ts=101)]
+    )
+    out = interval_join(left, right, ["k"], "ts", "ts", lower=0, upper=60)
+    got = sorted((r["_lts"], r["_rts"]) for r in out.collect())
+    # (100,100) excluded (lower exclusive), (100,150) in, (100,161) out (>60),
+    # (150/161 vs 200): only right rows AFTER left count — (200, none)
+    assert got == [(100, 150)]
