@@ -1,0 +1,147 @@
+"""Engine facade: the user-facing API tying topics, producers, consumers,
+pollers and the outbox together — the analogue of the reference's
+`Deimos.configure` DSL + Karafka routing (behavior studied from
+/root/reference/lib/deimos.rb and ext/schema_route.rb — behavior only).
+
+    from deimos_spark.engine import Engine
+
+    eng = Engine(spark, topic_prefix="prod.")
+    eng.register_topic("widgets", schema_dict_or_json, key_field="test_id")
+    eng.producer("widgets").publish(df, backend="outbox", outbox=eng.outbox("/p"))
+    c = eng.consumer("widgets", table_path="/tables/widgets")
+    c.consume_batch(kafka_shaped_df)              # batch mode
+    c.attach(stream_df, checkpoint="/ckpt")       # streaming mode
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from deimos_spark.operators.merge import KeyedParquetTable
+from deimos_spark.schemas.avro import AvroSchema, parse_avsc
+from deimos_spark.session import apply_runtime_confs
+from deimos_spark.sources.outbox import OutboxTable
+from deimos_spark.sources.poller import TimeBasedPoller
+from deimos_spark.streaming.consumer import BatchConsumer, ConsumerConfig
+from deimos_spark.streaming.producer import Producer, TopicConfig
+
+
+class Engine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        topic_prefix: str = "",
+        default_codec: str = "json",
+    ):
+        self.spark = apply_runtime_confs(spark)
+        self.topic_prefix = topic_prefix
+        self.default_codec = default_codec
+        self._topics: dict[str, TopicConfig] = {}
+        self._outboxes: dict[str, OutboxTable] = {}
+
+    # ------------------------------------------------------------- topics
+
+    def register_topic(
+        self,
+        topic: str,
+        schema: str | dict | AvroSchema,
+        key_field: str | None = None,
+        key_schema: str | dict | AvroSchema | None = None,
+        codec: str | None = None,
+        **kw: Any,
+    ) -> TopicConfig:
+        """schema_route analogue: attach schema + key config to a topic."""
+        if not isinstance(schema, AvroSchema):
+            schema = parse_avsc(schema)
+        if key_schema is not None and not isinstance(key_schema, AvroSchema):
+            key_schema = parse_avsc(key_schema)
+        cfg = TopicConfig(
+            topic=topic,
+            schema=schema,
+            key_field=key_field,
+            key_schema=key_schema,
+            codec=codec or self.default_codec,
+            topic_prefix=self.topic_prefix,
+            **kw,
+        )
+        self._topics[topic] = cfg
+        return cfg
+
+    def topic(self, name: str) -> TopicConfig:
+        try:
+            return self._topics[name]
+        except KeyError:
+            raise KeyError(
+                f"topic {name!r} not registered; known: {sorted(self._topics)}"
+            )
+
+    # -------------------------------------------------------- produce side
+
+    def producer(self, topic: str, transform=None) -> Producer:
+        return Producer(self.topic(topic), transform=transform)
+
+    def outbox(self, path: str) -> OutboxTable:
+        if path not in self._outboxes:
+            self._outboxes[path] = OutboxTable(self.spark, path)
+        return self._outboxes[path]
+
+    # -------------------------------------------------------- consume side
+
+    def table(
+        self, path: str, topic: str, key_cols: list[str] | None = None, **kw
+    ) -> KeyedParquetTable:
+        cfg = self.topic(topic)
+        keys = key_cols or ([cfg.key_field] if cfg.key_field else None)
+        if not keys:
+            raise ValueError(f"topic {topic!r} has no key config; pass key_cols")
+        return KeyedParquetTable(
+            self.spark, path, keys, schema=cfg.schema.struct, **kw
+        )
+
+    def consumer(
+        self,
+        topic: str,
+        table_path: str,
+        key_cols: list[str] | None = None,
+        compacted: bool = True,
+        **consumer_kw,
+    ) -> BatchConsumer:
+        cfg = self.topic(topic)
+        tbl = self.table(table_path, topic, key_cols)
+        return BatchConsumer(
+            ConsumerConfig(
+                schema=cfg.schema,
+                key_cols=tbl.key_cols,
+                codec=cfg.codec,
+                compacted=compacted,
+                **consumer_kw,
+            ),
+            tbl,
+        )
+
+    # ------------------------------------------------------------ CDC side
+
+    def poller(
+        self,
+        topic: str,
+        source,
+        cursor_path: str,
+        backend: str = "memory",
+        publish_kw: dict | None = None,
+        **poller_kw,
+    ) -> TimeBasedPoller:
+        """DB-poller analogue: incremental source → this topic's producer.
+        poller_kw: ts_col/id_col/batch_size/delay_micros/full_table."""
+        prod = self.producer(topic)
+        sink: list = []
+
+        def publish(df):
+            out = prod.publish(df, backend=backend, **(publish_kw or {}))
+            if out is not None:  # memory backend returns the messages df
+                sink.extend(out.collect())
+
+        p = TimeBasedPoller(source, publish, cursor_path, **poller_kw)
+        p.published_messages = sink  # type: ignore[attr-defined]
+        return p

@@ -89,9 +89,13 @@ class KeyedParquetTable:
         """MERGE: apply upserts (insert-or-replace by key) and deletes in one
         rewrite. `upserts` must already be compacted to one row per key
         (use operators.compaction.compact_keep_last); `delete_keys` needs
-        only the key columns."""
-        current = self.read() if (self.exists() or self.schema is not None) else None
+        only the key columns.
 
+        Partitioned tables take the pruned path: only partitions containing
+        affected keys are read and rewritten — at 100 TB a batch touching
+        one day rewrites one day, not the table. Requires partition_by ⊆
+        merge-input columns (true whenever partitions derive from keys).
+        """
         affected_keys = None
         for src in (upserts, delete_keys):
             if src is not None:
@@ -100,6 +104,16 @@ class KeyedParquetTable:
         if affected_keys is None:
             return
 
+        pruned = bool(self.partition_by) and all(
+            (upserts is None or p in upserts.columns)
+            and (delete_keys is None or p in delete_keys.columns)
+            for p in self.partition_by
+        )
+        if pruned and self.exists():
+            self._merge_pruned(upserts, delete_keys, affected_keys)
+            return
+
+        current = self.read() if (self.exists() or self.schema is not None) else None
         if current is not None:
             survivors = current.join(
                 F.broadcast(affected_keys), self.key_cols, "left_anti"
@@ -115,6 +129,63 @@ class KeyedParquetTable:
         else:
             new_state = survivors
         self.overwrite(new_state)
+
+    def _merge_pruned(self, upserts, delete_keys, affected_keys) -> None:
+        """Partition-pruned merge: read only affected partitions (pushdown
+        via IN-filter on partition columns), rewrite only those partitions
+        with dynamic partitionOverwriteMode."""
+        parts = None
+        for src in (upserts, delete_keys):
+            if src is not None:
+                p = src.select(*self.partition_by).distinct()
+                parts = p if parts is None else parts.union(p).distinct()
+        part_rows = parts.collect()  # affected partition VALUES — small
+        if not part_rows:
+            return
+
+        cond = None
+        for r in part_rows:
+            c = None
+            for p in self.partition_by:
+                pc = F.col(p) == r[p]
+                c = pc if c is None else (c & pc)
+            cond = c if cond is None else (cond | c)
+
+        current = self.read().filter(cond)  # partition-pruned scan
+        survivors = current.join(F.broadcast(affected_keys), self.key_cols, "left_anti")
+        new_state = (
+            survivors.unionByName(upserts.select(*survivors.columns))
+            if upserts is not None
+            else survivors
+        )
+        # dynamic overwrite only rewrites partitions PRESENT in new_state;
+        # a partition emptied by deletes must be removed explicitly
+        remaining = {
+            tuple(r[p] for p in self.partition_by)
+            for r in new_state.select(*self.partition_by).distinct().collect()
+        }
+        emptied = [
+            r for r in part_rows
+            if tuple(r[p] for p in self.partition_by) not in remaining
+        ]
+
+        new_state.cache()
+        try:
+            if new_state.head(1):
+                (
+                    new_state.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy(*self.partition_by)
+                    .parquet(self.path)
+                )
+            for r in emptied:
+                d = os.path.join(
+                    self.path, *[f"{p}={r[p]}" for p in self.partition_by]
+                )
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+        finally:
+            new_state.unpersist()
 
     def upsert(self, batch: DataFrame, order_cols: Sequence[str] | None = None) -> None:
         """Convenience: compact a batch (keep-last per key if order given)

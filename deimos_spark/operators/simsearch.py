@@ -42,6 +42,53 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Arrow/NumPy variant of brute-force cosine top-k for HIGH dims.
+
+    The codegen'd fold (cosine_topk) wins below ~1k dims; above that, BLAS
+    via a vectorized mapInPandas wins — each Arrow batch becomes one
+    (batch × dim) @ (dim,) matmul. Per-partition top-k inside the kernel
+    keeps driver traffic at k rows per partition, same as
+    TakeOrderedAndProject.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+
+    def kernel(batches):
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
+            if round_digits is not None:
+                sims = np.round(sims, round_digits)
+            cur = pd.DataFrame({id_col: pdf[id_col], "sim": sims})
+            best = cur if best is None else pd.concat((best, cur))
+            best = best.sort_values(
+                ["sim", id_col], ascending=[False, True]
+            ).head(k)
+        if best is not None:
+            yield best
+
+    import pyspark.sql.types as T
+
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField(id_col, id_type), T.StructField("sim", T.DoubleType())]
+    )
+    partial = df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+    return partial.orderBy(F.col("sim").desc(), F.col(id_col)).limit(k)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constants, tiny)."""
     import numpy as np

@@ -1,0 +1,88 @@
+"""Engine facade: register topics, produce/consume/poll through one API —
+the 'switching user' experience test."""
+
+import pytest
+from pyspark.sql import Row
+
+from deimos_spark.engine import Engine
+
+SCHEMA = {
+    "type": "record",
+    "name": "Widget",
+    "fields": [
+        {"name": "test_id", "type": "string"},
+        {"name": "some_int", "type": "int"},
+    ],
+}
+
+POLL_SCHEMA = {
+    "type": "record",
+    "name": "PollWidget",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "updated_at", "type": "long"},
+        {"name": "name", "type": "string"},
+    ],
+}
+
+
+@pytest.fixture
+def engine(spark):
+    eng = Engine(spark, topic_prefix="test.")
+    eng.register_topic("widgets", SCHEMA, key_field="test_id")
+    return eng
+
+
+def test_unknown_topic_raises(engine):
+    with pytest.raises(KeyError, match="not registered"):
+        engine.producer("nope")
+
+
+def test_produce_consume_roundtrip(spark, engine, tmp_path):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    prod = engine.producer("widgets")
+    msgs = prod.publish(
+        spark.createDataFrame([Row(test_id="a", some_int=1), Row(test_id="b", some_int=2)]),
+        backend="memory",
+    )
+    assert {r["topic"] for r in msgs.collect()} == {"test.widgets"}
+
+    cons = engine.consumer("widgets", table_path=str(tmp_path / "t"))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    batch = (
+        msgs.withColumn("offset", F.row_number().over(w))
+        .withColumn("partition", F.lit(0))
+        .select("key", "value", "partition", "offset")
+    )
+    cons.consume_batch(batch)
+    got = {r["test_id"]: r["some_int"] for r in cons.table.read().collect()}
+    assert got == {"a": 1, "b": 2}
+
+
+def test_outbox_through_engine(spark, engine, tmp_path):
+    ob = engine.outbox(str(tmp_path / "ob"))
+    engine.producer("widgets").publish(
+        spark.createDataFrame([Row(test_id="x", some_int=9)]),
+        backend="outbox",
+        outbox=ob,
+    )
+    assert ob.pending_count() == 1
+    assert engine.outbox(str(tmp_path / "ob")) is ob  # cached handle
+
+
+def test_poller_through_engine(spark, tmp_path):
+    eng = Engine(spark)
+    eng.register_topic("poll", POLL_SCHEMA, key_field="id")
+    rows = [Row(id=i, updated_at=100 + i, name=f"w{i}") for i in range(3)]
+    p = eng.poller(
+        "poll",
+        lambda: spark.createDataFrame(rows),
+        str(tmp_path / "cursor.json"),
+        ts_col="updated_at",
+        id_col="id",
+        delay_micros=0,
+    )
+    assert p.run_once(now_micros=10**9) == 3
+    assert len(p.published_messages) == 3
