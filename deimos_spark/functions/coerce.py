@@ -115,13 +115,10 @@ def _coerce_struct(col: Column, src: T.StructType, dst: T.StructType) -> Column:
     return F.when(col.isNotNull(), F.struct(*parts))
 
 
-def coerce_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
-    """Project + coerce a DataFrame onto a target schema:
-    - columns not in the schema are DROPPED (strict-on-write projection,
-      reference: fail_on_extra_fields validates, producer projects first);
-    - schema fields missing from the df become NULL columns;
-    - present columns are coerced per the table above.
-    """
+def coercion_exprs(df: DataFrame, schema: T.StructType) -> list[Column]:
+    """The coercion projection as a list of aliased Column expressions —
+    compose with passthrough columns when the pipeline must carry
+    non-schema metadata (headers, partition-key sources) alongside."""
     src_types = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for f in schema.fields:
@@ -132,7 +129,17 @@ def coerce_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
             )
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return df.select(*cols)
+    return cols
+
+
+def coerce_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project + coerce a DataFrame onto a target schema:
+    - columns not in the schema are DROPPED (strict-on-write projection,
+      reference: fail_on_extra_fields validates, producer projects first);
+    - schema fields missing from the df become NULL columns;
+    - present columns are coerced per the table above.
+    """
+    return df.select(*coercion_exprs(df, schema))
 
 
 def validate_no_extra_fields(df: DataFrame, schema: T.StructType) -> None:

@@ -278,6 +278,69 @@ def except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.exceptAll(o.distinct()).distinct().agg(F.count(F.lit(1)).alias("cnt"))
 
 
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23b: correlated EXISTS — Catalyst decorrelates to a semi join."""
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_c_exists")
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_o_exists")
+    return spark.sql(
+        """
+        SELECT CAST(count(*) AS BIGINT) AS cnt FROM _c_exists c
+        WHERE EXISTS (
+          SELECT 1 FROM _o_exists o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+        )
+        """
+    )
+
+
+def string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B25b: wider string-function coverage in one deterministic query:
+    concat/concat_ws, replace, trim/pad, split, position, reverse."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.orderBy("c_custkey")
+        .limit(10)
+        .select(
+            F.concat_ws("-", F.col("c_mktsegment"), F.col("c_name")).alias("cw"),
+            F.regexp_replace("c_name", "[aeiou]", "_").alias("rr"),
+            F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("lp"),
+            F.reverse(F.col("c_mktsegment")).alias("rev"),
+            F.instr(F.col("c_name"), "e").cast("int").alias("pos"),
+        )
+    )
+
+
+def date_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B26b: date arithmetic — datediff, date_add, last_day, quarter, dow."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.orderBy("o_orderkey")
+        .limit(20)
+        .select(
+            F.col("o_orderkey"),
+            F.datediff(F.lit("2026-01-01").cast("date"), d).cast("int").alias("dd"),
+            F.date_add(d, 30).cast("string").alias("plus30"),
+            F.last_day(d).cast("string").alias("eom"),
+            F.quarter(d).cast("int").alias("q"),
+            F.dayofweek(d).cast("int").alias("dow"),
+        )
+    )
+
+
+def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch op: approximate percentile (no oracle — approximate by
+    construction; rows-only check)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 0
+        ).alias("p50_approx")
+    )
+
+
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23: scalar subquery — broadcast the 1-row aggregate, never collect."""
     o = _t(spark, sf_dir, "orders")

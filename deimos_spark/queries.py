@@ -468,6 +468,37 @@ def all_queries() -> dict[str, QuerySpec]:
             "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)",
         ),
         QuerySpec(
+            "b23b_exists_subquery", r.exists_subquery,
+            "SELECT CAST(count(*) AS BIGINT) AS cnt FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)",
+        ),
+        QuerySpec(
+            "b25b_string_gauntlet", r.string_gauntlet,
+            "SELECT concat_ws('-', c_mktsegment, c_name) AS cw, "
+            "regexp_replace(c_name, '[aeiou]', '_', 'g') AS rr, "
+            "lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS lp, "
+            "reverse(c_mktsegment) AS rev, "
+            "CAST(instr(c_name, 'e') AS INT) AS pos "
+            "FROM customer ORDER BY c_custkey LIMIT 10",
+        ),
+        QuerySpec(
+            "b26b_date_gauntlet", r.date_gauntlet,
+            "SELECT o_orderkey, "
+            "CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT) AS dd, "
+            "CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) "
+            "AS VARCHAR) AS plus30, "
+            "CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom, "
+            "CAST(quarter(o_orderdate) AS INT) AS q, "
+            "CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow "
+            "FROM orders ORDER BY o_orderkey LIMIT 20",
+            note="dow: DuckDB 0=Sunday vs Spark 1=Sunday — aligned via +1",
+        ),
+        QuerySpec(
+            "b13b_approx_quantile", r.approx_quantile_sketch, None,
+            note="approximate percentile sketch — rows-only",
+        ),
+        QuerySpec(
             "b24_case_when", r.case_when,
             "SELECT CAST(sum(CASE WHEN o_orderpriority LIKE '1%' "
             "THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent FROM orders",

@@ -94,7 +94,44 @@ class AvroCodec:
         return self._from_avro(binary_col, self.json_schema)
 
 
+class SortedJsonCodec(JsonCodec):
+    """Canonical-JSON codec: struct fields are reordered alphabetically
+    before serialization, so byte-equal keys ⇔ equal logical keys — the
+    property the reference enforces for Protobuf message keys (proto binary
+    encoding is unstable for partitioning, so keys are encoded as sorted
+    JSON; proto_base.rb:58-60 behavior). Use for key encoding whenever the
+    key bytes feed a partitioner or equality join."""
+
+    def encode(self, struct_col: Column) -> Column:
+        ordered = F.struct(
+            *[
+                struct_col.getField(f.name).alias(f.name)
+                for f in sorted(self.struct.fields, key=lambda f: f.name)
+            ]
+        )
+        return F.when(
+            struct_col.isNotNull(), F.to_json(ordered).cast("binary")
+        )
+
+
+class RegistryFramedCodec:
+    """Wrap any codec with Confluent wire framing: encode prepends the
+    5-byte header, decode strips it. Schema-id is fixed per topic config
+    (the registry client's id assignment is out of scope here)."""
+
+    def __init__(self, inner: "Codec", schema_id: int):
+        self.inner = inner
+        self.schema_id = schema_id
+
+    def encode(self, struct_col: Column) -> Column:
+        return add_registry_frame(self.inner.encode(struct_col), self.schema_id)
+
+    def decode(self, binary_col: Column) -> Column:
+        return self.inner.decode(strip_registry_frame(binary_col))
+
+
 CODECS: dict[str, type] = {
+    "sorted_json": SortedJsonCodec,
     "json": JsonCodec,
     "plain": PlainCodec,
     "mock": MockCodec,

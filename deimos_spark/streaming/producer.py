@@ -24,7 +24,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from deimos_spark.functions.coerce import coerce_to_schema
+from deimos_spark.functions.coerce import coercion_exprs
 from deimos_spark.schemas.avro import AvroSchema, generate_key_schema
 from deimos_spark.schemas.codecs import get_codec
 
@@ -44,6 +44,11 @@ class TopicConfig:
     # A29: truncate string payload columns to DDL limits pre-publish
     # (reference: kafka_source.rb truncate_columns)
     truncate_limits: dict[str, int] = field(default_factory=dict)
+    # §2D partition_key override: expression (column name or Column) whose
+    # value becomes the partition key instead of the encoded message key
+    partition_key_col: str | None = None
+    # sorted-JSON key bytes (stable partitioning — reference proto behavior)
+    sorted_json_keys: bool = False
 
     @property
     def full_topic(self) -> str:
@@ -76,14 +81,16 @@ class Producer:
             self._key_schema = generate_key_schema(config.schema, config.key_field)
         else:
             self._key_schema = None
+        key_codec_name = "sorted_json" if config.sorted_json_keys else config.codec
         self.key_codec = (
-            get_codec(config.codec, self._key_schema) if self._key_schema else None
+            get_codec(key_codec_name, self._key_schema) if self._key_schema else None
         )
 
     # ------------------------------------------------------------ pipeline
 
     def build_messages(self, df: DataFrame) -> DataFrame:
-        """df → (key BINARY, value BINARY, topic STRING, partition_key)."""
+        """df → (key BINARY, value BINARY, topic STRING, headers BINARY,
+        partition_key BINARY)."""
         cfg = self.config
         if self.transform is not None:
             df = self.transform(df)
@@ -91,23 +98,47 @@ class Producer:
             if col in df.columns:
                 df = df.withColumn(col, F.substring(F.col(col), 1, limit))
         df = self._add_auto_fields(df)
-        coerced = coerce_to_schema(df, cfg.schema.struct)
 
+        # coercion + passthrough metadata in ONE projection so headers /
+        # partition-key sources ride alongside the schema fields
+        extra = []
+        if "headers" in df.columns:
+            extra.append(F.to_json(F.col("headers")).cast("binary").alias("_headers"))
+        schema_fields = set(cfg.schema.struct.fieldNames())
+        if cfg.partition_key_col is not None and cfg.partition_key_col not in schema_fields:
+            if cfg.partition_key_col not in df.columns:
+                raise ValueError(
+                    f"partition_key_col {cfg.partition_key_col!r} not in payload"
+                )
+            extra.append(
+                F.col(cfg.partition_key_col).cast("string").cast("binary").alias("_pk")
+            )
+        out = df.select(*coercion_exprs(df, cfg.schema.struct), *extra)
+
+        payload_cols = [c for c in out.columns if c in schema_fields]
         value_struct = F.when(
-            ~self._is_tombstone(df), F.struct(*[F.col(c) for c in coerced.columns])
+            ~self._is_tombstone(df), F.struct(*[F.col(c) for c in payload_cols])
         )
-        out = coerced.withColumn("_value_struct", value_struct)
+        out = out.withColumn("_value_struct", value_struct)
 
         key_col = self._key_column(out)
-        encoded_value = self.value_codec.encode(F.col("_value_struct"))
-        result = out.select(
-            key_col.alias("key"),
-            encoded_value.alias("value"),
-            F.lit(cfg.full_topic).alias("topic"),
+        if cfg.partition_key_col is None:
+            pk = key_col  # default: the encoded key (producer_middleware.rb:50-56)
+        elif cfg.partition_key_col in schema_fields:
+            pk = F.col(cfg.partition_key_col).cast("string").cast("binary")
+        else:
+            pk = F.col("_pk")
+        headers = (
+            F.col("_headers") if "_headers" in out.columns
+            else F.lit(None).cast("binary")
         )
-        # partition key defaults to the encoded key (reference:
-        # producer_middleware.rb:50-56)
-        return result.withColumn("partition_key", F.col("key"))
+        return out.select(
+            key_col.alias("key"),
+            self.value_codec.encode(F.col("_value_struct")).alias("value"),
+            F.lit(cfg.full_topic).alias("topic"),
+            headers.alias("headers"),
+            pk.alias("partition_key"),
+        )
 
     def _add_auto_fields(self, df: DataFrame) -> DataFrame:
         """message_id=UUID / timestamp=now autofill when the schema declares
@@ -149,8 +180,9 @@ class Producer:
         if cfg.key_field is not None and "." in cfg.key_field:
             # dotted path navigates nested payload (producer_middleware.rb:112-118)
             return F.col(cfg.key_field).cast("string").cast("binary")
-        key_name = self._key_schema.struct.fieldNames()[0]
-        key_struct = F.struct(F.col(key_name))
+        key_struct = F.struct(
+            *[F.col(n) for n in self._key_schema.struct.fieldNames()]
+        )
         return self.key_codec.encode(key_struct)
 
     # --------------------------------------------------------------- sinks
