@@ -50,6 +50,15 @@ HEADLINE = [
     "t02_lang_id",
     "b33_simsearch_topk",
     "t06_minhash_pairs",
+    # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
+    "h01_pricing_summary",
+    "h03_shipping_priority",
+    "h05_local_supplier_volume",
+    "h08_market_share",
+    "h13_customer_distribution",
+    "h17_small_quantity_revenue",
+    "h18_large_volume_customers",
+    "h21_waiting_supplier",
 ]
 
 

@@ -26,7 +26,7 @@ from deimos_spark.functions.text import (
     quality_score,
     token_count,
 )
-from deimos_spark.operators import asof, dedup, relational, simsearch
+from deimos_spark.operators import asof, dedup, relational, simsearch, tpch
 from deimos_spark.session import apply_runtime_confs
 
 
@@ -710,7 +710,248 @@ def all_queries() -> dict[str, QuerySpec]:
             "WHERE sim >= 0.4",
         ),
     ]
+    specs += _tpch_specs()
     return {
         s.name: QuerySpec(s.name, _prepared(s.name, s.builder), s.oracle, s.note)
         for s in specs
     }
+
+
+def _tpch_specs() -> list[QuerySpec]:
+    """TPC-H-derived suite (operators/tpch.py) — adapted to the slimmed
+    star schema (no partsupp ⇒ h02/h11 omitted; see module docstring)."""
+    rev = "l_extendedprice * (1 - l_discount)"
+    return [
+        QuerySpec(
+            "h01_pricing_summary", tpch.h01_pricing_summary,
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            f"round(sum({rev}), 2) AS sum_disc_price, "
+            f"round(sum({rev} * (1 + l_tax)), 2) AS sum_charge, "
+            "round(avg(l_quantity), 4) AS avg_qty, "
+            "round(avg(l_extendedprice), 4) AS avg_price, "
+            "round(avg(l_discount), 4) AS avg_disc, "
+            "CAST(count(*) AS BIGINT) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30' "
+            "GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus",
+        ),
+        QuerySpec(
+            "h03_shipping_priority", tpch.h03_shipping_priority,
+            "SELECT l_orderkey, "
+            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, revenue "
+            f"FROM (SELECT l_orderkey, o_orderdate, round(sum({rev}), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-03-15' "
+            "AND l_shipdate > TIMESTAMP '1998-03-15' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10)",
+        ),
+        QuerySpec(
+            "h04_order_priority", tpch.h04_order_priority,
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders o WHERE o_orderdate >= TIMESTAMP '1997-07-01' "
+            "AND o_orderdate < TIMESTAMP '1997-10-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey "
+            "AND datediff('day', o.o_orderdate, l.l_shipdate) > 90) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+        ),
+        QuerySpec(
+            "h05_local_supplier_volume", tpch.h05_local_supplier_volume,
+            f"SELECT n_name, round(sum({rev}), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name",
+        ),
+        QuerySpec(
+            "h06_forecast_revenue", tpch.h06_forecast_revenue,
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        ),
+        QuerySpec(
+            "h07_volume_shipping", tpch.h07_volume_shipping,
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INT) AS l_year, "
+            f"round(sum({rev}), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year",
+        ),
+        QuerySpec(
+            "h08_market_share", tpch.h08_market_share,
+            "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+            f"round(sum(CASE WHEN n1.n_name = 'NATION_3' THEN {rev} ELSE 0 END) "
+            f"/ sum({rev}), 4) AS mkt_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA' "
+            "GROUP BY o_year ORDER BY o_year",
+        ),
+        QuerySpec(
+            "h09_product_profit", tpch.h09_product_profit,
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
+            f"round(sum({rev}), 2) AS sum_profit "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_brand LIKE '%1' "
+            "GROUP BY n_name, o_year ORDER BY nation, o_year DESC",
+        ),
+        QuerySpec(
+            "h10_returned_items", tpch.h10_returned_items,
+            "SELECT c_custkey, c_name, revenue, c_acctbal, n_name FROM ("
+            "SELECT c_custkey, c_name, "
+            f"round(sum({rev}), 2) AS revenue, "
+            "round(c_acctbal, 2) AS c_acctbal, n_name "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1997-10-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal, n_name "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20)",
+        ),
+        QuerySpec(
+            "h12_late_shipments", tpch.h12_late_shipments,
+            "SELECT CAST(year(l_shipdate) AS INT) AS l_year, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE datediff('day', o_orderdate, l_shipdate) > 60 "
+            "GROUP BY l_year ORDER BY l_year",
+        ),
+        QuerySpec(
+            "h13_customer_distribution", tpch.h13_customer_distribution,
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority NOT LIKE '4%' GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC",
+        ),
+        QuerySpec(
+            "h14_promo_share", tpch.h14_promo_share,
+            f"SELECT round(100.0 * sum(CASE WHEN p_type = 'ECONOMY' THEN {rev} "
+            f"ELSE 0 END) / sum({rev}), 4) AS promo_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l_shipdate < TIMESTAMP '1997-10-01'",
+        ),
+        QuerySpec(
+            "h15_top_supplier", tpch.h15_top_supplier,
+            "WITH rev AS (SELECT l_suppkey AS supplier_no, "
+            f"round(sum({rev}), 2) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue "
+            "FROM rev JOIN supplier ON supplier_no = s_suppkey "
+            "WHERE total_revenue = (SELECT max(total_revenue) FROM rev) "
+            "ORDER BY s_suppkey",
+        ),
+        QuerySpec(
+            "h16_supplier_part_counts", tpch.h16_supplier_part_counts,
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#1' "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20",
+        ),
+        QuerySpec(
+            "h17_small_quantity_revenue", tpch.h17_small_quantity_revenue,
+            "SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly "
+            "FROM lineitem l JOIN part ON l.l_partkey = p_partkey "
+            "WHERE p_brand = 'Brand#3' AND l_quantity < ("
+            "SELECT 0.2 * avg(l_quantity) FROM lineitem li "
+            "WHERE li.l_partkey = l.l_partkey AND li.l_partkey IN ("
+            "SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'))",
+        ),
+        QuerySpec(
+            "h18_large_volume_customers", tpch.h18_large_volume_customers,
+            "SELECT c_name, c_custkey, o_orderkey, "
+            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, "
+            "round(o_totalprice, 2) AS o_totalprice, "
+            "round(sum_qty, 2) AS sum_qty FROM ("
+            "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
+            "GROUP BY l_orderkey HAVING sum(l_quantity) > 300) "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+        ),
+        QuerySpec(
+            "h19_discounted_revenue", tpch.h19_discounted_revenue,
+            f"SELECT round(sum({rev}), 2) AS revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)",
+        ),
+        QuerySpec(
+            "h20_potential_promotion", tpch.h20_potential_promotion,
+            "SELECT s_name, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "WHERE p_type = 'SMALL' AND l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_suppkey, l_partkey HAVING sum(l_quantity) > 50) "
+            "ORDER BY s_name",
+        ),
+        QuerySpec(
+            "h21_waiting_supplier", tpch.h21_waiting_supplier,
+            "WITH j AS (SELECT l_orderkey, l_suppkey, "
+            "CASE WHEN datediff('day', o_orderdate, l_shipdate) > 100 "
+            "THEN 1 ELSE 0 END AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "per_supp AS (SELECT l_orderkey, l_suppkey, max(late) AS supp_late "
+            "FROM j GROUP BY l_orderkey, l_suppkey), "
+            "per_order AS (SELECT l_orderkey, count(*) AS nsupp, "
+            "sum(supp_late) AS nlate FROM per_supp GROUP BY l_orderkey) "
+            "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM per_supp "
+            "JOIN per_order USING (l_orderkey) "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE supp_late = 1 AND nsupp >= 2 AND nlate = 1 "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10",
+        ),
+        QuerySpec(
+            "h22_global_sales_opportunity", tpch.h22_global_sales_opportunity,
+            "SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust, "
+            "round(sum(c_acctbal), 2) AS totacctbal FROM ("
+            "SELECT CAST(c_custkey % 7 AS INT) AS cntrycode, c_acctbal, c_custkey "
+            "FROM customer WHERE CAST(c_custkey % 7 AS INT) IN (1, 2, 4) "
+            "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0.0 AND CAST(c_custkey % 7 AS INT) IN (1, 2, 4))) c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-07-01') "
+            "GROUP BY cntrycode ORDER BY cntrycode",
+        ),
+    ]
