@@ -151,17 +151,113 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest centroid
-    (by dot product on normalized centroids). Write the result partitioned
-    by `ivf_cell` so queries prune cells at the file level."""
-    emb = to_double_array(vec_col)
-    best_cell = F.lit(0)
-    best_score = dot(emb, to_double_array(lit_vector(centroids[0])))
-    for i, c in enumerate(centroids[1:], start=1):
-        score = dot(emb, to_double_array(lit_vector(c)))
-        better = score > best_score
-        best_cell = F.when(better, F.lit(i)).otherwise(best_cell)
-        best_score = F.when(better, score).otherwise(best_score)
-    return df.withColumn("ivf_cell", best_cell)
+    (L2). Write the result partitioned by `ivf_cell` so queries prune cells
+    at the file level.
+
+    Implemented as an Arrow-batched pandas_udf: one (batch × dim) @
+    (dim × n_cells) BLAS matmul per batch. The expression-tree alternative
+    (n_cells chained when/dot folds) is quadratically slower to *analyze*
+    and runs interpreted — a vectorized kernel is the right tool here.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cents**2).sum(axis=1)
+
+    def _cell(v: "pd.Series") -> "pd.Series":
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        # argmin ||x-c||² = argmin (||c||² - 2·x·c); ||x||² is constant per row
+        d = c_norm2[None, :] - 2.0 * (m @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    # explicit eval type (SQL_SCALAR_PANDAS) — string annotations from
+    # `from __future__ import annotations` defeat hint inference
+    from pyspark.sql.pandas.functions import PandasUDFType
+
+    cell_udf = pandas_udf(_cell, "int", PandasUDFType.SCALAR)
+    return df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
+
+
+def ivf_train(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer: k-means centroids over a bounded
+    sample of the embedding column.
+
+    At 100 TB you never train the coarse quantizer distributed — the
+    standard IVF recipe (FAISS-style) samples a bounded training set
+    (~100k vectors regardless of table size), runs Lloyd's locally, and
+    ships the tiny model (n_cells × dim doubles) back into the scan plan as
+    literals. The only cluster work is one bounded-sample collect; recall
+    comes from nprobe, so a few Lloyd's rounds suffice.
+    """
+    import numpy as np
+
+    n = df.count()
+    frac = min(1.0, max_train / max(n, 1))
+    train = df.select(to_double_array(vec_col).alias("_v"))
+    if frac < 1.0:
+        train = train.sample(fraction=frac, seed=seed)
+    x = np.asarray(
+        [r["_v"] for r in train.limit(max_train).collect()], dtype=np.float64
+    )
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    for _ in range(max_iter):
+        # assign → recenter; empty cells re-seeded from the farthest points
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+            else:
+                new[c] = x[d2.min(axis=1).argmax()]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents.tolist()
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF-pruned approximate top-k: score only vectors in the `nprobe`
+    cells whose centroids are nearest the query.
+
+    Probe-cell selection is driver-side (n_cells dot products on a tiny
+    model); the table-side plan is Filter(ivf_cell IN probes) → cosine →
+    TakeOrderedAndProject. With the table written partitioned by ivf_cell
+    the filter becomes partition pruning — the scan reads nprobe/n_cells of
+    the files, which is the entire point at 100 TB. nprobe = n_cells
+    degrades gracefully to exact brute force.
+    """
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = np.asarray(centroids, dtype=np.float64)
+    # rank cells by the SAME metric as assignment (L2): guarantees a vector
+    # equal to the query is always in the first probed cell
+    d = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
 
 
 def pairwise_cosine_exact(

@@ -180,6 +180,16 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN variant: IVF coarse quantizer (k-means cells, nprobe pruning)
+    then exact cosine within probed cells. Approximate → rows-only check;
+    deterministic given the fixed k-means seed."""
+    e = _emb(spark, sf_dir)
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = simsearch.ivf_train(e, n_cells=8, seed=42, max_iter=5)
+    return simsearch.ivf_topk(e, qvec, cents, k=10, nprobe=3)
+
+
 def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity scan vs the doc_id=0 document."""
     d = _docs(spark, sf_dir)
@@ -622,6 +632,10 @@ def all_queries() -> dict[str, QuerySpec]:
             "CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
             "), 4) AS sim FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10",
+        ),
+        QuerySpec(
+            "b33c_simsearch_ivf", q_simsearch_ivf, None,
+            note="IVF (k-means coarse quantizer, nprobe=3/8) ANN — rows-only",
         ),
         QuerySpec(
             "b33b_simsearch_lsh", q_simsearch_lsh, None,

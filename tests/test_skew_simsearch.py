@@ -76,3 +76,33 @@ def test_lsh_topk_recall(spark):
     for vid in hits:
         assert exact[vid] == approx[vid]
     assert approx[0] == 1.0  # the query vector itself always survives
+
+
+def test_ivf_topk_exact_when_probing_all_cells(spark):
+    """nprobe = n_cells degrades to exact brute force — results must be
+    identical to cosine_topk."""
+    emb = load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = simsearch.ivf_train(emb, n_cells=4, seed=42)
+    exact = [(r["vec_id"], r["sim"]) for r in simsearch.cosine_topk(emb, q, k=10).collect()]
+    full = [
+        (r["vec_id"], r["sim"])
+        for r in simsearch.ivf_topk(emb, q, cents, k=10, nprobe=4).collect()
+    ]
+    assert exact == full
+
+
+def test_ivf_topk_pruned_recall(spark):
+    """Pruned probing returns exactly-scored items; the query's own vector
+    lands in the nearest probed cell by construction."""
+    emb = load_table(spark, SF, "embeddings")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    cents = simsearch.ivf_train(emb, n_cells=4, seed=42)
+    exact = {r["vec_id"]: r["sim"] for r in simsearch.cosine_topk(emb, q, k=10).collect()}
+    approx = {
+        r["vec_id"]: r["sim"]
+        for r in simsearch.ivf_topk(emb, q, cents, k=10, nprobe=2).collect()
+    }
+    assert approx[0] == 1.0
+    for vid in set(exact) & set(approx):
+        assert exact[vid] == approx[vid]
