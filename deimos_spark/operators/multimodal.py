@@ -127,6 +127,91 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
     return df.select("media_id", "content").mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", MEDIA_META, True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize plumbing: bytes in → (smaller) bytes out with updated meta.
+    The stub 'resize' truncates bytes proportionally to the area ratio so
+    output sizes behave like a real re-encode; a real kernel decodes with
+    PIL and re-encodes. Output schema is identical to the input media
+    schema, so resize composes with any downstream media op."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                if content is None:
+                    out_content.append(None)
+                    out_meta.append(meta)
+                    continue
+                if _HAVE_CODECS:  # pragma: no cover - codecs absent in sandbox
+                    raise NotImplementedError("real image resize not wired yet")
+                raw = bytes(content)
+                src_w = (meta or {}).get("width") or width
+                src_h = (meta or {}).get("height") or height
+                ratio = min(1.0, (width * height) / max(src_w * src_h, 1))
+                out_content.append(raw[: max(int(len(raw) * ratio), 1)])
+                new_meta = dict(meta or {})
+                new_meta.update({"width": width, "height": height})
+                out_meta.append(new_meta)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out_content,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.select("media_id", "content", "meta").mapInPandas(
+        kernel, schema=RESIZED_SCHEMA
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType(), False), True),
+        T.StructField("est_duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame, out_dim: int = 16) -> DataFrame:
+    """Audio decode + feature plumbing (stubbed decode): bytes in →
+    fixed-dim feature vector + duration estimated from meta/sample_rate.
+    A real kernel decodes PCM with soundfile and computes e.g. mel stats."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, durs = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                if content is None:
+                    feats.append(None)
+                    durs.append(None)
+                    continue
+                if _HAVE_CODECS:  # pragma: no cover - codecs absent in sandbox
+                    raise NotImplementedError("real audio decode not wired yet")
+                raw = bytes(content)
+                feats.append(_fake_decode(raw, out_dim))
+                sr = (meta or {}).get("sample_rate") or 16_000
+                # stub: assume 2-byte mono samples
+                durs.append(int(len(raw) / 2 / sr * 1000))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "features": feats, "est_duration_ms": durs}
+            )
+
+    return df.select("media_id", "content", "meta").mapInPandas(
+        kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must not read the binary column (column
     pruning keeps the scan tiny; verify with .explain ReadSchema)."""

@@ -182,3 +182,32 @@ def test_media_stats_prunes_binary(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "content" not in read_schema[0]
+
+
+def test_resize_composes_with_feature_extract(spark):
+    df = _media_df(spark)
+    resized = mm.resize_images(df, width=32, height=32)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert rows[1]["meta"]["width"] == 32 and rows[1]["meta"]["height"] == 32
+    # area ratio (32*32)/(64*64) = 0.25 → 16 of 64 bytes in the stub
+    assert len(bytes(rows[1]["content"])) == 16
+    # schema-compatible output: feature extraction runs on the resized df
+    feats = mm.extract_image_features(resized, out_dim=4).collect()
+    assert len(feats) == 3 and all(len(r["features"]) == 4 for r in feats)
+
+
+def test_audio_features_duration_estimate(spark):
+    rows = [
+        Row(
+            media_id=i,
+            content=bytes([i]) * 32_000,
+            meta=Row(mime="audio/wav", width=None, height=None,
+                     duration_ms=None, sample_rate=16_000),
+        )
+        for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_audio_features(df, out_dim=6).collect()}
+    # 32000 bytes / 2 bytes-per-sample / 16 kHz = 1 s
+    assert out[0]["est_duration_ms"] == 1000
+    assert len(out[0]["features"]) == 6

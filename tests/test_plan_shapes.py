@@ -80,10 +80,41 @@ def test_whole_stage_codegen_everywhere_hot(spark):
     assert "BatchEvalPython" not in plan  # no python UDFs in the hot path
 
 
-def test_no_python_udfs_in_any_declared_query(spark):
-    """LLM ops included: everything stays JVM-side (Arrow/pandas paths are
-    only in the multimodal kernels, which are not declared queries)."""
+def test_no_rowwise_python_udfs_in_any_declared_query(spark):
+    """No row-at-a-time Python anywhere. Arrow-batched pandas kernels are
+    the sanctioned slow path and appear only where vectorization wins
+    (IVF cell assignment = BLAS matmul; multimodal decode)."""
     for name, spec in all_queries().items():
         plan = _plan(spec.builder(spark, SF))
         assert "BatchEvalPython" not in plan, f"python UDF leaked into {name}"
         assert "CartesianProduct" not in plan, f"cartesian product in {name}"
+        if name != "b33c_simsearch_ivf":
+            assert "ArrowEvalPython" not in plan, f"pandas UDF leaked into {name}"
+
+
+def test_tpch_dims_broadcast_facts_shuffle(spark):
+    from deimos_spark.operators import tpch
+
+    plan = _plan(tpch.h05_local_supplier_volume(spark, SF))
+    # four dims broadcast; the lineitem⋈orders fact join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_partial_agg(spark):
+    from deimos_spark.operators import tpch
+
+    plan = _plan(tpch.h01_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_tpch_q21_no_cartesian_no_window(spark):
+    from deimos_spark.operators import tpch
+
+    plan = _plan(tpch.h21_waiting_supplier(spark, SF))
+    # the double-correlation is two hash aggregates, not window/cartesian
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4
