@@ -114,6 +114,89 @@ class SortedJsonCodec(JsonCodec):
         )
 
 
+class PyAvroCodec:
+    """Binary Avro codec in pure Python (schemas/pyavro.py) via
+    Arrow-batched pandas UDFs — the wire format the reference actually
+    speaks (binary Avro), usable where the spark-avro jar isn't loadable.
+
+    Encode: struct → JSON (JVM-side) → Avro bytes in a pandas kernel; the
+    JSON hop avoids the struct-as-DataFrame ambiguity for null rows and
+    keeps the UDF input a flat string series. Decode: bytes → Avro-parsed
+    dicts → struct rows. For JVM deployments prefer AvroCodec (spark-avro)
+    — the two are wire-compatible for this schema subset.
+    """
+
+    def __init__(self, schema: AvroSchema):
+        if not isinstance(schema, AvroSchema):
+            raise ValueError("PyAvroCodec needs a parsed AvroSchema (raw .avsc)")
+        self.schema = schema
+        self.struct = schema.struct
+        self.raw = schema.raw
+
+    def encode(self, struct_col: Column) -> Column:
+        import json as _json
+
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.pandas.functions import PandasUDFType
+
+        raw_schema = self.raw
+
+        def _enc(js: "pd.Series") -> "pd.Series":
+            from deimos_spark.schemas.pyavro import encode_record
+
+            out = []
+            for s in js:
+                if s is None:
+                    out.append(None)
+                else:
+                    out.append(encode_record(raw_schema, _json.loads(s)))
+            return pd.Series(out, dtype=object)
+
+        enc_udf = pandas_udf(_enc, T.BinaryType(), PandasUDFType.SCALAR)
+        return F.when(
+            struct_col.isNotNull(), enc_udf(F.to_json(struct_col))
+        )
+
+    def decode(self, binary_col: Column) -> Column:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.pandas.functions import PandasUDFType
+
+        raw_schema = self.raw
+        names = self.struct.fieldNames()
+
+        def _nullable(dt: T.DataType) -> T.DataType:
+            # the kernel emits all-None rows for NULL input (the outer
+            # when() restores the NULL struct) — so every field must be
+            # declared nullable or the Arrow→unsafe-row writer NPEs
+            if isinstance(dt, T.StructType):
+                return T.StructType(
+                    [T.StructField(f.name, _nullable(f.dataType), True) for f in dt.fields]
+                )
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(_nullable(dt.elementType), True)
+            if isinstance(dt, T.MapType):
+                return T.MapType(dt.keyType, _nullable(dt.valueType), True)
+            return dt
+
+        out_struct = _nullable(self.struct)
+
+        def _dec(bs: "pd.Series") -> "pd.DataFrame":
+            from deimos_spark.schemas.pyavro import decode_record
+
+            rows = []
+            for b in bs:
+                if b is None:
+                    rows.append({n: None for n in names})
+                else:
+                    rows.append(decode_record(raw_schema, bytes(b)))
+            return pd.DataFrame(rows, columns=list(names))
+
+        dec_udf = pandas_udf(_dec, out_struct, PandasUDFType.SCALAR)
+        return F.when(binary_col.isNotNull(), dec_udf(binary_col))
+
+
 class RegistryFramedCodec:
     """Wrap any codec with Confluent wire framing: encode prepends the
     5-byte header, decode strips it. Schema-id is fixed per topic config
@@ -136,7 +219,23 @@ CODECS: dict[str, type] = {
     "plain": PlainCodec,
     "mock": MockCodec,
     "avro": AvroCodec,
+    "avro_py": PyAvroCodec,
 }
+
+
+def avro_jvm_available(spark) -> bool:
+    """Probe whether spark-avro's SQL functions actually work in this
+    session (the Python bindings import fine even when the jar is absent —
+    failure only surfaces at analysis). Use to pick 'avro' vs 'avro_py'."""
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(
+            to_avro(F.struct(F.lit(1).alias("a")))
+        ).collect()
+        return True
+    except Exception:
+        return False
 
 
 def get_codec(name: str, schema: AvroSchema | T.StructType | None = None):

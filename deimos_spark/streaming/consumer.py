@@ -50,6 +50,30 @@ class BatchConsumer:
         self.config = config
         self.table = table
         self.codec = get_codec(config.codec, config.schema)
+        self.key_codec = self._build_key_codec()
+
+    def _build_key_codec(self):
+        """Key bytes are encoded with the topic's codec against the sliced
+        key schema (reference: transcoder.rb key deserializer) — decode
+        symmetrically, not with a hardcoded JSON parse, so binary-Avro
+        tombstone keys resolve too."""
+        cfg = self.config
+        raw = cfg.schema.raw
+        key_fields = [f for f in raw.get("fields", []) if f["name"] in cfg.key_cols]
+        if not key_fields:
+            return None
+        key_raw = {
+            "type": "record",
+            "name": f"{raw.get('name', 'Key')}_key",
+            "namespace": raw.get("namespace"),
+            "fields": key_fields,
+        }
+        try:
+            from deimos_spark.schemas.avro import parse_avsc
+
+            return get_codec(cfg.codec, parse_avsc(key_raw))
+        except Exception:
+            return None
 
     # ------------------------------------------------------------- decode
 
@@ -62,10 +86,12 @@ class BatchConsumer:
         # key columns come from the payload when present, else from the key
         # codec — here we decode the key struct for tombstones, where the
         # payload is NULL and the key is the only content.
-        key_struct_type = self._key_struct_type()
-        key_decoded = F.from_json(
-            F.col("key").cast("string"), key_struct_type
-        )
+        if self.key_codec is not None:
+            key_decoded = self.key_codec.decode(F.col("key"))
+        else:
+            key_decoded = F.from_json(
+                F.col("key").cast("string"), self._key_struct_type()
+            )
         out = decoded.select(
             *[F.col(c) for c in cfg.order_cols],
             F.col("value").isNull().alias("_tombstone"),
