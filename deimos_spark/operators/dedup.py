@@ -255,6 +255,40 @@ def jaccard_vs_query(
     )
 
 
+# ------------------------------------------------------------- edit distance
+
+def levenshtein_near_pairs(
+    df: DataFrame,
+    max_dist: int = 20,
+    prefix: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance on a text prefix, blocked on
+    `block_col` — the blocking equi-join keeps this a shuffle-co-located
+    join (never cartesian), the standard record-linkage shape. Levenshtein
+    is O(prefix²) per candidate pair, which is why candidates must be
+    blocked first at any scale."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        F.substring(F.col(text_col), 1, prefix).alias("_ta"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        F.substring(F.col(text_col), 1, prefix).alias("_tb"),
+    )
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash64(col: Column | str) -> Column:

@@ -341,6 +341,79 @@ def approx_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14b: explicit GROUPING SETS — three aggregation granularities in
+    one pass (Catalyst expands to a single Expand + hash aggregate, not
+    three scans)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_o_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c
+        FROM _o_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST, c
+        """
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14c: CUBE over two keys = all 4 granularities, one Expand pass."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("c"),
+        )
+    )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19b: value-based RANGE frame (sum of orders within 1000 of the
+    current price, per customer) — deterministic under ties by
+    construction, unlike ROWS frames."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("near_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18b: analytic-window battery — lag/lead/first_value/ntile over a
+    totally-ordered partition."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.lag("c_custkey", 1).over(w).alias("prev_k"),
+            F.lead("c_custkey", 1).over(w).alias("next_k"),
+            F.first_value(F.col("c_custkey")).over(w).alias("richest_k"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+        .limit(100)
+    )
+
+
 def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B23: scalar subquery — broadcast the 1-row aggregate, never collect."""
     o = _t(spark, sf_dir, "orders")

@@ -180,6 +180,13 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs: language-blocked edit distance on prefixes."""
+    return dedup.levenshtein_near_pairs(
+        _docs(spark, sf_dir), max_dist=24, prefix=32
+    ).orderBy("id_a", "id_b")
+
+
 def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: IVF coarse quantizer (k-means cells, nprobe pruning)
     then exact cosine within probed cells. Approximate → rows-only check;
@@ -448,6 +455,21 @@ def all_queries() -> dict[str, QuerySpec]:
             "FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
         ),
         QuerySpec(
+            "b14b_grouping_sets", r.grouping_sets,
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c "
+            "FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) "
+            "ORDER BY o_orderstatus ASC NULLS FIRST, "
+            "o_orderpriority ASC NULLS FIRST, c",
+        ),
+        QuerySpec(
+            "b14c_cube", r.cube_agg,
+            "SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS c "
+            "FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) "
+            "ORDER BY o_orderstatus ASC NULLS FIRST, "
+            "o_orderpriority ASC NULLS FIRST, c",
+        ),
+        QuerySpec(
             "b15_having", r.having,
             "SELECT o_custkey, CAST(count(*) AS BIGINT) AS c FROM orders "
             "GROUP BY o_custkey HAVING count(*) > 5 "
@@ -468,6 +490,25 @@ def all_queries() -> dict[str, QuerySpec]:
             "SELECT c_mktsegment, c_custkey, row_number() OVER ("
             "PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) rn "
             "FROM customer) t WHERE rn <= 3 ORDER BY c_mktsegment, c_custkey",
+        ),
+        QuerySpec(
+            "b18b_window_analytics", r.window_analytics,
+            "SELECT c_mktsegment, c_custkey, prev_k, next_k, richest_k, quartile "
+            "FROM (SELECT c_mktsegment, c_custkey, "
+            "lag(c_custkey, 1) OVER w AS prev_k, "
+            "lead(c_custkey, 1) OVER w AS next_k, "
+            "first_value(c_custkey) OVER w AS richest_k, "
+            "CAST(ntile(4) OVER w AS INT) AS quartile "
+            "FROM customer WINDOW w AS "
+            "(PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) "
+            "ORDER BY c_mktsegment, c_custkey LIMIT 100",
+        ),
+        QuerySpec(
+            "b19b_window_range", r.window_range_frame,
+            "SELECT o_custkey, o_orderkey, "
+            "round(sum(o_totalprice) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW), 2) "
+            "AS near_total FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100",
         ),
         QuerySpec(
             "b19_window_running", r.window_running,
@@ -714,6 +755,15 @@ def all_queries() -> dict[str, QuerySpec]:
             "round(avg(len(regexp_extract_all(text, "
             "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))), 2) AS avg_pieces "
             "FROM documents GROUP BY lang",
+        ),
+        QuerySpec(
+            "t11_levenshtein_pairs", q_levenshtein_pairs,
+            "SELECT id_a, id_b, dist FROM ("
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) AS INT) "
+            "AS dist FROM documents a JOIN documents b "
+            "ON a.lang = b.lang AND a.doc_id < b.doc_id) "
+            "WHERE dist <= 24 ORDER BY id_a, id_b",
         ),
         QuerySpec(
             "t09_cosine_pairs_exact", q_cosine_pairs_exact,
