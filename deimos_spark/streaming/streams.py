@@ -162,6 +162,37 @@ def dedup_within_watermark(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with a bounded time-range condition
+    (impression⋈click shape). Watermarks on BOTH sides plus the event-time
+    range are what let Spark evict join state — without them state grows
+    unboundedly; with them each side buffers only `watermark + max_delay`
+    of data per key partition. Outer variants emit unmatched rows once the
+    watermark passes the range bound."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    # disambiguate the time columns; keys stay join-merged
+    r = r.withColumnRenamed(right_ts, f"_r_{right_ts}")
+    cond = None
+    for k in on:
+        c = l[k] == r[k]
+        cond = c if cond is None else cond & c
+    rng = (F.col(f"_r_{right_ts}") >= F.col(left_ts)) & (
+        F.col(f"_r_{right_ts}")
+        <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+    )
+    return l.join(r, cond & rng, how)
+
+
 def run_available_now(writer, timeout_sec: float = 120.0):
     """Start a streaming query with availableNow semantics and block until
     it drains — the batch-like test/backfill trigger."""

@@ -174,3 +174,44 @@ def test_memory_sink_collects(spark, tmp_path):
     rows = spark.sql(f"select * from {name}").collect()
     assert len(rows) == 2
     q.stop()
+
+
+def test_stream_stream_join_within_range(spark, tmp_path):
+    """C-extension: impression⋈click stream-stream join — only clicks
+    within the delay bound match; state bounded by watermark + range."""
+    import datetime as dt
+
+    imp_schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    clk_schema = T.StructType(
+        [T.StructField("ad_id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+
+    def t(minute):
+        return dt.datetime(2026, 1, 1, 12, minute)
+
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(
+        [Row(ad_id=1, ts=t(0)), Row(ad_id=2, ts=t(1))], imp_schema
+    ).coalesce(1).write.parquet(imp_dir)
+    spark.createDataFrame(
+        [
+            Row(ad_id=1, ts=t(3)),   # within 10 min of impression → match
+            Row(ad_id=2, ts=t(30)),  # too late → no match
+            Row(ad_id=3, ts=t(2)),   # no impression → no match
+        ],
+        clk_schema,
+    ).coalesce(1).write.parquet(clk_dir)
+
+    joined = streams.stream_stream_join(
+        streams.file_stream_source(spark, imp_dir, imp_schema),
+        streams.file_stream_source(spark, clk_dir, clk_schema),
+        on=["ad_id"],
+        max_delay="10 minutes",
+    )
+    streams.run_available_now(
+        streams.memory_sink(joined, "ssj", str(tmp_path / "ck"))
+    )
+    rows = spark.sql("SELECT * FROM ssj").collect()
+    assert [(r["ad_id"], r["ts"], r["_r_ts"]) for r in rows] == [(1, t(0), t(3))]
