@@ -116,6 +116,26 @@ def exploded_shingles(
     return full.union(short_docs).distinct()
 
 
+def collapse_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Collapse byte-identical documents to one representative (min id)
+    before any near-dup pipeline. At corpus scale, boilerplate pages form
+    exact-dup clusters of 10⁴⁺ copies; every such cluster lands in ONE LSH
+    bucket and produces O(cluster²) candidate pairs. Collapsing first makes
+    the near-dup cost a function of UNIQUE content — the only shape that
+    survives 100 TB. Pairs within an exact cluster are jaccard=1.0 by
+    definition and don't need scoring."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("_ch"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.first(text_col).alias(text_col),
+        )
+        .drop("_ch")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -124,6 +144,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.5,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding.
 
@@ -135,7 +156,13 @@ def minhash_lsh_pairs(
 
     Hash family: h_j = h1 + j*h2 (double hashing, wraparound arithmetic) —
     2 xxhash64 calls per shingle instead of num_hashes.
+
+    collapse_exact=True pre-collapses byte-identical docs (see
+    collapse_exact_duplicates) and returns pairs between REPRESENTATIVES —
+    the scale-correct mode for corpora with boilerplate dup clusters.
     """
+    if collapse_exact:
+        df = collapse_exact_duplicates(df, text_col, id_col)
     rows = num_hashes // bands
     # Shingle *hashes*, not shingle strings: tokens are hashed to longs
     # before the window, so the per-doc sort and every downstream shuffle
@@ -367,13 +394,18 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
     Candidate generation: split the 64-bit fingerprint into 4 16-bit chunks;
     any pair within hamming 3 must agree on ≥1 chunk (pigeonhole), so an
     equi-join per chunk finds all candidates without a cartesian product.
+    collapse_exact=True pre-collapses byte-identical docs (identical docs
+    share a fingerprint, so dup clusters otherwise cost O(cluster²)).
     """
+    if collapse_exact:
+        df = collapse_exact_duplicates(df, text_col, id_col)
     sh = simhash_fingerprints(df, text_col, id_col)
     chunks = sh.select(
         id_col,

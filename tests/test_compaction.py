@@ -53,3 +53,31 @@ def test_slice_batch_materializes_reference_slices(spark):
     for s in slices:
         ks = [r["k"] for r in s.collect()]
         assert len(ks) == len(set(ks))
+
+
+def test_minhash_collapse_exact_equals_unique_corpus(spark):
+    """collapse_exact on a dup-heavy corpus ≡ running on unique contents:
+    representative pairs identical; cost scales with unique docs only."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # duplicate every doc 3x with distinct ids; min-id copy is the 0th,
+    # so representatives == the original ids
+    big = d.crossJoin(spark.range(3).withColumnRenamed("id", "_c")).select(
+        (F.col("doc_id") * 3 + F.col("_c")).alias("doc_id"), "text"
+    )
+    uniq = d.select((F.col("doc_id") * 3).alias("doc_id"), "text")
+
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(
+            big, jaccard_threshold=0.3, collapse_exact=True
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(uniq, jaccard_threshold=0.3).collect()
+    )
+    assert got == want
