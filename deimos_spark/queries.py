@@ -26,7 +26,7 @@ from deimos_spark.functions.text import (
     quality_score,
     token_count,
 )
-from deimos_spark.operators import asof, dedup, relational, simsearch, tpch
+from deimos_spark.operators import asof, dedup, funnel, relational, simsearch, tpch
 from deimos_spark.session import apply_runtime_confs
 
 
@@ -178,6 +178,30 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.cosine_topk_lsh(
         e, [float(x) for x in qvec], k=10, n_planes=8, probe_hamming=2
     )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel signup → view → purchase with order-respecting
+    first-occurrence chaining (events.ts is long nanos per session confs)."""
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return funnel.funnel_conversion(
+        e, ["signup", "view", "purchase"], ts_col=ts
+    )
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup: daily HLL sketches of active users, merged to one
+    total estimate without re-reading raw events. Approximate → rows-only;
+    estimate-vs-exact tolerance is pinned in tests."""
+    from deimos_spark.operators import sketches
+
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    daily = sketches.hll_sketch_by(
+        e, [F.date_trunc("day", ts).alias("day")], "user_id"
+    )
+    return sketches.hll_total_estimate(daily)
 
 
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -755,6 +779,31 @@ def all_queries() -> dict[str, QuerySpec]:
             "round(avg(len(regexp_extract_all(text, "
             "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))), 2) AS avg_pieces "
             "FROM documents GROUP BY lang",
+        ),
+        QuerySpec(
+            "x06_funnel", q_funnel,
+            "WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            "JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t "
+            "WHERE e.event_type = 'view' GROUP BY e.user_id), "
+            "s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            "JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id), "
+            "counts AS ("
+            "SELECT 0 AS step_idx, 'signup' AS step, count(*) AS users FROM s0 "
+            "UNION ALL SELECT 1, 'view', count(*) FROM s1 "
+            "UNION ALL SELECT 2, 'purchase', count(*) FROM s2) "
+            "SELECT CAST(step_idx AS INT) AS step_idx, step, "
+            "CAST(users AS BIGINT) AS users, "
+            "round(CASE WHEN lag(users) OVER (ORDER BY step_idx) IS NULL "
+            "THEN 1.0 ELSE CAST(users AS DOUBLE) / "
+            "lag(users) OVER (ORDER BY step_idx) END, 4) AS conv_rate "
+            "FROM counts ORDER BY step_idx",
+        ),
+        QuerySpec(
+            "x07_hll_rollup", q_hll_rollup, None,
+            note="mergeable HLL sketch rollup — approximate, rows-only",
         ),
         QuerySpec(
             "t11_levenshtein_pairs", q_levenshtein_pairs,
