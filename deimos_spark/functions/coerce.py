@@ -142,6 +142,38 @@ def coerce_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*coercion_exprs(df, schema))
 
 
+def default_exprs(schema) -> dict[str, Column]:
+    """Avro field defaults as typed Column literals, keyed by field name.
+
+    Reference behavior (SURVEY §1.1, schema_class/record.rb): fields absent
+    from the payload take the schema's declared default. Scalars become
+    lit().cast(); complex defaults (arrays/maps/records) are materialized
+    via from_json against the field's Spark type so nested shapes match.
+    `schema` is an AvroSchema (needs .raw for the default values).
+    """
+    import json as _json
+
+    out: dict[str, Column] = {}
+    for raw_f, spark_f in zip(schema.raw["fields"], schema.struct.fields):
+        if "default" not in raw_f or raw_f["default"] is None:
+            continue
+        d = raw_f["default"]
+        dt = spark_f.dataType
+        if isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            col = F.from_json(F.lit(_json.dumps(d)), dt)
+        else:
+            col = F.lit(d).cast(dt)
+        out[spark_f.name] = col
+    return out
+
+
+def apply_defaults(df: DataFrame, schema) -> DataFrame:
+    """Fill NULL schema fields with their declared Avro defaults."""
+    for name, col in default_exprs(schema).items():
+        df = df.withColumn(name, F.coalesce(F.col(name), col))
+    return df
+
+
 def validate_no_extra_fields(df: DataFrame, schema: T.StructType) -> None:
     """Strict-on-write check (reference: validate with fail_on_extra_fields,
     avro_base.rb:85-89): raise if the DataFrame carries fields the schema

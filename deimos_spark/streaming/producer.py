@@ -24,7 +24,7 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from deimos_spark.functions.coerce import coercion_exprs
+from deimos_spark.functions.coerce import apply_defaults, coercion_exprs
 from deimos_spark.schemas.avro import AvroSchema, generate_key_schema
 from deimos_spark.schemas.codecs import get_codec
 
@@ -114,6 +114,9 @@ class Producer:
                 F.col(cfg.partition_key_col).cast("string").cast("binary").alias("_pk")
             )
         out = df.select(*coercion_exprs(df, cfg.schema.struct), *extra)
+        # schema-declared defaults fill NULL fields post-coercion (§1.1);
+        # tombstone detection ran on the raw df, so tombstones stay NULL
+        out = apply_defaults(out, cfg.schema)
 
         payload_cols = [c for c in out.columns if c in schema_fields]
         value_struct = F.when(

@@ -143,3 +143,83 @@ def test_array_element_coercion(spark):
         T.StructType([T.StructField("xs", T.ArrayType(T.StringType(), True), True)]),
     )
     assert coerce_to_schema(df, target).head()["xs"] == [1, 2, None]
+
+
+def test_apply_defaults_scalar_and_complex(spark):
+    """Schema-declared defaults fill NULL fields (FIXTURES A3 shapes):
+    scalar, array, map, nested record, enum-with-default."""
+    from pyspark.sql import Row
+
+    from deimos_spark.functions.coerce import apply_defaults
+    from deimos_spark.schemas.avro import parse_avsc
+
+    avsc = parse_avsc(
+        {
+            "type": "record",
+            "name": "Defaults",
+            "fields": [
+                {"name": "test_id", "type": "string"},
+                {"name": "opt_int", "type": ["null", "int"], "default": None},
+                {"name": "n", "type": ["int", "null"], "default": 123},
+                {"name": "arr", "type": {"type": "array", "items": "string"},
+                 "default": ["test"]},
+                {"name": "m", "type": {"type": "map", "values": "int"},
+                 "default": {"abc": 123}},
+                {"name": "rec",
+                 "type": {"type": "record", "name": "R",
+                          "fields": [{"name": "a", "type": "string"}]},
+                 "default": {"a": "Test String"}},
+                {"name": "e",
+                 "type": {"type": "enum", "name": "E",
+                          "symbols": ["sym5", "sym6"]},
+                 "default": "sym6"},
+            ],
+        }
+    )
+    import pyspark.sql.types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in avsc.struct.fields]
+    )
+    df = spark.createDataFrame(
+        [Row(test_id="x", opt_int=None, n=None, arr=None, m=None, rec=None, e=None)],
+        nullable,
+    )
+    r = apply_defaults(df, avsc).head()
+    assert r["opt_int"] is None          # null default stays null
+    assert r["n"] == 123
+    assert r["arr"] == ["test"]
+    assert r["m"] == {"abc": 123}
+    assert r["rec"]["a"] == "Test String"
+    assert r["e"] == "sym6"
+
+
+def test_producer_applies_defaults_not_to_tombstones(spark):
+    from pyspark.sql import Row, types as T
+    import json
+
+    from deimos_spark.schemas.avro import parse_avsc
+    from deimos_spark.streaming.producer import Producer, TopicConfig
+
+    avsc = parse_avsc(
+        {
+            "type": "record",
+            "name": "D",
+            "fields": [
+                {"name": "test_id", "type": "string"},
+                {"name": "n", "type": ["int", "null"], "default": 7},
+            ],
+        }
+    )
+    prod = Producer(TopicConfig(topic="t", schema=avsc, key_field="test_id"))
+    df = spark.createDataFrame(
+        [Row(test_id="a", n=None)],
+        T.StructType([
+            T.StructField("test_id", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+        ]),
+    )
+    msgs = {json.loads(bytes(m["key"]))["test_id"]: m
+            for m in prod.build_messages(df).collect()}
+    # NULL payload field takes the schema default in the encoded value
+    assert json.loads(bytes(msgs["a"]["value"]))["n"] == 7
