@@ -222,15 +222,32 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B19: running sum with explicit ROWS frame."""
+    """B19: running sum with explicit ROWS frame.
+
+    Spark can't push a LIMIT through a window, so the naive plan shuffles
+    and sorts EVERY row before discarding all but 100. Since the output is
+    the 100 smallest (custkey, orderkey) and window partitions are per
+    custkey, a cheap top-k over the keys yields a custkey bound that
+    pre-prunes the fact table BEFORE the window shuffle — partitions that
+    survive are complete, so results are bit-identical. At 100 TB this is
+    the difference between windowing the whole table and windowing ~100
+    rows; the bound scan itself is a TakeOrderedAndProject over two
+    columns."""
     o = _t(spark, sf_dir, "orders")
+    bound = (
+        o.select("o_custkey", "o_orderkey")
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+        .agg(F.max("o_custkey").alias("_b"))
+    )
+    pre = o.join(F.broadcast(bound)).filter(F.col("o_custkey") <= F.col("_b")).drop("_b")
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        o.withColumn("run_total", F.round(F.sum("o_totalprice").over(w), 2))
+        pre.withColumn("run_total", F.round(F.sum("o_totalprice").over(w), 2))
         .orderBy("o_custkey", "o_orderkey")
         .limit(100)
         .select("o_custkey", "o_orderkey", "run_total")

@@ -13,7 +13,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deimos_spark.functions.vectors import cosine, dot, lit_vector, to_double_array
+from deimos_spark.functions.vectors import (
+    cosine,
+    cosine_vs_literal,
+    dot,
+    lit_vector,
+    to_double_array,
+)
 
 
 def cosine_topk(
@@ -28,11 +34,10 @@ def cosine_topk(
 
     Plan shape: Scan → Project(cosine) → TakeOrderedAndProject(k). At 100 TB
     this is one pass, no shuffle; each executor returns only k rows.
-    Deterministic: ties broken by id.
+    Deterministic: ties broken by id. The cosine is unrolled into codegen'd
+    scalar arithmetic for dims ≤ 256 (see vectors.cosine_vs_literal).
     """
-    emb = to_double_array(vec_col)
-    q = to_double_array(lit_vector(query_vec))
-    sim = cosine(emb, q)
+    sim = cosine_vs_literal(F.col(vec_col) if isinstance(vec_col, str) else vec_col, query_vec)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
