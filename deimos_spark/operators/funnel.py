@@ -76,7 +76,9 @@ def funnel_conversion(
     reach = funnel_reach(events, steps, user_col, type_col, ts_col)
     from pyspark.sql import Window
 
-    w = Window.orderBy("step_idx")
+    # constant partition key: the frame is `len(steps)` rows, but an empty
+    # partition spec makes Spark log a single-partition warning on every run
+    w = Window.partitionBy(F.lit(0)).orderBy("step_idx")
     prev = F.lag("users", 1).over(w)
     return reach.select(
         "step_idx",

@@ -230,9 +230,12 @@ def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (verified by exact Jaccard).
-    Not ANSI-SQL-expressible (xxhash64 seeds) → rows-only check."""
+    Not ANSI-SQL-expressible (xxhash64 seeds) → rows-only check.
+    collapse_exact: pairs are between exact-content representatives — the
+    only mode whose cost scales with unique content (boilerplate dup
+    clusters otherwise cost O(cluster²); see dedup.collapse_exact_duplicates)."""
     return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), jaccard_threshold=0.3
+        _docs(spark, sf_dir), jaccard_threshold=0.3, collapse_exact=True
     ).orderBy("id_a", "id_b")
 
 
