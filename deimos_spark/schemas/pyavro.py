@@ -223,8 +223,100 @@ def decode_value(schema: Any, buf: bytes, pos: int) -> tuple[Any, int]:
     raise ValueError(f"unsupported Avro type: {t!r}")
 
 
-def decode_record(schema: dict, data: bytes) -> dict:
-    value, pos = decode_value(schema, data, 0)
+def decode_record(schema: dict, data: bytes, reader_schema: dict | None = None) -> dict:
+    """Decode; with `reader_schema`, apply Avro schema resolution (public
+    spec): writer-only fields are decoded-and-skipped, reader-only fields
+    take their default, primitive promotions apply (int→long/float/double,
+    long→float/double, float→double, string↔bytes)."""
+    if reader_schema is None or reader_schema == schema:
+        value, pos = decode_value(schema, data, 0)
+    else:
+        value, pos = _decode_resolved(schema, reader_schema, data, 0)
     if pos != len(data):
         raise ValueError(f"trailing bytes after record: {len(data) - pos}")
     return value
+
+
+def _promote(value: Any, wt: str, rt: str) -> Any:
+    if wt == rt:
+        return value
+    if wt in ("int", "long") and rt in ("float", "double"):
+        return float(value)
+    if wt == "float" and rt == "double":
+        return value
+    if wt == "string" and rt == "bytes":
+        return value.encode("utf-8")
+    if wt == "bytes" and rt == "string":
+        return value.decode("utf-8")
+    return value  # int→long needs no change
+
+
+def _decode_resolved(writer: Any, reader: Any, buf: bytes, pos: int) -> tuple[Any, int]:
+    if isinstance(writer, list):  # writer union: branch tag then resolve branch
+        idx, pos = _read_varint(buf, pos)
+        return _decode_resolved(writer[idx], reader, buf, pos)
+    if isinstance(reader, list):  # non-union writer into reader union
+        from deimos_spark.schemas.compat import can_read
+
+        branch = next((b for b in reader if can_read(writer, b)), None)
+        if branch is None:
+            raise ValueError(f"no reader union branch accepts writer {writer!r}")
+        return _decode_resolved(writer, branch, buf, pos)
+
+    wt = writer["type"] if isinstance(writer, dict) else writer
+    rt = reader["type"] if isinstance(reader, dict) else reader
+
+    if wt == "record" and rt == "record":
+        rfields = {f["name"]: f for f in reader["fields"]}
+        rec: dict[str, Any] = {}
+        for wf in writer["fields"]:
+            if wf["name"] in rfields:
+                rec[wf["name"]], pos = _decode_resolved(
+                    wf["type"], rfields[wf["name"]]["type"], buf, pos
+                )
+            else:  # writer-only: decode to advance the cursor, then discard
+                _, pos = decode_value(wf["type"], buf, pos)
+        wnames = {f["name"] for f in writer["fields"]}
+        for rf in reader["fields"]:
+            if rf["name"] not in wnames:
+                rec[rf["name"]] = rf.get("default")
+        return rec, pos
+    if wt == "enum" and rt == "enum":
+        i, pos = _read_varint(buf, pos)
+        sym = writer["symbols"][i]
+        if sym not in reader["symbols"]:
+            sym = reader.get("default", sym)
+        return sym, pos
+    if wt == "array" and rt == "array":
+        # decode with writer item schema resolved against reader's
+        items = []
+        while True:
+            n, pos = _read_varint(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                _, pos = _read_varint(buf, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = _decode_resolved(writer["items"], reader["items"], buf, pos)
+                items.append(v)
+        return items, pos
+    if wt == "map" and rt == "map":
+        entries: dict[str, Any] = {}
+        while True:
+            n, pos = _read_varint(buf, pos)
+            if n == 0:
+                break
+            if n < 0:
+                _, pos = _read_varint(buf, pos)
+                n = -n
+            for _ in range(n):
+                klen, pos = _read_varint(buf, pos)
+                k = buf[pos : pos + klen].decode("utf-8")
+                pos += klen
+                entries[k], pos = _decode_resolved(
+                    writer["values"], reader["values"], buf, pos
+                )
+        return entries, pos
+    value, pos = decode_value(writer, buf, pos)
+    return _promote(value, wt, rt), pos
