@@ -24,7 +24,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deimos_spark.catalog import load_table
@@ -361,10 +361,12 @@ def h15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_revenue")
         )
     )
-    mx = Window.orderBy(F.lit(1))
+    # scalar max via broadcast 1-row aggregate, NOT a global window — a
+    # window with no partitionBy moves every supplier row to one partition,
+    # which dies at scale; this shape keeps rev fully parallel.
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
     top = (
-        rev.withColumn("_mx", F.max("total_revenue").over(mx))
-        .filter(F.col("total_revenue") == F.col("_mx"))
+        rev.join(F.broadcast(mx), rev["total_revenue"] == mx["_mx"])
         .drop("_mx")
     )
     return (
