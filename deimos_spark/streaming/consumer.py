@@ -43,13 +43,26 @@ class ConsumerConfig:
     # record_attributes analogue: rename/derive columns pre-merge
     record_transform: Callable[[DataFrame], DataFrame] | None = None
     order_cols: tuple[str, ...] = ("partition", "offset")
+    # registry-backed decode: per-message schema-id dispatch, with
+    # `schema` acting as the reader schema (evolution-tolerant consume)
+    registry: "object | None" = None
+    subject: str | None = None
+    key_subject: str | None = None
 
 
 class BatchConsumer:
     def __init__(self, config: ConsumerConfig, table: KeyedParquetTable):
         self.config = config
         self.table = table
-        self.codec = get_codec(config.codec, config.schema)
+        if config.registry is not None:
+            from deimos_spark.schemas.registry import RegistryAvroCodec
+
+            subject = config.subject or "value"
+            self.codec = RegistryAvroCodec(
+                config.registry, subject, reader_schema=config.schema
+            )
+        else:
+            self.codec = get_codec(config.codec, config.schema)
         self.key_codec = self._build_key_codec()
 
     def _build_key_codec(self):
@@ -58,6 +71,10 @@ class BatchConsumer:
         symmetrically, not with a hardcoded JSON parse, so binary-Avro
         tombstone keys resolve too."""
         cfg = self.config
+        if cfg.registry is not None and cfg.key_subject is not None:
+            from deimos_spark.schemas.registry import RegistryAvroCodec
+
+            return RegistryAvroCodec(cfg.registry, cfg.key_subject)
         raw = cfg.schema.raw
         key_fields = [f for f in raw.get("fields", []) if f["name"] in cfg.key_cols]
         if not key_fields:

@@ -49,10 +49,20 @@ class TopicConfig:
     partition_key_col: str | None = None
     # sorted-JSON key bytes (stable partitioning — reference proto behavior)
     sorted_json_keys: bool = False
+    # Confluent-style registry backend (reference: avro_schema_registry.rb):
+    # when set, value bytes are registry-framed binary Avro and the schema
+    # is auto-registered under `subject` (default "<topic>-value") at
+    # producer construction — compat-mode gating applies there.
+    registry: "object | None" = None  # InMemorySchemaRegistry (untyped: no cycle)
+    subject: str | None = None
 
     @property
     def full_topic(self) -> str:
         return f"{self.topic_prefix}{self.topic}"
+
+    @property
+    def value_subject(self) -> str:
+        return self.subject or f"{self.topic}-value"
 
 
 class Producer:
@@ -74,7 +84,13 @@ class Producer:
     ):
         self.config = config
         self.transform = transform
-        self.value_codec = get_codec(config.codec, config.schema)
+        if config.registry is not None:
+            from deimos_spark.schemas.registry import RegistryAvroCodec
+
+            config.registry.register(config.value_subject, config.schema)
+            self.value_codec = RegistryAvroCodec(config.registry, config.value_subject)
+        else:
+            self.value_codec = get_codec(config.codec, config.schema)
         if config.key_schema is not None:
             self._key_schema = config.key_schema
         elif config.key_field is not None and "." not in config.key_field:
@@ -82,9 +98,16 @@ class Producer:
         else:
             self._key_schema = None
         key_codec_name = "sorted_json" if config.sorted_json_keys else config.codec
-        self.key_codec = (
-            get_codec(key_codec_name, self._key_schema) if self._key_schema else None
-        )
+        if self._key_schema is None:
+            self.key_codec = None
+        elif config.registry is not None and not config.sorted_json_keys:
+            from deimos_spark.schemas.registry import RegistryAvroCodec
+
+            key_subject = f"{config.topic}-key"
+            config.registry.register(key_subject, self._key_schema)
+            self.key_codec = RegistryAvroCodec(config.registry, key_subject)
+        else:
+            self.key_codec = get_codec(key_codec_name, self._key_schema)
 
     # ------------------------------------------------------------ pipeline
 

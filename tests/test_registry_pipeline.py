@@ -1,0 +1,155 @@
+"""Registry-backed produce→consume: schema evolution across a live topic.
+
+The reference's production path (avro_schema_registry backend): producers
+auto-register and frame with their schema id; consumers decode whatever id
+each message carries, resolved to their own (reader) schema. Here: a v1
+producer and a v2 producer interleave batches into one topic, and a v2
+consumer merges everything into a keyed table with defaults/promotions
+applied to the old-generation rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from deimos_spark.operators.merge import KeyedParquetTable
+from deimos_spark.schemas.avro import parse_avsc
+from deimos_spark.schemas.registry import InMemorySchemaRegistry
+from deimos_spark.streaming.consumer import BatchConsumer, ConsumerConfig
+from deimos_spark.streaming.producer import Producer, TopicConfig
+
+V1 = parse_avsc(
+    {
+        "type": "record",
+        "name": "Acct",
+        "fields": [
+            {"name": "acct_id", "type": "string"},
+            {"name": "balance", "type": "int"},
+        ],
+    }
+)
+V2 = parse_avsc(
+    {
+        "type": "record",
+        "name": "Acct",
+        "fields": [
+            {"name": "acct_id", "type": "string"},
+            {"name": "balance", "type": "long"},
+            {"name": "tier", "type": "string", "default": "basic"},
+        ],
+    }
+)
+
+
+def _kafka_shaped(spark, producer, rows, start_offset=0):
+    msgs = producer.build_messages(spark.createDataFrame(rows))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    return (
+        msgs.withColumn("offset", F.row_number().over(w) + F.lit(start_offset - 1))
+        .withColumn("partition", F.lit(0))
+        .select("key", "value", "partition", "offset")
+    )
+
+
+def test_registry_pipeline_mixed_generations(spark, tmp_path):
+    reg = InMemorySchemaRegistry(default_compatibility="BACKWARD")
+
+    p1 = Producer(
+        TopicConfig(topic="accts", schema=V1, key_field="acct_id", registry=reg)
+    )
+    p2 = Producer(
+        TopicConfig(topic="accts", schema=V2, key_field="acct_id", registry=reg)
+    )
+    # ids assigned: accts-value v1=1, accts-key=2, v2 value=3 (key reused)
+    assert reg.versions("accts-value") == [1, 3]
+    assert reg.versions("accts-key") == [2]
+
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "accts"), ["acct_id"], schema=V2.struct
+    )
+    consumer = BatchConsumer(
+        ConsumerConfig(
+            schema=V2,
+            key_cols=["acct_id"],
+            registry=reg,
+            subject="accts-value",
+            key_subject="accts-key",
+        ),
+        table,
+    )
+
+    consumer.consume_batch(
+        _kafka_shaped(spark, p1, [Row(acct_id="a", balance=10), Row(acct_id="b", balance=20)])
+    )
+    consumer.consume_batch(
+        _kafka_shaped(
+            spark,
+            p2,
+            [Row(acct_id="b", balance=99, tier="gold"), Row(acct_id="c", balance=7, tier="basic")],
+            start_offset=10,
+        )
+    )
+
+    got = {
+        r["acct_id"]: (r["balance"], r["tier"]) for r in table.read().collect()
+    }
+    # v1 rows resolved to reader shape: tier default filled, balance→long
+    assert got == {"a": (10, "basic"), "b": (99, "gold"), "c": (7, "basic")}
+
+
+def test_registry_producer_rejects_incompatible_evolution(spark):
+    import pytest
+
+    from deimos_spark.schemas.registry import IncompatibleSchemaError
+
+    reg = InMemorySchemaRegistry(default_compatibility="BACKWARD")
+    Producer(TopicConfig(topic="t", schema=V1, key_field="acct_id", registry=reg))
+    bad = parse_avsc(
+        {
+            "type": "record",
+            "name": "Acct",
+            "fields": [
+                {"name": "acct_id", "type": "string"},
+                {"name": "balance", "type": "int"},
+                {"name": "required_new", "type": "string"},
+            ],
+        }
+    )
+    with pytest.raises(IncompatibleSchemaError):
+        Producer(TopicConfig(topic="t", schema=bad, key_field="acct_id", registry=reg))
+
+
+def test_registry_tombstone_roundtrip(spark, tmp_path):
+    reg = InMemorySchemaRegistry()
+    p = Producer(TopicConfig(topic="tt", schema=V1, key_field="acct_id", registry=reg))
+    table = KeyedParquetTable(spark, str(tmp_path / "tt"), ["acct_id"], schema=V1.struct)
+    c = BatchConsumer(
+        ConsumerConfig(
+            schema=V1, key_cols=["acct_id"], registry=reg,
+            subject="tt-value", key_subject="tt-key",
+        ),
+        table,
+    )
+    c.consume_batch(_kafka_shaped(spark, p, [Row(acct_id="x", balance=1)]))
+    # tombstone: NULL payload, key present → delete downstream
+    import pyspark.sql.types as T
+
+    tomb = spark.createDataFrame(
+        [Row(acct_id="x", balance=None)],
+        T.StructType(
+            [
+                T.StructField("acct_id", T.StringType()),
+                T.StructField("balance", T.IntegerType()),
+            ]
+        ),
+    )
+    msgs = p.build_messages(tomb)
+    batch = (
+        msgs.withColumn("offset", F.lit(10))
+        .withColumn("partition", F.lit(0))
+        .select("key", "value", "partition", "offset")
+    )
+    assert batch.filter(F.col("value").isNull()).count() == 1
+    c.consume_batch(batch)
+    assert table.read().count() == 0
