@@ -79,9 +79,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
-        t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 3)  # median of 3: steady state
 
     total = round(sum(timings.values()), 3)
     print(
