@@ -204,6 +204,39 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_total_estimate(daily)
 
 
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split over documents —
+    membership is a pure function of doc_id (md5 bucket), so the split is
+    reproducible across runs and engines and needs no shuffle."""
+    from deimos_spark.operators import sampling
+
+    d = sampling.hash_split(
+        _docs(spark, sf_dir), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic downsampling (rebalancing a skewed
+    corpus): keep 25% of 'en', 100% of 'de', 50% of everything else —
+    one codegen'd filter, no join, no shuffle."""
+    from deimos_spark.operators import sampling
+
+    d = sampling.stratified_hash_sample(
+        _docs(spark, sf_dir), "lang", "doc_id",
+        rates={"en": 0.25, "de": 1.0}, default_rate=0.5,
+    )
+    return d.groupBy("lang").agg(F.count("*").alias("kept")).orderBy("lang")
+
+
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs: language-blocked edit distance on prefixes."""
     return dedup.levenshtein_near_pairs(
@@ -807,6 +840,29 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "x07_hll_rollup", q_hll_rollup, None,
             note="mergeable HLL sketch rollup — approximate, rows-only",
+        ),
+        QuerySpec(
+            "x08_hash_split", q_hash_split,
+            "WITH b AS (SELECT n_chars, "
+            "(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 10000) AS bucket FROM documents) "
+            "SELECT CASE WHEN bucket < 8000 THEN 'train' "
+            "WHEN bucket < 9000 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS docs, "
+            "round(avg(n_chars), 2) AS avg_chars "
+            "FROM b GROUP BY 1 ORDER BY split",
+            note="deterministic md5-bucket train/val/test split",
+        ),
+        QuerySpec(
+            "x09_stratified_sample", q_stratified_sample,
+            "WITH b AS (SELECT lang, "
+            "(('0x' || substr(md5('strata' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 10000) AS bucket FROM documents) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS kept FROM b "
+            "WHERE bucket < (CASE lang WHEN 'en' THEN 2500 "
+            "WHEN 'de' THEN 10000 ELSE 5000 END) "
+            "GROUP BY lang ORDER BY lang",
+            note="per-stratum deterministic hash sampling",
         ),
         QuerySpec(
             "t11_levenshtein_pairs", q_levenshtein_pairs,

@@ -1,0 +1,98 @@
+"""Deterministic sampling/splitting: stability, coverage, plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deimos_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    stratified_hash_sample,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_is_total_and_disjoint(spark, docs):
+    d = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    assert d.count() == n  # every row labeled
+    assert d.filter(F.col("split").isNull()).count() == 0
+    # per-row determinism: recomputing yields identical assignment
+    a = {r.doc_id: r.split for r in d.select("doc_id", "split").collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert a == b
+
+
+def test_split_rates_approximate(spark, docs):
+    d = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    counts = {r.split: r["count"] for r in d.groupBy("split").count().collect()}
+    assert 0.7 < counts["train"] / n < 0.9
+    assert 0.05 < counts["val"] / n < 0.16
+    assert 0.05 < counts["test"] / n < 0.16
+
+
+def test_sample_stable_and_subsetting(spark, docs):
+    s10 = hash_sample(docs, "doc_id", 0.10)
+    s20 = hash_sample(docs, "doc_id", 0.20)
+    ids10 = {r.doc_id for r in s10.select("doc_id").collect()}
+    ids20 = {r.doc_id for r in s20.select("doc_id").collect()}
+    assert ids10 <= ids20  # rate increase only ADDS rows (bucket monotone)
+    n = docs.count()
+    assert 0.04 < len(ids10) / n < 0.18
+
+
+def test_salt_decorrelates(spark, docs):
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="a").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt="b").collect()}
+    assert a != b
+    # overlap ≈ 25% of total if independent; just require non-degenerate
+    inter = len(a & b)
+    assert 0 < inter < min(len(a), len(b))
+
+
+def test_stratified_rates(spark, docs):
+    d = stratified_hash_sample(
+        docs, "lang", "doc_id", rates={"en": 0.0, "de": 1.0}, default_rate=0.5
+    )
+    got = {r.lang: r["count"] for r in d.groupBy("lang").count().collect()}
+    assert "en" not in got  # rate 0 drops the stratum entirely
+    all_de = docs.filter(F.col("lang") == "de").count()
+    assert got["de"] == all_de  # rate 1 keeps everything
+    for lang in ("es", "fr", "zh"):
+        full = docs.filter(F.col("lang") == lang).count()
+        assert 0 < got[lang] < full
+
+
+def test_no_shuffle_in_sample_plan(spark, docs):
+    plan = hash_sample(docs, "doc_id", 0.1)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side filter
+    plan2 = (
+        hash_split(docs, "doc_id", {"train": 0.9, "test": 0.1})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan2
+
+
+def test_bucket_range(spark):
+    df = spark.range(1000).select(hash_bucket("id", buckets=100).alias("b"))
+    mn, mx = df.agg(F.min("b"), F.max("b")).head()
+    assert 0 <= mn and mx <= 99
+
+
+def test_bad_weights_raise(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, "doc_id", {"train": 0.5, "test": 0.1})
