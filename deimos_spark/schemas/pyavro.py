@@ -247,7 +247,9 @@ def _promote(value: Any, wt: str, rt: str) -> Any:
     if wt == "string" and rt == "bytes":
         return value.encode("utf-8")
     if wt == "bytes" and rt == "string":
-        return value.decode("utf-8")
+        # non-UTF8 writer bytes must not fail the whole batch: promote with
+        # replacement chars (matches Java Avro's lenient Utf8 rendering)
+        return value.decode("utf-8", errors="replace")
     return value  # int→long needs no change
 
 
