@@ -34,10 +34,12 @@ class Engine:
         spark: SparkSession,
         topic_prefix: str = "",
         default_codec: str = "json",
+        registry: "Any | None" = None,  # InMemorySchemaRegistry
     ):
         self.spark = apply_runtime_confs(spark)
         self.topic_prefix = topic_prefix
         self.default_codec = default_codec
+        self.registry = registry
         self._topics: dict[str, TopicConfig] = {}
         self._outboxes: dict[str, OutboxTable] = {}
 
@@ -57,6 +59,8 @@ class Engine:
             schema = parse_avsc(schema)
         if key_schema is not None and not isinstance(key_schema, AvroSchema):
             key_schema = parse_avsc(key_schema)
+        if self.registry is not None:
+            kw.setdefault("registry", self.registry)
         cfg = TopicConfig(
             topic=topic,
             schema=schema,
@@ -110,6 +114,10 @@ class Engine:
     ) -> BatchConsumer:
         cfg = self.topic(topic)
         tbl = self.table(table_path, topic, key_cols)
+        if cfg.registry is not None:
+            consumer_kw.setdefault("registry", cfg.registry)
+            consumer_kw.setdefault("subject", cfg.value_subject)
+            consumer_kw.setdefault("key_subject", f"{cfg.topic}-key")
         return BatchConsumer(
             ConsumerConfig(
                 schema=cfg.schema,

@@ -74,7 +74,10 @@ class BatchConsumer:
         if cfg.registry is not None and cfg.key_subject is not None:
             from deimos_spark.schemas.registry import RegistryAvroCodec
 
-            return RegistryAvroCodec(cfg.registry, cfg.key_subject)
+            try:
+                return RegistryAvroCodec(cfg.registry, cfg.key_subject)
+            except KeyError:
+                pass  # no key schema registered (plain/field keys): fall through
         raw = cfg.schema.raw
         key_fields = [f for f in raw.get("fields", []) if f["name"] in cfg.key_cols]
         if not key_fields:

@@ -86,3 +86,37 @@ def test_poller_through_engine(spark, tmp_path):
     )
     assert p.run_once(now_micros=10**9) == 3
     assert len(p.published_messages) == 3
+
+
+def test_engine_level_registry_roundtrip(spark, tmp_path):
+    """Engine(registry=...) makes every topic registry-backed: producers
+    auto-register + frame with ids, consumers decode by per-message id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from deimos_spark.schemas.registry import InMemorySchemaRegistry
+
+    reg = InMemorySchemaRegistry()
+    eng = Engine(spark, registry=reg)
+    eng.register_topic("widgets", SCHEMA, key_field="test_id")
+
+    prod = eng.producer("widgets")
+    assert reg.versions("widgets-value") == [1]
+    assert reg.versions("widgets-key") == [2]
+
+    msgs = prod.publish(
+        spark.createDataFrame([Row(test_id="a", some_int=1)]), backend="memory"
+    )
+    raw = bytes(msgs.head()["value"])
+    assert raw[0] == 0 and int.from_bytes(raw[1:5], "big") == 1  # framed
+
+    cons = eng.consumer("widgets", table_path=str(tmp_path / "t"))
+    w = Window.orderBy(F.monotonically_increasing_id())
+    batch = (
+        msgs.withColumn("offset", F.row_number().over(w))
+        .withColumn("partition", F.lit(0))
+        .select("key", "value", "partition", "offset")
+    )
+    cons.consume_batch(batch)
+    got = {r["test_id"]: r["some_int"] for r in cons.table.read().collect()}
+    assert got == {"a": 1}
