@@ -237,6 +237,29 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(F.count("*").alias("kept")).orderBy("lang")
 
 
+def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal money math (SURVEY flags decimal as an extension):
+    revenue per return flag in DECIMAL(18,2)/(18,4) — bit-exact across
+    engines, unlike float aggregation which needs round() tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("_p"),
+            (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)").alias("_d"),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            # keep the exact scale-6 sum: a final cast to (18,2) would round
+            # x.xx5 HALF_UP in Spark but HALF_EVEN in DuckDB — exactness is
+            # the point of decimal, so expose the exact value
+            F.sum(F.col("_p") * F.col("_d")).cast("decimal(38,6)").alias("revenue"),
+            F.sum("_p").cast("decimal(18,2)").alias("gross"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs: language-blocked edit distance on prefixes."""
     return dedup.levenshtein_near_pairs(
@@ -840,6 +863,15 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "x07_hll_rollup", q_hll_rollup, None,
             note="mergeable HLL sketch rollup — approximate, rows-only",
+        ),
+        QuerySpec(
+            "x10_decimal_revenue", q_decimal_revenue,
+            "SELECT l_returnflag, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "CAST(1 - l_discount AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS revenue, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) "
+            "AS gross FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+            note="exact decimal arithmetic — bit-exact, no rounding tolerance",
         ),
         QuerySpec(
             "x08_hash_split", q_hash_split,
