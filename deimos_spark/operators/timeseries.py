@@ -1,0 +1,107 @@
+"""Time-series regularization: per-key resampling onto a fixed grid with
+gap-filling — the "hypertable rollup / time_bucket_gapfill" family that
+metric stores expose and Spark lacks as a built-in.
+
+Design for scale: everything happens AFTER a per-(key, bucket) aggregation,
+so shuffle volume is keys × buckets, never raw events. The grid is built
+with `sequence()` + `explode` per key (bounded by each key's own observed
+range — no global cross join against a calendar dimension), and the
+forward-fill is one ordered window per key. All built-in expressions;
+whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: Column | str,
+    value_col: str,
+    interval: str = "1 day",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Resample `value_col` onto a per-key `interval` grid, carrying the
+    last observation forward across empty buckets.
+
+    Bucket value = last observation in the bucket (by ts, tie-broken by
+    `order_col` for determinism). Grid spans each key's own [first, last]
+    bucket — keys contribute grid rows only where they have history.
+
+    Returns (key, bucket TIMESTAMP, value_ff) — value_ff is never NULL
+    because every key's grid starts at a bucket with an observation.
+    """
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    bucket = F.date_trunc("day" if interval == "1 day" else "hour", ts)
+    tie = (
+        F.struct(ts.alias("_t"), F.col(order_col).alias("_o"))
+        if order_col
+        else ts
+    )
+    per_bucket = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            bucket.alias("_b"),
+            F.col(value_col).alias("_v"),
+            tie.alias("_tie"),
+        )
+        .groupBy("_k", "_b")
+        .agg(F.max_by("_v", "_tie").alias("_v"))
+    )
+    grid = (
+        per_bucket.groupBy("_k")
+        .agg(F.min("_b").alias("_b0"), F.max("_b").alias("_b1"))
+        .select(
+            "_k",
+            F.explode(
+                F.sequence("_b0", "_b1", F.expr(f"interval {interval}"))
+            ).alias("_b"),
+        )
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, ["_k", "_b"], "left")
+        .select(
+            F.col("_k").alias(key_col),
+            F.col("_b").alias("bucket"),
+            F.last("_v", ignorenulls=True).over(w).alias("value_ff"),
+        )
+    )
+
+
+def bucket_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: Column | str,
+    value_col: str,
+    interval: str = "1 day",
+) -> DataFrame:
+    """Plain per-(key, bucket) OHLC-style aggregate: first/last/min/max/avg
+    — the rollup a downsampling job materializes before gap-fill."""
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    bucket = F.date_trunc("day" if interval == "1 day" else "hour", ts)
+    return (
+        df.select(
+            F.col(key_col).alias(key_col),
+            bucket.alias("bucket"),
+            F.col(value_col).alias("_v"),
+            ts.alias("_t"),
+        )
+        .groupBy(key_col, "bucket")
+        .agg(
+            F.min_by("_v", "_t").alias("open"),
+            F.max_by("_v", "_t").alias("close"),
+            F.min("_v").alias("low"),
+            F.max("_v").alias("high"),
+            F.sum("_v").alias("vsum"),
+            F.avg("_v").alias("mean"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -237,6 +237,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang").agg(F.count("*").alias("kept")).orderBy("lang")
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample of event values with forward-fill across
+    gap days (time_bucket_gapfill analogue; events.ts is long nanos)."""
+    from deimos_spark.operators import timeseries
+
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    # no order_col tie-break: (user_id, ts) is collision-free in this data,
+    # and DuckDB's arg_max can't take a composite ordering key
+    out = timeseries.resample_ffill(e, "user_id", ts, "value", interval="1 day")
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("date").cast("string").alias("day_s"),
+        F.round("value_ff", 2).alias("value_ff"),
+    ).orderBy("user_id", "day_s")
+
+
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC rollup per user: first/last by timestamp + min/max/avg."""
+    from deimos_spark.operators import timeseries
+
+    e = _events(spark, sf_dir)
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    out = timeseries.bucket_agg(e, "user_id", ts, "value", interval="1 day")
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("date").cast("string").alias("day_s"),
+        F.round("open", 2).alias("open"),
+        F.round("close", 2).alias("close"),
+        F.round("low", 2).alias("low"),
+        F.round("high", 2).alias("high"),
+        # sum, not mean: the inputs carry 2 decimals so sums round safely,
+        # while avg creates exact .xx5 boundaries where engine summation
+        # order decides the rounding — a hash-compare hazard
+        F.round("vsum", 2).alias("vsum"),
+        F.col("n").alias("n"),
+    ).orderBy("user_id", "day_s")
+
+
 def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-decimal money math (SURVEY flags decimal as an extension):
     revenue per return flag in DECIMAL(18,2)/(18,4) — bit-exact across
@@ -863,6 +902,32 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "x07_hll_rollup", q_hll_rollup, None,
             note="mergeable HLL sketch rollup — approximate, rows-only",
+        ),
+        QuerySpec(
+            "x11_resample_ffill", q_resample_ffill,
+            "WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) "
+            "AS day, arg_max(value, ts) AS v FROM events GROUP BY 1, 2), "
+            "bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1 "
+            "FROM daily GROUP BY 1), "
+            "grid AS (SELECT user_id, CAST(unnest(generate_series("
+            "CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) "
+            "AS day FROM bounds) "
+            "SELECT g.user_id, CAST(g.day AS VARCHAR) AS day_s, "
+            "round(last_value(d.v IGNORE NULLS) OVER ("
+            "PARTITION BY g.user_id ORDER BY g.day), 2) AS value_ff "
+            "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id "
+            "AND g.day = d.day ORDER BY g.user_id, day_s",
+            note="per-key daily grid + forward fill (gapfill analogue)",
+        ),
+        QuerySpec(
+            "x12_ohlc_daily", q_ohlc_daily,
+            "SELECT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) "
+            "AS day_s, round(arg_min(value, ts), 2) AS open, "
+            "round(arg_max(value, ts), 2) AS close, round(min(value), 2) AS low, "
+            "round(max(value), 2) AS high, round(sum(value), 2) AS vsum, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id, day_s "
+            "ORDER BY user_id, day_s",
+            note="daily OHLC rollup: first/last by ts + min/max/avg",
         ),
         QuerySpec(
             "x10_decimal_revenue", q_decimal_revenue,
