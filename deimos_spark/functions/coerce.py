@@ -154,7 +154,10 @@ def default_exprs(schema) -> dict[str, Column]:
     import json as _json
 
     out: dict[str, Column] = {}
-    for raw_f, spark_f in zip(schema.raw["fields"], schema.struct.fields):
+    raw = getattr(schema, "raw", None)
+    if not raw or "fields" not in raw:
+        return out  # proto schemas: no declared defaults (proto3 zeros only)
+    for raw_f, spark_f in zip(raw["fields"], schema.struct.fields):
         if "default" not in raw_f or raw_f["default"] is None:
             continue
         d = raw_f["default"]
@@ -167,10 +170,18 @@ def default_exprs(schema) -> dict[str, Column]:
     return out
 
 
-def apply_defaults(df: DataFrame, schema) -> DataFrame:
-    """Fill NULL schema fields with their declared Avro defaults."""
+def apply_defaults(df: DataFrame, schema, unless: Column | None = None) -> DataFrame:
+    """Fill NULL schema fields with their declared Avro defaults.
+
+    `unless`: optional boolean Column (resolved against `df`) that suppresses
+    default-filling for matching rows — the produce path passes its
+    materialized tombstone flag so delete markers keep an all-NULL payload.
+    """
     for name, col in default_exprs(schema).items():
-        df = df.withColumn(name, F.coalesce(F.col(name), col))
+        filled = F.coalesce(F.col(name), col)
+        if unless is not None:
+            filled = F.when(unless, F.col(name)).otherwise(filled)
+        df = df.withColumn(name, filled)
     return df
 
 

@@ -164,25 +164,9 @@ def ivf_assign(
     (n_cells chained when/dot folds) is quadratically slower to *analyze*
     and runs interpreted — a vectorized kernel is the right tool here.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
+    from deimos_spark.schemas.kernels import ivf_cell_udf
 
-    cents = np.asarray(centroids, dtype=np.float64)
-    c_norm2 = (cents**2).sum(axis=1)
-
-    def _cell(v: "pd.Series") -> "pd.Series":
-        m = np.vstack(v.to_numpy()).astype(np.float64)
-        # argmin ||x-c||² = argmin (||c||² - 2·x·c); ||x||² is constant per row
-        d = c_norm2[None, :] - 2.0 * (m @ cents.T)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
-
-    # explicit eval type (SQL_SCALAR_PANDAS) — string annotations from
-    # `from __future__ import annotations` defeat hint inference
-    from pyspark.sql.pandas.functions import PandasUDFType
-
-    cell_udf = pandas_udf(_cell, "int", PandasUDFType.SCALAR)
-    return df.withColumn("ivf_cell", cell_udf(F.col(vec_col)))
+    return df.withColumn("ivf_cell", ivf_cell_udf(centroids)(F.col(vec_col)))
 
 
 def ivf_train(

@@ -4,7 +4,8 @@ Behavior parity (types per SURVEY §1.2, studied from
 /root/reference/lib/deimos/schema_backends/avro_base.rb — behavior only):
 
 - int→IntegerType, long→LongType, float→FloatType, double→DoubleType,
-  boolean→BooleanType, string/bytes→StringType,
+  boolean→BooleanType, string→StringType, bytes→BinaryType (DDL still
+  flattens it to STRING, matching the reference's :string sql_type),
   enum→StringType (+ symbols kept for membership checks),
   record→StructType, array→ArrayType, map→MapType(String, V),
   union [null, T]→nullable T, multi-branch unions→StringType (JSON),
@@ -32,7 +33,7 @@ _PRIMITIVES: dict[str, T.DataType] = {
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
     "string": T.StringType(),
-    "bytes": T.StringType(),
+    "bytes": T.BinaryType(),
     "null": T.NullType(),
 }
 

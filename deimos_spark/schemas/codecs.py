@@ -38,7 +38,8 @@ class JsonCodec:
     validates against the schema, serializes as plain structures)."""
 
     def __init__(self, schema: AvroSchema | T.StructType):
-        self.struct = schema.struct if isinstance(schema, AvroSchema) else schema
+        # duck-typed: AvroSchema and ProtoSchema both expose .struct
+        self.struct = getattr(schema, "struct", schema)
 
     def encode(self, struct_col: Column) -> Column:
         return F.when(
@@ -134,66 +135,72 @@ class PyAvroCodec:
         self.raw = schema.raw
 
     def encode(self, struct_col: Column) -> Column:
-        import json as _json
+        from deimos_spark.schemas.kernels import pyavro_encode_udf
 
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.pandas.functions import PandasUDFType
-
-        raw_schema = self.raw
-
-        def _enc(js: "pd.Series") -> "pd.Series":
-            from deimos_spark.schemas.pyavro import encode_record
-
-            out = []
-            for s in js:
-                if s is None:
-                    out.append(None)
-                else:
-                    out.append(encode_record(raw_schema, _json.loads(s)))
-            return pd.Series(out, dtype=object)
-
-        enc_udf = pandas_udf(_enc, T.BinaryType(), PandasUDFType.SCALAR)
+        enc_udf = pyavro_encode_udf(self.raw)
         return F.when(
             struct_col.isNotNull(), enc_udf(F.to_json(struct_col))
         )
 
     def decode(self, binary_col: Column) -> Column:
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.pandas.functions import PandasUDFType
+        from deimos_spark.schemas.kernels import pyavro_decode_udf
 
-        raw_schema = self.raw
-        names = self.struct.fieldNames()
+        # the kernel emits all-None rows for NULL input (the outer when()
+        # restores the NULL struct) — so every field must be declared
+        # nullable or the Arrow→unsafe-row writer NPEs
+        out_struct = _all_nullable(self.struct)
+        dec_udf = pyavro_decode_udf(self.raw, self.struct.fieldNames(), out_struct)
+        return F.when(binary_col.isNotNull(), dec_udf(binary_col))
 
-        def _nullable(dt: T.DataType) -> T.DataType:
-            # the kernel emits all-None rows for NULL input (the outer
-            # when() restores the NULL struct) — so every field must be
-            # declared nullable or the Arrow→unsafe-row writer NPEs
-            if isinstance(dt, T.StructType):
-                return T.StructType(
-                    [T.StructField(f.name, _nullable(f.dataType), True) for f in dt.fields]
-                )
-            if isinstance(dt, T.ArrayType):
-                return T.ArrayType(_nullable(dt.elementType), True)
-            if isinstance(dt, T.MapType):
-                return T.MapType(dt.keyType, _nullable(dt.valueType), True)
-            return dt
 
-        out_struct = _nullable(self.struct)
+def _all_nullable(dt: T.DataType) -> T.DataType:
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _all_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(dt.keyType, _all_nullable(dt.valueType), True)
+    return dt
 
-        def _dec(bs: "pd.Series") -> "pd.DataFrame":
-            from deimos_spark.schemas.pyavro import decode_record
 
-            rows = []
-            for b in bs:
-                if b is None:
-                    rows.append({n: None for n in names})
-                else:
-                    rows.append(decode_record(raw_schema, bytes(b)))
-            return pd.DataFrame(rows, columns=list(names))
+class ProtoCodec:
+    """proto3 wire-format codec in pure Python (schemas/protowire.py) via
+    Arrow-batched pandas UDFs — the reference's proto_local backend
+    analogue (proto_local.rb:12-22 encode/decode; scalar map and
+    repeated→array per proto_base.rb:9-86).
 
-        dec_udf = pandas_udf(_dec, out_struct, PandasUDFType.SCALAR)
+    Same JSON-hop shape as PyAvroCodec: struct → to_json (JVM) → wire
+    bytes in the kernel; decode: bytes → dicts → struct rows. Keys for
+    proto topics must use the sorted-JSON codec, never this one
+    (proto binary is unstable for partitioning — proto_base.rb:58-60);
+    Producer enforces that default.
+    """
+
+    def __init__(self, schema):
+        from deimos_spark.schemas.protowire import ProtoSchema
+
+        if not isinstance(schema, ProtoSchema):
+            raise ValueError("ProtoCodec needs a parsed ProtoSchema (.proto src)")
+        self.schema = schema
+        self.struct = schema.struct
+
+    def encode(self, struct_col: Column) -> Column:
+        from deimos_spark.schemas.kernels import proto_encode_udf
+
+        enc_udf = proto_encode_udf(self.schema.message)
+        return F.when(
+            struct_col.isNotNull(), enc_udf(F.to_json(struct_col))
+        )
+
+    def decode(self, binary_col: Column) -> Column:
+        from deimos_spark.schemas.kernels import proto_decode_udf
+
+        out_struct = _all_nullable(self.struct)
+        dec_udf = proto_decode_udf(
+            self.schema.message, self.struct.fieldNames(), out_struct
+        )
         return F.when(binary_col.isNotNull(), dec_udf(binary_col))
 
 
@@ -220,6 +227,7 @@ CODECS: dict[str, type] = {
     "mock": MockCodec,
     "avro": AvroCodec,
     "avro_py": PyAvroCodec,
+    "proto": ProtoCodec,
 }
 
 
@@ -265,6 +273,46 @@ def strip_registry_frame(binary_col: Column) -> Column:
     """Drop the 5-byte Confluent header before codec decode."""
     return F.when(
         binary_col.isNotNull(), F.substring(binary_col, 6, 2147483647)
+    )
+
+
+def add_proto_registry_frame(
+    binary_col: Column, schema_id: int, message_indexes: tuple[int, ...] = (0,)
+) -> Column:
+    """Confluent wire framing for Protobuf values: magic byte 0 + 4-byte
+    big-endian schema id + zigzag-varint message-indexes array (the path to
+    the message within the .proto file; the common single-first-message
+    case [0] is specified to encode as the single byte 0x00). Public
+    Confluent wire-format spec; the reference delegates this to its
+    registry client (proto_schema_registry.rb)."""
+
+    def _zz_varint(n: int) -> bytes:
+        z = (n << 1) ^ (n >> 63)
+        out = bytearray()
+        while True:
+            b = z & 0x7F
+            z >>= 7
+            if z:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    if tuple(message_indexes) == (0,):
+        idx = b"\x00"
+    else:
+        idx = _zz_varint(len(message_indexes)) + b"".join(
+            _zz_varint(i) for i in message_indexes
+        )
+    frame = MAGIC_BYTE + schema_id.to_bytes(4, "big") + idx
+    return F.when(binary_col.isNotNull(), F.concat(F.lit(frame), binary_col))
+
+
+def strip_proto_registry_frame(binary_col: Column) -> Column:
+    """Drop magic + id + the single-byte [0] message-index (6 bytes). For
+    non-trivial index arrays, decode driver-side."""
+    return F.when(
+        binary_col.isNotNull(), F.substring(binary_col, 7, 2147483647)
     )
 
 

@@ -1,0 +1,132 @@
+"""Arrow-batched pandas-UDF kernel factories.
+
+This module deliberately has NO `from __future__ import annotations`: the
+pandas_udf decorator infers the eval type from *real* type-hint objects
+(pd.Series/pd.DataFrame), and stringified annotations would defeat that
+inference, forcing the deprecated PandasUDFType enum. Keeping every kernel
+here lets the rest of the package use future-annotations freely.
+
+All factories capture their schema/model arguments at plan time so
+executors never call back into driver-side objects.
+"""
+
+import pandas as pd
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def pyavro_encode_udf(raw_schema):
+    """JSON strings → binary-Avro bytes (see codecs.PyAvroCodec)."""
+    import json as _json
+
+    def _enc(js: pd.Series) -> pd.Series:
+        from deimos_spark.schemas.pyavro import encode_record, json_to_avro_dict
+
+        out = []
+        for s in js:
+            if s is None:
+                out.append(None)
+            else:
+                payload = json_to_avro_dict(raw_schema, _json.loads(s))
+                out.append(encode_record(raw_schema, payload))
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(_enc, T.BinaryType())
+
+
+def pyavro_decode_udf(raw_schema, names, out_struct):
+    """Binary-Avro bytes → struct rows (all-None for NULL input; the
+    caller's when() restores NULL structs)."""
+
+    def _dec(bs: pd.Series) -> pd.DataFrame:
+        from deimos_spark.schemas.pyavro import decode_record
+
+        rows = []
+        for b in bs:
+            if b is None:
+                rows.append({n: None for n in names})
+            else:
+                rows.append(decode_record(raw_schema, bytes(b)))
+        return pd.DataFrame(rows, columns=list(names))
+
+    return pandas_udf(_dec, out_struct)
+
+
+def registry_decode_udf(writers, reader_raw, names, out_struct):
+    """Confluent-framed bytes → struct rows with per-message writer-schema
+    dispatch + Avro schema resolution against the reader."""
+
+    def _dec(bs: pd.Series) -> pd.DataFrame:
+        from deimos_spark.schemas.pyavro import decode_record
+
+        rows = []
+        for b in bs:
+            if b is None:
+                rows.append({n: None for n in names})
+                continue
+            b = bytes(b)
+            if len(b) < 5 or b[0] != 0:
+                raise ValueError("message lacks Confluent wire framing")
+            sid = int.from_bytes(b[1:5], "big")
+            writer = writers.get(sid)
+            if writer is None:
+                raise ValueError(
+                    f"unknown schema id {sid} for subject (known: {sorted(writers)})"
+                )
+            rows.append(decode_record(writer, b[5:], reader_schema=reader_raw))
+        return pd.DataFrame(rows, columns=list(names))
+
+    return pandas_udf(_dec, out_struct)
+
+
+def proto_encode_udf(message):
+    """JSON strings → proto3 wire bytes (see codecs.ProtoCodec)."""
+    import json as _json
+
+    def _enc(js: pd.Series) -> pd.Series:
+        from deimos_spark.schemas.protowire import encode_message, json_to_proto_dict
+
+        out = []
+        for s in js:
+            if s is None:
+                out.append(None)
+            else:
+                payload = json_to_proto_dict(message, _json.loads(s))
+                out.append(encode_message(message, payload))
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(_enc, T.BinaryType())
+
+
+def proto_decode_udf(message, names, out_struct):
+    """proto3 wire bytes → struct rows."""
+
+    def _dec(bs: pd.Series) -> pd.DataFrame:
+        from deimos_spark.schemas.protowire import decode_message
+
+        rows = []
+        for b in bs:
+            if b is None:
+                rows.append({n: None for n in names})
+            else:
+                rows.append(decode_message(message, bytes(b)))
+        return pd.DataFrame(rows, columns=list(names))
+
+    return pandas_udf(_dec, out_struct)
+
+
+def ivf_cell_udf(centroids):
+    """embedding array → nearest-centroid index, one BLAS matmul per Arrow
+    batch (see simsearch.ivf_assign)."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cents**2).sum(axis=1)
+
+    def _cell(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy()).astype(np.float64)
+        # argmin ||x-c||² = argmin (||c||² - 2·x·c); ||x||² is constant per row
+        d = c_norm2[None, :] - 2.0 * (m @ cents.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return pandas_udf(_cell, "int")

@@ -85,7 +85,10 @@ def _union_branch(schema: list, value: Any) -> int:
             return i
         if t in ("string", "enum") and isinstance(value, str):
             return i
-        if t == "bytes" and isinstance(value, (bytes, bytearray)):
+        if t == "bytes" and isinstance(value, (bytes, bytearray, str)):
+            # str accepted (utf-8-encoded by the bytes branch) — matches
+            # the string-branch-first ordering above, so a [string, bytes]
+            # union still picks string for str values
             return i
         if t == "record" and isinstance(value, dict):
             return i
@@ -120,7 +123,10 @@ def encode_value(schema: Any, value: Any, out: bytearray) -> None:
         _write_varint(out, len(raw))
         out += raw
     elif t == "bytes":
-        raw = bytes(value)
+        # str accepted for direct-dict callers (Ruby Avro treats bytes as
+        # String); the JSON-hop codec path converts base64 → bytes before
+        # reaching here (json_to_avro_dict)
+        raw = value.encode("utf-8") if isinstance(value, str) else bytes(value)
         _write_varint(out, len(raw))
         out += raw
     elif t == "enum":
@@ -160,6 +166,40 @@ def encode_record(schema: dict, value: dict) -> bytes:
     out = bytearray()
     encode_value(schema, value, out)
     return bytes(out)
+
+
+def json_to_avro_dict(schema: Any, value: Any) -> Any:
+    """Normalize a JSON-decoded payload for binary-Avro encoding: Spark's
+    to_json renders BinaryType columns as base64 strings, so every
+    bytes-typed position converts base64-str → bytes. Other positions pass
+    through (unions recurse into the branch matching the value)."""
+    import base64
+
+    if value is None:
+        return None
+    if isinstance(schema, list):  # union: convert per the value-matched branch
+        for b in schema:
+            t = b["type"] if isinstance(b, dict) else b
+            if t == "bytes" and isinstance(value, str):
+                return base64.b64decode(value)
+            if t in ("record", "map") and isinstance(value, dict):
+                return json_to_avro_dict(b, value)
+            if t == "array" and isinstance(value, (list, tuple)):
+                return json_to_avro_dict(b, value)
+        return value
+    t = schema["type"] if isinstance(schema, dict) else schema
+    if t == "bytes" and isinstance(value, str):
+        return base64.b64decode(value)
+    if t == "record":
+        return {
+            f["name"]: json_to_avro_dict(f["type"], value.get(f["name"]))
+            for f in schema["fields"]
+        }
+    if t == "array":
+        return [json_to_avro_dict(schema["items"], v) for v in value]
+    if t == "map":
+        return {k: json_to_avro_dict(schema["values"], v) for k, v in value.items()}
+    return value
 
 
 # ---------------------------------------------------------------- decoding

@@ -181,36 +181,14 @@ class RegistryAvroCodec:
         return add_registry_frame(inner.encode(struct_col), self.schema_id)
 
     def decode(self, binary_col: Column) -> Column:
-        import pandas as pd
-        from pyspark.sql.functions import pandas_udf
-        from pyspark.sql.pandas.functions import PandasUDFType
+        from deimos_spark.schemas.kernels import registry_decode_udf
 
-        writers = self.registry.writer_schemas(self.subject)
-        reader_raw = self.reader.raw
-        names = self.struct.fieldNames()
-        out_struct = _all_nullable(self.struct)
-
-        def _dec(bs: "pd.Series") -> "pd.DataFrame":
-            from deimos_spark.schemas.pyavro import decode_record
-
-            rows = []
-            for b in bs:
-                if b is None:
-                    rows.append({n: None for n in names})
-                    continue
-                b = bytes(b)
-                if len(b) < 5 or b[0] != 0:
-                    raise ValueError("message lacks Confluent wire framing")
-                sid = int.from_bytes(b[1:5], "big")
-                writer = writers.get(sid)
-                if writer is None:
-                    raise ValueError(
-                        f"unknown schema id {sid} for subject (known: {sorted(writers)})"
-                    )
-                rows.append(decode_record(writer, b[5:], reader_schema=reader_raw))
-            return pd.DataFrame(rows, columns=list(names))
-
-        dec_udf = pandas_udf(_dec, out_struct, PandasUDFType.SCALAR)
+        dec_udf = registry_decode_udf(
+            self.registry.writer_schemas(self.subject),
+            self.reader.raw,
+            self.struct.fieldNames(),
+            _all_nullable(self.struct),
+        )
         return F.when(binary_col.isNotNull(), dec_udf(binary_col))
 
 

@@ -86,13 +86,21 @@ class OutboxTable:
             rows.write.mode("append").parquet(self.path)
 
     def delete_ids(self, ids: list[int]) -> None:
-        df = self.read().filter(~F.col("id").isin(ids))
-        tmp = self.path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
+        """Remove delivered rows via rename-aside swap: write the remainder
+        to a tmp dir, move the live table aside, move tmp in, THEN delete
+        the old copy. A crash at any point leaves either the old table or
+        the new one at self.path — never a window with no table — so
+        pending messages can't be stranded (at-least-once preserved)."""
         import shutil
+        import uuid as _uuid
 
-        shutil.rmtree(self.path)
+        df = self.read().filter(~F.col("id").isin(ids))
+        tmp = f"{self.path}.__tmp_{_uuid.uuid4().hex[:8]}"
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{self.path}.__old_{_uuid.uuid4().hex[:8]}"
+        os.rename(self.path, old)
         os.rename(tmp, self.path)
+        shutil.rmtree(old)
 
     def pending_count(self) -> int:
         return self.read().count()

@@ -94,10 +94,20 @@ class Producer:
         if config.key_schema is not None:
             self._key_schema = config.key_schema
         elif config.key_field is not None and "." not in config.key_field:
-            self._key_schema = generate_key_schema(config.schema, config.key_field)
+            if hasattr(config.schema, "key_schema"):
+                # ProtoSchema slices its own 1-field key message
+                self._key_schema = config.schema.key_schema(config.key_field)
+            else:
+                self._key_schema = generate_key_schema(config.schema, config.key_field)
         else:
             self._key_schema = None
-        key_codec_name = "sorted_json" if config.sorted_json_keys else config.codec
+        # proto keys are ALWAYS sorted JSON: proto binary encoding is
+        # unstable for partitioning (reference proto_base.rb:58-60)
+        key_codec_name = (
+            "sorted_json"
+            if (config.sorted_json_keys or config.codec == "proto")
+            else config.codec
+        )
         if self._key_schema is None:
             self.key_codec = None
         elif config.registry is not None and not config.sorted_json_keys:
@@ -120,11 +130,18 @@ class Producer:
         for col, limit in cfg.truncate_limits.items():
             if col in df.columns:
                 df = df.withColumn(col, F.substring(F.col(col), 1, limit))
+
+        # Tombstone detection MUST run against the raw df and be materialized
+        # BEFORE auto-fields and defaults: the reference skips add_fields for
+        # blank payloads (message.rb add_fields early-return) and treats nil
+        # payload as delete — filling message_id/timestamp/defaults first
+        # would resurrect a delete marker into an upsert.
+        df = df.withColumn("_tombstone", self._is_tombstone(df))
         df = self._add_auto_fields(df)
 
         # coercion + passthrough metadata in ONE projection so headers /
         # partition-key sources ride alongside the schema fields
-        extra = []
+        extra = [F.col("_tombstone")]
         if "headers" in df.columns:
             extra.append(F.to_json(F.col("headers")).cast("binary").alias("_headers"))
         schema_fields = set(cfg.schema.struct.fieldNames())
@@ -137,13 +154,14 @@ class Producer:
                 F.col(cfg.partition_key_col).cast("string").cast("binary").alias("_pk")
             )
         out = df.select(*coercion_exprs(df, cfg.schema.struct), *extra)
-        # schema-declared defaults fill NULL fields post-coercion (§1.1);
-        # tombstone detection ran on the raw df, so tombstones stay NULL
-        out = apply_defaults(out, cfg.schema)
+        # schema-declared defaults fill NULL fields post-coercion (§1.1) —
+        # gated on the materialized tombstone flag so an all-NULL payload
+        # stays all-NULL and still encodes as a NULL value
+        out = apply_defaults(out, cfg.schema, unless=F.col("_tombstone"))
 
         payload_cols = [c for c in out.columns if c in schema_fields]
         value_struct = F.when(
-            ~self._is_tombstone(df), F.struct(*[F.col(c) for c in payload_cols])
+            ~F.col("_tombstone"), F.struct(*[F.col(c) for c in payload_cols])
         )
         out = out.withColumn("_value_struct", value_struct)
 
@@ -168,16 +186,23 @@ class Producer:
 
     def _add_auto_fields(self, df: DataFrame) -> DataFrame:
         """message_id=UUID / timestamp=now autofill when the schema declares
-        them (reference: message.rb:38-56). Nondeterminism is confined to
+        them (reference: message.rb:38-56) — skipped for tombstone rows, as
+        the reference skips blank payloads. Nondeterminism is confined to
         this produce path by design."""
         schema_fields = {f.name for f in self.config.schema.struct.fields}
         if "message_id" in schema_fields:
             src = F.col("message_id") if "message_id" in df.columns else F.lit(None)
-            df = df.withColumn("message_id", F.coalesce(src, F.expr("uuid()")))
+            df = df.withColumn(
+                "message_id",
+                F.when(F.col("_tombstone"), src)
+                .otherwise(F.coalesce(src, F.expr("uuid()"))),
+            )
         if "timestamp" in schema_fields:
             src = F.col("timestamp") if "timestamp" in df.columns else F.lit(None)
             df = df.withColumn(
-                "timestamp", F.coalesce(src, F.current_timestamp().cast("string"))
+                "timestamp",
+                F.when(F.col("_tombstone"), src)
+                .otherwise(F.coalesce(src, F.current_timestamp().cast("string"))),
             )
         return df
 

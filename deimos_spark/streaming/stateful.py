@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark-style duration string ('1 hour', '30 seconds') to ms."""
+    qty, unit = spec.strip().split()
+    unit = unit.rstrip("s")
+    factor = {
+        "millisecond": 1,
+        "second": 1000,
+        "minute": 60_000,
+        "hour": 3_600_000,
+        "day": 86_400_000,
+    }[unit]
+    return int(qty) * factor
+
+
 SESSION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -136,6 +150,7 @@ def first_seen_dedup(
     ]
     out = out_schema or T.StructType(fields)
     state_schema = T.StructType([T.StructField("first_ms", T.LongType())])
+    horizon_ms = _duration_ms(watermark)
 
     def kernel(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -147,14 +162,22 @@ def first_seen_dedup(
         if ts_all.empty:
             return
         t_min = int(ts_all.min().value // 1_000_000)
+        t_max = int(ts_all.max().value // 1_000_000)
         if state.exists:
             (seen_ms,) = state.get
             if t_min >= seen_ms:
                 state.update((seen_ms,))
+                # keep state alive while the key is active, then let the
+                # watermark evict it once it goes idle
+                state.setTimeoutTimestamp(t_max + horizon_ms)
                 return  # already emitted an earlier row for this key
             state.update((t_min,))
         else:
             state.update((t_min,))
+        # bound keyed state: once event time passes max_seen + horizon the
+        # key times out and its state is removed (any later duplicate would
+        # be behind the watermark and dropped before reaching the kernel)
+        state.setTimeoutTimestamp(t_max + horizon_ms)
         yield pd.DataFrame(
             {
                 **{c: [k] for c, k in zip(key_cols, key)},

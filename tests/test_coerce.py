@@ -207,19 +207,60 @@ def test_producer_applies_defaults_not_to_tombstones(spark):
             "name": "D",
             "fields": [
                 {"name": "test_id", "type": "string"},
+                {"name": "x", "type": ["null", "string"]},
                 {"name": "n", "type": ["int", "null"], "default": 7},
             ],
         }
     )
     prod = Producer(TopicConfig(topic="t", schema=avsc, key_field="test_id"))
     df = spark.createDataFrame(
-        [Row(test_id="a", n=None)],
+        [Row(test_id="a", x="live", n=None)],
         T.StructType([
             T.StructField("test_id", T.StringType()),
+            T.StructField("x", T.StringType()),
             T.StructField("n", T.IntegerType()),
         ]),
     )
     msgs = {json.loads(bytes(m["key"]))["test_id"]: m
             for m in prod.build_messages(df).collect()}
-    # NULL payload field takes the schema default in the encoded value
+    # a non-tombstone row's NULL field takes the schema default
     assert json.loads(bytes(msgs["a"]["value"]))["n"] == 7
+
+
+def test_tombstone_survives_schema_defaults(spark):
+    """A tombstone (all non-key fields NULL) must encode as a NULL value
+    even when the schema declares field defaults — defaults must not
+    resurrect a delete marker into an upsert of default values."""
+    from pyspark.sql import Row, types as T
+    import json
+
+    from deimos_spark.schemas.avro import parse_avsc
+    from deimos_spark.streaming.producer import Producer, TopicConfig
+
+    avsc = parse_avsc(
+        {
+            "type": "record",
+            "name": "D",
+            "fields": [
+                {"name": "test_id", "type": "string"},
+                {"name": "status", "type": ["string", "null"], "default": "active"},
+            ],
+        }
+    )
+    prod = Producer(TopicConfig(topic="t", schema=avsc, key_field="test_id"))
+    df = spark.createDataFrame(
+        [Row(test_id="gone", status=None), Row(test_id="kept", status=None)],
+        T.StructType([
+            T.StructField("test_id", T.StringType()),
+            T.StructField("status", T.StringType()),
+        ]),
+    )
+    # row "gone" is keyed all-NULL → tombstone; "kept" too (same shape) —
+    # split the frame so one row carries a real payload
+    live = spark.createDataFrame(
+        [Row(test_id="kept", status="x")], df.schema
+    )
+    msgs = {json.loads(bytes(m["key"]))["test_id"]: m
+            for m in prod.build_messages(df.limit(1).union(live)).collect()}
+    assert msgs["gone"]["value"] is None          # tombstone stays NULL
+    assert json.loads(bytes(msgs["kept"]["value"]))["status"] == "x"

@@ -100,6 +100,43 @@ def test_enum_rejects_unknown_symbol():
         })
 
 
+def test_bytes_field_roundtrip(spark):
+    """Avro bytes ↔ Spark BinaryType: wire round-trip through the Spark
+    codec path (where to_json renders binary as base64) and direct dict
+    encoding with both bytes and str inputs."""
+    raw = {
+        "type": "record",
+        "name": "B",
+        "fields": [
+            {"name": "test_id", "type": "string"},
+            {"name": "blob", "type": ["null", "bytes"]},
+        ],
+    }
+    payload = b"\x00\x01\xfe\xff raw"
+    # direct encode: bytes and str both accepted
+    assert decode_record(raw, encode_record(raw, {"test_id": "x", "blob": payload}))[
+        "blob"
+    ] == payload
+    assert decode_record(raw, encode_record(raw, {"test_id": "x", "blob": "abc"}))[
+        "blob"
+    ] == b"abc"
+
+    avsc = parse_avsc(raw)
+    from pyspark.sql import types as T
+
+    assert isinstance(avsc.struct["blob"].dataType, T.BinaryType)
+    codec = PyAvroCodec(avsc)
+    df = spark.createDataFrame(
+        [Row(test_id="a", blob=payload), Row(test_id="b", blob=None)],
+        avsc.struct,
+    ).withColumn("v", F.struct("test_id", "blob"))
+    enc = df.select("test_id", codec.encode(F.col("v")).alias("bytes"))
+    dec = enc.select("test_id", codec.decode(F.col("bytes")).alias("v"))
+    rows = {r["test_id"]: r["v"] for r in dec.collect()}
+    assert bytes(rows["a"]["blob"]) == payload
+    assert rows["b"]["blob"] is None
+
+
 def test_spark_codec_roundtrip_and_tombstones(spark):
     avsc = parse_avsc(
         {

@@ -93,3 +93,33 @@ def test_first_seen_dedup_across_batches(spark, tmp_path):
     )
     got = {r["user_id"]: r["ts"] for r in spark.sql("SELECT * FROM dd").collect()}
     assert got == {1: _ts(5), 2: _ts(6), 3: _ts(8)}
+
+
+def test_first_seen_dedup_state_evicted_after_timeout(spark, tmp_path):
+    """Keyed state must be bounded: once the watermark passes a key's
+    last-seen + horizon, its state is evicted — a much-later event for the
+    same key is treated as first-seen again (and the state store does not
+    grow forever)."""
+    src = str(tmp_path / "in")
+    _write(spark, src, [(1, _ts(5))])
+    # watermark-advancing batches: push event time far past key 1's timeout
+    # (the timeout invocation fires in a batch where the key has no data,
+    # against the watermark computed from the PREVIOUS batch — so two
+    # advancing batches are needed before the state is actually removed)
+    _write(spark, src, [(9, dt.datetime(2026, 1, 1, 23, 0))])
+    _write(spark, src, [(9, dt.datetime(2026, 1, 1, 23, 10))])
+    # key 1 reappears hours later: its old state must be gone
+    _write(spark, src, [(1, dt.datetime(2026, 1, 1, 23, 30))])
+
+    deduped = stateful.first_seen_dedup(
+        streams.file_stream_source(spark, src, EVENTS_SCHEMA),
+        key_cols=["user_id"],
+        watermark="10 minutes",
+    )
+    streams.run_available_now(
+        streams.memory_sink(deduped, "dd_evict", str(tmp_path / "ck"))
+    )
+    user1 = sorted(
+        r["ts"] for r in spark.sql("SELECT * FROM dd_evict WHERE user_id = 1").collect()
+    )
+    assert user1 == [_ts(5), dt.datetime(2026, 1, 1, 23, 30)]
