@@ -290,26 +290,60 @@ def levenshtein_near_pairs(
     prefix: int = 48,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str = "lang",
+    lang_col: str = "lang",
+    band_width: int = 64,
+    prefix_buckets: int = 16,
 ) -> DataFrame:
-    """Fuzzy near-dup pairs by edit distance on a text prefix, blocked on
-    `block_col` — the blocking equi-join keeps this a shuffle-co-located
-    join (never cartesian), the standard record-linkage shape. Levenshtein
-    is O(prefix²) per candidate pair, which is why candidates must be
-    blocked first at any scale."""
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(block_col).alias("_blk"),
-        F.substring(F.col(text_col), 1, prefix).alias("_ta"),
+    """Fuzzy near-dup pairs: COMPOSITE blocking then edit-distance verify —
+    the standard record-linkage shape with a blocking key that keeps
+    working at corpus scale.
+
+    Blocking on language alone is a scale-killer: at 100 TB one language
+    block IS the corpus and the within-block join is O(n²). The composite
+    key here is (lang, md5-bucket of the first 8 chars, length band), with
+    each probe row exploded to its ±1 adjacent bands so same-length-ish
+    pairs across a band boundary still meet. Block-key cardinality grows
+    with the corpus (langs × prefix_buckets × length bands) so per-block
+    membership stays bounded; the join stays a shuffle-co-located
+    equi-join, never cartesian.
+
+    This is declared-approximate by design (pairs differing in their first
+    8 chars or by > band_width in length are not candidates); the md5
+    bucketing is engine-portable so the same blocking is expressible in
+    the DuckDB oracle. For recall-sensitive dedup use minhash candidates +
+    `levenshtein` as the verifier instead (minhash_near_pairs).
+    Levenshtein is O(prefix²) per candidate pair, which is why candidates
+    must be blocked first at any scale.
+    """
+    from deimos_spark.operators.sampling import hash_bucket
+
+    pbkt = hash_bucket(
+        F.substring(F.col(text_col), 1, 8), prefix_buckets, salt="lev"
     )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(block_col).alias("_blk"),
-        F.substring(F.col(text_col), 1, prefix).alias("_tb"),
+    band = F.floor(F.length(F.col(text_col)) / F.lit(float(band_width))).cast("int")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(lang_col).alias("_lang"),
+        pbkt.alias("_pbkt"),
+        band.alias("_band"),
+        F.substring(F.col(text_col), 1, prefix).alias("_t"),
+    )
+    a = keyed.select(
+        F.col(id_col).alias("id_a"),
+        "_lang",
+        "_pbkt",
+        F.explode(
+            F.array(F.col("_band") - 1, F.col("_band"), F.col("_band") + 1)
+        ).alias("_band"),
+        F.col("_t").alias("_ta"),
+    )
+    b = keyed.select(
+        F.col(id_col).alias("id_b"), "_lang", "_pbkt", "_band",
+        F.col("_t").alias("_tb"),
     )
     dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
     return (
-        a.join(b, "_blk")
+        a.join(b, ["_lang", "_pbkt", "_band"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", dist.alias("dist"))
         .filter(F.col("dist") <= max_dist)

@@ -249,16 +249,31 @@ def ivf_topk(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
 
 
+MAX_EXACT_PAIRWISE_ROWS = 100_000
+
+
 def pairwise_cosine_exact(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = MAX_EXACT_PAIRWISE_ROWS,
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold. O(n²) — correctness baseline for
     the LSH variant; at scale use `pairwise_cosine_above` (bucketed join).
     The id-inequality join is a broadcast nested loop: only valid for small
-    n (the verification set), which is exactly its role."""
+    n (the verification set), which is exactly its role.
+
+    GUARDED against misuse as a production path: raises if the input
+    exceeds `max_rows` (the count is a cheap metadata-only scan for parquet
+    sources). Sample or bucket first — don't raise the cap at scale."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"pairwise_cosine_exact is an O(n²) verification baseline: input"
+            f" has {n} rows > max_rows={max_rows}. Use pairwise_cosine_above"
+            f" (LSH-bucketed) for production-scale data, or sample first."
+        )
     left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))

@@ -300,7 +300,9 @@ def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs: language-blocked edit distance on prefixes."""
+    """Fuzzy near-dup pairs: composite-blocked (lang, prefix bucket,
+    ±1 length band) edit distance on prefixes — blocking declared in the
+    oracle SQL too, so the check is exact."""
     return dedup.levenshtein_near_pairs(
         _docs(spark, sf_dir), max_dist=24, prefix=32
     ).orderBy("id_a", "id_b")
@@ -963,11 +965,17 @@ def all_queries() -> dict[str, QuerySpec]:
         ),
         QuerySpec(
             "t11_levenshtein_pairs", q_levenshtein_pairs,
+            "WITH d AS (SELECT doc_id, lang, text, "
+            "(('0x' || substr(md5('lev' || substr(text, 1, 8)), 1, 8))::BIGINT "
+            "% 16) AS pbkt, "
+            "CAST(floor(length(text) / 64.0) AS INT) AS band FROM documents) "
             "SELECT id_a, id_b, dist FROM ("
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) AS INT) "
-            "AS dist FROM documents a JOIN documents b "
-            "ON a.lang = b.lang AND a.doc_id < b.doc_id) "
+            "AS dist FROM d a JOIN d b "
+            "ON a.lang = b.lang AND a.pbkt = b.pbkt "
+            "AND b.band BETWEEN a.band - 1 AND a.band + 1 "
+            "AND a.doc_id < b.doc_id) "
             "WHERE dist <= 24 ORDER BY id_a, id_b",
         ),
         QuerySpec(

@@ -92,6 +92,34 @@ def test_no_rowwise_python_udfs_in_any_declared_query(spark):
             assert "ArrowEvalPython" not in plan, f"pandas UDF leaked into {name}"
 
 
+def test_levenshtein_blocking_key_scales_with_corpus(spark):
+    """The fuzzy-dedup blocking key must be composite: its cardinality has
+    to grow with the corpus (langs × prefix buckets × length bands), not
+    stay pinned at the handful of languages — otherwise one language block
+    is the corpus at scale and the join degenerates to O(n²)."""
+    from deimos_spark.catalog import load_table
+    from deimos_spark.operators.dedup import levenshtein_near_pairs
+    from deimos_spark.operators.sampling import hash_bucket
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF, "documents")
+    n_langs = docs.select("lang").distinct().count()
+    block_keys = (
+        docs.select(
+            F.col("lang"),
+            hash_bucket(F.substring(F.col("text"), 1, 8), 16, salt="lev").alias("pbkt"),
+            F.floor(F.length("text") / F.lit(64.0)).cast("int").alias("band"),
+        )
+        .distinct()
+        .count()
+    )
+    assert block_keys > n_langs * 3  # composite, not lang-only
+
+    # and the join is an equi-join on the composite key, never cartesian
+    plan = _plan(levenshtein_near_pairs(docs, max_dist=24, prefix=32))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_tpch_dims_broadcast_facts_shuffle(spark):
     from deimos_spark.operators import tpch
 

@@ -59,6 +59,21 @@ def test_pandas_cosine_agrees_with_codegen(spark):
     assert a == b
 
 
+def test_pairwise_exact_guard_rejects_large_input(spark):
+    """pairwise_cosine_exact is an O(n²) verification baseline and must
+    refuse production-sized inputs (VERDICT r1: unguarded first-class
+    registration was a scale hazard)."""
+    big = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\)|max_rows"):
+        simsearch.pairwise_cosine_exact(big, threshold=0.5, max_rows=10)
+    # under the cap it still works
+    out = simsearch.pairwise_cosine_exact(big.limit(5), threshold=0.5, max_rows=10)
+    assert out.count() == 10  # all identical vectors: C(5,2) pairs
+
+
 def test_lsh_topk_recall(spark):
     """LSH candidates are a subset scored exactly → any returned top-k item
     that IS in the exact top-k must carry the identical similarity."""
