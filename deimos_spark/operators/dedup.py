@@ -104,10 +104,12 @@ def exploded_shingles(
         .filter("_full")
         .select("_id", "_s")
     )
+    # whitespace-normalized so the single shingle equals concat_ws(" ",
+    # tokens) — byte-identical to the `shingles()` column expression
     short_docs = (
         df.select(
             F.col(id_col).alias("_id"),
-            F.trim(F.col(text_col)).alias("_s"),
+            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ").alias("_s"),
             F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nt"),
         )
         .filter(F.col("_nt") < n)
@@ -273,10 +275,43 @@ def jaccard_vs_query(
     k: int = 20,
 ) -> DataFrame:
     """Top-k most-similar documents to a fixed query text by shingle
-    Jaccard — linear scan + TakeOrderedAndProject, no shuffle."""
-    jac = ngram_jaccard_expr(F.col(text_col), F.lit(query_text), n)
+    Jaccard.
+
+    Shaped for codegen, not per-row array lambdas: Spark higher-order
+    functions (transform/aggregate/array_intersect over a built array)
+    run interpreted, so the per-row `ngram_jaccard_expr` form was the
+    slowest declared query at sf0.01. Instead the corpus is exploded to
+    distinct (doc, shingle) rows (posexplode + window lead — fully
+    codegen'd), the query's shingle set is computed driver-side (it is a
+    plain Python string) and probed with an InSet predicate, and one hash
+    aggregate per doc yields |A| and |A∩Q| together:
+
+        J = inter / (|A| + |Q| - inter)      (|Q| is a literal)
+
+    No join against the query side at all; the only shuffles are the
+    window partition and the final aggregate, both on doc_id. Top-k is
+    TakeOrderedAndProject. Semantics identical to ngram_jaccard_expr
+    (kept as the per-row reference form, used in tests)."""
+    import re
+
+    stripped = query_text.strip()
+    toks = re.split(r"\s+", stripped) if stripped else [""]
+    if len(toks) >= n:
+        q_shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    else:
+        q_shingles = {" ".join(toks)}
+
+    ex = exploded_shingles(df, text_col, id_col, n)
+    per_doc = ex.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_na"),
+        F.sum(
+            F.when(F.col("_s").isin(*q_shingles), 1).otherwise(0)
+        ).alias("_inter"),
+    )
+    union = F.col("_na") + F.lit(len(q_shingles)) - F.col("_inter")
+    jac = F.when(union == 0, F.lit(0.0)).otherwise(F.col("_inter") / union)
     return (
-        df.select(F.col(id_col), F.round(jac, 4).alias("jaccard"))
+        per_doc.select(F.col("_id").alias(id_col), F.round(jac, 4).alias("jaccard"))
         .orderBy(F.col("jaccard").desc(), F.col(id_col))
         .limit(k)
     )

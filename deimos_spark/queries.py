@@ -47,7 +47,10 @@ class QuerySpec:
 # actual execution. Real engines prepare a statement once and execute it
 # many times; this cache is that feature. The underlying parquet is still
 # scanned fresh at every execution — only the *plan* is reused.
-_plan_cache: dict[tuple[str, int, str], DataFrame] = {}
+#
+# Keyed on the Spark applicationId, not id(spark): a GC'd session whose
+# address is reused must not resurrect plans bound to the dead session.
+_plan_cache: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def clear_plan_cache() -> None:
@@ -56,7 +59,7 @@ def clear_plan_cache() -> None:
 
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
     def build(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (name, id(spark), sf_dir)
+        key = (name, spark.sparkContext.applicationId, sf_dir)
         df = _plan_cache.get(key)
         if df is None:
             df = fn(spark, sf_dir)

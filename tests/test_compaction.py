@@ -81,3 +81,34 @@ def test_minhash_collapse_exact_equals_unique_corpus(spark):
         for r in dedup.minhash_lsh_pairs(uniq, jaccard_threshold=0.3).collect()
     )
     assert got == want
+
+
+def test_jaccard_vs_query_matches_perrow_reference(spark):
+    """jaccard_vs_query's exploded-aggregate form must agree exactly with
+    the per-row ngram_jaccard_expr reference expression (same shingle
+    semantics incl. short-doc fallback and whitespace normalization)."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators import dedup
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # add degenerate docs: short (<n tokens), multi-space, empty-ish
+    extra = spark.createDataFrame(
+        [
+            (100001, "one two"),
+            (100002, "   padded    spaces   between   tokens here  "),
+            (100003, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    d = d.select("doc_id", "text").union(extra)
+    qtext = d.filter(F.col("doc_id") == 0).select("text").head()[0]
+
+    fast = dedup.jaccard_vs_query(d, qtext, n=3, k=10_000)
+    ref_jac = dedup.ngram_jaccard_expr(F.col("text"), F.lit(qtext), 3)
+    ref = d.select(
+        "doc_id", F.round(ref_jac, 4).alias("jaccard")
+    )
+    got = {(r["doc_id"], r["jaccard"]) for r in fast.collect()}
+    want = {(r["doc_id"], r["jaccard"]) for r in ref.collect()}
+    assert got == want
