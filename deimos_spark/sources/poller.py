@@ -70,10 +70,19 @@ def cursor_predicate(cursor: PollCursor, time_to: int, ts_col: str, id_col: str)
 class TimeBasedPoller:
     """Repeated incremental scans with a persisted cursor.
 
-    `source` is a zero-arg factory returning the current table DataFrame —
-    a JDBC read, parquet path, or test fixture. `publish` receives each
-    batch (already cursor-filtered and ordered) — typically
-    Producer.publish.
+    `source` is either
+    - a zero-arg factory returning the current table DataFrame (parquet
+      path, test fixture): the cursor predicate/order/limit are applied
+      as DataFrame ops (parquet gets min-max pruning from the pushed
+      filter), or
+    - a batch-capable source exposing
+      `.batch(cursor, time_to, limit) -> DataFrame` (and optionally
+      `.read_all()` for full-table mode), e.g. `JdbcCursorSource`, which
+      composes predicate + ORDER BY + row limit into the database query
+      itself — the only way to get sort/limit pushdown over JDBC.
+
+    `publish` receives each batch (already cursor-filtered and ordered) —
+    typically Producer.publish.
     """
 
     def __init__(
@@ -102,7 +111,9 @@ class TimeBasedPoller:
         rows published. Crash between publish and cursor-save re-sends the
         tail → at-least-once (C1)."""
         if self.full_table:
-            df = self.source().orderBy(self.ts_col, self.id_col)
+            src = self.source
+            base = src.read_all() if hasattr(src, "read_all") else src()
+            df = base.orderBy(self.ts_col, self.id_col)
             self.publish(df)
             return df.count()
 
@@ -110,12 +121,7 @@ class TimeBasedPoller:
         time_to = now_micros - self.delay_micros
         total = 0
         while True:
-            batch = (
-                self.source()
-                .filter(cursor_predicate(cursor, time_to, self.ts_col, self.id_col))
-                .orderBy(self.ts_col, self.id_col)
-                .limit(self.batch_size)
-            )
+            batch = self._fetch_batch(cursor, time_to)
             rows = batch.collect()
             if not rows:
                 break
@@ -127,6 +133,19 @@ class TimeBasedPoller:
             if len(rows) < self.batch_size:
                 break
         return total
+
+    def _fetch_batch(self, cursor: PollCursor, time_to: int) -> DataFrame:
+        src = self.source
+        if hasattr(src, "batch"):
+            # batch-capable source (JdbcCursorSource): predicate + order +
+            # limit run inside the database
+            return src.batch(cursor, time_to, self.batch_size)
+        return (
+            src()
+            .filter(cursor_predicate(cursor, time_to, self.ts_col, self.id_col))
+            .orderBy(self.ts_col, self.id_col)
+            .limit(self.batch_size)
+        )
 
 
 class StateBasedPoller:

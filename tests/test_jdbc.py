@@ -1,0 +1,191 @@
+"""JDBC integration: cursor-pushdown poller source, state updater, and
+transactional outbox — run against Apache Derby embedded (ships in
+Spark's jars, so this is a REAL database round-trip, not a stub).
+
+Mirrors the parquet-backed poller/outbox tests (same cursor-resume,
+same-ts boundary, delay-window, drain semantics) with the predicate,
+ordering, and row limit pushed into the database query.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deimos_spark.sources.jdbc import (
+    JdbcConfig,
+    JdbcCursorSource,
+    JdbcOutboxTable,
+    execute_update,
+    make_state_updater,
+    qident,
+)
+from deimos_spark.sources.outbox import OutboxRelay
+from deimos_spark.sources.poller import PollCursor, StateBasedPoller, TimeBasedPoller
+
+DERBY = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    return JdbcConfig(url=f"jdbc:derby:{tmp_path}/db;create=true", driver=DERBY)
+
+
+def _load_widgets(spark, cfg, rows):
+    df = spark.createDataFrame(rows, "id long, updated_at long, name string")
+    cfg.writer(df, "widgets", mode="overwrite").save()
+
+
+def test_cursor_subquery_composes_pushdown_sql(spark, cfg):
+    """The dbtable subquery must carry predicate + ORDER BY + FETCH FIRST
+    with quoted identifiers — that string IS the pushdown."""
+    src = JdbcCursorSource(spark, cfg, "widgets", ts_col="updated_at", id_col="id")
+    sub = src.batch_subquery(PollCursor(last_ts=100, last_id=4), time_to=250, limit=7)
+    assert '("updated_at" = 100 AND "id" > 4)' in sub
+    assert '("updated_at" > 100 AND "updated_at" <= 250)' in sub
+    assert 'ORDER BY "updated_at", "id" FETCH FIRST 7 ROWS ONLY' in sub
+
+    mysqlish = JdbcConfig(url="jdbc:x", limit_syntax="limit")
+    sub2 = JdbcCursorSource(spark, mysqlish, "t").batch_subquery(PollCursor(), 9, 5)
+    assert sub2.rstrip(") AS src").endswith("LIMIT 5")
+
+
+def test_jdbc_batch_limits_rows_in_database(spark, cfg):
+    """The row limit is applied server-side: a batch over a bigger table
+    returns exactly `limit` rows in (ts, id) order."""
+    _load_widgets(spark, cfg, [(i, 100 + i, f"w{i}") for i in range(20)])
+    src = JdbcCursorSource(spark, cfg, "widgets", ts_col="updated_at", id_col="id")
+    got = src.batch(PollCursor(), time_to=1_000, limit=5).collect()
+    assert [r["id"] for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_time_based_poller_over_jdbc(spark, cfg, tmp_path):
+    """Full poller semantics against a real database: drain in batches,
+    resume from the persisted cursor, pick up only new rows."""
+    _load_widgets(spark, cfg, [(i, 100 + i, f"w{i}") for i in range(5)])
+    src = JdbcCursorSource(spark, cfg, "widgets", ts_col="updated_at", id_col="id")
+    published = []
+    p = TimeBasedPoller(
+        src,
+        lambda df: published.extend(r["id"] for r in df.collect()),
+        str(tmp_path / "cursor.json"),
+        ts_col="updated_at",
+        id_col="id",
+        batch_size=2,
+        delay_micros=0,
+    )
+    assert p.run_once(now_micros=104) == 5 and published == [0, 1, 2, 3, 4]
+
+    published.clear()
+    assert p.run_once(now_micros=104) == 0 and published == []
+
+    # INSERT new rows directly in the database; only they are picked up
+    execute_update(
+        spark, cfg, 'INSERT INTO widgets ("id", "updated_at", "name") VALUES (5, 105, \'w5\')'
+    )
+    execute_update(
+        spark, cfg, 'INSERT INTO widgets ("id", "updated_at", "name") VALUES (6, 106, \'w6\')'
+    )
+    assert p.run_once(now_micros=200) == 2 and published == [5, 6]
+
+
+def test_jdbc_poller_same_ts_resumes_by_id(spark, cfg, tmp_path):
+    """(ts = last AND id > last_id) branch crosses a batch boundary inside
+    one timestamp without skip or re-send — now evaluated by the DB."""
+    _load_widgets(spark, cfg, [(i, 100, f"w{i}") for i in range(5)])
+    src = JdbcCursorSource(spark, cfg, "widgets", ts_col="updated_at", id_col="id")
+    published = []
+    p = TimeBasedPoller(
+        src,
+        lambda df: published.extend(r["id"] for r in df.collect()),
+        str(tmp_path / "c.json"),
+        ts_col="updated_at",
+        id_col="id",
+        batch_size=2,
+        delay_micros=0,
+    )
+    p.run_once(now_micros=1_000)
+    assert published == [0, 1, 2, 3, 4]
+    cur = PollCursor.load(str(tmp_path / "c.json"))
+    assert (cur.last_ts, cur.last_id) == (100, 4)
+
+
+def test_full_table_mode_uses_read_all(spark, cfg, tmp_path):
+    _load_widgets(spark, cfg, [(i, 100 + i, f"w{i}") for i in range(3)])
+    src = JdbcCursorSource(spark, cfg, "widgets", ts_col="updated_at", id_col="id")
+    seen = []
+    p = TimeBasedPoller(
+        src,
+        lambda df: seen.extend(r["id"] for r in df.collect()),
+        str(tmp_path / "c.json"),
+        ts_col="updated_at",
+        id_col="id",
+        full_table=True,
+    )
+    assert p.run_once(now_micros=0) == 3 and seen == [0, 1, 2]
+
+
+def test_state_based_poller_flips_state_in_database(spark, cfg):
+    """StateBasedPoller with a JDBC UPDATE state flip: pending rows are
+    published then marked, and a second run finds nothing."""
+    df = spark.createDataFrame(
+        [(1, "pending"), (2, "pending"), (3, "done")], "id long, state string"
+    )
+    # Derby maps StringType to CLOB by default, which is not comparable —
+    # pin a VARCHAR so the pushed `state = 'pending'` filter works
+    cfg.writer(df, "jobs", mode="overwrite").option(
+        "createTableColumnTypes", "state VARCHAR(32)"
+    ).save()
+
+    def source():
+        return cfg.reader(spark, "jobs").load()
+
+    published = []
+    p = StateBasedPoller(
+        source,
+        lambda b: published.extend(r["id"] for r in b.collect()),
+        predicate=F.col("state") == "pending",
+        id_col="id",
+        update_state=make_state_updater(
+            spark, cfg, "jobs", state_col="state", id_col="id",
+            published_value="done", failed_value="failed",
+        ),
+    )
+    assert p.run_once() == 2 and sorted(published) == [1, 2]
+    states = {r["id"]: r["state"] for r in source().collect()}
+    assert states == {1: "done", 2: "done", 3: "done"}
+    assert p.run_once() == 0
+
+
+def test_jdbc_outbox_relay_drains_transactionally(spark, cfg):
+    """OutboxRelay over a real DB table: append → drain in id order →
+    DELETE removes exactly the produced ids; second pass is a no-op."""
+    outbox = JdbcOutboxTable(spark, cfg, table="outbox_messages")
+    assert outbox.pending_count() == 0  # before the table even exists
+
+    msgs = spark.createDataFrame(
+        [(b"k1", b"v1", "topic_a"), (b"k2", b"v2", "topic_a"), (b"k3", b"v3", "topic_b")],
+        "key binary, value binary, topic string",
+    )
+    outbox.append(msgs)
+    assert outbox.pending_count() == 3
+
+    produced = []
+    relay = OutboxRelay(outbox, lambda topic, rows: produced.append((topic, [bytes(r["message"]) for r in rows])))
+    n = relay.run_once()
+    assert n == 3
+    assert produced == [("topic_a", [b"v1", b"v2"]), ("topic_b", [b"v3"])]
+    assert outbox.pending_count() == 0
+    assert relay.run_once() == 0
+
+
+def test_jdbc_outbox_ids_monotonic_across_appends(spark, cfg):
+    outbox = JdbcOutboxTable(spark, cfg, table="outbox2")
+    m1 = spark.createDataFrame([(b"a", b"1", "t")], "key binary, value binary, topic string")
+    m2 = spark.createDataFrame([(b"b", b"2", "t")], "key binary, value binary, topic string")
+    outbox.append(m1)
+    outbox.append(m2)
+    ids = [r["id"] for r in outbox.read().orderBy("id").collect()]
+    assert ids == [1, 2]
+
+
+def test_qident_escapes_embedded_quotes():
+    assert qident('we"ird') == '"we""ird"'
