@@ -236,16 +236,61 @@ def ivf_topk(
     the files, which is the entire point at 100 TB. nprobe = n_cells
     degrades gracefully to exact brute force.
     """
+    probes = probe_cells(query_vec, centroids, nprobe)
+    assigned = ivf_assign(df, centroids, vec_col)
+    pruned = assigned.filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
+
+
+def probe_cells(
+    query_vec: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The `nprobe` cell ids nearest the query — ranked by the SAME metric
+    as assignment (L2), so a vector equal to the query is always in the
+    first probed cell. Driver-side: n_cells dot products on a tiny model."""
     import numpy as np
 
     q = np.asarray(query_vec, dtype=np.float64)
     cents = np.asarray(centroids, dtype=np.float64)
-    # rank cells by the SAME metric as assignment (L2): guarantees a vector
-    # equal to the query is always in the first probed cell
     d = ((cents - q[None, :]) ** 2).sum(axis=1)
-    probes = [int(i) for i in np.argsort(d)[:nprobe]]
+    return [int(i) for i in np.argsort(d)[:nprobe]]
+
+
+def write_ivf_clustered(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF layout: assign cells once, write
+    hive-partitioned by `ivf_cell`. This is the ANN scale path made
+    physical — after this write, a probe-cell filter is PARTITION PRUNING:
+    the scan lists and reads only nprobe/n_cells of the files, so query
+    cost scales with the probed fraction, not the table. Pair with
+    periodic `layout.compact_files` per partition as vectors accrete."""
     assigned = ivf_assign(df, centroids, vec_col)
-    pruned = assigned.filter(F.col("ivf_cell").isin(probes))
+    assigned.write.mode(mode).partitionBy("ivf_cell").parquet(path)
+
+
+def ivf_topk_clustered(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF top-k over a table materialized by `write_ivf_clustered`: no
+    per-row assignment UDF at query time — `ivf_cell` is a partition
+    column, so Filter(ivf_cell IN probes) prunes directories before a
+    single byte is read. The plan should show the probe set under
+    PartitionFilters (asserted in tests)."""
+    probes = probe_cells(query_vec, centroids, nprobe)
+    pruned = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probes))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
 
 

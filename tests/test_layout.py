@@ -57,3 +57,47 @@ def test_compact_files_restores_target_size(spark, tmp_path):
         .collect()
     )
     assert len(hits) == 1
+
+
+def test_ivf_clustered_layout_prunes_files(spark, tmp_path):
+    """The ANN scale path, made physical and verified: embeddings written
+    hive-partitioned by ivf_cell; a probe-cell query (a) returns the same
+    rows as the in-memory IVF query, (b) carries the probe set as
+    PartitionFilters, (c) READS FEWER FILES THAN THE TABLE HAS (scan
+    metrics) — i.e. the claimed "partition pruning at 100 TB" is actual
+    file-level pruning, and (d) needs no assignment UDF at query time."""
+    import os
+
+    from deimos_spark.operators import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = simsearch.ivf_train(e, n_cells=8, seed=42, max_iter=5)
+    path = str(tmp_path / "ivf_layout")
+    simsearch.write_ivf_clustered(e, path, cents)
+
+    qvec = [float(x) for x in e.filter("vec_id = 0").select("embedding").head()[0]]
+    df = simsearch.ivf_topk_clustered(spark, path, qvec, cents, k=10, nprobe=3)
+    got = [(r["vec_id"], r["sim"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in simsearch.ivf_topk(e, qvec, cents, k=10, nprobe=3).collect()
+    ]
+    assert got == want  # (a) layout changes nothing about results
+
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "PartitionFilters: [ivf_cell" in plan  # (b)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan  # (d)
+
+    num_files_read = None
+    leaves = qe.executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        metrics = leaves.apply(i).metrics()
+        if metrics.contains("numFiles"):
+            num_files_read = metrics.apply("numFiles").value()
+    total_files = sum(
+        1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert num_files_read is not None
+    assert num_files_read < total_files  # (c) real file-level pruning
+    assert num_files_read <= 3  # nprobe cells at most
