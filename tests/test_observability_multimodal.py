@@ -211,3 +211,91 @@ def test_audio_features_duration_estimate(spark):
     # 32000 bytes / 2 bytes-per-sample / 16 kHz = 1 s
     assert out[0]["est_duration_ms"] == 1000
     assert len(out[0]["features"]) == 6
+
+
+def _synth_media(spark, n):
+    """Deterministic synthetic media table: content = sha256(id) bytes,
+    mime cycles over 3 types, width/height derived from id — every value
+    reproducible driver-side for golden assertions."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.unhex(F.sha2(F.col("id").cast("string"), 256)).alias("content"),
+            F.struct(
+                F.element_at(
+                    F.array(F.lit("image/png"), F.lit("image/jpeg"), F.lit("audio/wav")),
+                    (F.col("id") % 3 + 1).cast("int"),
+                ).alias("mime"),
+                (F.col("id") % 100 + 100).cast("int").alias("width"),
+                F.lit(64).cast("int").alias("height"),
+                F.lit(None).cast("long").alias("duration_ms"),
+                F.lit(16000).cast("int").alias("sample_rate"),
+            ).alias("meta"),
+        )
+    )
+
+
+def test_media_stats_golden_at_scale(spark, tmp_path):
+    """20k-row golden check for the metadata path: exact per-mime counts
+    and avg width, computed over a multi-file parquet table, with the
+    binary column verifiably absent from the scan (column pruning — the
+    property that keeps metadata queries cheap on a 100-TB media lake)."""
+    n = 20_000
+    path = str(tmp_path / "media20k")
+    _synth_media(spark, n).repartition(8).write.parquet(path)
+
+    media = spark.read.parquet(path)
+    stats = mm.media_stats(media)
+    got = {r["mime"]: (r["c"], round(r["avg_width"], 6)) for r in stats.collect()}
+    # golden: ids 0..19999; mime = id%3; width = id%100 + 100.
+    # Within each residue class widths hit each value of (id%100) exactly
+    # n/300 times... computed exactly driver-side instead:
+    import statistics
+
+    expect = {}
+    for mime, resid in [("image/png", 0), ("image/jpeg", 1), ("audio/wav", 2)]:
+        ids = range(resid, n, 3)
+        expect[mime] = (
+            len(ids),
+            round(statistics.mean(i % 100 + 100 for i in ids), 6),
+        )
+    assert got == expect
+
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    m = [l for l in plan.split("\n") if "ReadSchema" in l]
+    assert m and "content" not in m[0]  # binary column never scanned
+
+
+def test_image_features_golden_at_scale(spark):
+    """Feature kernel over 20k rows across many Arrow batches: exact row
+    count, and spot-checked vectors equal the driver-side mirror of the
+    deterministic stub (golden values independent of batching/partitioning)."""
+    import hashlib
+
+    n = 20_000
+    feats = mm.extract_image_features(_synth_media(spark, n).repartition(16), out_dim=8)
+    assert feats.count() == n
+
+    def expect_vec(media_id):
+        content = hashlib.sha256(str(media_id).encode()).digest()
+        h = hashlib.sha256(content).digest()
+        return [h[i % 32] / 255.0 for i in range(8)]
+
+    # features are float32 on the wire: compare at float32 precision
+    got = {
+        r["media_id"]: [round(float(x), 6) for x in r["features"]]
+        for r in feats.filter(F.col("media_id").isin(0, 1234, 19999)).collect()
+    }
+    for mid in (0, 1234, 19999):
+        assert got[mid] == [round(x, 6) for x in expect_vec(mid)], mid
+
+
+def test_frame_fanout_exact_at_scale(spark):
+    """Fan-out arithmetic is exact at 20k rows: 32-byte stub content,
+    every_n=10, max_frames=4 → min(4, 32//10) = 3 frames per video."""
+    n = 20_000
+    frames = mm.sample_frames(_synth_media(spark, n), every_n=10, max_frames=4)
+    assert frames.count() == n * 3
+    per = frames.groupBy("media_id").count()
+    assert per.filter(F.col("count") != 3).count() == 0
