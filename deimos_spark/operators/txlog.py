@@ -15,23 +15,36 @@ trick:
   file-units added/removed. A snapshot = replay of commits ≤ v. Readers
   always see a complete version — a reader planning over version N is
   unaffected by a concurrent commit of N+1 (its files still exist).
-- **Commits are atomic + optimistic.** A commit claims its version via
-  O_CREAT|O_EXCL (put-if-absent; on S3/HDFS this maps to the same
-  conditional-put primitive Delta uses). Two writers racing version N+1:
-  exactly one wins; the loser's MERGE re-reads the new snapshot and
-  re-derives its result — correct because MERGE is deterministic in
-  (inputs, current state).
+- **Commits are atomic + optimistic.** The commit payload is fully
+  written to a temp file first, then the version is claimed with a hard
+  link (put-if-absent; on S3/HDFS this maps to the same conditional-put
+  primitive Delta uses). The commit file therefore appears atomically
+  and complete — a concurrent snapshot() can never observe a partial
+  commit, and a writer crash leaves at worst an orphan temp file.
 - **Partition-pruned MERGE is file-level.** File-units carry their
   partition values in the log, so a merge touching one day rewrites only
   that day's units; unaffected units are carried forward untouched (no
-  read, no write — just log entries).
-- **Time travel** falls out: `read(version=k)` replays to k.
+  read, no write — just log entries). Pruning is only taken when the
+  partition columns are a subset of the key columns — then a key's
+  partition value is immutable by construction and a pruned merge can
+  never strand a stale copy of a key in another partition.
+- **Checkpoints bound replay cost.** Every `checkpoint_interval` commits
+  the full live file-set is written to `{v:020d}.checkpoint.json` and
+  `_last_checkpoint` points at it (the Delta `_last_checkpoint` design).
+  snapshot() loads the newest applicable checkpoint and replays only the
+  commits after it — O(interval) instead of O(n_commits) per read.
+- **Time travel** falls out: `read(version=k)` replays to k (using the
+  newest checkpoint ≤ k when one exists).
 
 Partitioned storage detail: partition columns are kept IN the data files
 (self-contained units) and the split into per-partition units is done with
 shadow `_p_<col>` hive directories at write time — so a unit read needs no
 basePath/discovery magic, and the log, not directory listing, is the
 source of truth (the Delta design point that makes S3 listings irrelevant).
+Hive dir names percent-escape special characters (Spark/Hive
+`escapePathName`); values are unescaped before being recorded in the log
+so the log always stores RAW partition values and pruning matches them
+exactly.
 
 Reference parity: same MERGE semantics as KeyedParquetTable (reference
 mass_updater.rb INSERT..ON CONFLICT DO UPDATE + batch deletes, batch
@@ -57,6 +70,33 @@ class CommitConflict(Exception):
     """Another writer claimed this version first."""
 
 
+class LogCorruption(Exception):
+    """A non-latest commit file is unreadable — the table needs repair."""
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _unescape_path_name(s: str) -> str:
+    """Inverse of Spark/Hive escapePathName: decode %XX sequences.
+    Hive escapes `/ : = % #` etc. as '%' + 2 uppercase hex digits."""
+    if "%" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 @dataclass
 class Snapshot:
     version: int  # -1 = empty table, no commits yet
@@ -78,12 +118,17 @@ class TransactionLogTable:
     schema: T.StructType | str | None = None
     partition_by: Sequence[str] = field(default_factory=tuple)
     max_commit_retries: int = 5
+    checkpoint_interval: int = 20
 
     def __post_init__(self):
         self.key_cols = list(self.key_cols)
         self.partition_by = list(self.partition_by)
         os.makedirs(self._log_dir, exist_ok=True)
         os.makedirs(self._data_dir, exist_ok=True)
+        # diagnostics: commit files parsed by the most recent snapshot()
+        # (lets tests assert replay cost stays bounded by the checkpoint
+        # interval instead of growing with total commit count)
+        self.last_snapshot_commit_reads = 0
 
     # ------------------------------------------------------------ log layer
 
@@ -98,23 +143,96 @@ class TransactionLogTable:
     def _commit_path(self, version: int) -> str:
         return os.path.join(self._log_dir, f"{version:020d}.json")
 
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._log_dir, f"{version:020d}.checkpoint.json")
+
+    def _load_json(self, path: str) -> dict | None:
+        """Parse a log file; None if empty/unparseable (crashed legacy
+        writer) or missing."""
+        try:
+            with open(path) as fh:
+                raw = fh.read()
+        except OSError:
+            return None
+        if not raw.strip():
+            return None
+        try:
+            return json.loads(raw)
+        except ValueError:
+            return None
+
+    def _best_checkpoint(
+        self, ckpt_versions: list[int], version: int | None
+    ) -> tuple[int, dict] | None:
+        """Newest readable checkpoint with version ≤ the requested one."""
+        for cv in sorted(ckpt_versions, reverse=True):
+            if version is not None and cv > version:
+                continue
+            data = self._load_json(self._checkpoint_path(cv))
+            if data is not None:
+                return cv, data
+        return None
+
     def snapshot(self, version: int | None = None) -> Snapshot:
-        """Replay commits ≤ version (default: all) into a live file set."""
-        names = sorted(n for n in os.listdir(self._log_dir) if n.endswith(".json"))
+        """Live file set at `version` (default: latest). Starts from the
+        newest applicable checkpoint and replays only later commits, so
+        cost is O(checkpoint_interval), not O(n_commits)."""
+        commit_versions, ckpt_versions = [], []
+        for n in os.listdir(self._log_dir):
+            if n.endswith(".checkpoint.json"):
+                ckpt_versions.append(int(n[:-16]))
+            elif n.endswith(".json"):
+                commit_versions.append(int(n[:-5]))
+        commit_versions.sort()
+
         units: dict[str, dict[str, str]] = {}
         v, schema_json = -1, None
-        for name in names:
-            cv = int(name[:-5])
+        ckpt = self._best_checkpoint(ckpt_versions, version)
+        if ckpt is not None:
+            v, data = ckpt
+            units = dict(data["units"])
+            schema_json = data.get("schema")
+
+        reads = 0
+        newest_cv = commit_versions[-1] if commit_versions else None
+        for cv in (c for c in commit_versions if c > v):
             if version is not None and cv > version:
                 break
-            with open(os.path.join(self._log_dir, name)) as fh:
-                c = json.load(fh)
+            try:
+                with open(self._commit_path(cv)) as fh:
+                    raw = fh.read()
+            except OSError:
+                raw = ""
+            reads += 1
+            if not raw.strip():
+                # Zero-length = a crashed writer's bare claim (possible
+                # only under the pre-round-3 O_EXCL-then-write protocol).
+                # It provably never contained changes, so it is a no-op
+                # at ANY log position: the version is consumed, nothing
+                # replays.
+                v = cv
+                continue
+            try:
+                c = json.loads(raw)
+            except ValueError:
+                # Non-empty but unparseable = a real payload got
+                # truncated/corrupted. The newest commit can be healed
+                # as a no-op (nothing ever depended on it); mid-log it
+                # means silent data loss — surface it.
+                if cv == newest_cv:
+                    v = cv
+                    continue
+                raise LogCorruption(
+                    f"commit {cv} of {self.path} is unreadable but later "
+                    "commits exist"
+                ) from None
             for r in c.get("removes", []):
                 units.pop(r, None)
             for a in c.get("adds", []):
                 units[a["path"]] = a.get("partitions", {})
             v = cv
             schema_json = c.get("schema") or schema_json
+        self.last_snapshot_commit_reads = reads
         return Snapshot(v, units, schema_json)
 
     def _commit(
@@ -124,7 +242,9 @@ class TransactionLogTable:
         removes: list[str],
         schema_json: str | None,
     ) -> None:
-        """Atomically claim `version` (put-if-absent). Raises
+        """Atomically claim `version` (put-if-absent). The payload is
+        fully written to a temp file first, then linked into place, so
+        the commit file appears atomically and complete. Raises
         CommitConflict if another writer got there first."""
         payload = json.dumps(
             {
@@ -136,12 +256,48 @@ class TransactionLogTable:
             }
         )
         target = self._commit_path(version)
+        tmp = os.path.join(self._log_dir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
         try:
-            fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, target)  # atomic put-if-absent
         except FileExistsError as e:
             raise CommitConflict(f"version {version} already committed") from e
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
+        finally:
+            os.unlink(tmp)
+        self._maybe_checkpoint(version)
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """After every Nth commit, materialize the live file-set so
+        snapshot() never replays more than N commits. Idempotent (two
+        racing writers produce identical content); written via
+        temp+rename so readers never see a partial checkpoint. Failure
+        is non-fatal — the log alone is always sufficient."""
+        if self.checkpoint_interval <= 0 or version <= 0:
+            return
+        if version % self.checkpoint_interval != 0:
+            return
+        try:
+            snap = self.snapshot(version)
+            payload = json.dumps(
+                {
+                    "version": snap.version,
+                    "units": snap.units,
+                    "schema": snap.schema_json,
+                }
+            )
+            tmp = os.path.join(self._log_dir, f".ckpt_{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                fh.write(payload)
+            os.replace(tmp, self._checkpoint_path(version))
+            lc_tmp = os.path.join(self._log_dir, f".lc_{uuid.uuid4().hex}.json")
+            with open(lc_tmp, "w") as fh:
+                fh.write(json.dumps({"version": version}))
+            os.replace(lc_tmp, os.path.join(self._log_dir, "_last_checkpoint"))
+        except OSError:
+            pass
 
     # ----------------------------------------------------------- read layer
 
@@ -179,7 +335,8 @@ class TransactionLogTable:
     def _write_units(self, df: DataFrame) -> list[dict]:
         """Write df as new immutable file-unit(s); returns add-entries.
         Partitioned tables get one unit per partition value (split via
-        shadow hive dirs so the real columns stay in the files)."""
+        shadow hive dirs so the real columns stay in the files). Hive
+        percent-escaping is undone so the log records RAW values."""
         uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self._data_dir, f".staging_{uid}")
         if not self.partition_by:
@@ -202,9 +359,10 @@ class TransactionLogTable:
             parts = dict(
                 seg.split("=", 1) for seg in rel.split(os.sep) if "=" in seg
             )
-            pvals = {
-                c: parts.get(f"_p_{c}", "") for c in self.partition_by
-            }
+            pvals = {}
+            for c in self.partition_by:
+                raw = parts.get(f"_p_{c}", "")
+                pvals[c] = raw if raw == _HIVE_NULL else _unescape_path_name(raw)
             final = f"data/u_{uid}_{len(adds)}"
             os.rename(root, os.path.join(self.path, final))
             adds.append({"path": final, "partitions": pvals})
@@ -213,9 +371,9 @@ class TransactionLogTable:
 
     @staticmethod
     def _hive_str(v) -> str:
-        """Partition value as it appears in a hive dir name (None →
-        the default-partition token)."""
-        return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        """Partition value in log form (RAW string; None → the hive
+        default-partition token)."""
+        return _HIVE_NULL if v is None else str(v)
 
     def _drop_units(self, adds: list[dict]) -> None:
         for a in adds:
@@ -242,10 +400,18 @@ class TransactionLogTable:
         if affected_keys is None:
             return
 
-        pruned = bool(self.partition_by) and all(
-            (upserts is None or p in upserts.columns)
-            and (delete_keys is None or p in delete_keys.columns)
-            for p in self.partition_by
+        # File-level pruning is only sound when a key's partition value
+        # can never change, i.e. the partition columns are part of the
+        # key. Otherwise an upsert that moves a key to a new partition
+        # would rewrite only the new partition and strand the old copy.
+        pruned = (
+            bool(self.partition_by)
+            and set(self.partition_by) <= set(self.key_cols)
+            and all(
+                (upserts is None or p in upserts.columns)
+                and (delete_keys is None or p in delete_keys.columns)
+                for p in self.partition_by
+            )
         )
 
         last_err: Exception | None = None
@@ -307,11 +473,15 @@ class TransactionLogTable:
         else:
             new_state = survivors
 
+        if new_state is None:
+            # delete-only merge touching no existing unit (e.g. pruned
+            # delete whose keys match no partition, or delete on an empty
+            # table): commit a removes-only no-op, carrying the prior
+            # schema forward so the table stays readable.
+            return [], removes, snap.schema_json
+
         schema_json = json.dumps(new_state.schema.jsonValue())
         adds = self._write_units(new_state) if new_state.head(1) else []
-        if not adds:
-            # all rows deleted: still write nothing, commit records removes
-            pass
         return adds, removes, schema_json
 
     # ------------------------------------------------- parity conveniences
@@ -340,15 +510,27 @@ class TransactionLogTable:
     def delete(self, keys: DataFrame) -> None:
         self.merge(delete_keys=keys)
 
-    def vacuum(self) -> int:
+    def vacuum(self, retention_seconds: float = 3600.0) -> int:
         """Delete data units no longer referenced by the LATEST snapshot
-        (breaks time travel to versions that used them). Returns the
-        number of units removed."""
+        (breaks time travel to versions that used them). Units younger
+        than `retention_seconds` are kept even if unreferenced — an
+        in-flight writer renames its units into data/ BEFORE committing,
+        and deleting them would let its commit land pointing at missing
+        files (the Delta retention-window rationale). Returns the number
+        of units removed."""
         live = set(self.snapshot().units)
+        cutoff = time.time() - retention_seconds
         removed = 0
         for name in os.listdir(self._data_dir):
             rel = f"data/{name}"
-            if name.startswith("u_") and rel not in live:
-                shutil.rmtree(os.path.join(self._data_dir, name), ignore_errors=True)
-                removed += 1
+            if not name.startswith("u_") or rel in live:
+                continue
+            full = os.path.join(self._data_dir, name)
+            try:
+                if os.path.getmtime(full) > cutoff:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
         return removed

@@ -82,8 +82,9 @@ class ProtoField:
     message: "ProtoMessage | None" = None       # for type == 'message'
     enum_symbols: list[str] | None = None       # for type == 'enum'
     map_key: str | None = None                  # for type == 'map'
-    map_value: str | None = None
+    map_value: str | None = None                # scalar | 'enum' | 'timestamp' | 'message'
     map_value_message: "ProtoMessage | None" = None
+    map_value_symbols: list[str] | None = None  # for map_value == 'enum'
     oneof: str | None = None                    # owning oneof group name
 
 
@@ -146,11 +147,12 @@ def message_to_struct(msg: ProtoMessage) -> T.StructType:
     out = []
     for f in msg.fields:
         if f.type == "map":
-            vt = (
-                message_to_struct(f.map_value_message)
-                if f.map_value_message is not None
-                else _SPARK_TYPES[f.map_value]
-            )
+            if f.map_value_message is not None:
+                vt: T.DataType = message_to_struct(f.map_value_message)
+            elif f.map_value == "enum":
+                vt = T.StringType()
+            else:
+                vt = _SPARK_TYPES[f.map_value]
             dt: T.DataType = T.MapType(T.StringType(), vt, True)
         elif f.type == "message":
             dt = message_to_struct(f.message)
@@ -255,13 +257,18 @@ def parse_proto(src: str, root: str | None = None) -> ProtoSchema:
             vtype = advance()
             expect(">")
             f.type = "map"
-            if vtype in _SCALAR_WIRE:
+            if vtype in _WELL_KNOWN:
+                f.map_value = _WELL_KNOWN[vtype]
+            elif vtype in _SCALAR_WIRE:
                 f.map_value = vtype
             elif vtype in enums:
                 f.map_value = "enum"
+                f.map_value_symbols = enums[vtype]
             else:
                 f.map_value = "message"
                 f.map_value_message = messages.get(vtype.split(".")[-1])
+                if f.map_value_message is None:
+                    raise ValueError(f"unknown map value type {vtype!r}")
         else:
             resolve_type(tname, f)
         f.name = advance()
@@ -456,9 +463,14 @@ def encode_message(msg: ProtoMessage, value: dict) -> bytes:
                     _write_tag(entry, 2, _LEN)
                     _write_uvarint(entry, len(body))
                     entry += body
+                elif f.map_value == "timestamp":
+                    body = _encode_timestamp(mv)
+                    _write_tag(entry, 2, _LEN)
+                    _write_uvarint(entry, len(body))
+                    entry += body
                 else:
                     _write_tag(entry, 2, _SCALAR_WIRE[f.map_value])
-                    entry += _scalar_bytes(f.map_value, mv)
+                    entry += _scalar_bytes(f.map_value, mv, f.map_value_symbols)
                 _write_tag(out, f.number, _LEN)
                 _write_uvarint(out, len(entry))
                 out += entry
@@ -657,8 +669,14 @@ def decode_message(msg: ProtoMessage, buf: bytes) -> dict:
                             f.map_value_message, entry[epos : epos + ln]
                         )
                         epos += ln
+                    elif f.map_value == "timestamp":
+                        ln, epos = _read_uvarint(entry, epos)
+                        v = _decode_timestamp(entry[epos : epos + ln])
+                        epos += ln
                     else:
-                        v, epos = _decode_scalar(f.map_value, ewire, entry, epos)
+                        v, epos = _decode_scalar(
+                            f.map_value, ewire, entry, epos, f.map_value_symbols
+                        )
                 else:
                     epos = _skip_field(ewire, entry, epos)
             out[f.name][k] = v
@@ -721,9 +739,24 @@ def json_to_proto_dict(msg: ProtoMessage, value: dict | None) -> dict | None:
             return item
 
         if f.type == "map":
+            # scalar map values need the same conversions as scalar
+            # fields: Spark's to_json emits bytes as base64 and
+            # timestamps as ISO-8601 strings
             if f.map_value == "message":
                 out[f.name] = {
                     k: json_to_proto_dict(f.map_value_message, mv)
+                    for k, mv in v.items()
+                }
+            elif f.map_value == "bytes":
+                out[f.name] = {
+                    k: base64.b64decode(mv) if isinstance(mv, str) else mv
+                    for k, mv in v.items()
+                }
+            elif f.map_value == "timestamp":
+                out[f.name] = {
+                    k: _dt.datetime.fromisoformat(mv.replace("Z", "+00:00"))
+                    if isinstance(mv, str)
+                    else mv
                     for k, mv in v.items()
                 }
         elif f.repeated:

@@ -283,3 +283,92 @@ def test_key_schema_slicing(sample):
     assert key.name == "SampleMessageKey"
     assert key.struct.fieldNames() == ["str"]
     assert isinstance(key.struct["str"].dataType, T.StringType)
+
+
+# ----------------------------------------- round-3: map value types
+
+MAPS_PROTO = """
+syntax = "proto3";
+import "google/protobuf/timestamp.proto";
+enum Level {
+  LEVEL_UNSPECIFIED = 0;
+  LEVEL_HIGH = 1;
+}
+message MapHolder {
+  map<string, bytes> blob_map = 1;
+  map<string, google.protobuf.Timestamp> ts_map = 2;
+  map<string, Level> level_map = 3;
+  map<string, int64> num_map = 4;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def maps_schema():
+    return parse_proto(MAPS_PROTO, root="MapHolder")
+
+
+def test_map_value_types_parse_and_spark_mapping(maps_schema):
+    root = maps_schema.message
+    by_name = {f.name: f for f in root.fields}
+    assert by_name["blob_map"].map_value == "bytes"
+    assert by_name["ts_map"].map_value == "timestamp"
+    assert by_name["level_map"].map_value == "enum"
+    assert by_name["level_map"].map_value_symbols == [
+        "LEVEL_UNSPECIFIED", "LEVEL_HIGH",
+    ]
+    struct = maps_schema.struct
+    vt = {f.name: f.dataType for f in struct.fields}
+    assert vt["blob_map"] == T.MapType(T.StringType(), T.BinaryType(), True)
+    assert vt["ts_map"] == T.MapType(T.StringType(), T.TimestampType(), True)
+    assert vt["level_map"] == T.MapType(T.StringType(), T.StringType(), True)
+
+
+def test_map_scalar_bytes_and_timestamp_wire_roundtrip(maps_schema):
+    ts = dt.datetime(2024, 3, 1, 12, 30, 0, 250000, tzinfo=dt.timezone.utc)
+    value = {
+        "blob_map": {"k1": b"\x00\xffraw", "k2": b""},
+        "ts_map": {"t": ts},
+        "level_map": {"x": "LEVEL_HIGH"},
+        "num_map": {"n": 42},
+    }
+    buf = encode_message(maps_schema.message, value)
+    out = decode_message(maps_schema.message, buf)
+    assert out["blob_map"] == {"k1": b"\x00\xffraw", "k2": b""}
+    # decode yields naive-UTC datetimes (Spark TimestampType convention)
+    assert out["ts_map"] == {"t": ts.replace(tzinfo=None)}
+    assert out["level_map"] == {"x": "LEVEL_HIGH"}
+    assert out["num_map"] == {"n": 42}
+
+
+def test_json_hop_converts_scalar_map_values(maps_schema):
+    """Spark to_json emits bytes as base64 and timestamps as ISO strings;
+    the JSON-hop normalizer must convert them in MAP VALUE position too
+    (round-2 ADVICE defect)."""
+    import base64
+
+    from deimos_spark.schemas.protowire import json_to_proto_dict
+
+    payload = {
+        "blob_map": {"k": base64.b64encode(b"\x01\x02binary").decode()},
+        "ts_map": {"t": "2024-03-01T12:30:00.250Z"},
+        "num_map": {"n": 7},
+    }
+    norm = json_to_proto_dict(maps_schema.message, payload)
+    assert norm["blob_map"] == {"k": b"\x01\x02binary"}
+    assert norm["ts_map"]["t"] == dt.datetime(
+        2024, 3, 1, 12, 30, 0, 250000, tzinfo=dt.timezone.utc
+    )
+    # and the normalized dict encodes + decodes losslessly
+    buf = encode_message(maps_schema.message, norm)
+    out = decode_message(maps_schema.message, buf)
+    assert out["blob_map"] == {"k": b"\x01\x02binary"}
+
+
+def test_unknown_map_value_message_raises():
+    bad = """
+    syntax = "proto3";
+    message Holder { map<string, NoSuchType> m = 1; }
+    """
+    with pytest.raises(ValueError, match="unknown map value type"):
+        parse_proto(bad, root="Holder")

@@ -229,9 +229,27 @@ def test_merge_retries_through_conflict(spark, table):
 def test_vacuum_removes_only_unreferenced_units(spark, table):
     table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
     table.merge(upserts=spark.createDataFrame([("a", 2)], SCHEMA))
-    n = table.vacuum()
+    n = table.vacuum(retention_seconds=0.0)
     assert n >= 1  # v0's unit is unreferenced by the latest snapshot
     assert _rows(table) == {"a": 2}  # latest version intact
+
+
+def test_vacuum_retention_protects_inflight_writer_units(spark, table):
+    """An in-flight writer renames units into data/ BEFORE committing;
+    default-retention vacuum must not delete those young files (else the
+    writer's commit lands pointing at missing data)."""
+    import os
+
+    table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    # simulate an uncommitted writer's freshly-renamed unit
+    orphan = os.path.join(table.path, "data", "u_inflight_orphan")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.parquet"), "wb") as fh:
+        fh.write(b"x")
+    assert table.vacuum() == 0  # young + unreferenced -> kept
+    assert os.path.isdir(orphan)
+    assert table.vacuum(retention_seconds=0.0) == 1  # expired -> gone
+    assert not os.path.isdir(orphan)
 
 
 def test_overwrite_is_one_commit(spark, table):
@@ -240,3 +258,239 @@ def test_overwrite_is_one_commit(spark, table):
     table.overwrite(spark.createDataFrame([("z", 9)], SCHEMA))
     assert table.snapshot().version == v + 1
     assert _rows(table) == {"z": 9}
+
+
+# ------------------------------------------- round-3 hardening: defects
+
+def test_commit_file_appears_atomically_and_complete(spark, table):
+    """The temp-file + link protocol means a commit file, once visible,
+    is always complete JSON — snapshot() can never read a partial one."""
+    import json
+    import os
+
+    table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    for name in os.listdir(table._log_dir):
+        if name.endswith(".json") and not name.startswith("."):
+            with open(os.path.join(table._log_dir, name)) as fh:
+                json.load(fh)  # parses cleanly
+    # and no temp droppings remain
+    assert not [n for n in os.listdir(table._log_dir) if n.startswith(".tmp_")]
+
+
+def test_zero_length_highest_commit_is_healed(spark, table):
+    """A crashed LEGACY writer's empty claim on the highest version is
+    treated as a no-op commit: readable table, version counted, next
+    writer moves past it."""
+    table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    open(table._commit_path(1), "w").close()  # legacy crash artifact
+    snap = table.snapshot()
+    assert snap.version == 1  # claimed but empty -> no-op
+    assert _rows(table) == {"a": 1}
+    table.merge(upserts=spark.createDataFrame([("b", 2)], SCHEMA))  # claims v2
+    assert table.snapshot().version == 2
+    assert _rows(table) == {"a": 1, "b": 2}
+
+
+def test_unreadable_mid_log_commit_raises(spark, table):
+    from deimos_spark.operators.txlog import LogCorruption
+
+    table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    table.merge(upserts=spark.createDataFrame([("b", 2)], SCHEMA))
+    # truncate a NON-latest commit mid-payload: real changes were lost
+    with open(table._commit_path(0), "w") as fh:
+        fh.write('{"version": 0, "adds": [{"pa')
+    with pytest.raises(LogCorruption):
+        table.snapshot()
+
+
+def test_pruning_disabled_when_partition_not_in_key(spark, tmp_path):
+    """partition_by ⊄ key_cols: an upsert may MOVE a key to a new
+    partition value. The merge must rewrite globally (no pruning) so the
+    old partition's copy is removed — no silent duplicate keys."""
+    schema = T.StructType(
+        [
+            T.StructField("day", T.StringType(), False),
+            T.StructField("test_id", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "movable"),
+        key_cols=["test_id"],  # day NOT part of the key
+        schema=schema,
+        partition_by=["day"],
+    )
+    t.merge(upserts=spark.createDataFrame([("d1", "a", 1), ("d2", "b", 2)], schema))
+    # key "a" moves from day=d1 to day=d9
+    t.merge(upserts=spark.createDataFrame([("d9", "a", 100)], schema))
+    got = {(r["day"], r["test_id"]): r["v"] for r in t.read().collect()}
+    assert got == {("d9", "a"): 100, ("d2", "b"): 2}  # no stale ("d1","a")
+
+
+def test_pruned_merge_with_hive_escaped_partition_values(spark, tmp_path):
+    """Partition values with chars Hive percent-escapes in dir names
+    (':', '=', spaces) must still match during pruned merges — the log
+    records RAW values."""
+    schema = T.StructType(
+        [
+            T.StructField("day", T.StringType(), False),
+            T.StructField("test_id", T.StringType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "escaped"),
+        key_cols=["day", "test_id"],
+        schema=schema,
+        partition_by=["day"],
+    )
+    weird = "2024-01-01 10:30=x"
+    t.merge(
+        upserts=spark.createDataFrame(
+            [(weird, "a", 1), ("plain", "b", 2)], schema
+        )
+    )
+    # raw values recorded in the log, not %-escaped dir segments
+    recorded = {v["day"] for v in t.snapshot().units.values()}
+    assert recorded == {weird, "plain"}
+    # pruned update of the weird partition: plain's unit carried forward
+    before = {
+        p for p, v in t.snapshot().units.items() if v["day"] == "plain"
+    }
+    t.merge(upserts=spark.createDataFrame([(weird, "a", 100)], schema))
+    after = {p for p, v in t.snapshot().units.items() if v["day"] == "plain"}
+    assert before == after
+    got = {(r["day"], r["test_id"]): r["v"] for r in t.read().collect()}
+    assert got == {(weird, "a"): 100, ("plain", "b"): 2}
+
+
+def test_delete_only_merge_matching_no_partition_is_noop(spark, ptable):
+    """Pruned delete whose keys hit no existing partition: commits a
+    no-op instead of crashing, schema carried forward."""
+    before = _pstate(ptable)
+    ptable.delete(
+        spark.createDataFrame([("d99", "zz")], "day string, test_id string")
+    )
+    assert _pstate(ptable) == before
+    assert set(ptable.read().columns) == {"day", "test_id", "v"}
+
+
+def test_delete_on_empty_table_is_noop(spark, table):
+    table.delete(spark.createDataFrame([Row(test_id="ghost")]))
+    assert table.read().count() == 0
+
+
+# --------------------------------------------- round-3: log checkpoints
+
+def test_checkpoint_bounds_snapshot_replay_cost(spark, tmp_path):
+    """After many commits, snapshot() replays only the commits since the
+    newest checkpoint — O(interval), not O(n_commits)."""
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "ckpt"),
+        ["test_id"],
+        schema=SCHEMA,
+        checkpoint_interval=5,
+    )
+    for i in range(12):
+        t.merge(upserts=spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+    snap = t.snapshot()
+    assert snap.version == 11
+    # checkpoint at v10 -> replay reads only commits 11 (1 file), never 12
+    assert t.last_snapshot_commit_reads <= t.checkpoint_interval
+    assert t.last_snapshot_commit_reads < 12
+    assert _rows(t) == {f"k{i}": i for i in range(12)}
+
+
+def test_checkpoint_preserves_time_travel(spark, tmp_path):
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "ckpt_tt"),
+        ["test_id"],
+        schema=SCHEMA,
+        checkpoint_interval=3,
+    )
+    for i in range(8):
+        t.merge(upserts=spark.createDataFrame([("a", i)], SCHEMA))
+    # versions before, at, and after checkpoint boundaries
+    for v in (0, 2, 3, 5, 7):
+        assert {r["some_int"] for r in t.read(version=v).collect()} == {v}
+
+
+def test_checkpoint_survives_fresh_handle(spark, tmp_path):
+    """A new table handle (new process) picks up _last_checkpoint state."""
+    path = str(tmp_path / "ckpt_reopen")
+    t = TransactionLogTable(
+        spark, path, ["test_id"], schema=SCHEMA, checkpoint_interval=4
+    )
+    for i in range(9):
+        t.merge(upserts=spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+    t2 = TransactionLogTable(
+        spark, path, ["test_id"], schema=SCHEMA, checkpoint_interval=4
+    )
+    assert {r["test_id"] for r in t2.read().collect()} == {f"k{i}" for i in range(9)}
+    assert t2.last_snapshot_commit_reads <= 4
+
+
+def test_corrupt_checkpoint_falls_back_to_older_or_full_replay(spark, tmp_path):
+    import os
+
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "ckpt_bad"),
+        ["test_id"],
+        schema=SCHEMA,
+        checkpoint_interval=3,
+    )
+    for i in range(7):
+        t.merge(upserts=spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+    # corrupt the newest checkpoint (v6)
+    with open(t._checkpoint_path(6), "w") as fh:
+        fh.write("{not json")
+    assert _rows(t) == {f"k{i}": i for i in range(7)}
+
+
+# ---------------------------------------- round-3: concurrent writers
+
+def test_concurrent_merges_one_conflict_correct_final_state(spark, table):
+    """Two threads race the same version: exactly one CommitConflict
+    retry, both changes land."""
+    import threading
+
+    table.merge(upserts=spark.createDataFrame([("seed", 0)], SCHEMA))
+
+    barrier = threading.Barrier(2, timeout=60)
+    conflicts = []
+    orig_commit = TransactionLogTable._commit
+
+    def synced_commit(self, version, adds, removes, schema_json):
+        # both writers plan against v0's snapshot, then race the claim
+        if version == 1:
+            barrier.wait()
+        try:
+            orig_commit(self, version, adds, removes, schema_json)
+        except CommitConflict:
+            conflicts.append(version)
+            raise
+
+    errors = []
+
+    def worker(key, val):
+        t = TransactionLogTable(spark, table.path, ["test_id"], schema=SCHEMA)
+        t._commit = synced_commit.__get__(t)
+        try:
+            t.merge(upserts=spark.createDataFrame([(key, val)], SCHEMA))
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    th1 = threading.Thread(target=worker, args=("w1", 1))
+    th2 = threading.Thread(target=worker, args=("w2", 2))
+    th1.start(); th2.start()
+    th1.join(120); th2.join(120)
+
+    assert not errors
+    assert conflicts == [1]  # exactly one loser at the raced version
+    assert _rows(table) == {"seed": 0, "w1": 1, "w2": 2}
+    assert table.snapshot().version == 2
