@@ -8,10 +8,13 @@ Design for 100 TB multimodal corpora:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   `mapInPandas` functions: one Python worker call per batch, zero
   per-row overhead; partitioning controls parallelism.
-- the actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-  the decode kernels are STUBBED: a deterministic fake keyed on the bytes'
-  hash, behind `_HAVE_CODECS` gates. The Spark-side plumbing — schemas,
-  batch iteration, UDF signatures, partition sizing — is real and tested.
+- decode is REAL for the formats the standard library can handle — PNG
+  (zlib + the spec's scanline filters), BMP, WAV (`wave` module) — via
+  functions/mediacodecs.py. Formats that need external codecs
+  (JPEG/MP3/MP4: PIL/ffmpeg are not in this container) fall back to a
+  deterministic content-hash stub, or raise NotImplementedError in
+  strict mode. The dispatch is magic-byte sniffing, so mixed-format
+  corpora decode what they can.
 """
 
 from __future__ import annotations
@@ -23,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from deimos_spark.functions import mediacodecs as mc
 
 MEDIA_META = T.StructType(
     [
@@ -42,20 +47,21 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-try:  # real decoders would be imported here (PIL, soundfile, av, ...)
-    import PIL  # noqa: F401
-
-    _HAVE_CODECS = True
-except ImportError:
-    _HAVE_CODECS = False
-
 
 def _fake_decode(content: bytes, out_dim: int) -> list[float]:
-    """Deterministic stand-in for a real decode+embed kernel: features are
-    derived from the content digest, so tests are reproducible and the
-    pipeline shape (bytes in → float vector out) is exercised for real."""
+    """Deterministic stand-in for formats needing external codecs:
+    features derived from the content digest, so tests are reproducible
+    and the pipeline shape (bytes in → float vector out) is exercised."""
     h = hashlib.sha256(content).digest()
     return [h[i % 32] / 255.0 for i in range(out_dim)]
+
+
+def _unsupported(fmt_note: str, strict: bool) -> None:
+    if strict:
+        raise NotImplementedError(
+            f"{fmt_note} requires external codecs (PIL/ffmpeg) not present "
+            "in this environment; pass strict=False for the deterministic stub"
+        )
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -63,28 +69,47 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("features", T.ArrayType(T.FloatType(), False), True),
         T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
     ]
 )
 
 
-def extract_image_features(df: DataFrame, out_dim: int = 16) -> DataFrame:
-    """Decode + feature-extract via mapInPandas (Arrow batches). With real
-    codecs present this would decode pixels and run a feature model; here
-    the decode step is the deterministic stub."""
+def extract_image_features(
+    df: DataFrame, out_dim: int = 16, strict: bool = False
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches). PNG/BMP
+    decode for real (per-channel mean/std + luminance histogram from
+    actual pixels); other formats use the deterministic stub (or raise
+    with strict=True). `decoded` reports which path a row took."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_CODECS:  # pragma: no cover - codecs absent in sandbox
-                raise NotImplementedError("real image decode not wired yet")
-            feats = [
-                _fake_decode(bytes(c), out_dim) if c is not None else None
-                for c in pdf["content"]
-            ]
+            feats, nbytes, decoded = [], [], []
+            for c in pdf["content"]:
+                if c is None:
+                    feats.append(None)
+                    nbytes.append(0)
+                    decoded.append(False)
+                    continue
+                raw = bytes(c)
+                nbytes.append(len(raw))
+                if mc.sniff_format(raw) in ("png", "bmp"):
+                    try:
+                        img = mc.decode_image(raw)
+                        feats.append(mc.image_features(img, out_dim))
+                        decoded.append(True)
+                        continue
+                    except mc.MediaDecodeError:
+                        pass
+                _unsupported("image decode for this format", strict)
+                feats.append(_fake_decode(raw, out_dim))
+                decoded.append(False)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "features": feats,
-                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "n_bytes": nbytes,
+                    "decoded": decoded,
                 }
             )
 
@@ -104,8 +129,9 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
     """Frame-sampling plumbing: 1 video row → N frame rows. The stub
-    'frames' are content slices; a real kernel would demux with av/ffmpeg.
-    Fan-out via mapInPandas keeps memory bounded per batch."""
+    'frames' are content slices; a real kernel would demux with av/ffmpeg
+    (no stdlib container demuxer exists). Fan-out via mapInPandas keeps
+    memory bounded per batch."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,12 +162,15 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
-    """Resize plumbing: bytes in → (smaller) bytes out with updated meta.
-    The stub 'resize' truncates bytes proportionally to the area ratio so
-    output sizes behave like a real re-encode; a real kernel decodes with
-    PIL and re-encodes. Output schema is identical to the input media
-    schema, so resize composes with any downstream media op."""
+def resize_images(
+    df: DataFrame, width: int = 224, height: int = 224, strict: bool = False
+) -> DataFrame:
+    """Resize: bytes in → (smaller) bytes out with updated meta. PNG/BMP
+    inputs are REALLY decoded, nearest-neighbor resampled, and re-encoded
+    as PNG (output mime reflects that). Other formats fall back to a
+    proportional-truncation stub (or raise with strict=True). Output
+    schema matches the input media schema, so resize composes with any
+    downstream media op."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -151,14 +180,25 @@ def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFra
                     out_content.append(None)
                     out_meta.append(meta)
                     continue
-                if _HAVE_CODECS:  # pragma: no cover - codecs absent in sandbox
-                    raise NotImplementedError("real image resize not wired yet")
                 raw = bytes(content)
+                new_meta = dict(meta or {})
+                if mc.sniff_format(raw) in ("png", "bmp"):
+                    try:
+                        img = mc.decode_image(raw)
+                        resized = mc.resize_nearest(img, width, height)
+                        out_content.append(mc.encode_png(resized))
+                        new_meta.update(
+                            {"mime": "image/png", "width": width, "height": height}
+                        )
+                        out_meta.append(new_meta)
+                        continue
+                    except mc.MediaDecodeError:
+                        pass
+                _unsupported("image resize for this format", strict)
                 src_w = (meta or {}).get("width") or width
                 src_h = (meta or {}).get("height") or height
                 ratio = min(1.0, (width * height) / max(src_w * src_h, 1))
                 out_content.append(raw[: max(int(len(raw) * ratio), 1)])
-                new_meta = dict(meta or {})
                 new_meta.update({"width": width, "height": height})
                 out_meta.append(new_meta)
             yield pd.DataFrame(
@@ -179,32 +219,50 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("features", T.ArrayType(T.FloatType(), False), True),
         T.StructField("est_duration_ms", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
     ]
 )
 
 
-def extract_audio_features(df: DataFrame, out_dim: int = 16) -> DataFrame:
-    """Audio decode + feature plumbing (stubbed decode): bytes in →
-    fixed-dim feature vector + duration estimated from meta/sample_rate.
-    A real kernel decodes PCM with soundfile and computes e.g. mel stats."""
+def extract_audio_features(
+    df: DataFrame, out_dim: int = 16, strict: bool = False
+) -> DataFrame:
+    """Audio decode + features: WAV decodes for real via the stdlib
+    `wave` module (RMS energy over out_dim time slices of the mono mix,
+    exact duration from the frame count). Other formats (MP3/OGG/...)
+    use the stub (or raise with strict=True)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats, durs = [], []
+            feats, durs, decoded = [], [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
                 if content is None:
                     feats.append(None)
                     durs.append(None)
+                    decoded.append(False)
                     continue
-                if _HAVE_CODECS:  # pragma: no cover - codecs absent in sandbox
-                    raise NotImplementedError("real audio decode not wired yet")
                 raw = bytes(content)
+                if mc.sniff_format(raw) == "wav":
+                    try:
+                        audio = mc.decode_wav(raw)
+                        feats.append(mc.audio_features(audio, out_dim))
+                        durs.append(audio.duration_ms)
+                        decoded.append(True)
+                        continue
+                    except mc.MediaDecodeError:
+                        pass
+                _unsupported("audio decode for this format", strict)
                 feats.append(_fake_decode(raw, out_dim))
                 sr = (meta or {}).get("sample_rate") or 16_000
-                # stub: assume 2-byte mono samples
-                durs.append(int(len(raw) / 2 / sr * 1000))
+                durs.append(int(len(raw) / 2 / sr * 1000))  # assume s16 mono
+                decoded.append(False)
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "features": feats, "est_duration_ms": durs}
+                {
+                    "media_id": pdf["media_id"],
+                    "features": feats,
+                    "est_duration_ms": durs,
+                    "decoded": decoded,
+                }
             )
 
     return df.select("media_id", "content", "meta").mapInPandas(

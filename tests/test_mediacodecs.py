@@ -1,0 +1,287 @@
+"""Pure-stdlib media codecs: PNG/BMP/WAV decode against hand-built
+fixtures (constructed independently of the encoder under test), plus the
+Spark-side multimodal kernels running REAL decode end-to-end.
+
+PNG fixtures are assembled chunk-by-chunk from the public spec (RFC
+2083): explicit filter bytes per scanline, so every filter type (None/
+Sub/Up/Average/Paeth) is exercised against known pixel values.
+"""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from deimos_spark.functions import mediacodecs as mc
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def _png(width, height, color_type, raw_scanlines, extra_chunks=()):
+    """Hand-assemble a PNG from pre-filtered scanline bytes."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    out = mc.PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    for c in extra_chunks:
+        out += c
+    out += _chunk(b"IDAT", zlib.compress(raw_scanlines))
+    return out + _chunk(b"IEND", b"")
+
+
+# ----------------------------------------------------------- PNG decode
+
+def test_png_gray_filter_none():
+    # 3x2 grayscale, filter 0 rows, pixel value = x + 10*y
+    rows = b"\x00" + bytes([0, 1, 2]) + b"\x00" + bytes([10, 11, 12])
+    img = mc.decode_png(_png(3, 2, 0, rows))
+    assert (img.width, img.height, img.channels) == (3, 2, 1)
+    assert list(img.pixels) == [0, 1, 2, 10, 11, 12]
+
+
+def test_png_rgb_sub_filter():
+    # 3x1 RGB, filter 1 (Sub): raw deltas decode to cumulative sums
+    line = b"\x01" + bytes([10, 20, 30]) + bytes([1, 2, 3]) + bytes([4, 5, 6])
+    img = mc.decode_png(_png(3, 1, 2, line))
+    assert list(img.pixels) == [10, 20, 30, 11, 22, 33, 15, 27, 39]
+
+
+def test_png_up_filter():
+    # 2x2 gray: row0 filter 0 = [50, 60]; row1 filter 2 (Up) adds deltas
+    rows = b"\x00" + bytes([50, 60]) + b"\x02" + bytes([5, 6])
+    img = mc.decode_png(_png(2, 2, 0, rows))
+    assert list(img.pixels) == [50, 60, 55, 66]
+
+
+def test_png_average_filter():
+    # 2x2 gray: row1 filter 3 (Average): x + (left + up)//2
+    rows = b"\x00" + bytes([100, 40]) + b"\x03" + bytes([10, 20])
+    img = mc.decode_png(_png(2, 2, 0, rows))
+    # row1: p0 = 10 + (0+100)//2 = 60 ; p1 = 20 + (60+40)//2 = 70
+    assert list(img.pixels) == [100, 40, 60, 70]
+
+
+def test_png_paeth_filter():
+    # 2x2 gray: row1 filter 4 (Paeth)
+    rows = b"\x00" + bytes([100, 40]) + b"\x04" + bytes([10, 20])
+    img = mc.decode_png(_png(2, 2, 0, rows))
+    # p0: a=0,b=100,c=0 -> predictor=b=100 -> 110
+    # p1: a=110,b=40,c=100 -> p=50: pa=60,pb=10,pc=50 -> b=40 -> 60
+    assert list(img.pixels) == [100, 40, 110, 60]
+
+
+def test_png_rgba_roundtrip_through_own_encoder():
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    img = mc.Image(4, 5, 4, px.tobytes())
+    out = mc.decode_png(mc.encode_png(img))
+    assert (out.width, out.height, out.channels) == (4, 5, 4)
+    assert out.pixels == img.pixels
+
+
+def test_png_palette():
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0, 0, 0, 255]))
+    rows = b"\x00" + bytes([0, 1, 2])  # indices into the palette
+    img = mc.decode_png(_png(3, 1, 3, rows, extra_chunks=(plte,)))
+    assert img.channels == 3
+    assert list(img.pixels) == [255, 0, 0, 0, 255, 0, 0, 0, 255]
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_png(b"not a png at all")
+    # 16-bit depth unsupported
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    bad = mc.PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_png(bad)
+
+
+# ----------------------------------------------------------- BMP decode
+
+def _bmp_24(width, height, rows_rgb):
+    """Hand-build a bottom-up 24-bit BMP from top-down RGB rows."""
+    row_bytes = ((width * 3 + 3) // 4) * 4
+    px = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])  # BGR on disk
+        line += b"\x00" * (row_bytes - len(line))
+        px += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 0, 0, 0, 0)
+    return header + dib + bytes(px)
+
+
+def test_bmp_decode_known_pixels():
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(1, 2, 3), (4, 5, 6), (7, 8, 9)],
+    ]
+    img = mc.decode_bmp(_bmp_24(3, 2, rows))
+    assert (img.width, img.height, img.channels) == (3, 2, 3)
+    arr = img.to_array()
+    assert arr[0, 0].tolist() == [255, 0, 0]
+    assert arr[1, 2].tolist() == [7, 8, 9]
+
+
+def test_bmp_rejects_compressed():
+    data = bytearray(_bmp_24(1, 1, [[(0, 0, 0)]]))
+    data[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_bmp(bytes(data))
+
+
+# ----------------------------------------------------------- WAV decode
+
+def _wav(sample_rate=8000, freq=440.0, seconds=0.5, channels=1):
+    n = int(sample_rate * seconds)
+    t = np.arange(n) / sample_rate
+    samples = (np.sin(2 * np.pi * freq * t) * 20000).astype("<i2")
+    if channels == 2:
+        samples = np.column_stack([samples, samples]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def test_wav_decode_exact_duration_and_samples():
+    audio = mc.decode_wav(_wav(sample_rate=8000, seconds=0.5))
+    assert audio.sample_rate == 8000
+    assert audio.n_frames == 4000
+    assert audio.duration_ms == 500
+    mono = audio.to_array()
+    assert mono.shape == (4000, 1)
+    # a full-scale-ish sine: RMS near 20000/32768/sqrt(2)
+    rms = float(np.sqrt(np.mean(np.square(mono))))
+    assert abs(rms - 20000 / 32768 / np.sqrt(2)) < 0.01
+
+
+def test_wav_stereo_and_rejects_garbage():
+    audio = mc.decode_wav(_wav(channels=2))
+    assert audio.n_channels == 2
+    assert audio.to_array().shape[1] == 2
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_wav(b"RIFFxxxxWAVEjunk")
+
+
+# ------------------------------------------------------ derived kernels
+
+def test_sniff_format():
+    assert mc.sniff_format(_wav()) == "wav"
+    assert mc.sniff_format(_bmp_24(1, 1, [[(0, 0, 0)]])) == "bmp"
+    assert mc.sniff_format(_png(1, 1, 0, b"\x00\x00")) == "png"
+    assert mc.sniff_format(b"\xff\xd8\xff\xe0jfif") is None  # JPEG: no codec
+
+
+def test_resize_nearest_exact():
+    # 2x2 quadrant image resized to 4x4: each quadrant becomes 2x2
+    px = np.array(
+        [[[0], [100]], [[200], [50]]], dtype=np.uint8
+    )
+    img = mc.Image(2, 2, 1, px.tobytes())
+    out = mc.resize_nearest(img, 4, 4)
+    arr = out.to_array()[:, :, 0]
+    assert arr[0, 0] == 0 and arr[0, 3] == 100
+    assert arr[3, 0] == 200 and arr[3, 3] == 50
+
+
+def test_image_features_from_real_pixels():
+    solid = mc.Image(4, 4, 3, bytes([255, 0, 0] * 16))  # solid red
+    feats = mc.image_features(solid, out_dim=10)
+    assert len(feats) == 10
+    assert feats[0] == pytest.approx(1.0)  # R mean
+    assert feats[1] == pytest.approx(0.0)  # R std
+    assert feats[2] == pytest.approx(0.0)  # G mean
+
+
+def test_audio_features_energy_profile():
+    # half silence, half tone: first slices ~0 energy, later slices > 0
+    sr = 8000
+    tone = (np.sin(2 * np.pi * 440 * np.arange(sr // 2) / sr) * 20000).astype("<i2")
+    silence = np.zeros(sr // 2, dtype="<i2")
+    frames = np.concatenate([silence, tone]).tobytes()
+    audio = mc.Audio(sr, 1, 2, frames)
+    feats = mc.audio_features(audio, out_dim=4)
+    assert feats[0] == pytest.approx(0.0, abs=1e-6)
+    assert feats[3] > 0.3
+
+
+# --------------------------------------- Spark kernels with real decode
+
+@pytest.fixture
+def media_df(spark):
+    rows = [
+        (0, bytearray(_png_gradient(8, 6)), ("image/png", 8, 6, None, None)),
+        (1, bytearray(_bmp_24(4, 4, [[(i * 16, 0, 255 - i * 16) for i in range(4)]] * 4)),
+         ("image/bmp", 4, 4, None, None)),
+        (2, bytearray(b"\xff\xd8\xff\xe0 fake jpeg bytes"), ("image/jpeg", 2, 2, None, None)),
+    ]
+    from deimos_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _png_gradient(w, h):
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (x * 255 // max(w - 1, 1), y * 255 // max(h - 1, 1), 128)
+    return mc.encode_png(mc.Image(w, h, 3, px.tobytes()))
+
+
+def test_spark_image_features_real_decode(spark, media_df):
+    from deimos_spark.operators.multimodal import extract_image_features
+
+    out = {r["media_id"]: r for r in extract_image_features(media_df, out_dim=8).collect()}
+    assert out[0]["decoded"] and out[1]["decoded"]  # PNG + BMP: real pixels
+    assert not out[2]["decoded"]  # JPEG: stub
+    # gradient PNG: R mean = 0.5 (symmetric gradient), B mean = 128/255
+    assert out[0]["features"][0] == pytest.approx(0.5, abs=0.01)
+    assert out[0]["features"][4] == pytest.approx(128 / 255, abs=0.01)
+
+
+def test_spark_resize_real_decode_roundtrips(spark, media_df):
+    from deimos_spark.operators.multimodal import extract_image_features, resize_images
+
+    resized = resize_images(media_df, width=3, height=3)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    # PNG/BMP outputs are valid PNGs at the new size
+    for mid in (0, 1):
+        img = mc.decode_png(bytes(rows[mid]["content"]))
+        assert (img.width, img.height) == (3, 3)
+        assert rows[mid]["meta"]["mime"] == "image/png"
+    # composes: feature extraction decodes the resized PNGs for real
+    feats = {r["media_id"]: r for r in extract_image_features(resized).collect()}
+    assert feats[0]["decoded"] and feats[1]["decoded"]
+
+
+def test_spark_audio_features_real_decode(spark):
+    from deimos_spark.operators.multimodal import MEDIA_SCHEMA, extract_audio_features
+
+    rows = [
+        (0, bytearray(_wav(sample_rate=8000, seconds=0.25)), ("audio/wav", None, None, None, 8000)),
+        (1, bytearray(b"\x00" * 64), ("audio/mp3", None, None, None, 16000)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_audio_features(df, out_dim=4).collect()}
+    assert out[0]["decoded"]
+    assert out[0]["est_duration_ms"] == 250  # exact, from the frame count
+    assert not out[1]["decoded"]
+    assert out[1]["est_duration_ms"] == 2  # stub estimate (64B/2/16k)
+
+
+def test_spark_strict_mode_raises_for_unsupported(spark, media_df):
+    from deimos_spark.operators.multimodal import extract_image_features
+
+    with pytest.raises(Exception, match="NotImplementedError|external codecs"):
+        extract_image_features(media_df, strict=True).collect()
