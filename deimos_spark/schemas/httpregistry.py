@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -55,28 +56,52 @@ class HttpSchemaRegistry:
     interface — drop-in for RegistryAvroCodec and the producer/consumer
     topic configs."""
 
-    def __init__(self, base_url: str, timeout: float = 10.0):
+    def __init__(
+        self,
+        base_url: str,
+        timeout: float = 10.0,
+        max_retries: int = 3,
+        backoff: float = 0.2,
+    ):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.max_retries = max_retries
+        self.backoff = backoff
         self._schema_cache: dict[int, AvroSchema] = {}
 
     # ------------------------------------------------------------- trans
     def _request(self, method: str, path: str, payload: dict | None = None) -> dict | list:
+        """One REST call with retry + exponential backoff on TRANSIENT
+        failures (connection errors, timeouts, 5xx). 4xx responses are
+        semantic (not-found / incompatible / bad input) and surface
+        immediately. All routes are idempotent or retry-safe: register
+        re-POSTs the same schema, which Confluent's API dedupes by
+        content."""
         req = urllib.request.Request(
             self.base_url + path,
             method=method,
             data=json.dumps(payload).encode() if payload is not None else None,
             headers={"Content-Type": CONTENT_TYPE, "Accept": CONTENT_TYPE},
         )
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return json.loads(resp.read() or b"{}")
-        except urllib.error.HTTPError as e:
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries + 1):
+            if attempt:
+                time.sleep(self.backoff * (2 ** (attempt - 1)))
             try:
-                body = json.loads(e.read() or b"{}")
-            except json.JSONDecodeError:
-                body = {}
-            raise RegistryHttpError(e.code, body) from e
+                with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                    return json.loads(resp.read() or b"{}")
+            except urllib.error.HTTPError as e:
+                try:
+                    body = json.loads(e.read() or b"{}")
+                except json.JSONDecodeError:
+                    body = {}
+                err = RegistryHttpError(e.code, body)
+                if e.code < 500:
+                    raise err from e
+                last_err = err  # 5xx: transient, retry
+            except (urllib.error.URLError, TimeoutError, OSError) as e:
+                last_err = e  # connection refused / reset / timeout
+        raise last_err  # type: ignore[misc]
 
     # ----------------------------------------------------------- registry
     def register(self, subject: str, schema: str | dict | AvroSchema) -> int:
@@ -167,16 +192,31 @@ class HttpSchemaRegistry:
 
 
 def serve_registry(
-    registry: InMemorySchemaRegistry | None = None, host: str = "127.0.0.1", port: int = 0
+    registry: InMemorySchemaRegistry | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    chaos=None,
 ):
     """Serve an InMemorySchemaRegistry behind the Confluent REST surface.
     Returns (server, base_url); call server.shutdown() when done. Dev/test
-    utility — single-process durability only."""
+    utility — single-process durability only.
+
+    `chaos`: optional callable invoked before each request; return an int
+    HTTP status to fail the request with it (e.g. 503), or None to serve
+    normally — lets tests exercise the client's transient-failure retry."""
     reg = registry if registry is not None else InMemorySchemaRegistry()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
+
+        def _chaos(self) -> bool:
+            if chaos is not None:
+                status = chaos()
+                if status is not None:
+                    self._send(status, {"error_code": status, "message": "injected"})
+                    return True
+            return False
 
         def _send(self, status: int, payload) -> None:
             body = json.dumps(payload).encode()
@@ -206,6 +246,8 @@ def serve_registry(
             }
 
         def do_GET(self):
+            if self._chaos():
+                return
             parts = self.path.strip("/").split("/")
             if parts[0] == "schemas" and parts[1] == "ids":
                 try:
@@ -233,6 +275,8 @@ def serve_registry(
             self._send(404, {"error_code": 404, "message": "unknown route"})
 
         def do_POST(self):
+            if self._chaos():
+                return
             parts = self.path.split("?")[0].strip("/").split("/")
             if parts[0] == "subjects" and len(parts) == 3 and parts[2] == "versions":
                 try:
@@ -255,6 +299,8 @@ def serve_registry(
             self._send(404, {"error_code": 404, "message": "unknown route"})
 
         def do_PUT(self):
+            if self._chaos():
+                return
             parts = self.path.strip("/").split("/")
             if parts[0] == "config" and len(parts) == 2:
                 mode = self._body().get("compatibility")

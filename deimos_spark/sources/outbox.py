@@ -127,7 +127,20 @@ class OutboxTable:
 
 class OutboxRelay:
     """Drain the outbox to a sink in id order, per topic, with optional
-    per-key compaction (reference: outbox_producer.rb)."""
+    per-key compaction (reference: outbox_producer.rb).
+
+    Two produce modes:
+    - mode="driver" (default, the no-broker fallback): `produce(topic,
+      rows)` is called driver-side with collected Rows — semantically
+      faithful to the single-process reference, but relay throughput is
+      bounded by the driver.
+    - mode="executor" (the 100-TB path): the batch is hash-partitioned
+      by `partition_key` and sorted by id within partitions, and
+      `produce(topic, pandas_df)` runs INSIDE the executors via
+      mapInPandas — same-key messages stay in one task in id order
+      (Kafka producer semantics), payload bytes never visit the driver,
+      and only the delivered id list is collected for the delete step.
+    """
 
     def __init__(
         self,
@@ -135,11 +148,17 @@ class OutboxRelay:
         produce: Callable[[str, list], None],
         batch_size: int = 1000,
         compact_topics: set[str] | str = frozenset(),
+        mode: str = "driver",
+        executor_parallelism: int = 8,
     ):
+        if mode not in ("driver", "executor"):
+            raise ValueError(f"unknown relay mode {mode!r}")
         self.outbox = outbox
         self.produce = produce
         self.batch_size = batch_size
         self.compact_topics = compact_topics  # set of names, or "all"
+        self.mode = mode
+        self.executor_parallelism = executor_parallelism
 
     def _should_compact(self, topic: str) -> bool:
         return self.compact_topics == "all" or topic in self.compact_topics
@@ -171,14 +190,47 @@ class OutboxRelay:
                     )
                 else:
                     out_df = batch_df
-                rows = out_df.orderBy("id").collect()
-                if not rows:
+                if self.mode == "executor":
+                    sent = self._produce_executor(topic, out_df)
+                else:
+                    rows = out_df.orderBy("id").collect()
+                    sent = len(rows)
+                    if rows:
+                        self.produce(topic, rows)
+                if not sent:
                     continue
-                self.produce(topic, rows)
+                # delete ALL batch ids (compacted-away rows included):
+                # they are superseded, not pending
                 ids = [r["id"] for r in batch_df.select("id").collect()]
                 self.outbox.delete_ids(ids)
-                total += len(rows)
+                total += sent
                 if len(ids) >= self.batch_size:
                     drained_everything = False
             if drained_everything:
                 return total
+
+    def _produce_executor(self, topic: str, out_df: DataFrame) -> int:
+        """Run the produce callback inside the executors. Partitioning
+        contract: same partition_key → same task, ascending id within a
+        task (null keys hash together; ordering across keys is undefined,
+        matching Kafka). Returns the number of delivered messages; only
+        their ids cross back to the driver."""
+        produce = self.produce  # must be picklable (closure over config)
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf):
+                    produce(topic, pdf)
+                yield pdf[["id"]]
+
+        shuffled = (
+            out_df.repartition(
+                self.executor_parallelism,
+                F.coalesce(F.col("partition_key"), F.lit(b"")),
+            )
+            .sortWithinPartitions("id")
+        )
+        delivered = shuffled.mapInPandas(
+            kernel, schema=T.StructType([T.StructField("id", T.LongType())])
+        )
+        return delivered.count()

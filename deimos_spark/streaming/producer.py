@@ -251,10 +251,26 @@ class Producer:
             return self._publish_outbox(messages, **kw)
         if backend == "memory":
             return messages  # caller collects/asserts — the test backend
+        if backend == "fake":
+            return self._publish_fake(messages, **kw)
         if backend == "files":
             messages.write.mode("append").parquet(kw["path"])
             return None
         raise ValueError(f"unknown backend {backend!r}")
+
+    def _publish_fake(self, messages: DataFrame, **kw):
+        """Kafka-protocol fake (streaming/fakebroker.py): appends each
+        message through the broker's sticky key-partitioner, giving real
+        per-partition offsets/ordering to consume tests. Driver-side by
+        design — a bounded test backend, like `memory`."""
+        broker = kw["broker"]
+        for r in messages.select("key", "value", "topic").collect():
+            broker.produce(
+                r["topic"],
+                bytes(r["key"]) if r["key"] is not None else None,
+                bytes(r["value"]) if r["value"] is not None else None,
+            )
+        return None
 
     def _publish_kafka(self, messages: DataFrame, sync: bool, **kw):
         bootstrap = kw.get("bootstrap_servers")

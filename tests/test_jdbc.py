@@ -189,3 +189,26 @@ def test_jdbc_outbox_ids_monotonic_across_appends(spark, cfg):
 
 def test_qident_escapes_embedded_quotes():
     assert qident('we"ird') == '"we""ird"'
+
+
+def test_limit_syntax_branches_compose_exactly(spark):
+    """Both limit dialects (ANSI FETCH FIRST for Derby/Postgres/Oracle,
+    LIMIT for MySQL/SQLite) produce exactly one limit clause, placed
+    after ORDER BY, inside the pushed-down subquery. Derby is the only
+    driver jar in the sandbox and has no LIMIT support, so the `limit`
+    branch is asserted at the SQL-composition layer — the same string the
+    database would execute."""
+    for syntax, clause in (
+        ("fetch", "FETCH FIRST 5 ROWS ONLY"),
+        ("limit", "LIMIT 5"),
+    ):
+        c = JdbcConfig(url="jdbc:x", limit_syntax=syntax)
+        src = JdbcCursorSource(spark, c, "t", ts_col="updated_at", id_col="id")
+        sub = src.batch_subquery(PollCursor(last_ts=1, last_id=2), time_to=9, limit=5)
+        assert sub.startswith("(SELECT * FROM t WHERE ")
+        assert sub.endswith(f'ORDER BY "updated_at", "id" {clause}) AS src')
+        assert sub.count("LIMIT") + sub.count("FETCH") == 1
+    assert JdbcConfig(url="jdbc:x", limit_syntax="limit").limit_clause(3) == "LIMIT 3"
+    assert (
+        JdbcConfig(url="jdbc:x").limit_clause(3) == "FETCH FIRST 3 ROWS ONLY"
+    )
