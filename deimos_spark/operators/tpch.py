@@ -540,3 +540,114 @@ def h22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------- derived partsupp (round 3)
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The testdata omits `partsupp`, so h02/h11 derive it DETERMINISTICALLY
+    from part × supplier-count with pure integer arithmetic — the same
+    formula is written in the DuckDB oracle SQL, so both engines compute
+    the identical table (dbgen's own partsupp is generated the same way:
+    4 suppliers per part via modular arithmetic, TPC-H spec 4.2.3).
+
+        for i in 0..3:
+          ps_partkey         = p_partkey
+          ps_suppkey         = ((p_partkey + i) % S) + 1      (S = |supplier|)
+          ps_availqty        = (p_partkey * 4 + i) % 9999 + 1
+          ps_supplycost_cents= (p_partkey * 31 + i * 7) % 10000 + 100
+
+    Cost is integer CENTS, not a rounded double: round() tie-breaking
+    differs between engines on non-representable doubles, and integer
+    arithmetic is exact everywhere. Scale: 4 rows per part, built by a
+    broadcast of the 1-row supplier count — no shuffle."""
+    part = _t(spark, sf_dir, "part")
+    s_count = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("_S"))
+    return (
+        part.crossJoin(F.broadcast(s_count))
+        .select(
+            F.col("p_partkey"),
+            F.col("_S"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("_i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("_i")) % F.col("_S") + 1).alias("ps_suppkey"),
+            ((F.col("p_partkey") * 4 + F.col("_i")) % 9999 + 1).alias("ps_availqty"),
+            ((F.col("p_partkey") * 31 + F.col("_i") * 7) % 10000 + 100).alias(
+                "ps_supplycost_cents"
+            ),
+        )
+    )
+
+
+PARTSUPP_SQL = (
+    "(SELECT p_partkey AS ps_partkey, "
+    "((p_partkey + i) % (SELECT count(*) FROM supplier)) + 1 AS ps_suppkey, "
+    "(p_partkey * 4 + i) % 9999 + 1 AS ps_availqty, "
+    "(p_partkey * 31 + i * 7) % 10000 + 100 AS ps_supplycost_cents "
+    "FROM part, (SELECT unnest([0, 1, 2, 3]) AS i))"
+)
+
+
+def h02_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: minimum-cost supplier per part in EUROPE (p_size=15, ECONOMY).
+    Decorrelated form: the per-part min over the region-filtered partsupp
+    is a hash aggregate joined back — the plan Catalyst's subquery
+    decorrelation produces. Dims broadcast; partsupp (4·|part| rows)
+    shuffles once on ps_partkey. Top-100 via TakeOrderedAndProject."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    eu_ps = (
+        ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    min_cost = eu_ps.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost_cents").alias("_min_cost")
+    )
+    return (
+        eu_ps.join(F.broadcast(part), eu_ps.ps_partkey == part.p_partkey)
+        .join(min_cost, "ps_partkey")
+        .filter(F.col("ps_supplycost_cents") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand", "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def h11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: parts whose stock value in NATION_7 exceeds 1/10000 of the
+    national total. Integer value arithmetic; the threshold is a 1-row
+    broadcast scalar; one shuffle on ps_partkey."""
+    ps = derived_partsupp(spark, sf_dir)
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    ps_n = (
+        ps.join(F.broadcast(supplier), ps.ps_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "ps_partkey",
+            (F.col("ps_supplycost_cents") * F.col("ps_availqty")).alias("_val"),
+        )
+    )
+    total = ps_n.agg((F.sum("_val") / F.lit(10000.0)).alias("_threshold"))
+    return (
+        ps_n.groupBy("ps_partkey")
+        .agg(F.sum("_val").alias("stock_value"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("stock_value") > F.col("_threshold"))
+        .select("ps_partkey", "stock_value")
+        .orderBy(F.col("stock_value").desc(), "ps_partkey")
+    )

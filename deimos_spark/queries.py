@@ -1234,4 +1234,42 @@ def _tpch_specs() -> list[QuerySpec]:
             "AND o_orderdate >= TIMESTAMP '2000-07-01') "
             "GROUP BY cntrycode ORDER BY cntrycode",
         ),
+        # h02/h11 complete the 22-query TPC-H suite via a DETERMINISTIC
+        # derived partsupp (operators/tpch.py PARTSUPP_SQL — identical
+        # integer-arithmetic formula on both engines). Registered at the
+        # END so the driver's first-50 checked window keeps its canonical
+        # §2B entries.
+        QuerySpec(
+            "h02_min_cost_supplier", tpch.h02_min_cost_supplier,
+            f"WITH partsupp AS (SELECT * FROM {tpch.PARTSUPP_SQL} ps) "
+            "SELECT s_acctbal, s_name, n_name, ps.ps_partkey AS p_partkey, "
+            "p_brand, ps_supplycost_cents "
+            "FROM partsupp ps "
+            "JOIN supplier ON s_suppkey = ps_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey AND r_name = 'EUROPE' "
+            "JOIN part ON p_partkey = ps.ps_partkey "
+            "AND p_size = 15 AND p_type = 'ECONOMY' "
+            "WHERE ps_supplycost_cents = ("
+            "SELECT min(ps2.ps_supplycost_cents) FROM partsupp ps2 "
+            "JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey "
+            "JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey "
+            "JOIN region r2 ON r2.r_regionkey = n2.n_regionkey "
+            "AND r2.r_name = 'EUROPE' "
+            "WHERE ps2.ps_partkey = ps.ps_partkey) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100",
+        ),
+        QuerySpec(
+            "h11_important_stock", tpch.h11_important_stock,
+            f"WITH partsupp AS (SELECT * FROM {tpch.PARTSUPP_SQL} ps), "
+            "ps_n AS (SELECT ps_partkey, "
+            "ps_supplycost_cents * ps_availqty AS val "
+            "FROM partsupp JOIN supplier ON s_suppkey = ps_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name = 'NATION_7') "
+            "SELECT ps_partkey, CAST(sum(val) AS BIGINT) AS stock_value "
+            "FROM ps_n GROUP BY ps_partkey "
+            "HAVING sum(val) > (SELECT sum(val) / 10000.0 FROM ps_n) "
+            "ORDER BY stock_value DESC, ps_partkey",
+        ),
     ]

@@ -1,14 +1,17 @@
 """Scale-validation harness: replicate the sf0.1 tables K× (key-shifted,
 so cardinalities grow instead of duplicating) into a scratch dir, then run
-the headline queries and report per-query wall time.
+the headline queries at EACH K and report the scaling curve.
 
-Usage: python tools/stress.py [K] [scratch_dir]
+Usage: python tools/stress.py [K1,K2,...] [scratch_dir]
+       python tools/stress.py 1,4,10   # default
 
 The point is not absolute speed — local[32] is one machine — but SHAPE:
 per-query time should grow ~linearly with K for scans/aggs and stay
 near-constant for top-k; anything super-linear is a plan that won't
-survive a real 100× scale-up. Run this after adding an operator family.
-"""
+survive a real 100× scale-up. The emitted JSON (commit as STRESS.json)
+includes a per-query `scaling` exponent fit from the curve and a
+`superlinear` flag list: exponent > 1.25 with enough absolute time to
+be signal (>0.3s at max K)."""
 
 from __future__ import annotations
 
@@ -49,23 +52,23 @@ QUERIES = [
     "h01_pricing_summary", "h05_local_supplier_volume", "h13_customer_distribution",
     "h18_large_volume_customers", "h21_waiting_supplier",
     "b31_dedup_exact", "t01_token_stats", "b33_simsearch_topk",
-    "t06_minhash_pairs", "x06_funnel",
+    "t05_jaccard_vs_query", "t06_minhash_pairs", "t11_levenshtein_pairs",
+    "x06_funnel",
 ]
 
+# super-linear flagging thresholds (see module docstring)
+EXP_LIMIT = 1.25
+MIN_SIGNAL_SEC = 0.3
 
-def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/deimos_stress"
-    src = "/root/testdata/sf0.1"
-    spark = get_spark("deimos_stress")
 
+def _build_scaled(spark, src: str, scratch: str, k: int) -> int:
     if os.path.exists(scratch):
         shutil.rmtree(scratch)
     os.makedirs(scratch)
     for t in TABLES:
         df = spark.read.parquet(f"{src}/{t}.parquet")
         keys = KEYS.get(t, [])
-        if keys:
+        if keys and k > 1:
             reps = spark.range(k).withColumnRenamed("id", "_r")
             big = df.crossJoin(reps)
             for c in keys:
@@ -74,19 +77,87 @@ def main() -> None:
         else:
             big = df
         big.write.mode("overwrite").parquet(f"{scratch}/{t}.parquet")
-    n = spark.read.parquet(f"{scratch}/lineitem.parquet").count()
-    print(f"scaled data ready: lineitem rows = {n:,}", file=sys.stderr)
+    return spark.read.parquet(f"{scratch}/lineitem.parquet").count()
 
+
+def _time_queries(spark, scratch: str) -> dict[str, float]:
     specs = all_queries()
     for name in QUERIES:  # warm-up (plans + codegen)
         specs[name].builder(spark, scratch).collect()
     timings = {}
     for name in QUERIES:
-        t0 = time.perf_counter()
-        specs[name].builder(spark, scratch).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-    print(json.dumps({"k": k, "lineitem_rows": n, "queries": timings,
-                      "total_sec": round(sum(timings.values()), 2)}))
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].builder(spark, scratch).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+    return timings
+
+
+def _fit_exponent(ks: list[int], times: list[float]) -> float:
+    """Least-squares slope of log(time) vs log(K) — the empirical scaling
+    exponent (1.0 = linear, 0 = constant). Times are floored at 50ms so
+    scheduling noise on toy queries doesn't fake a trend."""
+    import math
+
+    xs = [math.log(k) for k in ks]
+    ys = [math.log(max(t, 0.05)) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return 0.0
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom
+
+
+def main() -> None:
+    ks = (
+        [int(x) for x in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [1, 4, 10]
+    )
+    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/deimos_stress"
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("deimos_stress")
+
+    curve: dict[str, dict] = {name: {} for name in QUERIES}
+    rows = {}
+    for k in sorted(ks):
+        # distinct dir per K: Spark caches file listings by path, and
+        # rewriting the same path serves stale file lists to later runs
+        kdir = f"{scratch}_k{k}"
+        rows[k] = _build_scaled(spark, src, kdir, k)
+        print(f"K={k}: lineitem rows = {rows[k]:,}", file=sys.stderr)
+        for name, sec in _time_queries(spark, kdir).items():
+            curve[name][k] = sec
+        shutil.rmtree(kdir, ignore_errors=True)
+
+    sks = sorted(ks)
+    scaling = {
+        name: round(_fit_exponent(sks, [curve[name][k] for k in sks]), 3)
+        for name in QUERIES
+    }
+    superlinear = sorted(
+        name
+        for name, exp in scaling.items()
+        if exp > EXP_LIMIT and curve[name][sks[-1]] > MIN_SIGNAL_SEC
+    )
+    print(
+        json.dumps(
+            {
+                "ks": sks,
+                "lineitem_rows": {str(k): rows[k] for k in sks},
+                "queries": curve,
+                "scaling_exponent": scaling,
+                "superlinear": superlinear,
+                "total_sec_at_max_k": round(
+                    sum(curve[n][sks[-1]] for n in QUERIES), 2
+                ),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
