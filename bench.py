@@ -69,6 +69,9 @@ HEADLINE = [
     "h17_small_quantity_revenue",
     "h18_large_volume_customers",
     "h21_waiting_supplier",
+    # round 3: full TPC-H coverage via derived partsupp
+    "h02_min_cost_supplier",
+    "h11_important_stock",
 ]
 
 

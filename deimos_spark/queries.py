@@ -303,11 +303,13 @@ def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy near-dup pairs: composite-blocked (lang, prefix bucket,
-    ±1 length band) edit distance on prefixes — blocking declared in the
-    oracle SQL too, so the check is exact."""
+    """Fuzzy near-dup pairs: exact-dup collapse, then composite-blocked
+    (lang, prefix bucket, ±1 length band) edit distance on prefixes —
+    collapse + blocking declared in the oracle SQL too, so the check is
+    exact. The collapse is what keeps block membership bounded by UNIQUE
+    text at corpus scale (STRESS.json: super-linear without it)."""
     return dedup.levenshtein_near_pairs(
-        _docs(spark, sf_dir), max_dist=24, prefix=32
+        _docs(spark, sf_dir), max_dist=24, prefix=32, collapse_exact=True
     ).orderBy("id_a", "id_b")
 
 
@@ -351,6 +353,37 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.pairwise_cosine_above(
         _emb(spark, sf_dir), threshold=0.4, n_planes=6
     ).orderBy("id_a", "id_b")
+
+
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top word-bigrams — the n-gram counting primitive of a
+    training-data pipeline (vocab building, boilerplate detection).
+    Bigrams are materialized per doc with a codegen'd `transform` over
+    index sequences (no Python in the row path), exploded, then ONE hash
+    aggregate with map-side combine; top-20 is TakeOrderedAndProject.
+    At 100 TB the shuffle carries (bigram, partial count) pairs — the
+    combine collapses per-partition repeats first."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+        ).alias("_w")
+    )
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.expr(
+            "transform(sequence(1, size(_w) - 1), "
+            "i -> concat(element_at(_w, i), ' ', element_at(_w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
+
 
 
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,10 +1001,12 @@ def all_queries() -> dict[str, QuerySpec]:
         ),
         QuerySpec(
             "t11_levenshtein_pairs", q_levenshtein_pairs,
-            "WITH d AS (SELECT doc_id, lang, text, "
+            "WITH docs AS (SELECT min(doc_id) AS doc_id, min(lang) AS lang, "
+            "text FROM documents GROUP BY text), "
+            "d AS (SELECT doc_id, lang, text, "
             "(('0x' || substr(md5('lev' || substr(text, 1, 8)), 1, 8))::BIGINT "
             "% 16) AS pbkt, "
-            "CAST(floor(length(text) / 64.0) AS INT) AS band FROM documents) "
+            "CAST(floor(length(text) / 64.0) AS INT) AS band FROM docs) "
             "SELECT id_a, id_b, dist FROM ("
             "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
             "CAST(levenshtein(substr(a.text, 1, 32), substr(b.text, 1, 32)) AS INT) "
@@ -988,6 +1023,15 @@ def all_queries() -> dict[str, QuerySpec]:
             "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t "
             "WHERE sim >= 0.4",
+        ),
+        QuerySpec(
+            "t12_top_bigrams", q_top_bigrams,
+            "WITH t AS (SELECT string_split(regexp_replace(lower(trim(text)), "
+            "'\\s+', ' ', 'g'), ' ') AS w FROM documents), "
+            "b AS (SELECT w[i] || ' ' || w[i+1] AS bigram FROM t, "
+            "UNNEST(generate_series(1, len(w)-1)) AS s(i) WHERE len(w) >= 2) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM b "
+            "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20",
         ),
     ]
     specs += _tpch_specs()
