@@ -530,3 +530,48 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------------------ benchmark contamination
+
+def benchmark_contamination(
+    df: DataFrame,
+    benchmark_max_id: int = 50,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Decontamination primitive: per-document shingle overlap against a
+    benchmark set (here: docs with id < benchmark_max_id — in production,
+    the eval suites' text). Training corpora must drop documents that
+    leak benchmark content; this measures the leak.
+
+    Shape: both sides explode to DISTINCT (doc, shingle) rows (codegen'd
+    window-lead, see exploded_shingles); the benchmark's distinct shingle
+    set is equi-joined (shuffle on the shingle string — cardinality grows
+    with unique benchmark content, never all-pairs), and one aggregate per
+    doc yields (total, overlapping) shingle counts. Integer outputs, so
+    the DuckDB oracle comparison is exact."""
+    ex = exploded_shingles(df, text_col, id_col, n)
+    bench = (
+        ex.filter(F.col("_id") < benchmark_max_id).select("_s").distinct()
+    )
+    corpus = ex.filter(F.col("_id") >= benchmark_max_id)
+    tot = corpus.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ovl = (
+        corpus.join(bench, "_s")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        tot.join(ovl, "_id", "left")
+        .na.fill({"n_overlap": 0})
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        )
+        .orderBy(F.col("n_overlap").desc(), id_col)
+        .limit(k)
+    )

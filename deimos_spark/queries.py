@@ -386,6 +386,52 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (MassiveText-style quality
+    filter): the most-frequent token's share of each doc. All-integer
+    outputs (sum of per-doc max counts / totals / docs over the 10%%
+    threshold) so the oracle comparison is exact, no float aggregation
+    order sensitivity. Plan: explode -> two hash aggregates (doc-token,
+    then doc) -> one per-lang aggregate; every shuffle is on keys whose
+    cardinality grows with the corpus."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+            )
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_doc = per_tok.groupBy("doc_id", "lang").agg(
+        F.max("n").alias("max_n"), F.sum("n").alias("tot_n")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("max_n").cast("bigint").alias("sum_top_token"),
+            F.sum("tot_n").cast("bigint").alias("sum_tokens"),
+            F.count(F.when(F.col("max_n") * 10 > F.col("tot_n"), 1))
+            .cast("bigint")
+            .alias("repetitive_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: shingle overlap of each corpus doc
+    against the benchmark set (docs 0-49 stand in for eval-suite text).
+    The decontamination primitive every training-data pipeline needs."""
+    return dedup.benchmark_contamination(
+        _docs(spark, sf_dir), benchmark_max_id=50, n=3, k=50
+    )
+
+
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
@@ -1032,6 +1078,34 @@ def all_queries() -> dict[str, QuerySpec]:
             "UNNEST(generate_series(1, len(w)-1)) AS s(i) WHERE len(w) >= 2) "
             "SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM b "
             "GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20",
+        ),
+        QuerySpec(
+            "t13_repetition_stats", q_repetition_stats,
+            "WITH w AS (SELECT doc_id, lang, unnest(string_split("
+            "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS tok "
+            "FROM documents), "
+            "c AS (SELECT doc_id, lang, tok, count(*) AS n "
+            "FROM w GROUP BY doc_id, lang, tok), "
+            "d AS (SELECT doc_id, lang, max(n) AS max_n, sum(n) AS tot_n "
+            "FROM c GROUP BY doc_id, lang) "
+            "SELECT lang, CAST(sum(max_n) AS BIGINT) AS sum_top_token, "
+            "CAST(sum(tot_n) AS BIGINT) AS sum_tokens, "
+            "CAST(count(*) FILTER (WHERE max_n * 10 > tot_n) AS BIGINT) "
+            "AS repetitive_docs FROM d GROUP BY lang ORDER BY lang",
+        ),
+        QuerySpec(
+            "t14_benchmark_contamination", q_benchmark_contamination,
+            "WITH bench AS (SELECT DISTINCT unnest(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' '))) AS _s "
+            "FROM documents WHERE doc_id < 50), "
+            "ds AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1)), i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+2], ' '))) AS _s "
+            "FROM documents WHERE doc_id >= 50), "
+            "tot AS (SELECT doc_id, count(*) AS n_shingles FROM ds GROUP BY doc_id), "
+            "ovl AS (SELECT ds.doc_id, count(*) AS n_overlap FROM ds "
+            "JOIN bench USING (_s) GROUP BY ds.doc_id) "
+            "SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles, "
+            "CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap "
+            "FROM tot t LEFT JOIN ovl o ON t.doc_id = o.doc_id "
+            "ORDER BY n_overlap DESC, t.doc_id LIMIT 50",
         ),
     ]
     specs += _tpch_specs()
