@@ -389,7 +389,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signal (MassiveText-style quality
     filter): the most-frequent token's share of each doc. All-integer
-    outputs (sum of per-doc max counts / totals / docs over the 10%%
+    outputs (sum of per-doc max counts / totals / docs over the 10%
     threshold) so the oracle comparison is exact, no float aggregation
     order sensitivity. Plan: explode -> two hash aggregates (doc-token,
     then doc) -> one per-lang aggregate; every shuffle is on keys whose

@@ -494,3 +494,32 @@ def test_concurrent_merges_one_conflict_correct_final_state(spark, table):
     assert conflicts == [1]  # exactly one loser at the raced version
     assert _rows(table) == {"seed": 0, "w1": 1, "w2": 2}
     assert table.snapshot().version == 2
+
+
+def test_checkpoint_preserves_partition_values_for_pruning(spark, tmp_path):
+    """Partition values in the checkpointed file-set must survive the
+    round-trip: a pruned merge planned from a checkpoint-based snapshot
+    still carries forward untouched partitions."""
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "ckpt_part"),
+        key_cols=["day", "test_id"],
+        schema=PSCHEMA,
+        partition_by=["day"],
+        checkpoint_interval=3,
+    )
+    for i in range(5):  # 5 commits -> checkpoint at v3 exists
+        t.merge(
+            upserts=spark.createDataFrame([(f"d{i}", "a", i)], PSCHEMA)
+        )
+    snap = t.snapshot()
+    assert t.last_snapshot_commit_reads <= 3  # served from the checkpoint
+    assert {v["day"] for v in snap.units.values()} == {f"d{i}" for i in range(5)}
+    # pruned merge into d1: every other partition's unit carried forward
+    before = {p for p, v in snap.units.items() if v["day"] != "d1"}
+    t.merge(upserts=spark.createDataFrame([("d1", "a", 99)], PSCHEMA))
+    after = {p for p, v in t.snapshot().units.items() if v["day"] != "d1"}
+    assert before == after
+    assert _pstate(t) == {("d%d" % i, "a"): i for i in range(5) if i != 1} | {
+        ("d1", "a"): 99
+    }

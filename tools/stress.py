@@ -53,6 +53,8 @@ QUERIES = [
     "h18_large_volume_customers", "h21_waiting_supplier",
     "b31_dedup_exact", "t01_token_stats", "b33_simsearch_topk",
     "t05_jaccard_vs_query", "t06_minhash_pairs", "t11_levenshtein_pairs",
+    "t12_top_bigrams", "t13_repetition_stats", "t14_benchmark_contamination",
+    "h02_min_cost_supplier", "h11_important_stock",
     "x06_funnel",
 ]
 
@@ -87,13 +89,28 @@ def _time_queries(spark, scratch: str) -> dict[str, float]:
     timings = {}
     for name in QUERIES:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             specs[name].builder(spark, scratch).collect()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
     return timings
+
+
+def _between_rounds(spark) -> None:
+    """Session hygiene between K rounds: drop cached plans bound to the
+    previous K's (now deleted) scratch dir and nudge the JVM to collect —
+    without this, accumulated state from earlier rounds shows up as
+    multi-hundred-ms GC noise in later rounds' timings."""
+    from deimos_spark.queries import clear_plan_cache
+
+    clear_plan_cache()
+    spark.catalog.clearCache()
+    try:
+        spark._jvm.System.gc()
+    except Exception:
+        pass
 
 
 def _fit_exponent(ks: list[int], times: list[float]) -> float:
@@ -133,6 +150,7 @@ def main() -> None:
         for name, sec in _time_queries(spark, kdir).items():
             curve[name][k] = sec
         shutil.rmtree(kdir, ignore_errors=True)
+        _between_rounds(spark)
 
     sks = sorted(ks)
     scaling = {
