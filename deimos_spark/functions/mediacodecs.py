@@ -143,6 +143,18 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytearray:
 
 
 def decode_png(data: bytes) -> Image:
+    # malformed chunk structure surfaces as struct/zlib/index errors —
+    # normalize to MediaDecodeError (record-level, routable) for corrupt
+    # blobs in a large corpus
+    try:
+        return _decode_png_inner(data)
+    except MediaDecodeError:
+        raise
+    except (struct.error, zlib.error, ValueError, IndexError) as e:
+        raise MediaDecodeError(f"malformed PNG: {e!r}") from None
+
+
+def _decode_png_inner(data: bytes) -> Image:
     if data[:8] != PNG_MAGIC:
         raise MediaDecodeError("not a PNG")
     pos = 8
@@ -214,6 +226,15 @@ def encode_png(img: Image) -> bytes:
 # ----------------------------------------------------------------- BMP
 
 def decode_bmp(data: bytes) -> Image:
+    try:
+        return _decode_bmp_inner(data)
+    except MediaDecodeError:
+        raise
+    except (struct.error, ValueError, IndexError) as e:
+        raise MediaDecodeError(f"malformed BMP: {e!r}") from None
+
+
+def _decode_bmp_inner(data: bytes) -> Image:
     if data[:2] != b"BM" or len(data) < 54:
         raise MediaDecodeError("not a BMP")
     (pixel_offset,) = struct.unpack("<I", data[10:14])
@@ -240,6 +261,10 @@ def decode_bmp(data: bytes) -> Image:
 # ----------------------------------------------------------------- WAV
 
 def decode_wav(data: bytes) -> Audio:
+    # wave raises EOFError/struct.error (not just wave.Error) on
+    # truncated input — normalize everything to MediaDecodeError so a
+    # corrupt blob in a large corpus is a routable record-level failure,
+    # never an unexpected executor exception type
     try:
         with wave.open(io.BytesIO(data), "rb") as w:
             return Audio(
@@ -248,8 +273,8 @@ def decode_wav(data: bytes) -> Audio:
                 sample_width=w.getsampwidth(),
                 frames=w.readframes(w.getnframes()),
             )
-    except wave.Error as e:
-        raise MediaDecodeError(f"not a decodable WAV: {e}") from None
+    except (wave.Error, EOFError, struct.error, ValueError) as e:
+        raise MediaDecodeError(f"not a decodable WAV: {e!r}") from None
 
 
 def encode_wav(audio: Audio) -> bytes:

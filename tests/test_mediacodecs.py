@@ -285,3 +285,65 @@ def test_spark_strict_mode_raises_for_unsupported(spark, media_df):
 
     with pytest.raises(Exception, match="NotImplementedError|external codecs"):
         extract_image_features(media_df, strict=True).collect()
+
+
+# ------------------------------------------------- property-based fuzz
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_encode_decode_roundtrip_property(w, h, ch, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * ch, max_size=w * h * ch
+            )
+        )
+    )
+    img = mc.Image(w, h, ch, px)
+    out = mc.decode_png(mc.encode_png(img))
+    assert (out.width, out.height, out.channels) == (w, h, ch)
+    assert out.pixels == px
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    sr=st.sampled_from([8000, 16000, 44100]),
+    nch=st.sampled_from([1, 2]),
+    n=st.integers(1, 500),
+    data=st.data(),
+)
+def test_wav_encode_decode_roundtrip_property(sr, nch, n, data):
+    frames = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=n * nch * 2, max_size=n * nch * 2
+            )
+        )
+    )
+    a = mc.Audio(sr, nch, 2, frames)
+    out = mc.decode_wav(mc.encode_wav(a))
+    assert (out.sample_rate, out.n_channels, out.sample_width) == (sr, nch, 2)
+    assert out.frames == frames
+    assert out.n_frames == n
+
+
+@settings(max_examples=30, deadline=None)
+@given(junk=st.binary(min_size=0, max_size=200))
+def test_decoders_reject_or_ignore_junk_without_crashing(junk):
+    """Arbitrary bytes must never produce a non-MediaDecodeError crash."""
+    for fn in (mc.decode_png, mc.decode_bmp, mc.decode_wav):
+        try:
+            fn(junk)
+        except mc.MediaDecodeError:
+            pass
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"{fn.__name__} leaked {type(e).__name__}: {e}")
