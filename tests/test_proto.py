@@ -372,3 +372,32 @@ def test_unknown_map_value_message_raises():
     """
     with pytest.raises(ValueError, match="unknown map value type"):
         parse_proto(bad, root="Holder")
+
+
+@pytest.mark.parametrize("seed", range(1))
+def test_map_fuzz_roundtrip(maps_schema, seed):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    keys = st.text(min_size=0, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        blob=st.dictionaries(keys, st.binary(max_size=32), max_size=5),
+        nums=st.dictionaries(
+            keys, st.integers(-(2**63), 2**63 - 1), max_size=5
+        ),
+        levels=st.dictionaries(
+            keys, st.sampled_from(["LEVEL_UNSPECIFIED", "LEVEL_HIGH"]), max_size=4
+        ),
+    )
+    def run(blob, nums, levels):
+        value = {"blob_map": blob, "num_map": nums, "level_map": levels}
+        out = decode_message(
+            maps_schema.message, encode_message(maps_schema.message, value)
+        )
+        assert out["blob_map"] == blob
+        assert out["num_map"] == nums
+        assert out["level_map"] == levels
+
+    run()
