@@ -60,6 +60,10 @@ HEADLINE = [
     "t02_lang_id",
     "b33_simsearch_topk",
     "t06_minhash_pairs",
+    # round 3: training-data pipeline ops
+    "t12_top_bigrams",
+    "t13_repetition_stats",
+    "t14_benchmark_contamination",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",
