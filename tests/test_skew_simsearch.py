@@ -121,3 +121,59 @@ def test_ivf_topk_pruned_recall(spark):
     assert approx[0] == 1.0
     for vid in set(exact) & set(approx):
         assert exact[vid] == approx[vid]
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE's runtime skew-join handling: one hot key dominating a
+    sort-merge join gets its partition split into parallel sub-tasks
+    (plan tags the join `skew=true`). This is the built-in complement to
+    the manual salting in operators/skew.py — at 100 TB you want BOTH:
+    salting for deterministic hot keys, AQE for the ones you didn't
+    predict."""
+    fact_path = str(tmp_path / "skew_fact")
+    dim_path = str(tmp_path / "skew_dim")
+    # 200k rows on ONE key + a sprinkle of others; dim is tiny but
+    # broadcast is disabled so the join must shuffle
+    spark.range(0, 200_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("v")
+    ).union(
+        spark.range(0, 1000).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("v")
+        )
+    ).write.mode("overwrite").parquet(fact_path)
+    spark.createDataFrame(
+        [(i, f"d{i}") for i in range(50)], "k long, label string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    overrides = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # local[32] toy sizes need aggressive thresholds to exhibit the
+        # behavior; production keeps the defaults (256MB/5x)
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        # splitting is suppressed when a downstream operator needs the
+        # join's partitioning; force it (and keep the test's plan a bare
+        # join — a groupBy after the join legitimately disables the rule)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path)
+        joined = fact.join(dim, "k")
+        assert joined.count() == 201_000  # hot key rows all joined
+        joined.foreach(lambda r: None)  # materialize the bare-join plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan  # AQE split the hot partition
+        assert "skewed" in plan  # AQEShuffleRead reports the skew reads
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
