@@ -1,0 +1,137 @@
+"""PySpark-4 Python DataSource over the fake broker: batch relation +
+Structured Streaming source with Spark-checkpointed offsets — the
+readStream twin of the poll-loop consume tests."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from deimos_spark.operators.merge import KeyedParquetTable
+from deimos_spark.schemas.avro import parse_avsc
+from deimos_spark.sources.brokersource import FakeBrokerDataSource
+from deimos_spark.streaming.consumer import BatchConsumer, ConsumerConfig
+from deimos_spark.streaming.fakebroker import FakeBroker
+from deimos_spark.streaming.producer import Producer, TopicConfig
+
+MY_SCHEMA = parse_avsc(
+    {
+        "type": "record",
+        "name": "MySchema",
+        "namespace": "com.my-namespace",
+        "fields": [
+            {"name": "test_id", "type": "string"},
+            {"name": "some_int", "type": "int"},
+        ],
+    }
+)
+
+TOPIC = "widgets"
+
+
+@pytest.fixture
+def broker(spark, tmp_path):
+    spark.dataSource.register(FakeBrokerDataSource)
+    b = FakeBroker(str(tmp_path / "broker"))
+    b.create_topic(TOPIC, partitions=4)
+    return b
+
+
+def _publish(spark, broker, rows):
+    producer = Producer(
+        TopicConfig(topic=TOPIC, schema=MY_SCHEMA, key_field="test_id")
+    )
+    producer.publish(
+        spark.createDataFrame([Row(test_id=k, some_int=v) for k, v in rows]),
+        backend="fake",
+        broker=broker,
+    )
+
+
+def test_batch_read_exposes_kafka_shape(spark, broker):
+    _publish(spark, broker, [(f"id{i}", i) for i in range(12)])
+    df = (
+        spark.read.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", TOPIC)
+        .load()
+    )
+    assert set(df.columns) == {
+        "key", "value", "topic", "partition", "offset", "timestamp",
+    }
+    rows = df.collect()
+    assert len(rows) == 12
+    # offsets dense per partition, in order
+    by_part = {}
+    for r in sorted(rows, key=lambda r: (r["partition"], r["offset"])):
+        by_part.setdefault(r["partition"], []).append(r["offset"])
+    for offs in by_part.values():
+        assert offs == list(range(len(offs)))
+    # payloads decode
+    payload = json.loads(bytes(rows[0]["value"]))
+    assert set(payload) == {"test_id", "some_int"}
+
+
+def test_streaming_consume_merges_and_resumes(spark, broker, tmp_path):
+    """readStream over the broker: first query drains current offsets
+    into the keyed table; a RESTARTED query with the same checkpoint
+    picks up only new records (Spark-checkpointed offset resume)."""
+    _publish(spark, broker, [(f"a{i}", i) for i in range(6)])
+
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "tbl"), ["test_id"],
+        schema="test_id string, some_int int",
+    )
+    consumer = BatchConsumer(
+        ConsumerConfig(schema=MY_SCHEMA, key_cols=["test_id"]), table
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_query():
+        stream = (
+            spark.readStream.format("fakebroker")
+            .option("path", broker.path)
+            .option("topic", TOPIC)
+            .load()
+        )
+        q = consumer.attach(stream, checkpoint=ckpt).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run_query()
+    got = {r["test_id"]: r["some_int"] for r in table.read().collect()}
+    assert got == {f"a{i}": i for i in range(6)}
+
+    # new data + updates, then a fresh query on the same checkpoint
+    _publish(spark, broker, [("a0", 100), ("b0", 7)])
+    run_query()
+    got = {r["test_id"]: r["some_int"] for r in table.read().collect()}
+    expect = {f"a{i}": i for i in range(1, 6)} | {"a0": 100, "b0": 7}
+    assert got == expect
+
+
+def test_streaming_tombstone_deletes_via_source(spark, broker, tmp_path):
+    broker.produce(TOPIC, json.dumps({"test_id": "keep"}).encode(),
+                   json.dumps({"test_id": "keep", "some_int": 1}).encode())
+    broker.produce(TOPIC, json.dumps({"test_id": "dead"}).encode(),
+                   json.dumps({"test_id": "dead", "some_int": 2}).encode())
+    broker.produce(TOPIC, json.dumps({"test_id": "dead"}).encode(), None)
+
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "tbl"), ["test_id"],
+        schema="test_id string, some_int int",
+    )
+    consumer = BatchConsumer(
+        ConsumerConfig(schema=MY_SCHEMA, key_cols=["test_id"]), table
+    )
+    stream = (
+        spark.readStream.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", TOPIC)
+        .load()
+    )
+    q = consumer.attach(stream, checkpoint=str(tmp_path / "ckpt")).start()
+    q.processAllAvailable()
+    q.stop()
+    got = {r["test_id"]: r["some_int"] for r in table.read().collect()}
+    assert got == {"keep": 1}
