@@ -150,3 +150,56 @@ class FakeBrokerDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return _BrokerStreamReader(*self._args())
+
+    def writer(self, schema, overwrite: bool):
+        return _BrokerWriter(*self._args())
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _BrokerWriter(*self._args())
+
+
+# ----------------------------------------------------------------- writer
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _ProducedMsg(WriterCommitMessage):
+    n: int = 0
+
+
+class _BrokerWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Executor-side produce: each task appends its rows through the
+    broker's sticky key-partitioner (flock-serialized appends). Expects
+    (key BINARY, value BINARY) columns — the produce pipeline's message
+    shape; extra columns are ignored. At-least-once: a failed batch is
+    retried by Spark and the idempotent MERGE consumer absorbs the
+    duplicates, exactly like the real `format("kafka")` sink."""
+
+    def __init__(self, path: str, topic: str):
+        self.path = path
+        self.topic = topic
+
+    def write(self, iterator) -> _ProducedMsg:
+        from deimos_spark.streaming.fakebroker import FakeBroker
+
+        broker = FakeBroker(self.path)
+        n = 0
+        for row in iterator:
+            key = bytes(row["key"]) if row["key"] is not None else None
+            value = bytes(row["value"]) if row["value"] is not None else None
+            broker.produce(self.topic, key, value)
+            n += 1
+        return _ProducedMsg(n)
+
+    def commit(self, messages, batchId: int | None = None) -> None:
+        pass  # appends are already durable; nothing to finalize
+
+    def abort(self, messages, batchId: int | None = None) -> None:
+        pass  # duplicates possible on retry — at-least-once by design

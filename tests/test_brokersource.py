@@ -135,3 +135,78 @@ def test_streaming_tombstone_deletes_via_source(spark, broker, tmp_path):
     q.stop()
     got = {r["test_id"]: r["some_int"] for r in table.read().collect()}
     assert got == {"keep": 1}
+
+
+def test_batch_write_produces_through_partitioner(spark, broker):
+    """df.write.format('fakebroker'): executor tasks append through the
+    sticky key-partitioner — same key lands in one partition."""
+    producer = Producer(
+        TopicConfig(topic=TOPIC, schema=MY_SCHEMA, key_field="test_id")
+    )
+    msgs = producer.build_messages(
+        spark.createDataFrame(
+            [Row(test_id=f"id{i % 4}", some_int=i) for i in range(16)]
+        )
+    )
+    (
+        msgs.select("key", "value")
+        .write.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", TOPIC)
+        .mode("append")
+        .save()
+    )
+    total = sum(broker.end_offset(TOPIC, p) for p in range(4))
+    assert total == 16
+    # sticky: each of the 4 keys lives in exactly one partition
+    seen = {}
+    for p in range(4):
+        for rec in broker.read_partition(TOPIC, p):
+            k = bytes(rec.key).decode()
+            seen.setdefault(k, set()).add(p)
+    assert all(len(parts) == 1 for parts in seen.values())
+
+
+def test_streaming_mirror_topic_to_topic(spark, broker, tmp_path):
+    """The Spark-native relay: readStream topic A -> writeStream topic B,
+    then consume B into a keyed table. A full mirror pipeline with
+    nothing but format('fakebroker') on both ends."""
+    broker.create_topic("mirror", partitions=4)
+    _publish(spark, broker, [(f"m{i}", i) for i in range(8)])
+
+    stream = (
+        spark.readStream.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", TOPIC)
+        .load()
+    )
+    q = (
+        stream.select("key", "value")
+        .writeStream.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", "mirror")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mirror"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert sum(broker.end_offset("mirror", p) for p in range(4)) == 8
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "tbl"), ["test_id"],
+        schema="test_id string, some_int int",
+    )
+    consumer = BatchConsumer(
+        ConsumerConfig(schema=MY_SCHEMA, key_cols=["test_id"]), table
+    )
+    mirror = (
+        spark.readStream.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", "mirror")
+        .load()
+    )
+    q2 = consumer.attach(mirror, checkpoint=str(tmp_path / "ckpt_consume")).start()
+    q2.processAllAvailable()
+    q2.stop()
+    got = {r["test_id"]: r["some_int"] for r in table.read().collect()}
+    assert got == {f"m{i}": i for i in range(8)}
