@@ -129,6 +129,10 @@ class TransactionLogTable:
         # (lets tests assert replay cost stays bounded by the checkpoint
         # interval instead of growing with total commit count)
         self.last_snapshot_commit_reads = 0
+        # diagnostics: whether the most recent snapshot() had to LIST the
+        # log dir (the expensive primitive on object stores) instead of
+        # following _last_checkpoint and probing exact commit names
+        self.last_snapshot_listed_log = False
 
     # ------------------------------------------------------------ log layer
 
@@ -173,17 +177,79 @@ class TransactionLogTable:
                 return cv, data
         return None
 
+    def _read_commit(self, cv: int):
+        """One commit file → parsed dict, or a marker: "missing" (never
+        claimed), "noop" (zero-length legacy claim), "corrupt" (non-empty
+        but unparseable)."""
+        try:
+            with open(self._commit_path(cv)) as fh:
+                raw = fh.read()
+        except OSError:
+            return "missing"
+        if not raw.strip():
+            return "noop"
+        try:
+            return json.loads(raw)
+        except ValueError:
+            return "corrupt"
+
+    def _heal_or_raise(self, cv: int) -> None:
+        """A non-empty unparseable commit. If it is the NEWEST commit,
+        nothing ever depended on it, so heal it as a no-op — and PERSIST
+        the heal by truncating the file to zero length (a zero-length
+        commit is a no-op at any log position), so the table stays
+        readable after later commits make this one mid-log. Mid-log
+        corruption means real changes were silently lost — surface it."""
+        if os.path.exists(self._commit_path(cv + 1)):
+            raise LogCorruption(
+                f"commit {cv} of {self.path} is unreadable but later "
+                "commits exist"
+            )
+        try:
+            with open(self._commit_path(cv), "w"):
+                pass  # truncate; idempotent across racing readers
+        except OSError:
+            pass  # read-only mount: heal applies in-memory only
+
     def snapshot(self, version: int | None = None) -> Snapshot:
         """Live file set at `version` (default: latest). Starts from the
         newest applicable checkpoint and replays only later commits, so
-        cost is O(checkpoint_interval), not O(n_commits)."""
+        cost is O(checkpoint_interval), not O(n_commits).
+
+        Commit versions are claimed sequentially (each writer commits
+        snapshot.version + 1 via put-if-absent), so the log has no gaps
+        and commits after a checkpoint can be PROBED by exact name —
+        when the `_last_checkpoint` pointer is fresh, snapshot() never
+        lists the log dir at all (on object stores, LIST is the
+        expensive primitive the pointer exists to avoid)."""
+        self.last_snapshot_commit_reads = 0
+        self.last_snapshot_listed_log = False
+
+        lc = self._load_json(os.path.join(self._log_dir, "_last_checkpoint"))
+        if (
+            lc is not None
+            and isinstance(lc.get("version"), int)
+            and (version is None or lc["version"] <= version)
+        ):
+            data = self._load_json(self._checkpoint_path(lc["version"]))
+            if data is not None:
+                return self._replay_from(
+                    lc["version"], dict(data["units"]), data.get("schema"), version
+                )
+
+        # Slow path: no usable pointer (first reads, corrupt pointer, or
+        # time travel to before the newest checkpoint) — list the dir.
+        # Only numeric stems are log entries; in-flight writers stage
+        # .tmp_* / .ckpt_* / .lc_* temp files in this same dir (hard-link
+        # claims need same-filesystem), and they must never parse as
+        # versions.
+        self.last_snapshot_listed_log = True
         commit_versions, ckpt_versions = [], []
         for n in os.listdir(self._log_dir):
-            if n.endswith(".checkpoint.json"):
+            if n.endswith(".checkpoint.json") and n[:-16].isdigit():
                 ckpt_versions.append(int(n[:-16]))
-            elif n.endswith(".json"):
+            elif n.endswith(".json") and n[:-5].isdigit():
                 commit_versions.append(int(n[:-5]))
-        commit_versions.sort()
 
         units: dict[str, dict[str, str]] = {}
         v, schema_json = -1, None
@@ -192,47 +258,44 @@ class TransactionLogTable:
             v, data = ckpt
             units = dict(data["units"])
             schema_json = data.get("schema")
+        return self._replay_from(v, units, schema_json, version)
 
+    def _replay_from(
+        self,
+        v: int,
+        units: dict[str, dict[str, str]],
+        schema_json: str | None,
+        version: int | None,
+    ) -> Snapshot:
+        """Apply commits v+1, v+2, ... (probed by exact name — no gaps by
+        construction) until one is missing or `version` is reached."""
         reads = 0
-        newest_cv = commit_versions[-1] if commit_versions else None
-        for cv in (c for c in commit_versions if c > v):
-            if version is not None and cv > version:
+        cv = v + 1
+        while version is None or cv <= version:
+            c = self._read_commit(cv)
+            if c == "missing":
                 break
-            try:
-                with open(self._commit_path(cv)) as fh:
-                    raw = fh.read()
-            except OSError:
-                raw = ""
             reads += 1
-            if not raw.strip():
-                # Zero-length = a crashed writer's bare claim (possible
-                # only under the pre-round-3 O_EXCL-then-write protocol).
-                # It provably never contained changes, so it is a no-op
-                # at ANY log position: the version is consumed, nothing
-                # replays.
+            if c == "noop":
+                # Zero-length = a crashed legacy writer's bare claim, or
+                # a persisted heal: provably never contained changes, so
+                # it is a no-op at ANY log position.
                 v = cv
+                cv += 1
                 continue
-            try:
-                c = json.loads(raw)
-            except ValueError:
-                # Non-empty but unparseable = a real payload got
-                # truncated/corrupted. The newest commit can be healed
-                # as a no-op (nothing ever depended on it); mid-log it
-                # means silent data loss — surface it.
-                if cv == newest_cv:
-                    v = cv
-                    continue
-                raise LogCorruption(
-                    f"commit {cv} of {self.path} is unreadable but later "
-                    "commits exist"
-                ) from None
+            if c == "corrupt":
+                self._heal_or_raise(cv)
+                v = cv
+                cv += 1
+                continue
             for r in c.get("removes", []):
                 units.pop(r, None)
             for a in c.get("adds", []):
                 units[a["path"]] = a.get("partitions", {})
-            v = cv
             schema_json = c.get("schema") or schema_json
-        self.last_snapshot_commit_reads = reads
+            v = cv
+            cv += 1
+        self.last_snapshot_commit_reads += reads
         return Snapshot(v, units, schema_json)
 
     def _commit(

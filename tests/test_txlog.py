@@ -452,6 +452,88 @@ def test_corrupt_checkpoint_falls_back_to_older_or_full_replay(spark, tmp_path):
     assert _rows(t) == {f"k{i}": i for i in range(7)}
 
 
+# ------------------------------------------- round-4 hardening: defects
+
+def test_orphan_temp_files_do_not_break_snapshot(spark, table):
+    """In-flight writers stage .tmp_/.ckpt_/.lc_ temp files inside
+    _txlog (hard-link claims need same-filesystem); a concurrent or
+    crashed writer's orphan must never parse as a version or break
+    reads (round-3 ADVICE: high)."""
+    import os
+
+    table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    for name in (".tmp_deadbeef.json", ".ckpt_deadbeef.json", ".lc_deadbeef.json"):
+        with open(os.path.join(table._log_dir, name), "w") as fh:
+            fh.write('{"version": 999')  # partial payload, mid-crash
+    snap = table.snapshot()
+    assert snap.version == 0
+    assert _rows(table) == {"a": 1}
+    # and writes keep working past the orphans
+    table.merge(upserts=spark.createDataFrame([("b", 2)], SCHEMA))
+    assert _rows(table) == {"a": 1, "b": 2}
+
+
+def test_corrupt_newest_commit_heal_is_persisted(spark, table):
+    """Healing the newest unparseable commit must survive the NEXT
+    commit making it mid-log: the heal truncates the file to a
+    zero-length no-op on disk (round-3 ADVICE: medium)."""
+    import os
+
+    table.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    table.merge(upserts=spark.createDataFrame([("b", 2)], SCHEMA))
+    with open(table._commit_path(1), "w") as fh:
+        fh.write('{"version": 1, "adds": [{"pa')  # torn payload
+    snap = table.snapshot()  # newest is corrupt -> healed as no-op
+    assert snap.version == 1
+    assert _rows(table) == {"a": 1}
+    assert os.path.getsize(table._commit_path(1)) == 0  # heal persisted
+    # next writer claims v2; the healed v1 is now MID-LOG and must stay
+    # a no-op instead of raising LogCorruption forever
+    table.merge(upserts=spark.createDataFrame([("c", 3)], SCHEMA))
+    assert table.snapshot().version == 2
+    assert _rows(table) == {"a": 1, "c": 3}
+    # a fresh handle (new process) agrees
+    reopened = TransactionLogTable(spark, table.path, ["test_id"], schema=SCHEMA)
+    assert {r["test_id"] for r in reopened.read().collect()} == {"a", "c"}
+
+
+def test_fresh_last_checkpoint_pointer_avoids_log_listing(spark, tmp_path):
+    """When _last_checkpoint is fresh, snapshot() must follow the
+    pointer and probe commits by exact name — never LIST the log dir
+    (the expensive primitive on object stores)."""
+    t = TransactionLogTable(
+        spark,
+        str(tmp_path / "lc_fast"),
+        ["test_id"],
+        schema=SCHEMA,
+        checkpoint_interval=5,
+    )
+    for i in range(12):
+        t.merge(upserts=spark.createDataFrame([(f"k{i}", i)], SCHEMA))
+    snap = t.snapshot()  # ckpt at v10, pointer fresh
+    assert snap.version == 11
+    assert t.last_snapshot_listed_log is False
+    assert t.last_snapshot_commit_reads <= 2  # v11 + one missing-probe stop
+    # a fresh handle takes the fast path too
+    t2 = TransactionLogTable(
+        spark, t.path, ["test_id"], schema=SCHEMA, checkpoint_interval=5
+    )
+    assert _rows(t2) == {f"k{i}": i for i in range(12)}
+    assert t2.last_snapshot_listed_log is False
+    # no pointer yet (young table) -> listing is the correct fallback
+    young = TransactionLogTable(
+        spark, str(tmp_path / "lc_young"), ["test_id"], schema=SCHEMA
+    )
+    young.merge(upserts=spark.createDataFrame([("a", 1)], SCHEMA))
+    young.snapshot()
+    assert young.last_snapshot_listed_log is True
+    # time travel to BEFORE the pointer falls back to listing, correctly
+    assert {r["test_id"] for r in t.read(version=3).collect()} == {
+        f"k{i}" for i in range(4)
+    }
+    assert t.last_snapshot_listed_log is True
+
+
 # ---------------------------------------- round-3: concurrent writers
 
 def test_concurrent_merges_one_conflict_correct_final_state(spark, table):
