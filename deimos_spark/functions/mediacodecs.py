@@ -95,6 +95,9 @@ def sniff_format(data: bytes) -> str | None:
 # ----------------------------------------------------------------- PNG
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type -> channels
+# decode bound for untrusted blobs: 64M pixels (~256 MB RGBA) per image;
+# a corpus image larger than this is routed as a decode error, not OOM
+_PNG_MAX_PIXELS = 1 << 26
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -185,8 +188,17 @@ def _decode_png_inner(data: bytes) -> Image:
     if width is None or not idat:
         raise MediaDecodeError("PNG missing IHDR/IDAT")
     bpp = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    if width * height > _PNG_MAX_PIXELS:
+        raise MediaDecodeError(
+            f"PNG dimensions {width}x{height} exceed decode limit"
+        )
+    # Bounded inflate: this path is explicitly for untrusted blobs in a
+    # large corpus, and a tiny crafted IDAT (decompression bomb) must
+    # not exhaust executor memory. Output is capped at the size the
+    # already-validated IHDR implies; surplus compressed data is simply
+    # never inflated.
     expect = height * (1 + width * bpp)
+    raw = zlib.decompressobj().decompress(bytes(idat), expect)
     if len(raw) < expect:
         raise MediaDecodeError("PNG pixel data truncated")
     pixels = _unfilter(raw, width, height, bpp)

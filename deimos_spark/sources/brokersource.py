@@ -64,7 +64,10 @@ def _read_span(p: _BrokerPartition):
             rec.topic,
             rec.partition,
             rec.offset,
-            _dt.datetime.fromtimestamp(rec.timestamp),
+            # UTC-pinned: broker timestamps are epoch seconds; naive
+            # local-time conversion would shift on a TZ!=UTC cluster
+            # (the session pins spark.sql.session.timeZone=UTC).
+            _dt.datetime.fromtimestamp(rec.timestamp, tz=_dt.timezone.utc),
         )
 
 
@@ -93,30 +96,82 @@ class _BrokerStreamReader(DataSourceStreamReader):
     """Micro-batch reader: each batch covers (committed, latest] per
     broker partition; Spark checkpoints the returned offset dicts, so a
     restarted query resumes exactly where it stopped (the same
-    offset-resume contract the poll-loop tests assert)."""
+    offset-resume contract the poll-loop tests assert).
 
-    def __init__(self, path: str, topic: str):
+    Backpressure: the `maxRecordsPerBatch` option caps how far each
+    micro-batch may advance PER PARTITION — the reference caps every
+    poll the same way (db_poller/base.rb:16 BATCH_SIZE=1000,
+    outbox_producer.rb:11), and it is this source's analogue of the
+    Kafka source's maxOffsetsPerTrigger. The simple
+    DataSourceStreamReader API never passes the committed start to
+    latestOffset(), so the cap is reader-tracked (the same idiom
+    Spark's own self-clocked Python stream sources use): `_planned` is
+    the high-water mark this reader has offered, `_floor` is true
+    progress learned from every partitions(start, end) call. After a
+    restart the committed position is unknown until the first
+    partitions() call, so the reader offers "no progress" once, learns
+    the checkpointed start from that (empty) batch's span, and then
+    drains the backlog in capped batches — never in one unbounded
+    replay. Worst case across a crash inside that learning window is
+    re-reading records, which is the source's documented at-least-once
+    contract (the idempotent MERGE consumer absorbs duplicates)."""
+
+    def __init__(self, path: str, topic: str, max_records_per_batch: int | None):
         from deimos_spark.streaming.fakebroker import FakeBroker
 
         self.path = path
         self.topic = topic
         self.n = FakeBroker(path).num_partitions(topic)
+        self.max_records_per_batch = max_records_per_batch
+        self._planned: dict | None = None  # offered end, this reader
+        self._floor: dict = {}  # max(start/end) seen from the engine
 
     def initialOffset(self) -> dict:
-        return {str(p): 0 for p in range(self.n)}
+        off = {str(p): 0 for p in range(self.n)}
+        self._planned = dict(off)
+        return off
 
     def latestOffset(self) -> dict:
         from deimos_spark.streaming.fakebroker import FakeBroker
 
         broker = FakeBroker(self.path)
-        return {
+        ends = {
             str(p): broker.end_offset(self.topic, p) for p in range(self.n)
         }
+        cap = self.max_records_per_batch
+        if cap is None:
+            return ends
+        if self._planned is None:
+            # Restarted query: committed progress is unknown until the
+            # engine hands us a (start, end) span. If a WAL-replay batch
+            # already taught us the floor, drain from there; otherwise
+            # offer zero progress once — the resulting empty batch's
+            # partitions() call teaches us the real start.
+            self._planned = {
+                str(p): self._floor.get(str(p), 0) for p in range(self.n)
+            }
+            if not self._floor:
+                return dict(self._planned)
+        out = {}
+        for p in range(self.n):
+            k = str(p)
+            base = max(self._planned.get(k, 0), self._floor.get(k, 0))
+            out[k] = max(base, min(ends.get(k, 0), base + cap))
+        self._planned = dict(out)
+        return out
 
     def partitions(self, start: dict, end: dict):
         out = []
         for p in range(self.n):
-            s, e = int(start.get(str(p), 0)), int(end.get(str(p), 0))
+            k = str(p)
+            s, e = int(start.get(k, 0)), int(end.get(k, 0))
+            # learn true progress; never plan a re-read below it (a
+            # transiently-backward checkpoint can only occur in the
+            # post-restart learning batch above)
+            s = max(s, self._floor.get(k, 0))
+            self._floor[k] = max(self._floor.get(k, 0), s, e)
+            if self._planned is not None:
+                self._planned[k] = max(self._planned.get(k, 0), e)
             if e > s:
                 out.append(_BrokerPartition(self.path, self.topic, p, s, e))
         return out
@@ -129,7 +184,8 @@ class _BrokerStreamReader(DataSourceStreamReader):
 
 
 class FakeBrokerDataSource(DataSource):
-    """`format("fakebroker")` — options: path (broker dir), topic."""
+    """`format("fakebroker")` — options: path (broker dir), topic,
+    maxRecordsPerBatch (streaming read: per-partition micro-batch cap)."""
 
     @classmethod
     def name(cls) -> str:
@@ -149,9 +205,20 @@ class FakeBrokerDataSource(DataSource):
         return _BrokerBatchReader(*self._args())
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _BrokerStreamReader(*self._args())
+        raw = self.options.get("maxRecordsPerBatch")
+        cap = int(raw) if raw is not None else None
+        if cap is not None and cap <= 0:
+            raise ValueError("maxRecordsPerBatch must be a positive integer")
+        return _BrokerStreamReader(*self._args(), max_records_per_batch=cap)
 
     def writer(self, schema, overwrite: bool):
+        if overwrite:
+            # the broker log is append-only, exactly like the real Kafka
+            # sink — fail loudly instead of silently appending
+            raise ValueError(
+                "fakebroker is append-only: mode('overwrite') is not "
+                "supported; use mode('append')"
+            )
         return _BrokerWriter(*self._args())
 
     def streamWriter(self, schema, overwrite: bool):

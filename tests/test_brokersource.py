@@ -167,6 +167,136 @@ def test_batch_write_produces_through_partitioner(spark, broker):
     assert all(len(parts) == 1 for parts in seen.values())
 
 
+def test_overwrite_mode_rejected(spark, broker):
+    """The broker log is append-only (like the real Kafka sink):
+    mode('overwrite') must fail loudly, not silently append."""
+    df = spark.createDataFrame(
+        [Row(key=b"k", value=b"v")], "key binary, value binary"
+    )
+    with pytest.raises(Exception, match="append-only"):
+        (
+            df.write.format("fakebroker")
+            .option("path", broker.path)
+            .option("topic", TOPIC)
+            .mode("overwrite")
+            .save()
+        )
+
+
+def test_read_span_timestamp_is_utc_pinned(tmp_path):
+    """Executor-side decode must interpret broker epoch timestamps as
+    UTC regardless of the worker's process TZ (the session pins
+    spark.sql.session.timeZone=UTC; a naive fromtimestamp() would shift
+    by the local offset on a TZ!=UTC cluster)."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from deimos_spark.sources.brokersource import _BrokerPartition, _read_span
+
+    b = FakeBroker(str(tmp_path / "tzbroker"))
+    b.create_topic("tz", partitions=1)
+    b.produce("tz", b"k", b"v")
+    rec = next(iter(b.read_partition("tz", 0)))
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"  # UTC-4/-5: naive would shift
+    _time.tzset()
+    try:
+        row = next(_read_span(_BrokerPartition(b.path, "tz", 0, 0, 1)))
+        got = row[5]
+        assert got.tzinfo is not None
+        assert got == dt.datetime.fromtimestamp(rec.timestamp, tz=dt.timezone.utc)
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
+def _drain_counting_batches(spark, broker, ckpt, cap=None):
+    """Run the stream to exhaustion through foreachBatch, returning the
+    list of non-empty batches as [(partition, offset), ...] lists."""
+    reader = (
+        spark.readStream.format("fakebroker")
+        .option("path", broker.path)
+        .option("topic", TOPIC)
+    )
+    if cap is not None:
+        reader = reader.option("maxRecordsPerBatch", str(cap))
+    batches = []
+
+    def sink(df, _bid):
+        rows = [(r["partition"], r["offset"]) for r in df.collect()]
+        if rows:
+            batches.append(rows)
+
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return batches
+
+
+def test_max_records_per_batch_bounds_microbatches(spark, broker, tmp_path):
+    """A deep backlog with maxRecordsPerBatch drains in MULTIPLE bounded
+    micro-batches (<= cap per broker partition per batch), exactly once,
+    with per-partition offset order preserved across batches — the
+    reference caps every poll the same way (db_poller/base.rb:16)."""
+    _publish(spark, broker, [(f"id{i}", i) for i in range(60)])
+
+    batches = _drain_counting_batches(
+        spark, broker, str(tmp_path / "ckpt"), cap=5
+    )
+    assert len(batches) >= 2  # never one unbounded gulp
+    for rows in batches:
+        per_part = {}
+        for p, o in rows:
+            per_part[p] = per_part.get(p, 0) + 1
+        assert all(n <= 5 for n in per_part.values())
+    # exactly once, in per-partition offset order across batch boundaries
+    seen = [po for rows in batches for po in rows]
+    assert len(seen) == len(set(seen)) == 60
+    last = {}
+    for p, o in seen:
+        assert o > last.get(p, -1)
+        last[p] = o
+
+
+def test_restart_with_deep_backlog_drains_bounded(spark, broker, tmp_path):
+    """The round-3 gap: a RESTARTED query facing a deep backlog must not
+    replay it in one unbounded micro-batch. The reader re-learns the
+    checkpointed position, then drains capped."""
+    ckpt = str(tmp_path / "ckpt")
+    _publish(spark, broker, [(f"a{i}", i) for i in range(8)])
+    first = _drain_counting_batches(spark, broker, ckpt, cap=4)
+    drained = {po for rows in first for po in rows}
+    assert len(drained) == 8
+
+    # deep backlog lands while the query is down
+    _publish(spark, broker, [(f"b{i}", i) for i in range(48)])
+    second = _drain_counting_batches(spark, broker, ckpt, cap=4)
+    assert len(second) >= 2  # bounded drain, not one gulp
+    for rows in second:
+        per_part = {}
+        for p, o in rows:
+            per_part[p] = per_part.get(p, 0) + 1
+        assert all(n <= 4 for n in per_part.values())
+    replayed = [po for rows in second for po in rows]
+    # only the new records, each exactly once, order preserved per partition
+    assert len(replayed) == len(set(replayed)) == 48
+    assert not (set(replayed) & drained)
+    last = {}
+    for p, o in replayed:
+        assert o > last.get(p, -1)
+        last[p] = o
+
+
 def test_streaming_mirror_topic_to_topic(spark, broker, tmp_path):
     """The Spark-native relay: readStream topic A -> writeStream topic B,
     then consume B into a keyed table. A full mirror pipeline with

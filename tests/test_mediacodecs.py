@@ -101,6 +101,43 @@ def test_png_rejects_garbage_and_unsupported():
         mc.decode_png(bad)
 
 
+def test_png_decompression_bomb_is_bounded():
+    """A tiny crafted IDAT that inflates to ~100 MB against a 2x2 IHDR
+    must not be inflated past the IHDR-implied size — the decode path is
+    explicitly for untrusted blobs in large corpora (round-3 ADVICE)."""
+    rows = b"\x00" + bytes([1, 2]) + b"\x00" + bytes([3, 4])
+    bomb = rows + b"\x00" * (100 * 1024 * 1024)  # ~100 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    data = (
+        mc.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bomb, 9))  # ~100 KB on the wire
+        + _chunk(b"IEND", b"")
+    )
+    import tracemalloc
+
+    tracemalloc.start()
+    img = mc.decode_png(data)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert list(img.pixels) == [1, 2, 3, 4]  # first expect bytes used
+    assert peak < 16 * 1024 * 1024  # never materialized the 100 MB
+
+
+def test_png_absurd_dimensions_rejected():
+    """An IHDR claiming gigapixel dimensions routes as a decode error
+    instead of an executor-OOM-sized allocation."""
+    ihdr = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 0, 0, 0, 0)
+    data = (
+        mc.PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(mc.MediaDecodeError, match="decode limit"):
+        mc.decode_png(data)
+
+
 # ----------------------------------------------------------- BMP decode
 
 def _bmp_24(width, height, rows_rgb):
