@@ -38,12 +38,39 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _df_cache: dict[tuple[int, str, str], DataFrame] = {}
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Engine-wide convention: `events.ts` is epoch NANOSECONDS as long.
+
+    The driver's generator has shipped the column both ways across
+    rounds — TIMESTAMP(NANOS) (readable only via the nanosAsLong legacy
+    conf, which yields long ns directly) and TIMESTAMP(MICROS) (reads as
+    timestamp_ntz). Normalizing here keeps every downstream operator and
+    test identical under either file. The NTZ branch uses pure
+    wall-clock arithmetic (NTZ − NTZ epoch), which is session-TZ
+    independent and matches DuckDB's epoch_ns(ts) on the same file
+    exactly; ns since 1970 fits a long until 2262, no overflow."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "timestamp_ntz":
+        ns = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+            " ts) * 1000"
+        )
+        df = df.withColumn("ts", ns.cast("long"))
+    elif dt == "timestamp":
+        df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Path layout per TESTDATA.md."""
     key = (id(spark), sf_dir, name)
     df = _df_cache.get(key)
     if df is None:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = _normalize_events_ts(df)
         _df_cache[key] = df
     return df
 

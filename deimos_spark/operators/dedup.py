@@ -204,8 +204,13 @@ def minhash_lsh_pairs(
     # built as SQL strings — one py4j round-trip + JVM parse per column
     # instead of ~6 Column-API calls each; on a 32-hash signature this
     # cuts driver-side plan-build time visibly (bench cold_queries).
+    # Signature AND shingle count in ONE hash aggregate: the doc's size
+    # rides along through the band join, so no separate `sizes` aggregate
+    # and no per-side size joins at the end — 3 fewer stages in the plan
+    # (cold-start time at any scale, two fewer shuffles at 100 TB).
     sig = hashed.groupBy("_id").agg(
-        *[F.expr(f"min(_h1 + {j}L * _h2) AS _m{j}") for j in range(num_hashes)]
+        F.expr("count(1) AS _n"),
+        *[F.expr(f"min(_h1 + {j}L * _h2) AS _m{j}") for j in range(num_hashes)],
     )
     band_structs = ", ".join(
         "struct({b} AS band, xxhash64({cols}) AS bh)".format(
@@ -215,18 +220,21 @@ def minhash_lsh_pairs(
         for b in range(bands)
     )
     banded = sig.select(
-        "_id", F.expr(f"explode(array({band_structs})) AS bb")
-    ).select("_id", "bb.band", "bb.bh")
+        "_id", "_n", F.expr(f"explode(array({band_structs})) AS bb")
+    ).select("_id", "_n", "bb.band", "bb.bh")
 
-    left = banded.select(F.col("_id").alias("id_a"), "band", "bh")
-    right = banded.select(F.col("_id").alias("id_b"), "band", "bh")
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_n").alias("_na"), "band", "bh"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_n").alias("_nb"), "band", "bh"
+    )
     cand = (
         left.join(right, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .select("id_a", "id_b", "_na", "_nb")
         .distinct()
     )
-    sizes = hashed.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     inter = (
         cand.join(hashed.select(F.col("_id").alias("id_a"), "_h1", "_h2"), "id_a")
         .join(
@@ -234,21 +242,24 @@ def minhash_lsh_pairs(
             ["id_b", "_h1", "_h2"],
         )
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+        .agg(
+            F.count(F.lit(1)).alias("_inter"),
+            F.max("_na").alias("_na"),
+            F.max("_nb").alias("_nb"),
+        )
     )
     if jaccard_threshold > 0:
         # banding false-positives with ZERO common shingles have jaccard 0
         # and can't pass the threshold — skip the cand←inter left join and
         # fill; `inter` (built from cand) is already the survivor set. One
         # join fewer in the plan (trims both build and run time).
-        base = inter
+        verified = inter
     else:
-        base = cand.join(inter, ["id_a", "id_b"], "left").na.fill({"_inter": 0})
-    verified = (
-        base
-        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-    )
+        verified = (
+            cand.join(
+                inter.select("id_a", "id_b", "_inter"), ["id_a", "id_b"], "left"
+            ).na.fill({"_inter": 0})
+        )
     jac = F.col("_inter") / (F.col("_na") + F.col("_nb") - F.col("_inter"))
     return (
         verified.select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
@@ -460,25 +471,28 @@ def simhash_fingerprints(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_w"),
     ).select(id_col, F.xxhash64("_w").alias("_h"))
+    # 64 conditional sums + the bit-pack, each built as ONE SQL string —
+    # a single py4j round-trip + JVM parse instead of hundreds of nested
+    # Column nodes (the nested bitwiseOR chain alone was 64 levels deep
+    # and dominated cold plan-build time)
     agg = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(
-                    F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1)
-            ).alias(f"_b{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(_h, {i}) & 1L) = 1L "
+                f"THEN 1 ELSE -1 END) AS _b{i}"
+            )
             for i in range(64)
         ]
     )
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        packed = packed.bitwiseOR(
-            F.when(F.col(f"_b{i}") > 0, F.lit(mask).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return agg.select(F.col(id_col), packed.alias("_sh"))
+    # sum of disjoint power-of-two masks == bitwise OR; bit 63 is the
+    # long sign bit, so its mask is Long.MIN_VALUE and two's-complement
+    # addition still sets exactly that bit
+    pack_terms = " + ".join(
+        f"(CASE WHEN _b{i} > 0 THEN {(1 << i) if i < 63 else -(1 << 63)}L "
+        "ELSE 0L END)"
+        for i in range(64)
+    )
+    return agg.select(F.col(id_col), F.expr(f"({pack_terms}) AS _sh"))
 
 
 def simhash_near_pairs(
@@ -541,6 +555,7 @@ def benchmark_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 50,
+    broadcast_benchmark: bool = True,
 ) -> DataFrame:
     """Decontamination primitive: per-document shingle overlap against a
     benchmark set (here: docs with id < benchmark_max_id — in production,
@@ -552,11 +567,20 @@ def benchmark_contamination(
     set is equi-joined (shuffle on the shingle string — cardinality grows
     with unique benchmark content, never all-pairs), and one aggregate per
     doc yields (total, overlapping) shingle counts. Integer outputs, so
-    the DuckDB oracle comparison is exact."""
+    the DuckDB oracle comparison is exact.
+
+    broadcast_benchmark=True (default) broadcasts the distinct benchmark
+    shingle set: eval suites are tiny next to a training corpus, so the
+    overlap join becomes a map-side hash probe — the 100-TB corpus side
+    is never shuffled for it. Set False when the benchmark side is too
+    large for an executor-resident hash table (then it is a shuffle
+    equi-join on the shingle, still never all-pairs)."""
     ex = exploded_shingles(df, text_col, id_col, n)
     bench = (
         ex.filter(F.col("_id") < benchmark_max_id).select("_s").distinct()
     )
+    if broadcast_benchmark:
+        bench = F.broadcast(bench)
     corpus = ex.filter(F.col("_id") >= benchmark_max_id)
     tot = corpus.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     ovl = (
