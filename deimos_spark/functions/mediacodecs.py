@@ -82,13 +82,15 @@ class Audio:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """Magic-byte detection: 'png' | 'bmp' | 'wav' | None (unknown)."""
+    """Magic-byte detection: 'png' | 'bmp' | 'wav' | 'jpeg' | None."""
     if data[:8] == PNG_MAGIC:
         return "png"
     if data[:2] == b"BM":
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return None
 
 
@@ -307,6 +309,11 @@ def decode_image(data: bytes) -> Image:
         return decode_png(data)
     if fmt == "bmp":
         return decode_bmp(data)
+    if fmt == "jpeg":
+        # local import: jpegcodec imports Image/MediaDecodeError from here
+        from deimos_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     raise MediaDecodeError("unknown image format")
 
 

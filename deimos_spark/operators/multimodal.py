@@ -8,12 +8,13 @@ Design for 100 TB multimodal corpora:
 - decode / feature-extract / resize / frame-sample run as Arrow-batched
   `mapInPandas` functions: one Python worker call per batch, zero
   per-row overhead; partitioning controls parallelism.
-- decode is REAL for the formats the standard library can handle — PNG
-  (zlib + the spec's scanline filters), BMP, WAV (`wave` module) — via
-  functions/mediacodecs.py. Formats that need external codecs
-  (JPEG/MP3/MP4: PIL/ffmpeg are not in this container) fall back to a
-  deterministic content-hash stub, or raise NotImplementedError in
-  strict mode. The dispatch is magic-byte sniffing, so mixed-format
+- decode is REAL for every format expressible without external codecs —
+  PNG (zlib + the spec's scanline filters), BMP, WAV (`wave` module),
+  and baseline-sequential JPEG (T.81 Huffman + numpy IDCT, see
+  functions/jpegcodec.py). Formats that genuinely need external codecs
+  (progressive JPEG, MP3/MP4: ffmpeg is not in this container) fall
+  back to a deterministic content-hash stub, or raise
+  NotImplementedError in strict mode. The dispatch is magic-byte sniffing, so mixed-format
   corpora decode what they can.
 """
 
@@ -93,7 +94,7 @@ def extract_image_features(
                     continue
                 raw = bytes(c)
                 nbytes.append(len(raw))
-                if mc.sniff_format(raw) in ("png", "bmp"):
+                if mc.sniff_format(raw) in ("png", "bmp", "jpeg"):
                     try:
                         img = mc.decode_image(raw)
                         feats.append(mc.image_features(img, out_dim))
@@ -182,7 +183,7 @@ def resize_images(
                     continue
                 raw = bytes(content)
                 new_meta = dict(meta or {})
-                if mc.sniff_format(raw) in ("png", "bmp"):
+                if mc.sniff_format(raw) in ("png", "bmp", "jpeg"):
                     try:
                         img = mc.decode_image(raw)
                         resized = mc.resize_nearest(img, width, height)

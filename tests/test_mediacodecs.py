@@ -138,6 +138,127 @@ def test_png_absurd_dimensions_rejected():
         mc.decode_png(data)
 
 
+# ---------------------------------------------------------- JPEG decode
+
+from deimos_spark.functions.jpegcodec import (  # noqa: E402
+    decode_jpeg,
+    encode_jpeg_baseline,
+)
+
+
+def _gradient_rgb(w, h):
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (x * 6 % 256, y * 7 % 256, (x + y) * 3 % 256)
+    return px
+
+
+def _uniform_jpeg(w, h, rgb):
+    px = np.zeros((h, w, 3), dtype=np.uint8)
+    px[:, :] = rgb
+    return encode_jpeg_baseline(mc.Image(w, h, 3, px.tobytes()), quality=95)
+
+
+def test_jpeg_uniform_gray_is_exact():
+    """A uniform image is pure DC — the quantize/IDCT path must recover
+    it exactly (any zigzag/DCT-convention bug shows up here first)."""
+    img = mc.Image(16, 16, 1, bytes([120] * 256))
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert (out.width, out.height, out.channels) == (16, 16, 1)
+    assert np.abs(out.to_array().astype(int) - 120).max() == 0
+
+
+def test_jpeg_uniform_rgb_and_nonmultiple_of_8_dims():
+    px = np.zeros((24, 17, 3), np.uint8)
+    px[:, :] = (200, 50, 90)
+    img = mc.Image(17, 24, 3, px.tobytes())
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert (out.width, out.height, out.channels) == (17, 24, 3)
+    assert np.abs(out.to_array().astype(int) - px.astype(int)).max() <= 2
+
+
+def test_jpeg_gradient_roundtrip_444():
+    px = _gradient_rgb(32, 24)
+    img = mc.Image(32, 24, 3, px.tobytes())
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95))
+    err = np.abs(out.to_array().astype(int) - px.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 40  # lossy but close
+
+
+def test_jpeg_gradient_roundtrip_420_subsampled():
+    """4:2:0: decoder must upsample chroma by sampling factors; odd
+    dimensions exercise the edge-padding path."""
+    px = _gradient_rgb(37, 25)
+    img = mc.Image(37, 25, 3, px.tobytes())
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=95, subsample=True))
+    assert (out.width, out.height) == (37, 25)
+    err = np.abs(out.to_array().astype(int) - px.astype(int))
+    assert err.mean() < 6.0  # chroma subsampling costs accuracy, not luma
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: DC predictors reset at each interval; a decoder that
+    ignores restarts drifts badly."""
+    px = _gradient_rgb(40, 33)
+    img = mc.Image(40, 33, 3, px.tobytes())
+    data = encode_jpeg_baseline(
+        img, quality=95, subsample=True, restart_interval=2
+    )
+    assert b"\xff\xd0" in data or b"\xff\xd1" in data  # markers present
+    out = decode_jpeg(data)
+    err = np.abs(out.to_array().astype(int) - px.astype(int))
+    assert err.mean() < 6.0
+
+
+def test_jpeg_quality_monotonic():
+    """Lower quality → coarser quantization → larger error, smaller file."""
+    px = _gradient_rgb(32, 32)
+    img = mc.Image(32, 32, 3, px.tobytes())
+    hi = encode_jpeg_baseline(img, quality=95)
+    lo = encode_jpeg_baseline(img, quality=10)
+    assert len(lo) < len(hi)
+    err_hi = np.abs(decode_jpeg(hi).to_array().astype(int) - px.astype(int)).mean()
+    err_lo = np.abs(decode_jpeg(lo).to_array().astype(int) - px.astype(int)).mean()
+    assert err_hi < err_lo
+
+
+def test_jpeg_rejects_progressive_truncated_and_garbage():
+    px = _gradient_rgb(16, 16)
+    data = encode_jpeg_baseline(mc.Image(16, 16, 3, px.tobytes()))
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(mc.MediaDecodeError, match="progressive"):
+        decode_jpeg(prog)
+    # truncated scan
+    with pytest.raises(mc.MediaDecodeError):
+        decode_jpeg(data[: len(data) // 2])
+    # garbage after magic
+    with pytest.raises(mc.MediaDecodeError):
+        decode_jpeg(b"\xff\xd8\xff\xe0 not a real jpeg")
+
+
+def test_jpeg_dimension_cap():
+    import struct as _s
+
+    # hand-build headers claiming gigapixel dims
+    sof = _s.pack(">BHHB", 8, 65500, 65500, 1) + bytes([1, 0x11, 0])
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _s.pack(">H", len(sof) + 2) + sof
+    )
+    with pytest.raises(mc.MediaDecodeError, match="decode limit"):
+        decode_jpeg(data)
+
+
+def test_jpeg_sniffed_and_dispatched():
+    px = _gradient_rgb(8, 8)
+    data = encode_jpeg_baseline(mc.Image(8, 8, 3, px.tobytes()))
+    assert mc.sniff_format(data) == "jpeg"
+    img = mc.decode_image(data)  # dispatch through the common entry
+    assert (img.width, img.height, img.channels) == (8, 8, 3)
+
+
 # ----------------------------------------------------------- BMP decode
 
 def _bmp_24(width, height, rows_rgb):
@@ -217,7 +338,8 @@ def test_sniff_format():
     assert mc.sniff_format(_wav()) == "wav"
     assert mc.sniff_format(_bmp_24(1, 1, [[(0, 0, 0)]])) == "bmp"
     assert mc.sniff_format(_png(1, 1, 0, b"\x00\x00")) == "png"
-    assert mc.sniff_format(b"\xff\xd8\xff\xe0jfif") is None  # JPEG: no codec
+    assert mc.sniff_format(b"\xff\xd8\xff\xe0jfif") == "jpeg"
+    assert mc.sniff_format(b"\x00\x01random") is None
 
 
 def test_resize_nearest_exact():
@@ -262,6 +384,8 @@ def media_df(spark):
         (1, bytearray(_bmp_24(4, 4, [[(i * 16, 0, 255 - i * 16) for i in range(4)]] * 4)),
          ("image/bmp", 4, 4, None, None)),
         (2, bytearray(b"\xff\xd8\xff\xe0 fake jpeg bytes"), ("image/jpeg", 2, 2, None, None)),
+        (3, bytearray(_uniform_jpeg(12, 10, (255, 0, 0))),
+         ("image/jpeg", 12, 10, None, None)),
     ]
     from deimos_spark.operators.multimodal import MEDIA_SCHEMA
 
@@ -281,10 +405,14 @@ def test_spark_image_features_real_decode(spark, media_df):
 
     out = {r["media_id"]: r for r in extract_image_features(media_df, out_dim=8).collect()}
     assert out[0]["decoded"] and out[1]["decoded"]  # PNG + BMP: real pixels
-    assert not out[2]["decoded"]  # JPEG: stub
+    assert not out[2]["decoded"]  # corrupt JPEG bytes: stub fallback
+    assert out[3]["decoded"]  # REAL baseline JPEG: decoded pixels
     # gradient PNG: R mean = 0.5 (symmetric gradient), B mean = 128/255
     assert out[0]["features"][0] == pytest.approx(0.5, abs=0.01)
     assert out[0]["features"][4] == pytest.approx(128 / 255, abs=0.01)
+    # uniform red JPEG: R mean ~1.0, G mean ~0.0 from real pixels
+    assert out[3]["features"][0] == pytest.approx(1.0, abs=0.02)
+    assert out[3]["features"][2] == pytest.approx(0.0, abs=0.02)
 
 
 def test_spark_resize_real_decode_roundtrips(spark, media_df):
@@ -328,6 +456,45 @@ def test_spark_strict_mode_raises_for_unsupported(spark, media_df):
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    gray=st.booleans(),
+    sub=st.booleans(),
+    data=st.data(),
+)
+def test_jpeg_roundtrip_property_blockwise(bw, bh, gray, sub, data):
+    """Block-constant images (one color per 8x8 block) survive baseline
+    JPEG nearly exactly: each block is DC-dominated, so quality-95
+    round-trip error stays small for ANY color choice. Exercises
+    arbitrary block counts, gray vs RGB, and both sampling modes."""
+    ch = 1 if gray else 3
+    colors = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255) for _ in range(ch)]),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    px = np.zeros((bh * 8, bw * 8, ch), dtype=np.uint8)
+    for i, c in enumerate(colors):
+        y, x = divmod(i, bw)
+        px[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = c
+    img = mc.Image(bw * 8, bh * 8, ch, px.tobytes())
+    out = decode_jpeg(
+        encode_jpeg_baseline(img, quality=95, subsample=(sub and not gray))
+    )
+    assert (out.width, out.height, out.channels) == (bw * 8, bh * 8, ch)
+    got = out.to_array().reshape(bh * 8, bw * 8, ch).astype(int)
+    # luma is block-exact up to quant rounding; chroma edges may bleed
+    # one pixel under 4:2:0, so compare block interiors
+    for i, c in enumerate(colors):
+        y, x = divmod(i, bw)
+        inner = got[y * 8 + 2 : y * 8 + 6, x * 8 + 2 : x * 8 + 6]
+        assert np.abs(inner - np.array(c)).max() <= 14
 
 
 @settings(max_examples=40, deadline=None)
