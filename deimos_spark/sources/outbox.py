@@ -90,11 +90,22 @@ class OutboxTable:
         to a tmp dir, move the live table aside, move tmp in, THEN delete
         the old copy. A crash at any point leaves either the old table or
         the new one at self.path — never a window with no table — so
-        pending messages can't be stranded (at-least-once preserved)."""
+        pending messages can't be stranded (at-least-once preserved).
+
+        Small id lists delete via an InSet predicate (pushable to the
+        scan); large drains switch to a broadcast anti-join — a 100k-term
+        IN list is a 100k-node expression tree that Catalyst chokes on
+        long before the data is the problem."""
         import shutil
         import uuid as _uuid
 
-        df = self.read().filter(~F.col("id").isin(ids))
+        if len(ids) <= 1000:
+            df = self.read().filter(~F.col("id").isin(ids))
+        else:
+            id_df = self.spark.createDataFrame(
+                [(int(i),) for i in ids], "id long"
+            )
+            df = self.read().join(F.broadcast(id_df), "id", "left_anti")
         tmp = f"{self.path}.__tmp_{_uuid.uuid4().hex[:8]}"
         df.write.mode("overwrite").parquet(tmp)
         old = f"{self.path}.__old_{_uuid.uuid4().hex[:8]}"

@@ -138,6 +138,24 @@ def test_tpch_q1_partial_agg(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
 
 
+def test_decontamination_benchmark_side_broadcast(spark):
+    """t14: with broadcast_benchmark (the default), the overlap join is
+    a BroadcastHashJoin probing the tiny benchmark shingle set — the
+    100-TB corpus side is never shuffled for it. With the flag off it
+    degrades to a shuffle equi-join (still never cartesian)."""
+    from deimos_spark.catalog import load_table
+    from deimos_spark.operators.dedup import benchmark_contamination
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(benchmark_contamination(docs, benchmark_max_id=50))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    plan_off = _plan(
+        benchmark_contamination(docs, benchmark_max_id=50, broadcast_benchmark=False)
+    )
+    assert "CartesianProduct" not in plan_off
+
+
 def test_tpch_q21_no_cartesian_no_window(spark):
     from deimos_spark.operators import tpch
 

@@ -113,6 +113,56 @@ def _between_rounds(spark) -> None:
         pass
 
 
+def _null_produce(topic, batch) -> None:
+    """Sink that accepts either relay-mode batch shape (driver: list of
+    Rows; executor: pandas DataFrame) and does nothing — so the bench
+    measures the relay machinery + transport, not a fake broker."""
+
+
+def _relay_bench(spark, scratch: str, n: int = 100_000) -> dict:
+    """Executor-relay evidence (SURVEY A27): drain an n-row outbox with
+    ~4 KB payloads (400 MB total) in BOTH relay modes. Driver mode
+    single-threads every payload byte through driver collect(); executor
+    mode produces inside 16 parallel mapInPandas tasks and only the
+    delivered ids cross back. On a real cluster the driver path also
+    crosses the network to one node; local[32] understates the gap, so
+    beating driver mode here is conservative evidence."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.sources.outbox import OutboxRelay, OutboxTable
+
+    payload = "x" * 4096
+    out = {}
+    for mode in ("driver", "executor"):
+        path = f"{scratch}/outbox_{mode}"
+        ob = OutboxTable(spark, path)
+        ob.append(
+            spark.range(n).select(
+                F.encode((F.col("id") % 1024).cast("string"), "utf-8").alias("key"),
+                F.encode(F.concat_ws("-", F.col("id").cast("string"),
+                                     F.lit(payload)), "utf-8").alias("value"),
+                F.lit("bench_topic").alias("topic"),
+            )
+        )
+        relay = OutboxRelay(
+            ob, _null_produce, batch_size=n, mode=mode,
+            executor_parallelism=16,
+        )
+        t0 = time.perf_counter()
+        sent = relay.run_once()
+        dt = time.perf_counter() - t0
+        out[mode] = {
+            "rows": sent,
+            "sec": round(dt, 2),
+            "rows_per_sec": int(sent / dt) if dt else 0,
+        }
+        shutil.rmtree(path, ignore_errors=True)
+    out["executor_ge_driver"] = (
+        out["executor"]["rows_per_sec"] >= out["driver"]["rows_per_sec"]
+    )
+    return out
+
+
 def _fit_exponent(ks: list[int], times: list[float]) -> float:
     """Least-squares slope of log(time) vs log(K) — the empirical scaling
     exponent (1.0 = linear, 0 = constant). Times are floored at 50ms so
@@ -152,6 +202,8 @@ def main() -> None:
         shutil.rmtree(kdir, ignore_errors=True)
         _between_rounds(spark)
 
+    relay = _relay_bench(spark, scratch + "_relay")
+
     sks = sorted(ks)
     scaling = {
         name: round(_fit_exponent(sks, [curve[name][k] for k in sks]), 3)
@@ -170,6 +222,7 @@ def main() -> None:
                 "queries": curve,
                 "scaling_exponent": scaling,
                 "superlinear": superlinear,
+                "outbox_relay_100k": relay,
                 "total_sec_at_max_k": round(
                     sum(curve[n][sks[-1]] for n in QUERIES), 2
                 ),
