@@ -64,6 +64,9 @@ HEADLINE = [
     "t12_top_bigrams",
     "t13_repetition_stats",
     "t14_benchmark_contamination",
+    # round 4: training-data pipeline ops
+    "t15_duplicate_ngrams",
+    "t16_pii_scrub",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",

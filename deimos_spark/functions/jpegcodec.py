@@ -546,8 +546,6 @@ def encode_jpeg_baseline(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    qz = np.zeros(64, dtype=np.int32)
-    qz[_NAT2ZZ] = np.arange(64)  # not used; keep zigzag write explicit below
     out += _seg(0xDB, bytes([0x00]) + bytes(
         int(qlum.reshape(64)[ZIGZAG[i]]) for i in range(64)
     ))

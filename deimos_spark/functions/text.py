@@ -121,3 +121,35 @@ def _name(col: Column | str) -> str:
     if isinstance(col, str):
         return col
     raise TypeError("regexp helpers need a column name string")
+
+
+# ----------------------------------------------------------- PII scrubbing
+
+# Engine-portable patterns (valid in both Java regex and RE2, so the
+# DuckDB oracle can apply the identical expressions): deliberately
+# conservative — training-data scrubbing wants high precision; recall
+# tuning belongs to the pipeline owner.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Match count per PII class — all JVM-side regexp_extract_all."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: Column | str) -> Column:
+    """Redact every PII class to a typed token ([EMAIL], [PHONE], ...).
+    Chained regexp_replace — single projection, whole-stage codegen'd;
+    the 100-TB shape is one pass over the text column, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{name.upper()}]")
+    return c

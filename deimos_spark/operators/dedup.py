@@ -546,6 +546,53 @@ def simhash_near_pairs(
     )
 
 
+# ------------------------------------------------- verbatim duplication scan
+
+def duplicate_ngram_spans(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document verbatim-duplication signal: how many of a doc's
+    distinct word n-grams also appear in ≥ min_docs-1 OTHER documents.
+
+    This is the Spark-shaped version of the substring-dedup signal from
+    the public "Deduplicating Training Data Makes Language Models
+    Better" line of work: instead of a suffix array (pointer-chasing,
+    single-machine), duplicated spans are found as n-grams whose
+    document frequency exceeds a threshold — one exploded-shingle
+    relation, one document-frequency aggregate, one join back. Every
+    step is a hash shuffle on the shingle or the doc id; nothing is
+    ever all-pairs, so the shape survives 100 TB. Downstream pipelines
+    drop or trim documents with high dup_ngrams/n_ngrams ratios.
+
+    Integer outputs → exact DuckDB oracle comparison."""
+    ex = exploded_shingles(df, text_col, id_col, n)
+    df_freq = (
+        ex.groupBy("_s")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .filter(F.col("_df") >= min_docs)
+        .select("_s")
+    )
+    tot = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    dup = (
+        ex.join(df_freq, "_s")
+        .groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("dup_ngrams"))
+    )
+    return (
+        tot.join(dup, "_id", "left")
+        .na.fill({"dup_ngrams": 0})
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
+            F.col("dup_ngrams").cast("bigint").alias("dup_ngrams"),
+        )
+    )
+
+
 # ------------------------------------------------------ benchmark contamination
 
 def benchmark_contamination(

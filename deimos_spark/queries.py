@@ -432,6 +432,59 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15: verbatim-duplication scan — per doc, how many of its distinct
+    word 5-grams appear in ≥2 documents (the substring-dedup signal from
+    the public dedup-training-data line of work, reshaped as shingle
+    document-frequency: exploded shingles → DF aggregate → join back;
+    hash shuffles only, never all-pairs)."""
+    return dedup.duplicate_ngram_spans(
+        _docs(spark, sf_dir), n=5, min_docs=2
+    ).orderBy("doc_id")
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16: PII scrubbing stats per language. The synthetic corpus has no
+    natural PII, so deterministic PII (email/phone/IP derived from
+    doc_id) is injected IDENTICALLY in Spark and the DuckDB oracle —
+    the scrubber is exercised with nonzero counts and the redacted
+    char delta is compared exactly. One codegen'd projection: counts
+    via regexp_extract_all, redaction via chained regexp_replace."""
+    from deimos_spark.functions.text import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1"),
+    )
+    counts = pii_counts(aug)
+    e = d.select(
+        "lang",
+        aug.alias("_t"),
+        counts["email"].alias("_e"),
+        counts["phone"].alias("_p"),
+        counts["ipv4"].alias("_i"),
+    )
+    return (
+        e.groupBy("lang")
+        .agg(
+            F.sum("_e").cast("bigint").alias("emails"),
+            F.sum("_p").cast("bigint").alias("phones"),
+            F.sum("_i").cast("bigint").alias("ipv4s"),
+            F.sum(F.length("_t") - F.length(scrub_pii(F.col("_t"))))
+            .cast("bigint")
+            .alias("chars_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
@@ -1106,6 +1159,39 @@ def all_queries() -> dict[str, QuerySpec]:
             "CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap "
             "FROM tot t LEFT JOIN ovl o ON t.doc_id = o.doc_id "
             "ORDER BY n_overlap DESC, t.doc_id LIMIT 50",
+        ),
+        QuerySpec(
+            "t15_duplicate_ngrams", q_duplicate_ngrams,
+            "WITH ds AS (SELECT DISTINCT doc_id, unnest(list_transform(generate_series(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 4, 1)), i -> array_to_string((string_split_regex(trim(text), '\\s+'))[i:i+4], ' '))) AS _s "
+            "FROM documents), "
+            "dfq AS (SELECT _s FROM ds GROUP BY _s HAVING count(DISTINCT doc_id) >= 2), "
+            "tot AS (SELECT doc_id, count(*) AS n_ngrams FROM ds GROUP BY doc_id), "
+            "dup AS (SELECT ds.doc_id, count(*) AS dup_ngrams FROM ds "
+            "JOIN dfq USING (_s) GROUP BY ds.doc_id) "
+            "SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams, "
+            "CAST(coalesce(d.dup_ngrams, 0) AS BIGINT) AS dup_ngrams "
+            "FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id "
+            "ORDER BY t.doc_id",
+            note="verbatim-duplication scan (substring-dedup signal)",
+        ),
+        QuerySpec(
+            "t16_pii_scrub", q_pii_scrub,
+            "WITH aug AS (SELECT lang, text || ' contact user' || "
+            "CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' || "
+            "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.0.' || "
+            "CAST(doc_id % 256 AS VARCHAR) || '.1' AS t FROM documents) "
+            "SELECT lang, "
+            "CAST(sum(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0))) AS BIGINT) AS emails, "
+            "CAST(sum(len(regexp_extract_all(t, '\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', 0))) AS BIGINT) AS phones, "
+            "CAST(sum(len(regexp_extract_all(t, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', 0))) AS BIGINT) AS ipv4s, "
+            "CAST(sum(length(t) - length("
+            "regexp_replace(regexp_replace(regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}', '[PHONE]', 'g'), "
+            "'[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IPV4]', 'g')"
+            ")) AS BIGINT) AS chars_redacted "
+            "FROM aug GROUP BY lang ORDER BY lang",
+            note="PII scrubbing stats (deterministic injected PII)",
         ),
     ]
     specs += _tpch_specs()

@@ -112,3 +112,43 @@ def test_jaccard_vs_query_matches_perrow_reference(spark):
     got = {(r["doc_id"], r["jaccard"]) for r in fast.collect()}
     want = {(r["doc_id"], r["jaccard"]) for r in ref.collect()}
     assert got == want
+
+
+def test_duplicate_ngram_spans_known_counts(spark):
+    """t15 kernel on a hand-built corpus: shared 3-grams counted per doc,
+    unique docs report zero."""
+    from deimos_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),       # shares 3-grams with 2
+            (2, "the quick brown fox sleeps"),      # 2 shared of 3
+            (3, "completely different text here"),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["dup_ngrams"])
+        for r in dedup.duplicate_ngram_spans(d, n=3).collect()
+    }
+    # doc1/doc2 share "the quick brown" and "quick brown fox"
+    assert out[1] == (3, 2)
+    assert out[2] == (3, 2)
+    assert out[3] == (2, 0)
+
+
+def test_scrub_pii_redacts_typed_tokens(spark):
+    from deimos_spark.functions.text import pii_counts, scrub_pii
+
+    d = spark.createDataFrame(
+        [("mail a.user@corp.example.org or call +1-555-123-4567 from 192.168.0.1 ok",)],
+        "t string",
+    )
+    row = d.select(
+        scrub_pii("t").alias("s"), *[
+            v.alias(k) for k, v in pii_counts("t").items()
+        ]
+    ).head()
+    assert "[EMAIL]" in row["s"] and "[PHONE]" in row["s"] and "[IPV4]" in row["s"]
+    assert "a.user@" not in row["s"] and "192.168" not in row["s"]
+    assert (row["email"], row["phone"], row["ipv4"]) == (1, 1, 1)
