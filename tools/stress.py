@@ -132,31 +132,44 @@ def _relay_bench(spark, scratch: str, n: int = 100_000) -> dict:
     from deimos_spark.sources.outbox import OutboxRelay, OutboxTable
 
     payload = "x" * 4096
-    out = {}
-    for mode in ("driver", "executor"):
-        path = f"{scratch}/outbox_{mode}"
-        ob = OutboxTable(spark, path)
-        ob.append(
-            spark.range(n).select(
-                F.encode((F.col("id") % 1024).cast("string"), "utf-8").alias("key"),
-                F.encode(F.concat_ws("-", F.col("id").cast("string"),
-                                     F.lit(payload)), "utf-8").alias("value"),
-                F.lit("bench_topic").alias("topic"),
-            )
+    path = f"{scratch}/outbox"
+    ob = OutboxTable(spark, path)
+    ob.append(
+        spark.range(n).select(
+            F.encode((F.col("id") % 1024).cast("string"), "utf-8").alias("key"),
+            F.encode(F.concat_ws("-", F.col("id").cast("string"),
+                                 F.lit(payload)), "utf-8").alias("value"),
+            F.lit("bench_topic").alias("topic"),
         )
+    )
+    batch = ob.read().orderBy("id").limit(n)
+    out = {}
+    # Time ONLY the produce leg — the step the two modes differ on. The
+    # surrounding drain loop (reads, delete_ids rewrite) is byte-identical
+    # in both modes and would dilute the comparison. Median of 3 so one
+    # GC pause can't flip the verdict. Same table both modes (immutable).
+    for mode in ("driver", "executor"):
         relay = OutboxRelay(
             ob, _null_produce, batch_size=n, mode=mode,
             executor_parallelism=16,
         )
-        t0 = time.perf_counter()
-        sent = relay.run_once()
-        dt = time.perf_counter() - t0
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            if mode == "executor":
+                sent = relay._produce_executor("bench_topic", batch)
+            else:
+                rows = batch.collect()
+                _null_produce("bench_topic", rows)
+                sent = len(rows)
+            runs.append(time.perf_counter() - t0)
+        dt = sorted(runs)[1]
         out[mode] = {
             "rows": sent,
             "sec": round(dt, 2),
             "rows_per_sec": int(sent / dt) if dt else 0,
         }
-        shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
     out["executor_ge_driver"] = (
         out["executor"]["rows_per_sec"] >= out["driver"]["rows_per_sec"]
     )
