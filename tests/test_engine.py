@@ -120,3 +120,36 @@ def test_engine_level_registry_roundtrip(spark, tmp_path):
     cons.consume_batch(batch)
     got = {r["test_id"]: r["some_int"] for r in cons.table.read().collect()}
     assert got == {"a": 1}
+
+
+def test_events_ts_normalized_to_epoch_ns_under_any_tz(spark, tmp_path):
+    """catalog.load_table: events.ts must become long epoch-ns whether
+    the parquet carries TIMESTAMP(MICROS) (round-4 testdata, reads as
+    timestamp_ntz) or is already long — and the NTZ conversion must be
+    session-TZ independent (pure wall-clock arithmetic), matching
+    DuckDB epoch_ns exactly."""
+    import datetime as dt
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from deimos_spark.catalog import load_table
+
+    sfdir = str(tmp_path)
+    wall = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    spark.createDataFrame(
+        [(1, wall)], "event_id long, ts timestamp_ntz"
+    ).write.parquet(f"{sfdir}/events.parquet")
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        got = load_table(spark, sfdir, "events").select("ts").head()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert load_table(spark, sfdir, "events").schema["ts"].dataType.typeName() == "long"
+    want = duckdb.sql(
+        "SELECT CAST(epoch_ns(ts) AS BIGINT) "
+        f"FROM read_parquet('{sfdir}/events.parquet/*.parquet')"
+    ).fetchone()[0]
+    assert got == want == 1709296245123456000
