@@ -1,0 +1,242 @@
+"""Read-only Delta Lake interop: the reader replays hand-authored
+_delta_log directories written strictly per the PUBLIC protocol spec
+(delta.io PROTOCOL.md) — add/remove/metaData/protocol JSON actions,
+partition values carried in the log, checkpoint parquet + replay.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from deimos_spark.operators.delta_interop import (
+    DeltaProtocolError,
+    DeltaTableReader,
+)
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_data_file(spark, table, rel, rows, schema="id long, v string"):
+    """One single-file parquet unit at table/rel."""
+    tmp = os.path.join(table, f"__tmp_{rel.replace('/', '_')}")
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    df.write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    os.makedirs(os.path.dirname(os.path.join(table, rel)) or table, exist_ok=True)
+    os.rename(os.path.join(tmp, part), os.path.join(table, rel))
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+def _commit(table, version, actions):
+    logdir = os.path.join(table, "_delta_log")
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(schema_json=SCHEMA_JSON, partition_cols=()):
+    return {
+        "metaData": {
+            "id": "00000000-0000-0000-0000-000000000000",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_json,
+            "partitionColumns": list(partition_cols),
+            "configuration": {},
+        }
+    }
+
+
+_PROTO = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+
+
+def _add(path, pvals=None):
+    return {
+        "add": {
+            "path": path,
+            "partitionValues": pvals or {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+        }
+    }
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    t = str(tmp_path / "dtable")
+    os.makedirs(t)
+    _write_data_file(spark, t, "part-0.parquet", [(1, "a"), (2, "b")])
+    _write_data_file(spark, t, "part-1.parquet", [(3, "c")])
+    _commit(t, 0, [_PROTO, _meta(), _add("part-0.parquet")])
+    _commit(t, 1, [_add("part-1.parquet")])
+    return t
+
+
+def _rows(df):
+    return {(r["id"], r["v"]) for r in df.collect()}
+
+
+def test_read_latest_replays_adds(spark, table):
+    r = DeltaTableReader(spark, table)
+    assert _rows(r.read()) == {(1, "a"), (2, "b"), (3, "c")}
+    assert r.snapshot().version == 1
+
+
+def test_time_travel_and_remove_action(spark, table):
+    # version 2 compacts: remove both files, add a rewritten one
+    _write_data_file(spark, table, "part-2.parquet", [(1, "a2"), (3, "c")])
+    _commit(
+        table,
+        2,
+        [
+            {"remove": {"path": "part-0.parquet", "dataChange": True}},
+            {"remove": {"path": "part-1.parquet", "dataChange": True}},
+            _add("part-2.parquet"),
+        ],
+    )
+    r = DeltaTableReader(spark, table)
+    assert _rows(r.read()) == {(1, "a2"), (3, "c")}
+    assert _rows(r.read(version=0)) == {(1, "a"), (2, "b")}
+    assert _rows(r.read(version=1)) == {(1, "a"), (2, "b"), (3, "c")}
+    with pytest.raises(DeltaProtocolError, match="not present"):
+        r.read(version=9)
+
+
+def test_partition_values_from_log_not_files(spark, tmp_path):
+    """Delta keeps hive partition values ONLY in the log: data files lack
+    the column; the reader re-attaches typed literals."""
+    t = str(tmp_path / "ptable")
+    os.makedirs(t)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "day", "type": "integer", "nullable": True, "metadata": {}},
+                {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _write_data_file(spark, t, "day=1/f0.parquet", [(1, "a")])
+    _write_data_file(spark, t, "day=2/f1.parquet", [(2, "b")])
+    _commit(
+        t,
+        0,
+        [
+            _PROTO,
+            _meta(schema, ["day"]),
+            _add("day=1/f0.parquet", {"day": "1"}),
+            _add("day=2/f1.parquet", {"day": "2"}),
+        ],
+    )
+    r = DeltaTableReader(spark, t)
+    df = r.read()
+    assert df.schema["day"].dataType == T.IntegerType()
+    got = {(x["day"], x["id"], x["v"]) for x in df.collect()}
+    assert got == {(1, 1, "a"), (2, 2, "b")}
+    # partition filter prunes to one scan group's rows
+    assert df.filter("day = 2").count() == 1
+
+
+def test_checkpoint_parquet_plus_replay(spark, tmp_path):
+    """_last_checkpoint-style flow: state from the checkpoint parquet,
+    only later JSON commits replayed."""
+    t = str(tmp_path / "ctable")
+    os.makedirs(t)
+    _write_data_file(spark, t, "f0.parquet", [(1, "a")])
+    _write_data_file(spark, t, "f1.parquet", [(2, "b")])
+    _commit(t, 0, [_PROTO, _meta(), _add("f0.parquet")])
+    # checkpoint at v1 = {f1 live} + metaData (f0 was removed at v1)
+    ck_schema = T.StructType(
+        [
+            T.StructField(
+                "add",
+                T.StructType(
+                    [
+                        T.StructField("path", T.StringType()),
+                        T.StructField(
+                            "partitionValues",
+                            T.MapType(T.StringType(), T.StringType()),
+                        ),
+                    ]
+                ),
+            ),
+            T.StructField(
+                "metaData",
+                T.StructType(
+                    [
+                        T.StructField("schemaString", T.StringType()),
+                        T.StructField(
+                            "partitionColumns", T.ArrayType(T.StringType())
+                        ),
+                        T.StructField(
+                            "format",
+                            T.StructType(
+                                [T.StructField("provider", T.StringType())]
+                            ),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    rows = [
+        Row(add=Row(path="f1.parquet", partitionValues={}), metaData=None),
+        Row(
+            add=None,
+            metaData=Row(
+                schemaString=SCHEMA_JSON,
+                partitionColumns=[],
+                format=Row(provider="parquet"),
+            ),
+        ),
+    ]
+    ckdir = str(tmp_path / "ck")
+    spark.createDataFrame(rows, ck_schema).coalesce(1).write.parquet(ckdir)
+    part = next(f for f in os.listdir(ckdir) if f.endswith(".parquet"))
+    os.rename(
+        os.path.join(ckdir, part),
+        os.path.join(t, "_delta_log", f"{1:020d}.checkpoint.parquet"),
+    )
+    # later JSON commit adds f2
+    _write_data_file(spark, t, "f2.parquet", [(3, "c")])
+    _commit(t, 2, [_add("f2.parquet")])
+
+    r = DeltaTableReader(spark, t)
+    snap = r.snapshot()
+    assert snap.version == 2
+    assert set(snap.files) == {"f1.parquet", "f2.parquet"}
+    assert _rows(r.read()) == {(2, "b"), (3, "c")}
+
+
+def test_unsupported_features_refused(spark, tmp_path):
+    t = str(tmp_path / "bad")
+    os.makedirs(t)
+    _write_data_file(spark, t, "f0.parquet", [(1, "a")])
+    _commit(
+        t,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            _meta(),
+            _add("f0.parquet"),
+        ],
+    )
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
+        DeltaTableReader(spark, t).read()
+    with pytest.raises(FileNotFoundError):
+        DeltaTableReader(spark, str(tmp_path / "nope"))
