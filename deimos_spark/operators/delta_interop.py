@@ -1,6 +1,6 @@
-"""Read-only Delta Lake table adapter — pure-Python log replay over the
-PUBLIC Delta transaction-log protocol (delta.io PROTOCOL.md; no Delta
-code or jars used).
+"""Delta Lake table interop — pure-Python log replay AND protocol-
+faithful writes over the PUBLIC Delta transaction-log protocol
+(delta.io PROTOCOL.md; no Delta code or jars used).
 
 Why: `TransactionLogTable` (txlog.py) is protocol-SHAPED but bespoke; a
 user migrating from the reference stack often lands data in real Delta
@@ -20,7 +20,10 @@ with nothing but `spark.read.parquet` underneath:
 
 Scope: reader protocol v1 (+ v2 tables that don't enable column mapping
 or deletion vectors — those need feature support we honestly refuse).
-Writing stays the job of txlog.py / real Delta writers.
+The write side (`DeltaTableWriter`: append/overwrite; `DeltaKeyedTable`:
+keyed MERGE) emits minReaderVersion-1 logs — add/remove/metaData/
+protocol actions with hard-link put-if-absent version claims — so any
+real Delta reader can consume tables these classes produce.
 """
 
 from __future__ import annotations
@@ -45,6 +48,10 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str]]
     schema: T.StructType | None
     partition_columns: list[str] = field(default_factory=list)
+
+
+class DeltaCommitConflict(Exception):
+    """Another writer claimed this log version first."""
 
 
 class DeltaTableReader:
@@ -211,3 +218,319 @@ class DeltaTableReader:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+
+class DeltaTableWriter:
+    """Append / overwrite / MERGE a Delta table by writing protocol-
+    faithful JSON commits — the write-side twin of DeltaTableReader.
+
+    Versions are claimed with the same temp-file + hard-link
+    put-if-absent txlog.py uses (maps to a conditional put on object
+    stores), so concurrent writers conflict cleanly instead of
+    clobbering; losers re-derive against the winner's snapshot and
+    retry (optimistic concurrency, the Delta commit protocol's shape).
+
+    Partitioned writes follow the Delta convention: data files land
+    under hive-style dirs but the partition COLUMNS are dropped from
+    the files — values live only in each add's `partitionValues`, which
+    is what real Delta readers (and our reader) expect.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType | str | None = None,
+        partition_by: tuple[str, ...] = (),
+        max_commit_retries: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.partition_by = list(partition_by)
+        self.max_commit_retries = max_commit_retries
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        self.schema = schema
+        self.log_dir = os.path.join(path, "_delta_log")
+        os.makedirs(self.log_dir, exist_ok=True)
+
+    # -------------------------------------------------------------- commit
+
+    def _latest_version(self) -> int:
+        vs = [
+            int(n[:-5])
+            for n in os.listdir(self.log_dir)
+            if n.endswith(".json") and n[:-5].isdigit()
+        ]
+        return max(vs, default=-1)
+
+    def _commit(self, version: int, actions: list[dict]) -> None:
+        import uuid
+
+        payload = "\n".join(json.dumps(a) for a in actions) + "\n"
+        tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        try:
+            os.link(tmp, target)  # atomic put-if-absent
+        except FileExistsError as e:
+            raise DeltaCommitConflict(f"version {version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def _meta_actions(self, schema: T.StructType) -> list[dict]:
+        import time as _time
+        import uuid
+
+        return [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(schema.jsonValue()),
+                    "partitionColumns": self.partition_by,
+                    "configuration": {},
+                    "createdTime": int(_time.time() * 1000),
+                }
+            },
+        ]
+
+    # --------------------------------------------------------- data files
+
+    def _write_files(self, df: DataFrame) -> list[dict]:
+        """Write df as parquet file(s), Delta layout: partition columns
+        stripped from the files, recorded per-file in add actions."""
+        import shutil
+        import time as _time
+        import uuid
+
+        uid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".staging_{uid}")
+        adds: list[dict] = []
+        if not self.partition_by:
+            df.write.mode("overwrite").parquet(staging)
+            i = 0
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = f"part-{uid}-{i:05d}.parquet"
+                os.rename(os.path.join(staging, f), os.path.join(self.path, rel))
+                adds.append(self._add_action(rel, {}, _time))
+                i += 1
+            shutil.rmtree(staging, ignore_errors=True)
+            return adds
+
+        df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(staging)
+        i = 0
+        for root, _dirs, files in os.walk(staging):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if not pq:
+                continue
+            reldir = os.path.relpath(root, staging)
+            segs = [s for s in reldir.split(os.sep) if "=" in s]
+            pvals = {}
+            for s in segs:
+                k, v = s.split("=", 1)
+                pvals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _unescape(v)
+                )
+            os.makedirs(os.path.join(self.path, reldir), exist_ok=True)
+            for f in sorted(pq):
+                rel = os.path.join(reldir, f"part-{uid}-{i:05d}.parquet")
+                os.rename(os.path.join(root, f), os.path.join(self.path, rel))
+                adds.append(self._add_action(rel, pvals, _time))
+                i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return adds
+
+    def _add_action(self, rel: str, pvals: dict, _time) -> dict:
+        full = os.path.join(self.path, rel)
+        return {
+            "add": {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": pvals,
+                "size": os.path.getsize(full),
+                "modificationTime": int(_time.time() * 1000),
+                "dataChange": True,
+            }
+        }
+
+    @staticmethod
+    def _drop_files(path: str, adds: list[dict]) -> None:
+        for a in adds:
+            try:
+                os.unlink(os.path.join(path, a["add"]["path"]))
+            except OSError:
+                pass
+
+    # ----------------------------------------------------------- write API
+
+    def _reader(self) -> DeltaTableReader:
+        return DeltaTableReader(self.spark, self.path)
+
+    def append(self, df: DataFrame) -> None:
+        for _ in range(self.max_commit_retries):
+            v = self._latest_version()
+            adds = self._write_files(df)
+            actions = adds
+            if v < 0:
+                actions = self._meta_actions(df.schema) + adds
+            try:
+                self._commit(v + 1, actions)
+                return
+            except DeltaCommitConflict:
+                self._drop_files(self.path, adds)
+        raise DeltaCommitConflict(
+            f"could not commit after {self.max_commit_retries} tries"
+        )
+
+    def overwrite(self, df: DataFrame) -> None:
+        for _ in range(self.max_commit_retries):
+            v = self._latest_version()
+            removes = []
+            if v >= 0:
+                snap = self._reader().snapshot()
+                removes = [
+                    {"remove": {"path": p, "dataChange": True}}
+                    for p in sorted(snap.files)
+                ]
+            adds = self._write_files(df)
+            actions = (
+                (self._meta_actions(df.schema) if v < 0 else [])
+                + removes
+                + adds
+            )
+            try:
+                self._commit(v + 1, actions)
+                return
+            except DeltaCommitConflict:
+                self._drop_files(self.path, adds)
+        raise DeltaCommitConflict(
+            f"could not commit after {self.max_commit_retries} tries"
+        )
+
+
+def _unescape(s: str) -> str:
+    """Hive percent-escaping inverse for partition dir segments."""
+    if "%" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    while i < n:
+        if s[i] == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(s[i])
+        i += 1
+    return "".join(out)
+
+
+class DeltaKeyedTable:
+    """MERGE semantics over a real Delta table layout — the slot-in that
+    lets `TransactionLogTable`-shaped pipelines (streaming consumer
+    sinks, outbox targets) operate on Delta-protocol tables directly:
+    upsert/delete by key as ONE atomic commit of remove+add actions,
+    optimistic retry on conflict, snapshot-isolated readers."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols,
+        schema: T.StructType | str | None = None,
+        max_commit_retries: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.writer = DeltaTableWriter(
+            spark, path, schema=schema, max_commit_retries=max_commit_retries
+        )
+        if isinstance(schema, str):
+            schema = T.StructType.fromDDL(schema)
+        self.schema = schema
+
+    def read(self, version: int | None = None) -> DataFrame:
+        try:
+            return DeltaTableReader(self.spark, self.path).read(version)
+        except DeltaProtocolError:
+            if self.schema is None:
+                raise
+            return self.spark.createDataFrame([], self.schema)
+
+    def merge(
+        self,
+        upserts: DataFrame | None = None,
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        affected = None
+        for src in (upserts, delete_keys):
+            if src is not None:
+                k = src.select(*self.key_cols).distinct()
+                affected = k if affected is None else affected.union(k).distinct()
+        if affected is None:
+            return
+
+        w = self.writer
+        for _ in range(w.max_commit_retries):
+            v = w._latest_version()
+            if v >= 0:
+                snap = DeltaTableReader(self.spark, self.path).snapshot()
+                current = (
+                    DeltaTableReader(self.spark, self.path).read()
+                    if snap.files
+                    else None
+                )
+                removes = [
+                    {"remove": {"path": p, "dataChange": True}}
+                    for p in sorted(snap.files)
+                ]
+            else:
+                current, removes = None, []
+            survivors = (
+                current.join(F.broadcast(affected), self.key_cols, "left_anti")
+                if current is not None
+                else None
+            )
+            if survivors is not None and upserts is not None:
+                new_state = survivors.unionByName(
+                    upserts.select(*survivors.columns)
+                )
+            elif upserts is not None:
+                new_state = upserts
+            else:
+                new_state = survivors
+            adds = (
+                w._write_files(new_state)
+                if new_state is not None and new_state.head(1)
+                else []
+            )
+            actions = (
+                (w._meta_actions(new_state.schema) if v < 0 else [])
+                + removes
+                + adds
+            )
+            if not actions:
+                return
+            try:
+                w._commit(v + 1, actions)
+                return
+            except DeltaCommitConflict:
+                DeltaTableWriter._drop_files(self.path, adds)
+        raise DeltaCommitConflict(
+            f"could not commit after {w.max_commit_retries} tries"
+        )
+
+    def upsert(self, batch: DataFrame) -> None:
+        self.merge(upserts=batch)
+
+    def delete(self, keys: DataFrame) -> None:
+        self.merge(delete_keys=keys)

@@ -497,6 +497,27 @@ def test_jpeg_roundtrip_property_blockwise(bw, bh, gray, sub, data):
         assert np.abs(inner - np.array(c)).max() <= 14
 
 
+@settings(max_examples=60, deadline=None)
+@given(data=st.data())
+def test_jpeg_decoder_survives_corruption(data):
+    """Untrusted-corpus contract: ANY byte corruption of a valid JPEG
+    either still decodes or raises MediaDecodeError — never a hang,
+    never a raw struct/IndexError/numpy exception leaking out."""
+    px = _gradient_rgb(16, 16)
+    base = bytearray(
+        encode_jpeg_baseline(mc.Image(16, 16, 3, px.tobytes()), quality=90)
+    )
+    n_flips = data.draw(st.integers(1, 8))
+    for _ in range(n_flips):
+        i = data.draw(st.integers(2, len(base) - 1))  # keep SOI magic
+        base[i] = data.draw(st.integers(0, 255))
+    try:
+        img = decode_jpeg(bytes(base))
+        assert img.width > 0 and img.height > 0
+    except mc.MediaDecodeError:
+        pass  # routable record-level failure — the designed outcome
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     w=st.integers(1, 12),
