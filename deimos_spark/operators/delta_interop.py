@@ -529,7 +529,11 @@ class DeltaKeyedTable:
             f"could not commit after {w.max_commit_retries} tries"
         )
 
-    def upsert(self, batch: DataFrame) -> None:
+    def upsert(self, batch: DataFrame, order_cols=None) -> None:
+        if order_cols:
+            from deimos_spark.operators.compaction import compact_keep_last
+
+            batch = compact_keep_last(batch, self.key_cols, list(order_cols))
         self.merge(upserts=batch)
 
     def delete(self, keys: DataFrame) -> None:
