@@ -1,0 +1,267 @@
+"""Iceberg interop: the reader walks hand-authored metadata chains
+written strictly per the PUBLIC table spec — version-hint →
+vN.metadata.json → manifest-list (Avro OCF) → manifests (Avro OCF) →
+parquet data files. The OCF layer itself is round-trip tested
+(write → read, null + deflate codecs, multi-block).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from deimos_spark.operators.iceberg_interop import (
+    IcebergProtocolError,
+    IcebergTableReader,
+    iceberg_type_to_spark,
+)
+from deimos_spark.schemas.avro_ocf import OcfError, ocf_read, ocf_write
+
+# ------------------------------------------------------------------- OCF
+
+OCF_SCHEMA = {
+    "type": "record",
+    "name": "R",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "long"], "default": None},
+    ],
+}
+
+
+def test_ocf_roundtrip_multiblock_both_codecs(tmp_path):
+    recs = [
+        {"a": i, "b": f"s{i}", "c": None if i % 2 else i} for i in range(2500)
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        ocf_write(p, OCF_SCHEMA, recs, codec=codec)  # 3 blocks @1000
+        schema, got = ocf_read(p)
+        assert got == recs
+        assert schema["name"] == "R"
+
+
+def test_ocf_rejects_garbage(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with open(p, "wb") as fh:
+        fh.write(b"not an avro container at all")
+    with pytest.raises(OcfError, match="not an Avro"):
+        ocf_read(p)
+
+
+# -------------------------------------------------- Iceberg fixture kit
+
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file",
+                "fields": [
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "default": None},
+    ],
+}
+
+ICE_SCHEMA_V1 = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "required": True, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"},
+    ],
+}
+
+
+def _data_file(spark, table, rel, rows, schema="id long, v string"):
+    tmp = os.path.join(table, "__tmp")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    dest = os.path.join(table, "data", rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.rename(os.path.join(tmp, part), dest)
+    import shutil
+
+    shutil.rmtree(tmp)
+    return dest
+
+
+def _manifest(table, name, entries):
+    p = os.path.join(table, "metadata", name)
+    ocf_write(
+        p,
+        MANIFEST_ENTRY_SCHEMA,
+        [
+            {
+                "status": status,
+                "snapshot_id": None,
+                "data_file": {
+                    "file_path": f"file://{path}",
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path),
+                },
+            }
+            for status, path in entries
+        ],
+    )
+    return p
+
+
+def _manifest_list(table, name, manifest_paths):
+    p = os.path.join(table, "metadata", name)
+    ocf_write(
+        p,
+        MANIFEST_FILE_SCHEMA,
+        [
+            {
+                "manifest_path": f"file://{mp}",
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0,
+                "added_snapshot_id": None,
+            }
+            for mp in manifest_paths
+        ],
+    )
+    return p
+
+
+def _metadata(table, version, snapshots, current, fmt_version=1):
+    md = {
+        "format-version": fmt_version,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": f"file://{table}",
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schema": ICE_SCHEMA_V1,
+        "partition-spec": [],
+        "snapshots": snapshots,
+        "current-snapshot-id": current,
+    }
+    if fmt_version == 2:
+        md.pop("schema")
+        md["schemas"] = [ICE_SCHEMA_V1]
+        md["current-schema-id"] = 0
+        md["last-sequence-number"] = len(snapshots)
+    os.makedirs(os.path.join(table, "metadata"), exist_ok=True)
+    with open(
+        os.path.join(table, "metadata", f"v{version}.metadata.json"), "w"
+    ) as fh:
+        json.dump(md, fh)
+    with open(os.path.join(table, "metadata", "version-hint.text"), "w") as fh:
+        fh.write(str(version))
+
+
+@pytest.fixture
+def ice_table(spark, tmp_path):
+    """Two snapshots: snap 1 = {f0}, snap 2 = {f0 existing, f1 added}."""
+    t = str(tmp_path / "ice")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a"), (2, "b")])
+    f1 = _data_file(spark, t, "f1.parquet", [(3, "c")])
+    m1 = _manifest(t, "m1.avro", [(1, f0)])
+    ml1 = _manifest_list(t, "snap-1.avro", [m1])
+    m2 = _manifest(t, "m2.avro", [(0, f0), (1, f1)])
+    ml2 = _manifest_list(t, "snap-2.avro", [m2])
+    snaps = [
+        {"snapshot-id": 1, "timestamp-ms": 0, "manifest-list": f"file://{ml1}"},
+        {"snapshot-id": 2, "timestamp-ms": 1, "manifest-list": f"file://{ml2}"},
+    ]
+    _metadata(t, 3, snaps, current=2)
+    return t
+
+
+def _rows(df):
+    return {(r["id"], r["v"]) for r in df.collect()}
+
+
+def test_read_current_snapshot(spark, ice_table):
+    r = IcebergTableReader(spark, ice_table)
+    df = r.read()
+    assert df.schema["id"].dataType == T.LongType()
+    # required per Iceberg schema — in the converted schema; Spark's file
+    # scan itself always relaxes nullability
+    assert not r.schema()["id"].nullable
+    assert _rows(df) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_time_travel_by_snapshot_id(spark, ice_table):
+    r = IcebergTableReader(spark, ice_table)
+    assert _rows(r.read(snapshot_id=1)) == {(1, "a"), (2, "b")}
+    with pytest.raises(IcebergProtocolError, match="not found"):
+        r.read(snapshot_id=42)
+
+
+def test_deleted_entries_excluded(spark, tmp_path):
+    """status=2 (DELETED) manifest entries drop out of the scan."""
+    t = str(tmp_path / "icedel")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a")])
+    f1 = _data_file(spark, t, "f1.parquet", [(2, "b")])
+    m = _manifest(t, "m.avro", [(2, f0), (1, f1)])
+    ml = _manifest_list(t, "snap.avro", [m])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 7, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=7,
+    )
+    assert _rows(IcebergTableReader(spark, t).read()) == {(2, "b")}
+
+
+def test_v2_metadata_and_empty_table(spark, tmp_path):
+    t = str(tmp_path / "icev2")
+    _metadata(t, 1, [], current=None, fmt_version=2)
+    r = IcebergTableReader(spark, t)
+    df = r.read()
+    assert df.count() == 0
+    assert set(df.columns) == {"id", "v"}
+
+
+def test_unsupported_versions_and_types_refused(spark, tmp_path):
+    t = str(tmp_path / "icebad")
+    _metadata(t, 1, [], current=None, fmt_version=3)
+    with pytest.raises(IcebergProtocolError, match="format-version"):
+        IcebergTableReader(spark, t)
+    with pytest.raises(IcebergProtocolError, match="unsupported Iceberg type"):
+        iceberg_type_to_spark("variant")
+
+
+def test_type_mapping_covers_spec_table():
+    assert iceberg_type_to_spark("decimal(10, 2)") == T.DecimalType(10, 2)
+    assert iceberg_type_to_spark("fixed[16]") == T.BinaryType()
+    assert iceberg_type_to_spark("timestamptz") == T.TimestampType()
+    assert iceberg_type_to_spark("timestamp") == T.TimestampNTZType()
+    lst = iceberg_type_to_spark(
+        {"type": "list", "element-id": 3, "element": "int", "element-required": True}
+    )
+    assert lst == T.ArrayType(T.IntegerType(), containsNull=False)
+    mp = iceberg_type_to_spark(
+        {"type": "map", "key-id": 4, "key": "string", "value-id": 5,
+         "value": "double", "value-required": False}
+    )
+    assert mp == T.MapType(T.StringType(), T.DoubleType(), valueContainsNull=True)
