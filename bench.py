@@ -67,6 +67,8 @@ HEADLINE = [
     # round 4: training-data pipeline ops
     "t15_duplicate_ngrams",
     "t16_pii_scrub",
+    "t17_pack_plan",
+    "t18_mixture_sample",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",

@@ -14,7 +14,7 @@ makes these operators DuckDB-oracle-checkable, unlike `sample()`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000  # 0.01% granularity
@@ -104,4 +104,56 @@ def duckdb_bucket_sql(col: str, buckets: int = BUCKETS, salt: str = "") -> str:
     return (
         f"(('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 8))::BIGINT"
         f" % {buckets})"
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict[str, float],
+    id_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic dataset-mixture sampling: downsample strata so the
+    OUTPUT matches the target proportions, keeping the largest feasible
+    corpus (the binding stratum is kept whole; every other stratum is
+    hash-sampled down to its share).
+
+    The standard mixture-weights step of corpus assembly: with observed
+    counts n_s and target shares p_s, the max feasible total is
+    T = min_s(n_s / p_s) and each stratum keeps T·p_s rows. Thresholds
+    are computed as bucket integers with one fixed expression shape
+    (floor(BUCKETS·minratio·p/n)) so any md5-capable engine reproduces
+    membership bit-for-bit — same portability contract as hash_split.
+    The counts table is one row per stratum, so the unpartitioned
+    min-window over it is a deliberately tiny (≤ #strata rows) frame,
+    then broadcast back onto the corpus: no corpus shuffle at all."""
+    tgt = None
+    for name, share in targets.items():
+        cond = F.lit(float(share))
+        tgt = (
+            F.when(F.col(strata_col) == name, cond)
+            if tgt is None
+            else tgt.when(F.col(strata_col) == name, cond)
+        )
+    tgt = tgt.otherwise(F.lit(None).cast("double"))
+
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_p", tgt)
+        .filter(F.col("_p").isNotNull())
+    )
+    min_ratio = F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
+    thr = counts.select(
+        strata_col,
+        F.floor(
+            F.lit(float(BUCKETS)) * min_ratio * F.col("_p") / F.col("_n")
+        ).cast("bigint").alias("_thr"),
+    )
+    bucket = hash_bucket(id_col, salt=salt)
+    return (
+        df.join(F.broadcast(thr), strata_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
     )

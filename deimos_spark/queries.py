@@ -485,6 +485,34 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17: shard-parallel sequence-packing plan — per (shard, window)
+    doc/token counts for contiguous packing at capacity 512, sharded by
+    md5 bucket so the window partitions are bounded (a GLOBAL pack
+    order would be the single-partition-window scale-killer)."""
+    from deimos_spark.operators.packing import pack_plan
+
+    return pack_plan(_docs(spark, sf_dir), capacity=512, shards=16)
+
+
+MIXTURE_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18: deterministic mixture sampling — downsample languages to the
+    target shares keeping the largest feasible corpus; report per-lang
+    kept counts (membership is md5-bucket stable, so the DuckDB oracle
+    reproduces it row-for-row)."""
+    from deimos_spark.operators.sampling import mixture_sample
+
+    kept = mixture_sample(_docs(spark, sf_dir), "lang", MIXTURE_TARGETS, "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("kept"))
+        .orderBy("lang")
+    )
+
+
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
@@ -1192,6 +1220,41 @@ def all_queries() -> dict[str, QuerySpec]:
             ")) AS BIGINT) AS chars_redacted "
             "FROM aug GROUP BY lang ORDER BY lang",
             note="PII scrubbing stats (deterministic injected PII)",
+        ),
+        QuerySpec(
+            "t17_pack_plan", q_pack_plan,
+            "WITH d AS (SELECT doc_id, "
+            "(('0x' || substr(md5('pack' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 16) AS shard, "
+            "len(string_split_regex(trim(text), '\\s+')) AS tok "
+            "FROM documents), "
+            "c AS (SELECT shard, tok, "
+            "sum(tok) OVER (PARTITION BY shard ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - tok AS start FROM d) "
+            "SELECT CAST(shard AS INT) AS shard, "
+            "CAST(floor(start / 512) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(tok) AS BIGINT) AS n_tokens "
+            "FROM c GROUP BY 1, 2 ORDER BY shard, bin",
+            note="shard-parallel sequence-packing plan",
+        ),
+        QuerySpec(
+            "t18_mixture_sample", q_mixture_sample,
+            "WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n "
+            "FROM documents GROUP BY lang), "
+            "t AS (SELECT lang, n, CASE lang WHEN 'en' THEN 0.4 "
+            "WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.1 "
+            "WHEN 'zh' THEN 0.1 END AS p FROM c WHERE lang IN "
+            "('en','de','es','fr','zh')), "
+            "m AS (SELECT lang, n, p, min(n / p) OVER () AS mr FROM t), "
+            "thr AS (SELECT lang, CAST(floor(10000.0 * mr * p / n) AS BIGINT) "
+            "AS th FROM m) "
+            "SELECT d.lang, CAST(count(*) AS BIGINT) AS kept "
+            "FROM documents d JOIN thr ON d.lang = thr.lang "
+            "WHERE (('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 10000) < th "
+            "GROUP BY d.lang ORDER BY d.lang",
+            note="deterministic mixture sampling to target shares",
         ),
     ]
     specs += _tpch_specs()

@@ -96,3 +96,52 @@ def test_bucket_range(spark):
 def test_bad_weights_raise(spark, docs):
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(docs, "doc_id", {"train": 0.5, "test": 0.1})
+
+
+def test_mixture_sample_hits_target_shares(spark, docs):
+    """Output proportions approach the target mixture; the binding
+    stratum (largest n/p deficit) is kept whole; membership is stable."""
+    from deimos_spark.operators.sampling import mixture_sample
+
+    targets = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
+    kept = mixture_sample(docs, "lang", targets, "doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    orig = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binding stratum kept (near-)whole: min over langs of n/p
+    binding = min(orig, key=lambda s: orig[s] / targets[s])
+    assert counts[binding] >= orig[binding] * 0.99
+    total = sum(counts.values())
+    for lang, p in targets.items():
+        if lang in counts:
+            assert abs(counts[lang] / total - p) < 0.05  # bucket granularity
+    # deterministic: second run identical
+    again = mixture_sample(docs, "lang", targets, "doc_id")
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
+        r["doc_id"] for r in again.select("doc_id").collect()
+    }
+
+
+def test_pack_plan_bins_are_contiguous_and_conserve_tokens(spark, docs):
+    from deimos_spark.operators.packing import pack_plan
+
+    plan = pack_plan(docs, capacity=256, shards=4).collect()
+    # token mass conserved
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+"))).alias("t")
+    ).head()["t"]
+    assert sum(r["n_tokens"] for r in plan) == total_tokens
+    # within a shard, bins start at 0 and are dense (contiguous layout)
+    by_shard = {}
+    for r in plan:
+        by_shard.setdefault(r["shard"], []).append(r["bin"])
+    for bins in by_shard.values():
+        bins = sorted(bins)
+        assert bins[0] == 0 and bins == list(range(len(bins)))
+    # no shard exceeds its share wildly (hash balance sanity)
+    docs_per_shard = {s: 0 for s in by_shard}
+    for r in plan:
+        docs_per_shard[r["shard"]] += r["n_docs"]
+    n = docs.count()
+    assert all(c < n for c in docs_per_shard.values()) and len(by_shard) > 1
