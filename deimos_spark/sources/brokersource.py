@@ -116,18 +116,41 @@ class _BrokerStreamReader(DataSourceStreamReader):
     re-reading records, which is the source's documented at-least-once
     contract (the idempotent MERGE consumer absorbs duplicates)."""
 
-    def __init__(self, path: str, topic: str, max_records_per_batch: int | None):
+    def __init__(
+        self,
+        path: str,
+        topic: str,
+        max_records_per_batch: int | None,
+        starting_offsets: str = "earliest",
+    ):
         from deimos_spark.streaming.fakebroker import FakeBroker
 
         self.path = path
         self.topic = topic
         self.n = FakeBroker(path).num_partitions(topic)
         self.max_records_per_batch = max_records_per_batch
+        if starting_offsets not in ("earliest", "latest"):
+            raise ValueError(
+                "startingOffsets must be 'earliest' or 'latest', got "
+                f"{starting_offsets!r}"
+            )
+        self.starting_offsets = starting_offsets
         self._planned: dict | None = None  # offered end, this reader
         self._floor: dict = {}  # max(start/end) seen from the engine
 
     def initialOffset(self) -> dict:
-        off = {str(p): 0 for p in range(self.n)}
+        """Fresh-query start position (restarts use the checkpoint
+        instead, exactly like the Kafka source's startingOffsets)."""
+        if self.starting_offsets == "latest":
+            from deimos_spark.streaming.fakebroker import FakeBroker
+
+            broker = FakeBroker(self.path)
+            off = {
+                str(p): broker.end_offset(self.topic, p)
+                for p in range(self.n)
+            }
+        else:
+            off = {str(p): 0 for p in range(self.n)}
         self._planned = dict(off)
         return off
 
@@ -185,7 +208,9 @@ class _BrokerStreamReader(DataSourceStreamReader):
 
 class FakeBrokerDataSource(DataSource):
     """`format("fakebroker")` — options: path (broker dir), topic,
-    maxRecordsPerBatch (streaming read: per-partition micro-batch cap)."""
+    maxRecordsPerBatch (streaming read: per-partition micro-batch cap),
+    startingOffsets ('earliest' default | 'latest' — fresh queries only,
+    restarts resume from the checkpoint, Kafka-source semantics)."""
 
     @classmethod
     def name(cls) -> str:
@@ -209,7 +234,11 @@ class FakeBrokerDataSource(DataSource):
         cap = int(raw) if raw is not None else None
         if cap is not None and cap <= 0:
             raise ValueError("maxRecordsPerBatch must be a positive integer")
-        return _BrokerStreamReader(*self._args(), max_records_per_batch=cap)
+        return _BrokerStreamReader(
+            *self._args(),
+            max_records_per_batch=cap,
+            starting_offsets=self.options.get("startingOffsets", "earliest"),
+        )
 
     def writer(self, schema, overwrite: bool):
         if overwrite:

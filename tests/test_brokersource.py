@@ -297,6 +297,58 @@ def test_restart_with_deep_backlog_drains_bounded(spark, broker, tmp_path):
         last[p] = o
 
 
+def test_starting_offsets_latest_skips_backlog(spark, broker, tmp_path):
+    """startingOffsets=latest: a FRESH query ignores the existing
+    backlog and only sees records produced after it starts; a restart
+    on the same checkpoint resumes from the checkpoint (Kafka-source
+    semantics), not from latest again."""
+    _publish(spark, broker, [(f"old{i}", i) for i in range(10)])
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        reader = (
+            spark.readStream.format("fakebroker")
+            .option("path", broker.path)
+            .option("topic", TOPIC)
+            .option("startingOffsets", "latest")
+        )
+        rows = []
+
+        def sink(df, _bid):
+            rows.extend((r["partition"], r["offset"]) for r in df.collect())
+
+        q = (
+            reader.load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return rows
+
+    assert drain() == []  # backlog skipped entirely
+    _publish(spark, broker, [("new0", 100), ("new1", 101)])
+    assert len(drain()) == 2  # checkpoint resume, not latest-again
+    # option validation surfaces when the reader is instantiated (query
+    # start — the Python DataSource API constructs streamReader lazily)
+    with pytest.raises(Exception, match="startingOffsets"):
+        q = (
+            spark.readStream.format("fakebroker")
+            .option("path", broker.path)
+            .option("topic", TOPIC)
+            .option("startingOffsets", "bogus")
+            .load()
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt_bad"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+
 def test_streaming_mirror_topic_to_topic(spark, broker, tmp_path):
     """The Spark-native relay: readStream topic A -> writeStream topic B,
     then consume B into a keyed table. A full mirror pipeline with
