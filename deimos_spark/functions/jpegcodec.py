@@ -224,7 +224,7 @@ def decode_jpeg(data: bytes) -> Image:
         return _decode_jpeg_inner(data)
     except MediaDecodeError:
         raise
-    except (struct.error, IndexError, ValueError, ZeroDivisionError) as e:
+    except (struct.error, IndexError, ValueError, ArithmeticError) as e:
         raise MediaDecodeError(f"malformed JPEG: {e!r}") from None
 
 
@@ -349,8 +349,19 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             my * comp["v"] + by, mx * comp["h"] + bx
                         ]
                         s = _decode_huff(reader, dc_tab)
+                        if s > 15:
+                            # T.81 F.1.2.1: DC size category <= 11 for 8-bit
+                            # precision; anything above 15 is only reachable
+                            # via a corrupted DHT and would build an unbounded
+                            # int in receive().
+                            raise MediaDecodeError("JPEG DC size out of range")
                         diff = _extend(reader.receive(s), s) if s else 0
-                        preds[ci] += diff
+                        # Clamp the predictor into int32: corrupt entropy data
+                        # can otherwise accumulate past the store's dtype and
+                        # raise OverflowError at assignment.
+                        preds[ci] = max(
+                            -2147483648, min(2147483647, preds[ci] + diff)
+                        )
                         blk[0] = preds[ci]
                         k = 1
                         while k < 64:

@@ -497,7 +497,7 @@ def test_jpeg_roundtrip_property_blockwise(bw, bh, gray, sub, data):
         assert np.abs(inner - np.array(c)).max() <= 14
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=200, deadline=None)
 @given(data=st.data())
 def test_jpeg_decoder_survives_corruption(data):
     """Untrusted-corpus contract: ANY byte corruption of a valid JPEG
