@@ -14,6 +14,10 @@ with nothing but `spark.read.parquet` underneath:
 - `{version:020d}.checkpoint.parquet` + `_last_checkpoint` — the full
   action state materialized; we load it WITH Spark's parquet reader and
   replay only later JSON commits (same O(interval) bound txlog.py uses).
+  Standard multi-part checkpoints (`{v}.checkpoint.{i}.{n}.parquet`,
+  `_last_checkpoint.parts`) are read too. The WRITE side emits
+  single-file checkpoints every `checkpoint_interval` commits so
+  long-lived tables we produce stay O(interval) to read.
 - Partition values live in the LOG, not the files — each add's
   `partitionValues` map is re-attached as literal columns cast via the
   table schema.
@@ -30,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +46,12 @@ class DeltaProtocolError(Exception):
     """Table uses a protocol/feature this reader doesn't support."""
 
 
+# stands in for "" in hive partition dir names (Spark folds "" into
+# __HIVE_DEFAULT_PARTITION__, conflating it with null) — never appears in
+# the log; partitionValues record the real "" per the Delta protocol
+_EMPTY_SENTINEL = "__DEIMOS_EMPTY_STRING__"
+
+
 @dataclass
 class DeltaSnapshot:
     version: int
@@ -48,6 +59,11 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str]]
     schema: T.StructType | None
     partition_columns: list[str] = field(default_factory=list)
+    # raw protocol/metaData/add actions, preserved so a writer can
+    # materialize this snapshot back out as a checkpoint without loss
+    protocol_raw: dict | None = None
+    meta_raw: dict | None = None
+    adds_raw: dict[str, dict] = field(default_factory=dict)
 
 
 class DeltaCommitConflict(Exception):
@@ -64,6 +80,12 @@ class DeltaTableReader:
         self.log_dir = os.path.join(path, "_delta_log")
         if not os.path.isdir(self.log_dir):
             raise FileNotFoundError(f"{path} has no _delta_log — not a Delta table")
+        # diagnostics (txlog.py pattern): JSON commits parsed by the most
+        # recent snapshot(), and whether it had to LIST the log dir (the
+        # expensive primitive on object stores) vs following
+        # _last_checkpoint and probing exact commit names.
+        self.last_snapshot_commit_reads = 0
+        self.last_snapshot_listed_log = False
 
     # ------------------------------------------------------------- actions
 
@@ -71,8 +93,10 @@ class DeltaTableReader:
         if "add" in action:
             a = action["add"]
             snap.files[a["path"]] = dict(a.get("partitionValues") or {})
+            snap.adds_raw[a["path"]] = a
         elif "remove" in action:
             snap.files.pop(action["remove"]["path"], None)
+            snap.adds_raw.pop(action["remove"]["path"], None)
         elif "metaData" in action:
             md = action["metaData"]
             fmt = (md.get("format") or {}).get("provider", "parquet")
@@ -85,8 +109,10 @@ class DeltaTableReader:
             # schemaString IS Spark's StructType JSON — parse directly
             snap.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
             snap.partition_columns = list(md.get("partitionColumns") or [])
+            snap.meta_raw = md
         elif "protocol" in action:
             p = action["protocol"]
+            snap.protocol_raw = p
             if p.get("minReaderVersion", 1) > 2:
                 raise DeltaProtocolError(
                     f"minReaderVersion {p['minReaderVersion']} > 2 unsupported"
@@ -105,6 +131,7 @@ class DeltaTableReader:
                 lines = fh.read().splitlines()
         except OSError:
             return False
+        self.last_snapshot_commit_reads += 1
         for line in lines:
             if line.strip():
                 self._apply_action(json.loads(line), snap)
@@ -113,51 +140,121 @@ class DeltaTableReader:
 
     # ---------------------------------------------------------- checkpoint
 
-    def _load_checkpoint(self, version: int) -> DeltaSnapshot | None:
-        p = os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet")
-        if not os.path.exists(p):
+    _CKPT_MULTI = re.compile(
+        r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+    )
+
+    def _checkpoint_sets(self, names) -> dict[int, list[str]]:
+        """version → file list, for every COMPLETE checkpoint in the log:
+        single-file `{v}.checkpoint.parquet` and standard multi-part
+        `{v}.checkpoint.{i}.{n}.parquet` (all n parts present)."""
+        out: dict[int, list[str]] = {}
+        multi: dict[tuple[int, int], dict[int, str]] = {}
+        for n in names:
+            if n.endswith(".checkpoint.parquet"):
+                stem = n[: -len(".checkpoint.parquet")]
+                if stem.isdigit():
+                    out[int(stem)] = [os.path.join(self.log_dir, n)]
+                continue
+            m = self._CKPT_MULTI.match(n)
+            if m:
+                v, i, total = (int(m.group(k)) for k in (1, 2, 3))
+                multi.setdefault((v, total), {})[i] = os.path.join(
+                    self.log_dir, n
+                )
+        for (v, total), parts in multi.items():
+            if len(parts) == total and v not in out:
+                out[v] = [parts[i] for i in sorted(parts)]
+        return out
+
+    def _load_checkpoint(
+        self, version: int, paths: list[str]
+    ) -> DeltaSnapshot | None:
+        if not all(os.path.exists(p) for p in paths):
             return None
         snap = DeltaSnapshot(version, {}, None)
-        df = self.spark.read.parquet(p)
-        cols = set(df.columns)
-        for row in df.collect():
+        try:
+            df = self.spark.read.parquet(*paths)
+            cols = set(df.columns)
+            rows = df.collect()
+        except Exception:
+            return None  # unreadable/corrupt checkpoint → caller falls back
+        for row in rows:
             d = row.asDict(recursive=True)
             for kind in ("protocol", "metaData", "add"):
                 if kind in cols and d.get(kind) is not None:
-                    action = {kind: d[kind]}
-                    if kind == "metaData" and isinstance(
-                        d[kind].get("schemaString"), str
-                    ):
-                        pass  # already protocol-shaped
-                    self._apply_action(action, snap)
+                    self._apply_action({kind: d[kind]}, snap)
             # remove actions in a checkpoint are tombstones for vacuum
             # bookkeeping only — the add set is already net of them
         return snap
 
+    def _load_last_checkpoint(self) -> dict | None:
+        try:
+            with open(os.path.join(self.log_dir, "_last_checkpoint")) as fh:
+                raw = fh.read()
+            return json.loads(raw) if raw.strip() else None
+        except (OSError, ValueError):
+            return None
+
     # ------------------------------------------------------------ snapshot
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+        """Live file set at `version` (default latest). Fast path follows
+        `_last_checkpoint` (honoring its `parts` field for multi-part
+        checkpoints) and probes JSON commits forward by exact name —
+        Delta logs are gapless by the commit protocol — so a fresh
+        pointer means no directory LIST at all. Slow path (no/stale/
+        corrupt pointer, or time travel before it) lists the dir."""
+        self.last_snapshot_commit_reads = 0
+        self.last_snapshot_listed_log = False
+
+        lc = self._load_last_checkpoint()
+        if (
+            lc is not None
+            and isinstance(lc.get("version"), int)
+            and (version is None or lc["version"] <= version)
+        ):
+            cv = lc["version"]
+            parts = lc.get("parts")
+            if isinstance(parts, int) and parts > 0:
+                paths = [
+                    os.path.join(
+                        self.log_dir,
+                        f"{cv:020d}.checkpoint.{i:010d}.{parts:010d}.parquet",
+                    )
+                    for i in range(1, parts + 1)
+                ]
+            else:
+                paths = [
+                    os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
+                ]
+            snap = self._load_checkpoint(cv, paths)
+            if snap is not None:
+                v = snap.version + 1
+                while version is None or v <= version:
+                    if not self._replay_json_commit(v, snap):
+                        break
+                    v += 1
+                if version is not None and snap.version < version:
+                    raise DeltaProtocolError(
+                        f"version {version} not present (latest {snap.version})"
+                    )
+                return snap
+
+        self.last_snapshot_listed_log = True
         names = os.listdir(self.log_dir)
         commits = sorted(
             int(n[:-5]) for n in names if n.endswith(".json") and n[:-5].isdigit()
         )
-        if not commits and not any(n.endswith(".checkpoint.parquet") for n in names):
+        ckpt_sets = self._checkpoint_sets(names)
+        if not commits and not ckpt_sets:
             raise DeltaProtocolError(f"{self.path}: empty _delta_log")
 
         snap = DeltaSnapshot(-1, {}, None)
-        ckpts = sorted(
-            (
-                int(n[: -len(".checkpoint.parquet")])
-                for n in names
-                if n.endswith(".checkpoint.parquet")
-                and n[: -len(".checkpoint.parquet")].isdigit()
-            ),
-            reverse=True,
-        )
-        for cv in ckpts:
+        for cv in sorted(ckpt_sets, reverse=True):
             if version is not None and cv > version:
                 continue
-            loaded = self._load_checkpoint(cv)
+            loaded = self._load_checkpoint(cv, ckpt_sets[cv])
             if loaded is not None:
                 snap = loaded
                 break
@@ -202,7 +299,13 @@ class DeltaTableReader:
             groups.setdefault(key, []).append(path)
 
         parts = []
-        for key, paths in sorted(groups.items()):
+        # None-safe deterministic order (null partition values sort first)
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple(
+                (c, v is not None, v or "") for c, v in kv[0]
+            ),
+        ):
             df = self.spark.read.schema(data_schema).parquet(
                 *[os.path.join(self.path, p) for p in paths]
             )
@@ -243,11 +346,13 @@ class DeltaTableWriter:
         schema: T.StructType | str | None = None,
         partition_by: tuple[str, ...] = (),
         max_commit_retries: int = 5,
+        checkpoint_interval: int = 20,
     ):
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
         self.max_commit_retries = max_commit_retries
+        self.checkpoint_interval = checkpoint_interval
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         self.schema = schema
@@ -280,6 +385,139 @@ class DeltaTableWriter:
             raise DeltaCommitConflict(f"version {version} already committed") from e
         finally:
             os.unlink(tmp)
+        self._maybe_checkpoint(version)
+
+    # ----------------------------------------------------- checkpoint emit
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        """Every `checkpoint_interval` commits, materialize the live
+        action state as `{v:020d}.checkpoint.parquet` + `_last_checkpoint`
+        (the same replay-cost bound txlog.py enforces — without this, a
+        streaming sink producing 10k micro-batch commits makes every
+        reader replay 10k JSON files). Best-effort: a failed checkpoint
+        leaves the log correct and the next interval retries."""
+        if self.checkpoint_interval <= 0 or version <= 0:
+            return
+        if version % self.checkpoint_interval != 0:
+            return
+        try:
+            self._write_checkpoint(version)
+        except Exception:
+            pass
+
+    def _write_checkpoint(self, version: int) -> None:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        snap = DeltaTableReader(self.spark, self.path).snapshot(version)
+        if snap.meta_raw is None:
+            return  # no metaData yet — nothing worth checkpointing
+        mapss = pa.map_(pa.string(), pa.string())
+        pa_schema = pa.schema(
+            [
+                (
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                        ]
+                    ),
+                ),
+                (
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [
+                                        ("provider", pa.string()),
+                                        ("options", mapss),
+                                    ]
+                                ),
+                            ),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("configuration", mapss),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                (
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", mapss),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        meta = snap.meta_raw
+        rows: list[dict] = [
+            {
+                "protocol": snap.protocol_raw
+                or {"minReaderVersion": 1, "minWriterVersion": 2}
+            },
+            {
+                "metaData": {
+                    "id": meta.get("id"),
+                    "format": {
+                        "provider": (meta.get("format") or {}).get(
+                            "provider", "parquet"
+                        ),
+                        "options": (meta.get("format") or {}).get("options")
+                        or {},
+                    },
+                    "schemaString": meta.get("schemaString"),
+                    "partitionColumns": list(
+                        meta.get("partitionColumns") or []
+                    ),
+                    "configuration": meta.get("configuration") or {},
+                    "createdTime": meta.get("createdTime"),
+                }
+            },
+        ]
+        for p in sorted(snap.files):
+            a = snap.adds_raw.get(p) or {}
+            full = os.path.join(self.path, p)
+            rows.append(
+                {
+                    "add": {
+                        "path": p,
+                        "partitionValues": snap.files[p],
+                        "size": a.get("size")
+                        or (
+                            os.path.getsize(full)
+                            if os.path.exists(full)
+                            else 0
+                        ),
+                        "modificationTime": a.get("modificationTime") or 0,
+                        "dataChange": bool(a.get("dataChange", True)),
+                    }
+                }
+            )
+        table = pa.Table.from_pylist(rows, schema=pa_schema)
+        tmp = os.path.join(self.log_dir, f".ckpt_{uuid.uuid4().hex}.parquet")
+        papq.write_table(table, tmp)
+        os.replace(
+            tmp,
+            os.path.join(self.log_dir, f"{version:020d}.checkpoint.parquet"),
+        )
+        lc_tmp = os.path.join(self.log_dir, f".lc_{uuid.uuid4().hex}.json")
+        with open(lc_tmp, "w") as fh:
+            json.dump({"version": version, "size": len(rows)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
     def _meta_actions(self, schema: T.StructType) -> list[dict]:
         import time as _time
@@ -324,6 +562,25 @@ class DeltaTableWriter:
             shutil.rmtree(staging, ignore_errors=True)
             return adds
 
+        # Spark writes BOTH null and empty-string partition values to the
+        # __HIVE_DEFAULT_PARTITION__ directory, but the Delta protocol
+        # distinguishes "" from null in partitionValues. Substitute "" with
+        # a sentinel before writing so the hive dir name round-trips; the
+        # sentinel is mapped back to "" in the recorded partitionValues
+        # (dir names are arbitrary — the log is the source of truth).
+        str_pcols = [
+            f.name
+            for f in df.schema.fields
+            if f.name in self.partition_by
+            and isinstance(f.dataType, T.StringType)
+        ]
+        for c in str_pcols:
+            df = df.withColumn(
+                c,
+                F.when(F.col(c) == "", F.lit(_EMPTY_SENTINEL)).otherwise(
+                    F.col(c)
+                ),
+            )
         df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(staging)
         i = 0
         for root, _dirs, files in os.walk(staging):
@@ -335,10 +592,13 @@ class DeltaTableWriter:
             pvals = {}
             for s in segs:
                 k, v = s.split("=", 1)
-                pvals[k] = (
+                val = (
                     None if v == "__HIVE_DEFAULT_PARTITION__"
                     else _unescape(v)
                 )
+                if val == _EMPTY_SENTINEL:
+                    val = ""
+                pvals[k] = val
             os.makedirs(os.path.join(self.path, reldir), exist_ok=True)
             for f in sorted(pq):
                 rel = os.path.join(reldir, f"part-{uid}-{i:05d}.parquet")
@@ -447,12 +707,17 @@ class DeltaKeyedTable:
         key_cols,
         schema: T.StructType | str | None = None,
         max_commit_retries: int = 5,
+        checkpoint_interval: int = 20,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.writer = DeltaTableWriter(
-            spark, path, schema=schema, max_commit_retries=max_commit_retries
+            spark,
+            path,
+            schema=schema,
+            max_commit_retries=max_commit_retries,
+            checkpoint_interval=checkpoint_interval,
         )
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)

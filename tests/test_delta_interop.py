@@ -444,3 +444,189 @@ def test_streaming_consumer_sinks_into_delta_table(spark, tmp_path):
     assert got == {"k0": 99, "k2": 5}
     # and the underlying layout is a real _delta_log'd table
     assert os.path.isdir(os.path.join(str(tmp_path / "delta_sink"), "_delta_log"))
+
+
+# ------------------------------------------- round-5: writer checkpoints
+
+
+def test_writer_checkpoint_bounds_reader_replay(spark, tmp_path):
+    """25+ keyed commits emit periodic checkpoints; a FRESH reader follows
+    _last_checkpoint and replays <= interval JSON commits — never the
+    whole log, never a directory LIST."""
+    from deimos_spark.operators.delta_interop import DeltaKeyedTable
+
+    path = str(tmp_path / "dkt")
+    t = DeltaKeyedTable(
+        spark, path, ["id"], schema="id long, v string", checkpoint_interval=5
+    )
+    for i in range(26):
+        t.upsert(
+            spark.createDataFrame([(i % 7, f"v{i}")], "id long, v string")
+        )
+
+    names = os.listdir(os.path.join(path, "_delta_log"))
+    ckpts = sorted(n for n in names if n.endswith(".checkpoint.parquet"))
+    assert ckpts, "no checkpoint emitted in 26 commits"
+    assert "_last_checkpoint" in names
+
+    r = DeltaTableReader(spark, path)
+    snap = r.snapshot()
+    assert snap.version == 25
+    assert r.last_snapshot_commit_reads <= 5
+    assert not r.last_snapshot_listed_log
+
+    got = {(x["id"], x["v"]) for x in r.read().collect()}
+    expected = {}
+    for i in range(26):
+        expected[i % 7] = f"v{i}"
+    assert got == set(expected.items())
+
+    # time travel to before the newest checkpoint still works (slow path)
+    assert r.snapshot(version=3).version == 3
+
+
+def _pa_ckpt_schema():
+    import pyarrow as pa
+
+    mapss = pa.map_(pa.string(), pa.string())
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        (
+                            "format",
+                            pa.struct(
+                                [("provider", pa.string()), ("options", mapss)]
+                            ),
+                        ),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", mapss),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", mapss),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def test_multipart_checkpoint_with_expired_commits(spark, tmp_path):
+    """Standard multi-part checkpoints ({v}.checkpoint.{i}.{n}.parquet +
+    _last_checkpoint 'parts') load even when every JSON commit <= v has
+    been vacuumed away — the shape real large Delta tables have."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    t = str(tmp_path / "dmp")
+    os.makedirs(os.path.join(t, "_delta_log"))
+    _write_data_file(spark, t, "part-0.parquet", [(1, "a"), (2, "b")])
+    _write_data_file(spark, t, "part-1.parquet", [(3, "c")])
+
+    meta_row = {
+        "metaData": {
+            "id": "m",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": 0,
+        }
+    }
+    proto_row = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    add_rows = [
+        {
+            "add": {
+                "path": p,
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }
+        }
+        for p in ("part-0.parquet", "part-1.parquet")
+    ]
+    schema = _pa_ckpt_schema()
+    logdir = os.path.join(t, "_delta_log")
+    papq.write_table(
+        pa.Table.from_pylist([proto_row, meta_row], schema=schema),
+        os.path.join(
+            logdir, f"{3:020d}.checkpoint.{1:010d}.{2:010d}.parquet"
+        ),
+    )
+    papq.write_table(
+        pa.Table.from_pylist(add_rows, schema=schema),
+        os.path.join(
+            logdir, f"{3:020d}.checkpoint.{2:010d}.{2:010d}.parquet"
+        ),
+    )
+    with open(os.path.join(logdir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": 3, "size": 4, "parts": 2}, fh)
+    # one live JSON commit after the checkpoint
+    _write_data_file(spark, t, "part-2.parquet", [(4, "d")])
+    _commit(t, 4, [_add("part-2.parquet")])
+
+    r = DeltaTableReader(spark, t)
+    assert _rows(r.read()) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert r.last_snapshot_commit_reads == 1
+    assert not r.last_snapshot_listed_log
+
+    # pointer gone -> listing-based discovery still finds the full set
+    os.unlink(os.path.join(logdir, "_last_checkpoint"))
+    r2 = DeltaTableReader(spark, t)
+    assert _rows(r2.read()) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert r2.last_snapshot_listed_log
+
+    # an INCOMPLETE part set must not be used
+    os.unlink(
+        os.path.join(logdir, f"{3:020d}.checkpoint.{2:010d}.{2:010d}.parquet")
+    )
+    with pytest.raises(DeltaProtocolError):
+        DeltaTableReader(spark, t).read()
+
+
+def test_empty_string_partition_value_roundtrips(spark, tmp_path):
+    """Delta's partitionValues distinguish "" from null; Spark's hive dir
+    layout folds both into __HIVE_DEFAULT_PARTITION__. The writer must
+    keep them distinct in the log."""
+    from deimos_spark.operators.delta_interop import DeltaTableWriter
+
+    path = str(tmp_path / "dpe")
+    w = DeltaTableWriter(spark, path, partition_by=("k",))
+    df = spark.createDataFrame(
+        [("", 1), (None, 2), ("a", 3)], "k string, id long"
+    )
+    w.append(df)
+
+    with open(os.path.join(path, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh if line.strip()]
+    pvals = {
+        a["add"]["partitionValues"]["k"] for a in actions if "add" in a
+    }
+    assert pvals == {"", None, "a"}
+
+    got = {(x["k"], x["id"]) for x in DeltaTableReader(spark, path).read().collect()}
+    assert got == {("", 1), (None, 2), ("a", 3)}
