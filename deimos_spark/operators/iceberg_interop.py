@@ -18,9 +18,11 @@ nothing here needs a jar. Iceberg data files carry ALL columns
 reading is a plain parquet scan over the live file set; Catalyst
 pushdown/pruning applies as usual.
 
-Scope (honest gates, refused loudly): format-version 1 and 2
-append-only tables. Row-level deletes (v2 delete manifests / delete
-files), unsupported file formats, and format-version 3+ raise
+Scope (honest gates, refused loudly): format-version 1 and 2 tables,
+including v2 POSITION deletes (delete files of (file_path, pos) pairs,
+applied as one anti-join against `_metadata.file_path`/`row_index` —
+the common MERGE/DELETE output of real engines). Equality deletes,
+unsupported file formats, and format-version 3+ raise
 IcebergProtocolError.
 """
 
@@ -167,31 +169,51 @@ class IcebergTableReader:
                 return s
         raise IcebergProtocolError(f"snapshot {snapshot_id} not found")
 
-    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+    def _file_sets(
+        self, snapshot_id: int | None = None
+    ) -> tuple[list[tuple[str, str]], list[str]]:
+        """Walk the manifest chain → (data, position_deletes).
+
+        data: (file_path as recorded in the manifest, local path) pairs —
+        the recorded path is what position-delete rows reference (spec:
+        delete rows carry the data file's exact `file_path`).
+        position_deletes: local paths of parquet position-delete files
+        (`content=1`). Equality deletes (`content=2`) are refused loudly.
+        """
         snap = self.snapshot(snapshot_id)
         if not snap:
-            return []
+            return [], []
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
-        paths: list[str] = []
+        data: list[tuple[str, str]] = []
+        deletes: list[str] = []
         for mf in manifests:
-            if mf.get("content", 0) not in (0, None):
-                raise IcebergProtocolError(
-                    "v2 delete manifests (row-level deletes) unsupported"
-                )
             _, entries = ocf_read(self._local(mf["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED
                     continue
                 df = e["data_file"]
-                if df.get("content", 0) not in (0, None):
-                    raise IcebergProtocolError("delete files unsupported")
+                content = df.get("content", 0) or 0
                 fmt = str(df.get("file_format", "PARQUET")).upper()
-                if fmt != "PARQUET":
+                if content == 0:
+                    if fmt != "PARQUET":
+                        raise IcebergProtocolError(
+                            f"file format {fmt!r} unsupported"
+                        )
+                    data.append((df["file_path"], self._local(df["file_path"])))
+                elif content == 1:  # position deletes
+                    if fmt != "PARQUET":
+                        raise IcebergProtocolError(
+                            "non-parquet position-delete files unsupported"
+                        )
+                    deletes.append(self._local(df["file_path"]))
+                else:
                     raise IcebergProtocolError(
-                        f"file format {fmt!r} unsupported"
+                        "equality delete files unsupported"
                     )
-                paths.append(self._local(df["file_path"]))
-        return paths
+        return data, deletes
+
+    def data_files(self, snapshot_id: int | None = None) -> list[str]:
+        return [p for _, p in self._file_sets(snapshot_id)[0]]
 
     # ---------------------------------------------------------------- read
 
@@ -211,7 +233,50 @@ class IcebergTableReader:
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         schema = self.schema()
-        files = self.data_files(snapshot_id)
-        if not files:
+        data, deletes = self._file_sets(snapshot_id)
+        if not data:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+        df = self.spark.read.schema(schema).parquet(*[p for _, p in data])
+        if not deletes:
+            return df
+        return self._apply_position_deletes(df, data, deletes)
+
+    def _apply_position_deletes(
+        self,
+        df: DataFrame,
+        data: list[tuple[str, str]],
+        deletes: list[str],
+    ) -> DataFrame:
+        """v2 position deletes: delete-file rows are (file_path, pos)
+        pairs naming the data file's recorded path and the row's ordinal
+        within it. Spark-first: `_metadata.file_path` + `_metadata
+        .row_index` give exactly that ordinal at scan time, so the whole
+        operation is one anti-join — no per-file driver loop, and the
+        delete side stays a normal relation Catalyst/AQE can broadcast
+        when small (the overwhelmingly common case)."""
+        from pyspark.sql import functions as F
+
+        cols = df.columns
+        scan = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__ice_fp"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+        # recorded manifest path -> the URI _metadata.file_path reports
+        # (Hadoop renders local files as "file:/abs/path" — one slash)
+        mapping = self.spark.createDataFrame(
+            [("file:" + local, rec) for rec, local in data],
+            "__ice_fp string, __del_fp string",
+        )
+        dels = (
+            self.spark.read.parquet(*deletes)
+            .select(
+                F.col("file_path").alias("__del_fp"),
+                F.col("pos").cast("long").alias("__ice_pos"),
+            )
+            .join(F.broadcast(mapping), "__del_fp")
+            .select("__ice_fp", "__ice_pos")
+        )
+        return scan.join(
+            dels, ["__ice_fp", "__ice_pos"], "left_anti"
+        ).select(*cols)

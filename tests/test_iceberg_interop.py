@@ -265,3 +265,99 @@ def test_type_mapping_covers_spec_table():
          "value": "double", "value-required": False}
     )
     assert mp == T.MapType(T.StringType(), T.DoubleType(), valueContainsNull=True)
+
+
+# ----------------------------------------- round-5: v2 position deletes
+
+MANIFEST_ENTRY_V2_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry_v2",
+    "fields": [
+        {"name": "status", "type": "int"},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {
+            "name": "data_file",
+            "type": {
+                "type": "record",
+                "name": "data_file_v2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                ],
+            },
+        },
+    ],
+}
+
+
+def _manifest_v2(table, name, entries):
+    """entries: (status, path, content) — content 0=data, 1=pos-del,
+    2=eq-del."""
+    p = os.path.join(table, "metadata", name)
+    ocf_write(
+        p,
+        MANIFEST_ENTRY_V2_SCHEMA,
+        [
+            {
+                "status": status,
+                "snapshot_id": None,
+                "data_file": {
+                    "content": content,
+                    "file_path": f"file://{path}",
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path),
+                },
+            }
+            for status, path, content in entries
+        ],
+    )
+    return p
+
+
+def test_v2_position_deletes_applied(spark, tmp_path):
+    """A position-delete snapshot (the output of a real engine's MERGE/
+    DELETE) reads correctly: deleted (file, pos) rows are absent."""
+    t = str(tmp_path / "icepd")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a"), (2, "b"), (3, "c")])
+    f1 = _data_file(spark, t, "f1.parquet", [(4, "d"), (5, "e")])
+    # drop f0 row 1 -> (2,"b") and f1 row 0 -> (4,"d")
+    pdel = _data_file(
+        spark,
+        t,
+        "pd0.parquet",
+        [(f"file://{f0}", 1), (f"file://{f1}", 0)],
+        schema="file_path string, pos long",
+    )
+    m_data = _manifest_v2(t, "md.avro", [(1, f0, 0), (1, f1, 0)])
+    m_del = _manifest_v2(t, "mdel.avro", [(1, pdel, 1)])
+    ml = _manifest_list(t, "snap.avro", [m_data, m_del])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 9, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=9, fmt_version=2,
+    )
+    r = IcebergTableReader(spark, t)
+    assert _rows(r.read()) == {(1, "a"), (3, "c"), (5, "e")}
+    # data_files() still lists only live DATA files
+    assert len(r.data_files()) == 2
+
+
+def test_v2_equality_deletes_refused(spark, tmp_path):
+    t = str(tmp_path / "iceeq")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a")])
+    ed = _data_file(spark, t, "ed.parquet", [(1,)], schema="id long")
+    m = _manifest_v2(t, "m.avro", [(1, f0, 0), (1, ed, 2)])
+    ml = _manifest_list(t, "snap.avro", [m])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 3, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=3, fmt_version=2,
+    )
+    with pytest.raises(IcebergProtocolError, match="equality"):
+        IcebergTableReader(spark, t).read()
