@@ -40,9 +40,16 @@ def _norm_rows(cols, rows):
     return sorted(out, key=lambda t: tuple(str(x) for x in t))
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_check(sf_dir: str, only=None, spark=None, quiet=False) -> list[str]:
+    """Run every declared query (or `only`) through Spark AND its DuckDB
+    oracle at `sf_dir`; return the list of failing query names. Importable
+    so the test suite can gate the FULL registry every run (the driver's
+    CORRECTNESS window covers a fixed 50-query subset)."""
+    only = set(only or ())
+
+    def _say(msg):
+        if not quiet:
+            print(msg)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -50,7 +57,8 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("check_oracle")
+    if spark is None:
+        spark = get_spark("check_oracle")
     specs = all_queries()
     failures = []
     for name, spec in specs.items():
@@ -63,11 +71,11 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error: {e}")
+            _say(f"FAIL  {name}: spark error: {e}")
             continue
         if spec.oracle is None:
-            print(f"ok*   {name}: rows={len(srows)} (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+            _say(f"ok*   {name}: rows={len(srows)} (no oracle) "
+                 f"[{time.time()-t0:.1f}s]")
             continue
         try:
             cur = con.execute(spec.oracle)
@@ -75,7 +83,7 @@ def main() -> int:
             orows = cur.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
+            _say(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
         if sorted(scols) != sorted(ocols):
@@ -89,12 +97,17 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append(name)
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            _say(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
+            _say(f"ok    {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    _say(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return failures
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    return 1 if run_check(sf_dir, only=sys.argv[2:]) else 0
 
 
 if __name__ == "__main__":
