@@ -14,7 +14,7 @@ makes these operators DuckDB-oracle-checkable, unlike `sample()`.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000  # 0.01% granularity
@@ -123,11 +123,15 @@ def mixture_sample(
     counts n_s and target shares p_s, the max feasible total is
     T = min_s(n_s / p_s) and each stratum keeps T·p_s rows. Thresholds
     are computed as bucket integers with one fixed expression shape
-    (floor(BUCKETS·minratio·p/n)) so any md5-capable engine reproduces
-    membership bit-for-bit — same portability contract as hash_split.
-    The counts table is one row per stratum, so the unpartitioned
-    min-window over it is a deliberately tiny (≤ #strata rows) frame,
-    then broadcast back onto the corpus: no corpus shuffle at all."""
+    (floor(BUCKETS·minratio·p/n), clamped to exactly BUCKETS for the
+    binding stratum so "kept whole" survives float wobble) so any
+    md5-capable engine reproduces membership bit-for-bit — same
+    portability contract as hash_split. The counts frame is one row per
+    stratum; its min is taken with a scalar aggregate + cross join (not
+    an unpartitioned window, which would emit the single-partition
+    WindowExec warning for a frame where it's harmless — noise that
+    trains operators to ignore the one warning that matters), then
+    broadcast back onto the corpus: no corpus shuffle at all."""
     tgt = None
     for name, share in targets.items():
         cond = F.lit(float(share))
@@ -144,12 +148,21 @@ def mixture_sample(
         .withColumn("_p", tgt)
         .filter(F.col("_p").isNotNull())
     )
-    min_ratio = F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
-    thr = counts.select(
+    mins = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_mr"))
+    thr = counts.crossJoin(F.broadcast(mins)).select(
         strata_col,
-        F.floor(
-            F.lit(float(BUCKETS)) * min_ratio * F.col("_p") / F.col("_n")
-        ).cast("bigint").alias("_thr"),
+        F.when(
+            # min() returns one of the actual n/p values, so this equality
+            # is exact — the binding stratum is kept whole by construction
+            F.col("_n") / F.col("_p") == F.col("_mr"),
+            F.lit(BUCKETS).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(
+                F.lit(float(BUCKETS)) * F.col("_mr") * F.col("_p") / F.col("_n")
+            ).cast("bigint")
+        )
+        .alias("_thr"),
     )
     bucket = hash_bucket(id_col, salt=salt)
     return (

@@ -1247,7 +1247,9 @@ def all_queries() -> dict[str, QuerySpec]:
             "WHEN 'zh' THEN 0.1 END AS p FROM c WHERE lang IN "
             "('en','de','es','fr','zh')), "
             "m AS (SELECT lang, n, p, min(n / p) OVER () AS mr FROM t), "
-            "thr AS (SELECT lang, CAST(floor(10000.0 * mr * p / n) AS BIGINT) "
+            "thr AS (SELECT lang, CASE WHEN n / p = mr "
+            "THEN CAST(10000 AS BIGINT) "
+            "ELSE CAST(floor(10000.0 * mr * p / n) AS BIGINT) END "
             "AS th FROM m) "
             "SELECT d.lang, CAST(count(*) AS BIGINT) AS kept "
             "FROM documents d JOIN thr ON d.lang = thr.lang "
