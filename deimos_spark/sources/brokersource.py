@@ -122,6 +122,7 @@ class _BrokerStreamReader(DataSourceStreamReader):
         topic: str,
         max_records_per_batch: int | None,
         starting_offsets: str = "earliest",
+        group_id: str | None = None,
     ):
         from deimos_spark.streaming.fakebroker import FakeBroker
 
@@ -135,8 +136,20 @@ class _BrokerStreamReader(DataSourceStreamReader):
                 f"{starting_offsets!r}"
             )
         self.starting_offsets = starting_offsets
+        self.group_id = group_id
         self._planned: dict | None = None  # offered end, this reader
         self._floor: dict = {}  # max(start/end) seen from the engine
+        # Broker-side group commits (Kafka group semantics): commit()
+        # persists progress under groupId, so a restarted reader knows
+        # its floor IMMEDIATELY — no zero-progress learning batch, and
+        # the offset WAL stays monotone. Kept separate from the
+        # engine-learned _floor: the checkpoint remains the source of
+        # truth, so a (misconfigured) shared group that is AHEAD of this
+        # query's checkpoint can never make partitions() skip records.
+        self._group_floor: dict = {}
+        if group_id:
+            committed = FakeBroker(path).committed(group_id, topic)
+            self._group_floor = {str(p): o for p, o in committed.items()}
 
     def initialOffset(self) -> dict:
         """Fresh-query start position (restarts use the checkpoint
@@ -166,14 +179,19 @@ class _BrokerStreamReader(DataSourceStreamReader):
             return ends
         if self._planned is None:
             # Restarted query: committed progress is unknown until the
-            # engine hands us a (start, end) span. If a WAL-replay batch
-            # already taught us the floor, drain from there; otherwise
-            # offer zero progress once — the resulting empty batch's
-            # partitions() call teaches us the real start.
+            # engine hands us a (start, end) span. Best floor available:
+            # a WAL-replay batch's span, else the broker-side group
+            # commit (groupId set). With neither, offer zero progress
+            # once — the resulting empty batch's partitions() call
+            # teaches us the real start.
             self._planned = {
-                str(p): self._floor.get(str(p), 0) for p in range(self.n)
+                str(p): max(
+                    self._floor.get(str(p), 0),
+                    self._group_floor.get(str(p), 0),
+                )
+                for p in range(self.n)
             }
-            if not self._floor:
+            if not self._floor and not self._group_floor:
                 return dict(self._planned)
         out = {}
         for p in range(self.n):
@@ -203,14 +221,32 @@ class _BrokerStreamReader(DataSourceStreamReader):
         return _read_span(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # Spark's checkpoint is the source of truth for progress
+        # Spark's checkpoint is the source of truth for progress; with a
+        # groupId we ALSO mirror it to the broker's group store (Kafka's
+        # group-offset idiom) so the next incarnation of this reader
+        # starts with a known floor. Called after the WAL entry commits,
+        # so the group store trails the checkpoint by at most one
+        # in-flight batch — and a stale group floor only costs a capped
+        # re-offer, never a skip.
+        if self.group_id:
+            from deimos_spark.streaming.fakebroker import FakeBroker
+
+            FakeBroker(self.path).commit(
+                self.group_id,
+                self.topic,
+                {int(k): int(v) for k, v in end.items()},
+            )
 
 
 class FakeBrokerDataSource(DataSource):
     """`format("fakebroker")` — options: path (broker dir), topic,
     maxRecordsPerBatch (streaming read: per-partition micro-batch cap),
     startingOffsets ('earliest' default | 'latest' — fresh queries only,
-    restarts resume from the checkpoint, Kafka-source semantics)."""
+    restarts resume from the checkpoint, Kafka-source semantics),
+    groupId (streaming read: mirror committed progress to the broker's
+    group store so restarts start from a known floor — keeps the offset
+    WAL monotone when maxRecordsPerBatch is set; the checkpoint stays
+    the source of truth, like Kafka's group.id under Spark)."""
 
     @classmethod
     def name(cls) -> str:
@@ -238,6 +274,7 @@ class FakeBrokerDataSource(DataSource):
             *self._args(),
             max_records_per_batch=cap,
             starting_offsets=self.options.get("startingOffsets", "earliest"),
+            group_id=self.options.get("groupId"),
         )
 
     def writer(self, schema, overwrite: bool):

@@ -215,7 +215,7 @@ def test_read_span_timestamp_is_utc_pinned(tmp_path):
         _time.tzset()
 
 
-def _drain_counting_batches(spark, broker, ckpt, cap=None):
+def _drain_counting_batches(spark, broker, ckpt, cap=None, group=None):
     """Run the stream to exhaustion through foreachBatch, returning the
     list of non-empty batches as [(partition, offset), ...] lists."""
     reader = (
@@ -225,6 +225,8 @@ def _drain_counting_batches(spark, broker, ckpt, cap=None):
     )
     if cap is not None:
         reader = reader.option("maxRecordsPerBatch", str(cap))
+    if group is not None:
+        reader = reader.option("groupId", group)
     batches = []
 
     def sink(df, _bid):
@@ -295,6 +297,61 @@ def test_restart_with_deep_backlog_drains_bounded(spark, broker, tmp_path):
     for p, o in replayed:
         assert o > last.get(p, -1)
         last[p] = o
+
+
+def _wal_offsets(ckpt):
+    """Parse Spark's offset WAL: [(batch_id, {partition: end_offset})]."""
+    import glob
+    import json as _json
+    import os
+
+    out = []
+    files = [
+        f
+        for f in glob.glob(os.path.join(ckpt, "offsets", "*"))
+        if os.path.basename(f).isdigit()
+    ]
+    for f in sorted(files, key=lambda p: int(os.path.basename(p))):
+        with open(f) as fh:
+            lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+        # v1 header, metadata json, then one offset json per source
+        raw = _json.loads(lines[-1])
+        if isinstance(raw, str):  # python datasources double-encode
+            raw = _json.loads(raw)
+        out.append((int(os.path.basename(f)), raw))
+    return out
+
+
+def test_group_id_keeps_offset_wal_monotone_across_restart(
+    spark, broker, tmp_path
+):
+    """With groupId, commit() mirrors progress to the broker's group
+    store, so a restarted capped reader knows its floor immediately:
+    no zero-progress learning batch, and the checkpoint's offset WAL
+    never goes backwards (the ADVICE r4 surprise)."""
+    ckpt = str(tmp_path / "ckpt")
+    _publish(spark, broker, [(f"a{i}", i) for i in range(8)])
+    first = _drain_counting_batches(spark, broker, ckpt, cap=4, group="g1")
+    got_first = {po for rows in first for po in rows}
+    assert len(got_first) == 8
+
+    _publish(spark, broker, [(f"b{i}", i) for i in range(16)])
+    second = _drain_counting_batches(spark, broker, ckpt, cap=4, group="g1")
+    replayed = [po for rows in second for po in rows]
+    assert len(replayed) == len(set(replayed)) == 16
+    assert not (set(replayed) & got_first)
+
+    # the WAL itself: per-partition end offsets never decrease
+    wal = _wal_offsets(ckpt)
+    assert len(wal) >= 2
+    last: dict = {}
+    for bid, ends in wal:
+        for p, o in ends.items():
+            assert int(o) >= last.get(p, 0), (
+                f"offset WAL went backwards at batch {bid}: "
+                f"partition {p} {last.get(p)} -> {o}"
+            )
+            last[p] = int(o)
 
 
 def test_starting_offsets_latest_skips_backlog(spark, broker, tmp_path):
