@@ -176,6 +176,169 @@ def _relay_bench(spark, scratch: str, n: int = 100_000) -> dict:
     return out
 
 
+def _interop_bench(spark, kdir: str) -> dict:
+    """Read-path cost of the lakehouse interop layers at this K: the
+    scaled documents table re-landed as (a) a 25-commit Delta table with
+    checkpoints every 10 commits and (b) an Iceberg v2 table authored
+    over the same parquet files. Timed read = fresh reader (full
+    metadata walk) + count, so the curve shows metadata overhead staying
+    flat while the scan grows with data."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from deimos_spark.operators.iceberg_interop import IcebergTableReader
+    from deimos_spark.schemas.avro_ocf import ocf_write
+
+    out: dict = {}
+    docs_dir = f"{kdir}/documents.parquet"
+
+    # ---------------- Delta: many-commit log + checkpointed replay
+    dpath = f"{kdir}/delta_docs"
+    w = DeltaTableWriter(spark, dpath, checkpoint_interval=10)
+    docs = spark.read.parquet(docs_dir)
+    for i in range(25):
+        w.append(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(25)) == i))
+    DeltaTableReader(spark, dpath).read().count()  # warm scan cache/codegen
+    runs, rows = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = DeltaTableReader(spark, dpath)
+        rows = r.read().count()
+        runs.append(time.perf_counter() - t0)
+        replayed, listed = r.last_snapshot_commit_reads, r.last_snapshot_listed_log
+    out["delta"] = {
+        "rows": rows,
+        "commits": 25,
+        "json_replayed": replayed,
+        "listed_log": listed,
+        "sec": round(sorted(runs)[1], 3),
+    }
+
+    # ---------------- Iceberg: author v2 metadata over the parquet files
+    ipath = f"{kdir}/ice_docs"
+    meta_dir = os.path.join(ipath, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    files = sorted(
+        os.path.join(docs_dir, f)
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+    type_map = {
+        "bigint": "long", "int": "int", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "date": "date", "binary": "binary",
+    }
+    ice_fields = [
+        {
+            "id": i,
+            "name": f.name,
+            "required": False,
+            "type": type_map[f.dataType.simpleString()],
+        }
+        for i, f in enumerate(docs.schema.fields, 1)
+    ]
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    mpath = os.path.join(meta_dir, "m0.avro")
+    ocf_write(
+        mpath,
+        entry_schema,
+        [
+            {
+                "status": 1,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(p),
+                },
+            }
+            for p in files
+        ],
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+        ],
+    }
+    mlpath = os.path.join(meta_dir, "snap-1.avro")
+    ocf_write(
+        mlpath,
+        ml_schema,
+        [{
+            "manifest_path": f"file://{mpath}",
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": 0,
+        }],
+    )
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(
+            {
+                "format-version": 2,
+                "table-uuid": "00000000-0000-0000-0000-000000000000",
+                "location": f"file://{ipath}",
+                "last-updated-ms": 0,
+                "last-column-id": len(ice_fields),
+                "schemas": [
+                    {"type": "struct", "schema-id": 0, "fields": ice_fields}
+                ],
+                "current-schema-id": 0,
+                "partition-spec": [],
+                "last-sequence-number": 1,
+                "snapshots": [
+                    {
+                        "snapshot-id": 1,
+                        "timestamp-ms": 0,
+                        "manifest-list": f"file://{mlpath}",
+                    }
+                ],
+                "current-snapshot-id": 1,
+            },
+            fh,
+        )
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    IcebergTableReader(spark, ipath).read().count()  # warm
+    runs, rows = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = IcebergTableReader(spark, ipath).read().count()
+        runs.append(time.perf_counter() - t0)
+    out["iceberg"] = {
+        "rows": rows,
+        "data_files": len(files),
+        "sec": round(sorted(runs)[1], 3),
+    }
+    return out
+
+
 def _fit_exponent(ks: list[int], times: list[float]) -> float:
     """Least-squares slope of log(time) vs log(K) — the empirical scaling
     exponent (1.0 = linear, 0 = constant). Times are floored at 50ms so
@@ -203,6 +366,8 @@ def main() -> None:
     spark = get_spark("deimos_stress")
 
     curve: dict[str, dict] = {name: {} for name in QUERIES}
+    interop: dict[str, dict] = {"delta": {}, "iceberg": {}}
+    interop_detail: dict = {}
     rows = {}
     for k in sorted(ks):
         # distinct dir per K: Spark caches file listings by path, and
@@ -212,6 +377,10 @@ def main() -> None:
         print(f"K={k}: lineitem rows = {rows[k]:,}", file=sys.stderr)
         for name, sec in _time_queries(spark, kdir).items():
             curve[name][k] = sec
+        io = _interop_bench(spark, kdir)
+        for fmt in interop:
+            interop[fmt][k] = io[fmt]["sec"]
+        interop_detail[k] = io
         shutil.rmtree(kdir, ignore_errors=True)
         _between_rounds(spark)
 
@@ -235,6 +404,19 @@ def main() -> None:
                 "queries": curve,
                 "scaling_exponent": scaling,
                 "superlinear": superlinear,
+                "interop_read": {
+                    "curve": interop,
+                    "exponent": {
+                        fmt: round(
+                            _fit_exponent(
+                                sks, [interop[fmt][k] for k in sks]
+                            ),
+                            3,
+                        )
+                        for fmt in interop
+                    },
+                    "detail_at_max_k": interop_detail[sks[-1]],
+                },
                 "outbox_relay_100k": relay,
                 "total_sec_at_max_k": round(
                     sum(curve[n][sks[-1]] for n in QUERIES), 2
