@@ -1,20 +1,24 @@
-"""Baseline JPEG (JFIF) codec in pure stdlib + numpy — no PIL/libjpeg.
+"""JPEG (JFIF) codec in pure stdlib + numpy — no PIL/libjpeg.
 
-Implements the baseline sequential DCT process of the public JPEG spec
-(ITU-T T.81 / ISO 10918-1): marker parsing, DQT/DHT table loading,
-Huffman entropy decoding (DC prediction + AC run-length), dequantize,
-8x8 inverse DCT (vectorized over all blocks with numpy), sampling-aware
-MCU reassembly (4:4:4 / 4:2:2 / 4:2:0), restart-marker handling, and
-JFIF YCbCr→RGB. Progressive (SOF2), arithmetic coding, and 12-bit
-precision are rejected with MediaDecodeError — the multimodal operators
-route those to the strict-mode gate exactly like any corrupt blob.
+Implements the DCT processes of the public JPEG spec (ITU-T T.81 /
+ISO 10918-1): baseline sequential (SOF0/1 — marker parsing, DQT/DHT
+loading, Huffman entropy decode with DC prediction + AC run-length,
+restart markers) AND progressive (SOF2, Annex G — spectral selection,
+successive approximation with DC/AC refinement passes and EOB runs),
+then dequantize, batched 8x8 inverse DCT (numpy), sampling-aware MCU
+reassembly (4:4:4 / 4:2:2 / 4:2:0), and JFIF YCbCr→RGB. Arithmetic
+coding and 12-bit precision are rejected with MediaDecodeError — the
+multimodal operators route those to the strict-mode gate exactly like
+any corrupt blob.
 
-The encoder exists so the decoder is testable without external codecs:
-standard Annex-K quantization tables (libjpeg-style quality scaling) and
-Annex-K Huffman tables, written INTO the stream as DQT/DHT — so
-round-trip correctness never depends on the constants matching any
-other implementation. Closes the reference-parity gap for image columns
-(reference treats payloads as opaque bytes; see SURVEY §2 multimodal).
+The encoders exist so the decoder is testable without external codecs:
+standard Annex-K quantization tables (libjpeg-style quality scaling)
+written INTO the stream as DQT/DHT — so round-trip correctness never
+depends on the constants matching any other implementation; the
+progressive encoder emits the common 4-phase scan script (DC first/
+refine, per-component AC first/refine). Closes the reference-parity gap
+for image columns (reference treats payloads as opaque bytes; see
+SURVEY §2 multimodal).
 
 Decode bound: like decode_png, this path is for untrusted corpus blobs —
 dimensions are capped before any allocation.
@@ -236,13 +240,17 @@ def _decode_jpeg_inner(data: bytes) -> Image:
     htables: dict[tuple[int, int], dict] = {}  # (class, id) -> decoder
     restart_interval = 0
     frame = None  # (height, width, components)
+    progressive = False
+    prog = None  # _ProgState once the first progressive scan begins
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise MediaDecodeError("JPEG marker desync")
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
             break
+        if pos + 4 > len(data):
+            raise MediaDecodeError("JPEG truncated in marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -270,7 +278,7 @@ def _decode_jpeg_inner(data: bytes) -> Image:
                 vals = list(body[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _build_huffman_decoder(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline & extended seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nf = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise MediaDecodeError("only 8-bit JPEG supported")
@@ -285,8 +293,7 @@ def _decode_jpeg_inner(data: bytes) -> Image:
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise MediaDecodeError("progressive JPEG not supported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise MediaDecodeError("non-baseline JPEG process unsupported")
@@ -305,11 +312,255 @@ def _decode_jpeg_inner(data: bytes) -> Image:
                 if comp is None:
                     raise MediaDecodeError("JPEG scan references unknown component")
                 scan.append((comp, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(
-                data, pos, frame, scan, qtables, htables, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, scan, qtables, htables, restart_interval
+                )
+            if prog is None:
+                prog = _ProgState(frame)
+            if len(body) < 1 + 2 * ns + 3:
+                raise MediaDecodeError("JPEG SOS header truncated")
+            sshdr = body[1 + 2 * ns]
+            sehdr = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = prog.decode_scan(
+                data, pos, scan, htables, restart_interval,
+                sshdr, sehdr, ahal >> 4, ahal & 0x0F,
             )
         # else: APPn/COM/etc — skipped
+    if prog is not None:
+        return _reconstruct(
+            frame[2], prog.stores, qtables, prog.hmax, prog.vmax,
+            frame[0], frame[1],
+        )
     raise MediaDecodeError("JPEG has no scan data")
+
+
+def _clip32(v: int) -> int:
+    return max(-2147483648, min(2147483647, int(v)))
+
+
+class _ProgState:
+    """Persistent state of a progressive (SOF2) decode across scans:
+    per-component zigzag coefficient stores on the interleaved MCU grid,
+    filled in by spectral-selection / successive-approximation scans per
+    T.81 Annex G, then handed to the shared `_reconstruct` tail. DC
+    scans walk the interleaved MCU grid (or the component block grid
+    when single-component); AC scans are always non-interleaved over the
+    component's true block grid, with EOB-run state and the G.2
+    refinement correction-bit protocol."""
+
+    def __init__(self, frame):
+        height, width, comps = frame
+        if not (1 <= len(comps) <= 4):
+            raise MediaDecodeError("unsupported JPEG component count")
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        if (
+            not (1 <= self.hmax <= 4 and 1 <= self.vmax <= 4)
+            or any(c["h"] < 1 or c["v"] < 1 for c in comps)
+        ):
+            raise MediaDecodeError("bad JPEG sampling factors")
+        self.mcux = (width + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (height + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.comps = comps
+        self.stores = [
+            np.zeros((self.mcuy * c["v"], self.mcux * c["h"], 64), np.int32)
+            for c in comps
+        ]
+        # non-interleaved block grid: ceil dims of the component itself
+        self.bdims = []
+        for c in comps:
+            cw = (width * c["h"] + self.hmax - 1) // self.hmax
+            ch = (height * c["v"] + self.vmax - 1) // self.vmax
+            self.bdims.append(((ch + 7) // 8, (cw + 7) // 8))
+
+    def _ci(self, comp) -> int:
+        return next(i for i, c in enumerate(self.comps) if c is comp)
+
+    def decode_scan(
+        self, data, pos, scan, htables, ri, ss, se, ah, al
+    ) -> int:
+        """Decode one scan's entropy segment starting at `pos`; returns
+        the position of the next marker."""
+        if ss == 0:
+            if se != 0:
+                raise MediaDecodeError("JPEG DC scan with Se != 0")
+        else:
+            if len(scan) != 1:
+                raise MediaDecodeError(
+                    "JPEG progressive AC scan must be single-component"
+                )
+            if not (ss <= se <= 63):
+                raise MediaDecodeError("bad JPEG spectral selection")
+        if al > 13 or (ah and ah != al + 1):
+            raise MediaDecodeError("bad JPEG successive approximation")
+        reader = _BitReader(data, pos)
+        if ss == 0:
+            self._dc_scan(reader, scan, htables, ri, ah, al)
+        else:
+            self._ac_scan(reader, scan[0], htables, ri, ss, se, ah, al)
+        return reader.pos
+
+    # ------------------------------------------------------------ DC scans
+
+    def _dc_block(self, reader, tab, blk, preds, si, ah, al) -> None:
+        if ah == 0:
+            s = _decode_huff(reader, tab)
+            if s > 15:
+                raise MediaDecodeError("JPEG DC size out of range")
+            diff = _extend(reader.receive(s), s) if s else 0
+            preds[si] = _clip32(preds[si] + diff)
+            blk[0] = _clip32(preds[si] * (1 << al))
+        elif reader.read_bit():
+            blk[0] |= 1 << al
+
+    def _dc_scan(self, reader, scan, htables, ri, ah, al) -> None:
+        tabs = []
+        for _comp, td, _ta in scan:
+            if ah == 0:
+                t = htables.get((0, td))
+                if t is None:
+                    raise MediaDecodeError(
+                        "JPEG scan uses undefined Huffman table"
+                    )
+                tabs.append(t)
+            else:
+                tabs.append(None)  # refinement reads raw bits
+        preds = [0] * len(scan)
+        n = 0
+        if len(scan) == 1:  # non-interleaved: the component's own grid
+            comp = scan[0][0]
+            ci = self._ci(comp)
+            bh, bw = self.bdims[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and n and n % ri == 0:
+                        reader.restart()
+                        preds = [0]
+                    self._dc_block(
+                        reader, tabs[0], self.stores[ci][by, bx],
+                        preds, 0, ah, al,
+                    )
+                    n += 1
+            return
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                if ri and n and n % ri == 0:
+                    reader.restart()
+                    preds = [0] * len(scan)
+                for si, (comp, _td, _ta) in enumerate(scan):
+                    ci = self._ci(comp)
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            blk = self.stores[ci][
+                                my * comp["v"] + by, mx * comp["h"] + bx
+                            ]
+                            self._dc_block(
+                                reader, tabs[si], blk, preds, si, ah, al
+                            )
+                n += 1
+
+    # ------------------------------------------------------------ AC scans
+
+    def _ac_scan(self, reader, entry, htables, ri, ss, se, ah, al) -> None:
+        comp, _td, ta = entry
+        tab = htables.get((1, ta))
+        if tab is None:
+            raise MediaDecodeError("JPEG scan uses undefined Huffman table")
+        ci = self._ci(comp)
+        bh, bw = self.bdims[ci]
+        store = self.stores[ci]
+        eobrun = 0
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and n and n % ri == 0:
+                    reader.restart()
+                    eobrun = 0
+                blk = store[by, bx]
+                if ah == 0:
+                    eobrun = self._ac_first(
+                        reader, tab, blk, ss, se, al, eobrun
+                    )
+                else:
+                    eobrun = self._ac_refine(
+                        reader, tab, blk, ss, se, al, eobrun
+                    )
+                n += 1
+
+    @staticmethod
+    def _ac_first(reader, tab, blk, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, tab)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                return eobrun
+            k += r
+            if k > se:
+                raise MediaDecodeError("JPEG AC run overflow")
+            blk[k] = _clip32(_extend(reader.receive(s), s) * (1 << al))
+            k += 1
+        return 0
+
+    @staticmethod
+    def _ac_refine(reader, tab, blk, ss, se, al, eobrun) -> int:
+        """G.2 correction pass: nonzero-history coefficients get one
+        correction bit as the position pointer passes them; runs count
+        only zero-history positions; new coefficients arrive as ±1·2^Al.
+        Returns the remaining EOB run."""
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, tab)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    # r == 15: ZRL — run of 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise MediaDecodeError(
+                            "bad JPEG AC refinement symbol"
+                        )
+                    val = p1 if reader.read_bit() else -p1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.read_bit() and (c & p1) == 0:
+                            blk[k] = _clip32(c + (p1 if c >= 0 else -p1))
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            # this block is a member of the EOB run: correction bits for
+            # every remaining nonzero-history position in the band
+            while k <= se:
+                c = int(blk[k])
+                if c != 0 and reader.read_bit() and (c & p1) == 0:
+                    blk[k] = _clip32(c + (p1 if c >= 0 else -p1))
+                k += 1
+            return eobrun - 1
+        return 0
 
 
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
@@ -379,8 +630,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             k += 1
             mcu_count += 1
 
+    comps = [comp for comp, _, _ in scan]
+    return _reconstruct(comps, stores, qtables, hmax, vmax, height, width)
+
+
+def _reconstruct(comps, stores, qtables, hmax, vmax, height, width) -> Image:
+    """Shared tail of both DCT processes: dequantize the per-component
+    zigzag coefficient stores, batched IDCT, sampling-aware upsample,
+    JFIF color convert."""
     planes = []
-    for ci, (comp, _, _) in enumerate(scan):
+    for ci, comp in enumerate(comps):
         q = qtables.get(comp["tq"])
         if q is None:
             raise MediaDecodeError("JPEG component uses undefined quant table")
@@ -512,12 +771,10 @@ def _dht_body(tc, th, table) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
 
 
-def encode_jpeg_baseline(
-    img: Image, quality: int = 85, subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Baseline JFIF encoder (test-fixture generator). Grayscale or RGB;
-    subsample=True uses 4:2:0 chroma, else 4:4:4."""
+def _encode_headers(img: Image, quality: int, subsample: bool, sof_marker: int):
+    """Shared front half of both encoders: color convert + subsample +
+    FDCT/quantize, and the SOI..DHT header bytes. Returns
+    (out, ncomp, samp, coefs)."""
     arr = img.to_array()
     if img.channels == 1:
         planes = [arr[:, :, 0] if arr.ndim == 3 else arr]
@@ -568,12 +825,22 @@ def encode_jpeg_baseline(
     for i in range(ncomp):
         h, v = samp[i]
         sof += bytes([i + 1, (h << 4) | v, 0 if i == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(sof_marker, sof)
     out += _seg(0xC4, _dht_body(0, 0, HT_DC_LUM))
     out += _seg(0xC4, _dht_body(1, 0, HT_AC_LUM))
     if ncomp == 3:
         out += _seg(0xC4, _dht_body(0, 1, HT_DC_CHROM))
         out += _seg(0xC4, _dht_body(1, 1, HT_AC_CHROM))
+    return out, ncomp, samp, coefs
+
+
+def encode_jpeg_baseline(
+    img: Image, quality: int = 85, subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder (test-fixture generator). Grayscale or RGB;
+    subsample=True uses 4:2:0 chroma, else 4:4:4."""
+    out, ncomp, samp, coefs = _encode_headers(img, quality, subsample, 0xC0)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
@@ -617,5 +884,213 @@ def encode_jpeg_baseline(
             mcu_count += 1
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------- progressive encoder
+
+# Flat AC Huffman table for progressive scans: every (run,size) symbol —
+# including the EOBn symbols 0x10..0xE0 that the Annex-K baseline tables
+# don't carry — at a fixed 8/9-bit length (255 codes at 8 bits + 1 at 9;
+# an incomplete canonical code, which T.81 permits). Compression is
+# deliberately traded for coverage: this is a fixture generator whose
+# job is to exercise the decoder's EOB-run and refinement paths.
+_HT_AC_FLAT = ([0] * 7 + [255, 1] + [0] * 7, list(range(256)))
+
+
+def _tz_div(v: int, d: int) -> int:
+    """AC point transform: integer divide truncating toward zero
+    (T.81 G.1.2.2 — DC uses arithmetic shift instead)."""
+    return -((-v) // d) if v < 0 else v // d
+
+
+def _emit_dc_diff(bw, codes, diff: int) -> None:
+    s = _size_of(abs(diff))
+    c, ln = codes[s]
+    bw.write(c, ln)
+    if s:
+        bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+
+def _flush_eob_run(bw, ac_codes, run: int) -> int:
+    while run > 0:
+        chunk = min(run, 32767)
+        r = chunk.bit_length() - 1
+        c, ln = ac_codes[r << 4]
+        bw.write(c, ln)
+        if r:
+            bw.write(chunk - (1 << r), r)
+        run -= chunk
+    return 0
+
+
+def encode_jpeg_progressive(
+    img: Image, quality: int = 85, subsample: bool = False
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder — fixture generator for the
+    Annex-G decoder. Scan script (spectral selection + one successive-
+    approximation level, the common libjpeg-style shape):
+
+      1. DC first, all components interleaved, Ah=0 Al=1
+      2. DC refinement, Ah=1 Al=0
+      3. per component: AC first Ss=1..63 Ah=0 Al=1 (EOB-run coded)
+      4. per component: AC refinement Ss=1..63 Ah=1 Al=0
+         (correction bits + per-block EOB)
+
+    Restart intervals are not emitted in progressive mode."""
+    out, ncomp, samp, coefs = _encode_headers(img, quality, subsample, 0xC2)
+    out += _seg(0xC4, _dht_body(1, 0, _HT_AC_FLAT))
+    dc_codes = [
+        _build_huffman_codes(*(HT_DC_LUM if i == 0 else HT_DC_CHROM))
+        for i in range(ncomp)
+    ]
+    ac_codes = _build_huffman_codes(*_HT_AC_FLAT)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcux = (img.width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (img.height + 8 * vmax - 1) // (8 * vmax)
+
+    def sos_seg(entries, ss, se, ah, al) -> bytes:
+        body = bytes([len(entries)])
+        for cid, td, ta in entries:
+            body += bytes([cid, (td << 4) | ta])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    def dc_mcu_walk():
+        """(ci, by, bx) in interleaved MCU order, edge-clamped exactly
+        like the baseline encoder's entropy loop."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(ncomp):
+                    h, v = samp[ci]
+                    cz = coefs[ci]
+                    for by in range(v):
+                        for bx in range(h):
+                            yy = min(my * v + by, cz.shape[0] - 1)
+                            xx = min(mx * h + bx, cz.shape[1] - 1)
+                            yield ci, yy, xx
+
+    # ---- scan 1: DC first at Al=1 (DC point transform = arith shift)
+    out += sos_seg(
+        [(i + 1, 0 if i == 0 else 1, 0) for i in range(ncomp)], 0, 0, 0, 1
+    )
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for ci, yy, xx in dc_mcu_walk():
+        v = int(coefs[ci][yy, xx][0]) >> 1
+        _emit_dc_diff(bw, dc_codes[ci], v - preds[ci])
+        preds[ci] = v
+    bw.flush()
+    out += bw.out
+
+    # ---- scan 2: DC refinement — bit 0 of every DC, same walk
+    out += sos_seg([(i + 1, 0, 0) for i in range(ncomp)], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for ci, yy, xx in dc_mcu_walk():
+        bw.write(int(coefs[ci][yy, xx][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # ---- scans 3..: AC first per component at Al=1, non-interleaved
+    for ci in range(ncomp):
+        out += sos_seg([(ci + 1, 0, 0)], 1, 63, 0, 1)
+        bw = _BitWriter()
+        eob = 0
+        cz = coefs[ci]
+        for by in range(cz.shape[0]):
+            for bx in range(cz.shape[1]):
+                t = [_tz_div(int(cz[by, bx][k]), 2) for k in range(64)]
+                last = max((k for k in range(1, 64) if t[k]), default=0)
+                if last == 0:
+                    eob += 1
+                    continue
+                eob = _flush_eob_run(bw, ac_codes, eob)
+                run = 0
+                for k in range(1, last + 1):
+                    v = t[k]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    s = _size_of(abs(v))
+                    c, ln = ac_codes[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last < 63:
+                    eob += 1
+        _flush_eob_run(bw, ac_codes, eob)
+        bw.flush()
+        out += bw.out
+
+    # ---- scans 4..: AC refinement per component at Al=0. The emission
+    # mirrors the decoder's walk exactly: symbol, sign, then correction
+    # bits for the positions the decoder passes before placing the new
+    # coefficient (ZRL consumes corrections only up to its 16th
+    # zero-history position).
+    for ci in range(ncomp):
+        out += sos_seg([(ci + 1, 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        cz = coefs[ci]
+        for by in range(cz.shape[0]):
+            for bx in range(cz.shape[1]):
+                events = []  # position-ordered: corr bit / zero / new sign
+                for k in range(1, 64):
+                    v = int(cz[by, bx][k])
+                    h = _tz_div(v, 2)
+                    if h != 0:
+                        events.append(("corr", abs(v) & 1))
+                    elif v != 0:  # |v| == 1 by construction
+                        events.append(("new", 1 if v > 0 else 0))
+                    else:
+                        events.append(("zero", 0))
+                i, n = 0, len(events)
+                while i < n:
+                    j, zeros, found = i, 0, None
+                    while j < n:
+                        kind = events[j][0]
+                        if kind == "new":
+                            found = j
+                            break
+                        if kind == "zero":
+                            zeros += 1
+                        j += 1
+                    if found is None:
+                        if any(ev[0] != "corr" or True for ev in events[i:]):
+                            # positions remain → EOB0, then corrections
+                            c, ln = ac_codes[0x00]
+                            bw.write(c, ln)
+                            for ev in events[i:]:
+                                if ev[0] == "corr":
+                                    bw.write(ev[1], 1)
+                        break
+                    while zeros > 15:
+                        c, ln = ac_codes[0xF0]
+                        bw.write(c, ln)
+                        cnt = 0
+                        while cnt < 16:
+                            ev = events[i]
+                            i += 1
+                            if ev[0] == "corr":
+                                bw.write(ev[1], 1)
+                            else:
+                                cnt += 1
+                        zeros -= 16
+                    c, ln = ac_codes[(zeros << 4) | 1]
+                    bw.write(c, ln)
+                    bw.write(events[found][1], 1)
+                    while i < found:
+                        ev = events[i]
+                        i += 1
+                        if ev[0] == "corr":
+                            bw.write(ev[1], 1)
+                    i = found + 1
+        bw.flush()
+        out += bw.out
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -10,12 +10,12 @@ Design for 100 TB multimodal corpora:
   per-row overhead; partitioning controls parallelism.
 - decode is REAL for every format expressible without external codecs —
   PNG (zlib + the spec's scanline filters), BMP, WAV (`wave` module),
-  and baseline-sequential JPEG (T.81 Huffman + numpy IDCT, see
-  functions/jpegcodec.py). Formats that genuinely need external codecs
-  (progressive JPEG, MP3/MP4: ffmpeg is not in this container) fall
+  and JPEG: baseline-sequential AND progressive (T.81 Annex F/G Huffman
+  + numpy IDCT, see functions/jpegcodec.py). Formats that genuinely
+  need external codecs (MP3/MP4: ffmpeg is not in this container) fall
   back to a deterministic content-hash stub, or raise
-  NotImplementedError in strict mode. The dispatch is magic-byte sniffing, so mixed-format
-  corpora decode what they can.
+  NotImplementedError in strict mode. The dispatch is magic-byte
+  sniffing, so mixed-format corpora decode what they can.
 """
 
 from __future__ import annotations

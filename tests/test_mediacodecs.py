@@ -223,13 +223,18 @@ def test_jpeg_quality_monotonic():
     assert err_hi < err_lo
 
 
-def test_jpeg_rejects_progressive_truncated_and_garbage():
+def test_jpeg_rejects_malformed_truncated_and_garbage():
     px = _gradient_rgb(16, 16)
     data = encode_jpeg_baseline(mc.Image(16, 16, 3, px.tobytes()))
-    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive must be rejected
+    # flip SOF0 (FFC0) to SOF2 (FFC2): the baseline scan script is not a
+    # valid progressive one (Ss=0 with Se=63) — must be contained
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(mc.MediaDecodeError, match="progressive"):
+    with pytest.raises(mc.MediaDecodeError):
         decode_jpeg(prog)
+    # arithmetic-coded process stays refused
+    arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(mc.MediaDecodeError, match="non-baseline"):
+        decode_jpeg(arith)
     # truncated scan
     with pytest.raises(mc.MediaDecodeError):
         decode_jpeg(data[: len(data) // 2])
@@ -501,12 +506,19 @@ def test_jpeg_roundtrip_property_blockwise(bw, bh, gray, sub, data):
 @given(data=st.data())
 def test_jpeg_decoder_survives_corruption(data):
     """Untrusted-corpus contract: ANY byte corruption of a valid JPEG
-    either still decodes or raises MediaDecodeError — never a hang,
-    never a raw struct/IndexError/numpy exception leaking out."""
+    (baseline or progressive) either still decodes or raises
+    MediaDecodeError — never a hang, never a raw struct/IndexError/
+    numpy exception leaking out."""
+    from deimos_spark.functions.jpegcodec import encode_jpeg_progressive
+
     px = _gradient_rgb(16, 16)
-    base = bytearray(
-        encode_jpeg_baseline(mc.Image(16, 16, 3, px.tobytes()), quality=90)
+    img = mc.Image(16, 16, 3, px.tobytes())
+    enc = (
+        encode_jpeg_progressive
+        if data.draw(st.booleans())
+        else encode_jpeg_baseline
     )
+    base = bytearray(enc(img, quality=90))
     n_flips = data.draw(st.integers(1, 8))
     for _ in range(n_flips):
         i = data.draw(st.integers(2, len(base) - 1))  # keep SOI magic
@@ -516,6 +528,66 @@ def test_jpeg_decoder_survives_corruption(data):
         assert img.width > 0 and img.height > 0
     except mc.MediaDecodeError:
         pass  # routable record-level failure — the designed outcome
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bw=st.integers(1, 4),
+    bh=st.integers(1, 4),
+    gray=st.booleans(),
+    sub=st.booleans(),
+    quality=st.sampled_from([30, 85, 95]),
+    data=st.data(),
+)
+def test_jpeg_progressive_matches_baseline(bw, bh, gray, sub, quality, data):
+    """The progressive scan script (spectral selection + one successive-
+    approximation level, EOB runs, refinement correction bits) must
+    reconstruct the SAME coefficients as the baseline encoding of the
+    same image — so the decoded pixels agree exactly."""
+    from deimos_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    ch = 1 if gray else 3
+    colors = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 255) for _ in range(ch)]),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    px = np.zeros((bh * 8, bw * 8, ch), dtype=np.uint8)
+    for i, c in enumerate(colors):
+        y, x = divmod(i, bw)
+        px[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = c
+    img = mc.Image(bw * 8, bh * 8, ch, px.tobytes())
+    sub = sub and not gray
+    base = decode_jpeg(encode_jpeg_baseline(img, quality=quality, subsample=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=quality, subsample=sub)
+    )
+    assert (prog.width, prog.height, prog.channels) == (
+        base.width, base.height, base.channels,
+    )
+    a = np.frombuffer(base.pixels, dtype=np.uint8).astype(int)
+    b = np.frombuffer(prog.pixels, dtype=np.uint8).astype(int)
+    assert np.abs(a - b).max() == 0
+
+
+def test_jpeg_progressive_non_multiple_of_8_dims():
+    """Odd dimensions exercise the non-interleaved component block grids
+    (smaller than the MCU grid) and edge-clamped DC scans."""
+    from deimos_spark.functions.jpegcodec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(11)
+    for (w, h, ch, sub) in [(17, 23, 3, False), (33, 9, 3, True), (7, 5, 1, False)]:
+        arr = rng.integers(0, 256, size=(h, w, ch)).astype(np.uint8)
+        img = mc.Image(w, h, ch, arr.tobytes())
+        base = decode_jpeg(encode_jpeg_baseline(img, quality=85, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsample=sub)
+        )
+        a = np.frombuffer(base.pixels, dtype=np.uint8).astype(int)
+        b = np.frombuffer(prog.pixels, dtype=np.uint8).astype(int)
+        assert np.abs(a - b).max() == 0
 
 
 @settings(max_examples=40, deadline=None)
