@@ -166,48 +166,52 @@ def minhash_lsh_pairs(
     if collapse_exact:
         df = collapse_exact_duplicates(df, text_col, id_col)
     rows = num_hashes // bands
-    # Shingle *hashes*, not shingle strings: tokens are hashed to longs
-    # before the window, so the per-doc sort and every downstream shuffle
-    # carries 8-byte longs instead of ~40-byte strings. A shingle's identity
-    # is the combined hash of its n token hashes (128 bits via _h1/_h2 —
-    # collision-free in practice).
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
-    ).select("_id", "_p", F.xxhash64("_w").alias("_th"))
-    w = Window.partitionBy("_id").orderBy("_p")
-    leads = [F.col("_th")] + [F.lead("_th", i).over(w) for i in range(1, shingle_n)]
+    # Shingling is a per-row ARRAY expression: tokens hashed with one
+    # codegen'd transform, then the two shingle identity hashes (h1;
+    # h2 = same + lit(1)) built as two LONG arrays. This replaces the
+    # round-3/4 posexplode → Window.partitionBy(_id).orderBy(_p) chain —
+    # i.e. the full token-relation shuffle AND per-doc sort — with zero
+    # shuffles before the shingle relation exists. Plain long arrays on
+    # purpose: array<struct> through transform-lambdas or a generator
+    # that carries a second array measures 20-40x slower on the
+    # interpreted (non-codegen) higher-order-function path, while
+    # long-array transforms + inline(arrays_zip(...)) stay fast.
+    # Expressions are SQL strings: one parse each instead of many py4j
+    # Column calls (plan-build time, bench cold_queries).
+    toks = f"transform(split(trim({text_col}), '\\\\s+'), w -> xxhash64(w))"
+
+    def _sharr(extra: str) -> str:
+        args = ", ".join(
+            f"element_at(_th, i + {k + 1})" for k in range(shingle_n)
+        )
+        # docs with < n tokens contribute their whole text as one shingle
+        return (
+            f"CASE WHEN size(_th) < {shingle_n} THEN "
+            f"array(xxhash64(trim({text_col}){extra})) "
+            f"ELSE transform(sequence(0, size(_th) - {shingle_n}), "
+            f"i -> xxhash64({args}{extra})) END"
+        )
+
     hashed = (
-        toks.select(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col))
+        .select("_id", F.col(text_col), F.expr(toks).alias("_th"))
+        .select(
             "_id",
-            F.xxhash64(*leads).alias("_h1"),
-            F.xxhash64(*leads, F.lit(1)).alias("_h2"),
-            leads[-1].isNotNull().alias("_full"),
+            F.expr(_sharr("")).alias("_h1s"),
+            F.expr(_sharr(", 1")).alias("_h2s"),
         )
-        .filter("_full")
-        .select("_id", "_h1", "_h2")
-    )
-    # docs with < n tokens contribute their whole text as one shingle
-    short_docs = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.xxhash64(F.trim(F.col(text_col))).alias("_h1"),
-            F.xxhash64(F.trim(F.col(text_col)), F.lit(1)).alias("_h2"),
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nt"),
+        .select("_id", F.expr("inline(arrays_zip(_h1s, _h2s))"))
+        .select(
+            "_id",
+            F.col("_h1s").alias("_h1"),
+            F.col("_h2s").alias("_h2"),
         )
-        .filter(F.col("_nt") < shingle_n)
-        .select("_id", "_h1", "_h2")
+        .distinct()
     )
-    hashed = hashed.union(short_docs).distinct()
     # signature: num_hashes mins in ONE hash aggregate (map-side combine
-    # shrinks the shuffle to num_docs × num_hashes longs). Expressions are
-    # built as SQL strings — one py4j round-trip + JVM parse per column
-    # instead of ~6 Column-API calls each; on a 32-hash signature this
-    # cuts driver-side plan-build time visibly (bench cold_queries).
-    # Signature AND shingle count in ONE hash aggregate: the doc's size
-    # rides along through the band join, so no separate `sizes` aggregate
-    # and no per-side size joins at the end — 3 fewer stages in the plan
-    # (cold-start time at any scale, two fewer shuffles at 100 TB).
+    # shrinks the shuffle to num_docs × num_hashes longs). Signature AND
+    # distinct-shingle count ride in the same aggregate, so the doc's
+    # size flows through the band join with no separate sizes joins.
     sig = hashed.groupBy("_id").agg(
         F.expr("count(1) AS _n"),
         *[F.expr(f"min(_h1 + {j}L * _h2) AS _m{j}") for j in range(num_hashes)],
