@@ -69,6 +69,7 @@ HEADLINE = [
     "t16_pii_scrub",
     "t17_pack_plan",
     "t18_mixture_sample",
+    "t19_gopher_quality",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",

@@ -153,3 +153,52 @@ def scrub_pii(col: Column | str) -> Column:
     for name, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"[{name.upper()}]")
     return c
+
+
+# -------------------------------------------------- Gopher quality rules
+
+# Rule-based quality filtering in the style of the public Gopher corpus
+# pipeline (Rae et al. 2021, arXiv:2112.11446 Table A1): word-count
+# bounds, mean-word-length bounds, alphabetic-word fraction, and
+# stopword presence. Every rule is a pure JVM-side expression over the
+# split word array — the 100-TB shape is one codegen'd projection per
+# document, no shuffle until the final aggregate. Thresholds are
+# constructor-visible so pipeline owners tune recall/precision.
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def gopher_flags(
+    col: Column | str,
+    min_words: int = 30,
+    max_words: int = 80,
+    min_mean_word_len: float = 4.0,
+    max_mean_word_len: float = 5.0,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """Per-rule boolean flags; combine with `pass_all` for the filter."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    wc = F.size(words)
+    char_sum = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mwl = char_sum.cast("double") / wc.cast("double")
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = None
+    for sw in GOPHER_STOPWORDS:
+        hit = F.array_contains(words, sw).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    flags = {
+        "pass_wc": (wc >= min_words) & (wc <= max_words),
+        "pass_mwl": (mwl >= min_mean_word_len) & (mwl <= max_mean_word_len),
+        "pass_alpha": (alpha.cast("double") / wc.cast("double"))
+        >= min_alpha_frac,
+        "pass_stop": stop_hits >= min_stopwords,
+    }
+    allf = None
+    for f in flags.values():
+        allf = f if allf is None else allf & f
+    flags["pass_all"] = allf
+    return flags

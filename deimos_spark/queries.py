@@ -513,6 +513,27 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19: Gopher-style rule-based quality filter (Rae et al. 2021,
+    arXiv:2112.11446) — per-language rule pass counts plus the full
+    conjunction; one codegen'd projection per doc, one hash aggregate."""
+    from deimos_spark.functions.text import gopher_flags
+
+    d = _docs(spark, sf_dir)
+    flags = gopher_flags("text")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("docs"),
+            *[
+                F.sum(f.cast("int")).cast("bigint").alias(name)
+                for name, f in flags.items()
+            ],
+        )
+        .orderBy("lang")
+    )
+
+
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
@@ -1257,6 +1278,38 @@ def all_queries() -> dict[str, QuerySpec]:
             "::BIGINT % 10000) < th "
             "GROUP BY d.lang ORDER BY d.lang",
             note="deterministic mixture sampling to target shares",
+        ),
+        QuerySpec(
+            "t19_gopher_quality", q_gopher_quality,
+            "WITH w AS (SELECT lang, "
+            "regexp_split_to_array(trim(text), '\\s+') AS ws "
+            "FROM documents), "
+            "f AS (SELECT lang, len(ws) AS wc, "
+            "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE)"
+            " / len(ws) AS mwl, "
+            "CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))"
+            " AS DOUBLE) / len(ws) AS af, "
+            "(CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END"
+            " + CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END"
+            " + CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END"
+            " + CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END"
+            " + CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END"
+            " + CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END)"
+            " AS sh FROM w) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS docs, "
+            "CAST(sum(CASE WHEN wc BETWEEN 30 AND 80 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS pass_wc, "
+            "CAST(sum(CASE WHEN mwl >= 4.0 AND mwl <= 5.0 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS pass_mwl, "
+            "CAST(sum(CASE WHEN af >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS pass_alpha, "
+            "CAST(sum(CASE WHEN sh >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+            " AS pass_stop, "
+            "CAST(sum(CASE WHEN wc BETWEEN 30 AND 80 "
+            "AND mwl >= 4.0 AND mwl <= 5.0 AND af >= 0.8 AND sh >= 2 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS pass_all "
+            "FROM f GROUP BY lang ORDER BY lang",
+            note="Gopher-style rule-based quality filter counts",
         ),
     ]
     specs += _tpch_specs()
