@@ -539,6 +539,18 @@ def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20: duplicate-CLUSTER formation — connected components over the
+    t09 near-dup pair relation (iterative min-label propagation), sized.
+    The step a real dedup pipeline runs between pair generation and
+    keep-one-per-cluster; oracle = DuckDB recursive-CTE transitive
+    closure over the identical pair SQL."""
+    from deimos_spark.operators.graph import cluster_sizes
+
+    edges = simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
+    return cluster_sizes(edges, "id_a", "id_b")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     return load_table(spark, sf_dir, "events")
@@ -1310,6 +1322,23 @@ def all_queries() -> dict[str, QuerySpec]:
             "THEN 1 ELSE 0 END) AS BIGINT) AS pass_all "
             "FROM f GROUP BY lang ORDER BY lang",
             note="Gopher-style rule-based quality filter counts",
+        ),
+        QuerySpec(
+            "t20_dup_clusters", q_dup_clusters,
+            "WITH RECURSIVE p AS (SELECT id_a, id_b FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t "
+            "WHERE sim >= 0.4), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(n, m) AS (SELECT a, a FROM e "
+            "UNION SELECT e.a, r.m FROM e JOIN reach r ON r.n = e.b), "
+            "c AS (SELECT n, min(m) AS comp FROM reach GROUP BY n) "
+            "SELECT comp, CAST(count(*) AS BIGINT) AS size FROM c "
+            "GROUP BY comp ORDER BY size DESC, comp",
+            note="connected-component duplicate clusters (iterative)",
         ),
     ]
     specs += _tpch_specs()
