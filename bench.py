@@ -14,10 +14,19 @@ Two timings per query, both reported:
 - cold: the FIRST build+collect — includes Python expression-tree
   construction, Catalyst analysis/optimization, and codegen compilation.
   Wide plans (minhash banding, 64-col simhash) pay seconds here.
-- steady-state: median of 3 subsequent runs through the prepared-plan
-  cache — what a prepare-once/execute-many engine pays per execution.
-The headline metric stays steady-state; cold is reported alongside so
-plan-build cost is visible rather than hidden by the warm-up pass.
+- steady-state: median of 3 subsequent runs, each on a FRESHLY BUILT
+  DataFrame (plan cache cleared between runs) — warm JVM/JIT, warm
+  Janino codegen cache, warm parquet footers, but a full recompute.
+
+Benchmark-integrity note (round 5): earlier rounds timed re-collects of
+the SAME cached DataFrame. Spark reuses shuffle map outputs when an
+identical RDD lineage re-executes, so multi-stage queries were timed at
+3-13x below their true steady-state cost (only the final stage ran) —
+while the DuckDB baseline re-executes fully every run. Rebuilding the
+DataFrame per timed run removes that asymmetry: the number now answers
+"what does re-submitting this query cost", which is the comparison the
+baseline bar is about. BENCH_r5 totals are therefore HIGHER than
+BENCH_r4's on an identical engine — the regime changed, not the engine.
 """
 
 from __future__ import annotations
@@ -30,7 +39,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from deimos_spark.queries import all_queries
+from deimos_spark.queries import all_queries, clear_plan_cache
 from deimos_spark.session import get_spark
 
 # Headline set: every operator family, weighted toward the scans/joins/aggs
@@ -107,6 +116,9 @@ def main() -> None:
         spec = specs[name]
         runs = []
         for _ in range(3):
+            # fresh lineage per run: no shuffle-output reuse (see module
+            # docstring) — this is a true re-submission, like the oracle
+            clear_plan_cache()
             t0 = time.perf_counter()
             spec.builder(spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
@@ -123,6 +135,11 @@ def main() -> None:
                 "cold_queries": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf,
+                # fresh-lineage re-submission per timed run (no shuffle
+                # reuse) — see the module docstring; r1-r4 used cached
+                # DataFrames, so totals are not comparable across that
+                # boundary
+                "regime": "resubmit",
             }
         )
     )

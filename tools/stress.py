@@ -83,6 +83,8 @@ def _build_scaled(spark, src: str, scratch: str, k: int) -> int:
 
 
 def _time_queries(spark, scratch: str) -> dict[str, float]:
+    from deimos_spark.queries import clear_plan_cache
+
     specs = all_queries()
     for name in QUERIES:  # warm-up (plans + codegen)
         specs[name].builder(spark, scratch).collect()
@@ -90,6 +92,10 @@ def _time_queries(spark, scratch: str) -> dict[str, float]:
     for name in QUERIES:
         best = None
         for _ in range(3):
+            # fresh lineage per run: re-collecting a cached DataFrame
+            # reuses shuffle map outputs, which would time only the
+            # final stage and UNDERSTATE the scaling exponent
+            clear_plan_cache()
             t0 = time.perf_counter()
             specs[name].builder(spark, scratch).collect()
             dt = time.perf_counter() - t0
