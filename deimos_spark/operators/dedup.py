@@ -84,38 +84,32 @@ def exploded_shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles in exploded form: (_id, _s).
 
-    posexplode + window-lead instead of per-row array lambdas: higher-order
-    functions run interpreted in Spark, while this shape is whole-stage
-    codegen'd end-to-end. Docs with fewer than n tokens contribute their
-    whole trimmed text as the single shingle.
+    Shingles are built as ONE per-row string array (codegen'd split +
+    an element_at window per position), then exploded — replacing the
+    earlier posexplode → Window.partitionBy(_id).orderBy(_p) chain,
+    i.e. a full token-relation shuffle AND a per-doc sort, with zero
+    pre-explode shuffles (the t06 minhash lesson; a bare explode of one
+    array carrying only the id stays on the fast generator path).
+    Docs with fewer than n tokens contribute their whole trimmed,
+    whitespace-normalized text as the single shingle — byte-identical
+    to the previous implementation and to `shingles()`.
     """
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_p", "_w"),
+    parts = ", ".join(f"element_at(_ws, i + {k + 1})" for k in range(n))
+    sh = (
+        f"CASE WHEN size(_ws) < {n} THEN "
+        f"array(regexp_replace(trim({text_col}), '\\\\s+', ' ')) "
+        f"ELSE transform(sequence(0, size(_ws) - {n}), "
+        f"i -> concat_ws(' ', {parts})) END"
     )
-    w = Window.partitionBy("_id").orderBy("_p")
-    parts = [F.col("_w")] + [F.lead("_w", i).over(w) for i in range(1, n)]
-    full = (
-        toks.select(
-            "_id",
-            F.concat_ws(" ", *parts).alias("_s"),
-            parts[-1].isNotNull().alias("_full"),
-        )
-        .filter("_full")
-        .select("_id", "_s")
-    )
-    # whitespace-normalized so the single shingle equals concat_ws(" ",
-    # tokens) — byte-identical to the `shingles()` column expression
-    short_docs = (
+    return (
         df.select(
             F.col(id_col).alias("_id"),
-            F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ").alias("_s"),
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nt"),
+            F.col(text_col),
+            F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_ws"),
         )
-        .filter(F.col("_nt") < n)
-        .select("_id", "_s")
+        .select("_id", F.explode(F.expr(sh)).alias("_s"))
+        .distinct()
     )
-    return full.union(short_docs).distinct()
 
 
 def collapse_exact_duplicates(
