@@ -86,6 +86,35 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+def _param_lookup(sf_dir: str, table: str, key_col: str, key, col: str):
+    """Driver-side point lookup of a QUERY PARAMETER (the probe vector /
+    probe text) straight from parquet via pyarrow — not a Spark job.
+
+    The parameter fetch is input preparation, not part of the declared
+    query; doing it as `df.filter(...).head()` costs a full Spark job
+    per re-submission (~0.3s fixed floor) just to move one value to the
+    driver. Parquet row-group statistics prune the read to the groups
+    that can contain the key."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as papq
+
+    pf = papq.ParquetFile(f"{sf_dir}/{table}.parquet")
+    groups = [
+        i
+        for i in range(pf.num_row_groups)
+        if (lambda s: s is None or (s.min <= key <= s.max))(
+            pf.metadata.row_group(i)
+            .column(pf.schema_arrow.get_field_index(key_col))
+            .statistics
+        )
+    ]
+    tbl = pf.read_row_groups(groups or [0], columns=[key_col, col])
+    match = tbl.filter(pc.equal(tbl.column(key_col), key))
+    if match.num_rows == 0:
+        raise KeyError(f"{table}.{key_col} == {key!r} not found")
+    return match.column(col)[0].as_py()
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B32: per-language document stats."""
     return (
@@ -169,7 +198,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B33: brute-force cosine top-10 vs the vec_id=0 embedding."""
     e = _emb(spark, sf_dir)
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _param_lookup(sf_dir, "embeddings", "vec_id", 0, "embedding")
     return simsearch.cosine_topk(e, [float(x) for x in qvec], k=10)
 
 
@@ -177,7 +206,7 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN variant: SRP-LSH bucket pruning then exact cosine. Approximate →
     no oracle; deterministic given the fixed seed."""
     e = _emb(spark, sf_dir)
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _param_lookup(sf_dir, "embeddings", "vec_id", 0, "embedding")
     return simsearch.cosine_topk_lsh(
         e, [float(x) for x in qvec], k=10, n_planes=8, probe_hamming=2
     )
@@ -318,7 +347,7 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact cosine within probed cells. Approximate → rows-only check;
     deterministic given the fixed k-means seed."""
     e = _emb(spark, sf_dir)
-    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    qvec = [float(x) for x in _param_lookup(sf_dir, "embeddings", "vec_id", 0, "embedding")]
     cents = simsearch.ivf_train(e, n_cells=8, seed=42, max_iter=5)
     return simsearch.ivf_topk(e, qvec, cents, k=10, nprobe=3)
 
@@ -326,7 +355,7 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity scan vs the doc_id=0 document."""
     d = _docs(spark, sf_dir)
-    qtext = d.filter(F.col("doc_id") == 0).select("text").head()[0]
+    qtext = _param_lookup(sf_dir, "documents", "doc_id", 0, "text")
     return dedup.jaccard_vs_query(d, qtext, n=3, k=20)
 
 
