@@ -23,6 +23,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.ansi.enabled": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions to the advisory byte size rather than
+    # stopping at defaultParallelism (the `true` default). With `true`, a
+    # 600 KB shuffle still fans out to 32 micro-tasks; with `false` it runs
+    # as 1-2 right-sized tasks. Spark's own tuning guide recommends `false`
+    # on busy clusters — at 100 TB the advisory size (64 MB) governs either
+    # way, so this only removes small-stage scheduling overhead.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / toPandas path (vectorized transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
