@@ -22,8 +22,11 @@ with nothing but `spark.read.parquet` underneath:
   `partitionValues` map is re-attached as literal columns cast via the
   table schema.
 
-Scope: reader protocol v1 (+ v2 tables that don't enable column mapping
-or deletion vectors — those need feature support we honestly refuse).
+Scope: reader protocol v1-v3 with readerFeatures ⊆ {timestampNtz,
+deletionVectors} — deletion vectors decode via `deltadv.py` (Z85 +
+RoaringBitmapArray native format) and filter through a broadcast
+anti-join on `_metadata.row_index`. Column mapping and later features
+are honestly refused.
 The write side (`DeltaTableWriter`: append/overwrite; `DeltaKeyedTable`:
 keyed MERGE) emits minReaderVersion-1 logs — add/remove/metaData/
 protocol actions with hard-link put-if-absent version claims — so any
@@ -113,15 +116,14 @@ class DeltaTableReader:
         elif "protocol" in action:
             p = action["protocol"]
             snap.protocol_raw = p
-            if p.get("minReaderVersion", 1) > 2:
+            if p.get("minReaderVersion", 1) > 3:
                 raise DeltaProtocolError(
-                    f"minReaderVersion {p['minReaderVersion']} > 2 unsupported"
+                    f"minReaderVersion {p['minReaderVersion']} > 3 unsupported"
                 )
             for feat in p.get("readerFeatures") or []:
-                if feat not in ("timestampNtz", "columnMapping"):
+                # deletionVectors handled in read() via the deltadv codec
+                if feat not in ("timestampNtz", "deletionVectors"):
                     raise DeltaProtocolError(f"reader feature {feat!r} unsupported")
-                if feat == "columnMapping":
-                    raise DeltaProtocolError("column mapping not supported")
         # commitInfo / txn / cdc: no effect on the live file set
 
     def _replay_json_commit(self, version: int, snap: DeltaSnapshot) -> bool:
@@ -306,21 +308,78 @@ class DeltaTableReader:
                 (c, v is not None, v or "") for c, v in kv[0]
             ),
         ):
-            df = self.spark.read.schema(data_schema).parquet(
-                *[os.path.join(self.path, p) for p in paths]
-            )
-            for col, raw in key:
-                lit = (
-                    F.lit(None).cast(ptypes[col])
-                    if raw is None
-                    else F.lit(raw).cast(ptypes[col])
+            clean = [
+                p
+                for p in paths
+                if not (snap.adds_raw.get(p) or {}).get("deletionVector")
+            ]
+            dved = [p for p in paths if p not in clean]
+            scans = []
+            if clean:
+                scans.append(
+                    self.spark.read.schema(data_schema).parquet(
+                        *[os.path.join(self.path, p) for p in clean]
+                    )
                 )
-                df = df.withColumn(col, lit)
-            parts.append(df.select(*[f.name for f in snap.schema.fields]))
+            if dved:
+                scans.append(self._read_with_dvs(dved, data_schema, snap))
+            for df in scans:
+                for col, raw in key:
+                    lit = (
+                        F.lit(None).cast(ptypes[col])
+                        if raw is None
+                        else F.lit(raw).cast(ptypes[col])
+                    )
+                    df = df.withColumn(col, lit)
+                parts.append(df.select(*[f.name for f in snap.schema.fields]))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _read_with_dvs(
+        self, rel_paths: list[str], data_schema: T.StructType, snap: DeltaSnapshot
+    ) -> DataFrame:
+        """Scan files that carry deletion vectors, dropping deleted rows.
+
+        The DV bitmaps decode driver-side (they are small by construction:
+        bitmap-compressed, per-file, and OPTIMIZE rewrites heavily-deleted
+        files); the (file, row_index) drop set becomes a broadcast
+        LocalRelation anti-joined against `_metadata.row_index` — the same
+        selection-vector shape real kernels push to their scans. Only the
+        files that HAVE a DV pay the metadata projection and join.
+        """
+        from .deltadv import dv_row_indexes
+
+        files, ris = [], []
+        for rel in rel_paths:
+            desc = snap.adds_raw[rel]["deletionVector"]
+            idx = dv_row_indexes(self.path, desc)
+            ap = os.path.abspath(os.path.join(self.path, rel))
+            files.extend([ap] * len(idx))
+            ris.extend(int(i) for i in idx)
+        df = (
+            self.spark.read.schema(data_schema)
+            .parquet(*[os.path.join(self.path, p) for p in rel_paths])
+            .withColumn(
+                "__dv_file",
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:", ""),
+            )
+            .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        )
+        drop = self.spark.createDataFrame(
+            list(zip(files, ris)),
+            T.StructType(
+                [
+                    T.StructField("__dv_file", T.StringType()),
+                    T.StructField("__dv_ri", T.LongType()),
+                ]
+            ),
+        )
+        return (
+            df.join(F.broadcast(drop), ["__dv_file", "__dv_ri"], "left_anti")
+            .drop("__dv_file", "__dv_ri")
+        )
 
 
 class DeltaTableWriter:

@@ -234,13 +234,28 @@ def test_unsupported_features_refused(spark, tmp_path):
         t,
         0,
         [
-            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            {"protocol": {"minReaderVersion": 4, "minWriterVersion": 7}},
             _meta(),
             _add("f0.parquet"),
         ],
     )
     with pytest.raises(DeltaProtocolError, match="minReaderVersion"):
         DeltaTableReader(spark, t).read()
+    # v3 with no (or only supported) readerFeatures is readable since DV
+    # support landed — test_delta_dv.py covers the feature matrix
+    t3 = str(tmp_path / "v3ok")
+    os.makedirs(t3)
+    _write_data_file(spark, t3, "f0.parquet", [(1, "a")])
+    _commit(
+        t3,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+            _meta(),
+            _add("f0.parquet"),
+        ],
+    )
+    assert DeltaTableReader(spark, t3).read().count() == 1
     with pytest.raises(FileNotFoundError):
         DeltaTableReader(spark, str(tmp_path / "nope"))
 
