@@ -23,9 +23,10 @@ pushdown/pruning applies as usual.
 Scope (honest gates, refused loudly): format-version 1 and 2 tables,
 including v2 POSITION deletes (delete files of (file_path, pos) pairs,
 applied as one anti-join against `_metadata.file_path`/`row_index` —
-the common MERGE/DELETE output of real engines). Equality deletes,
-unsupported file formats, and format-version 3+ raise
-IcebergProtocolError.
+the common MERGE/DELETE output of real engines) and v2 EQUALITY deletes
+(value-keyed delete files with `equality_ids`, sequence-number-gated
+null-safe anti-joins — the Flink/CDC upsert shape). Unsupported file
+formats and format-version 3+ raise IcebergProtocolError.
 """
 
 from __future__ import annotations
@@ -173,27 +174,50 @@ class IcebergTableReader:
 
     def _file_sets(
         self, snapshot_id: int | None = None
-    ) -> tuple[list[tuple[str, str]], list[str]]:
-        """Walk the manifest chain → (data, position_deletes).
+    ) -> tuple[
+        list[tuple[str, str, int]],
+        list[str],
+        list[tuple[str, int, tuple[int, ...]]],
+    ]:
+        """Walk the manifest chain → (data, position_deletes,
+        equality_deletes).
 
-        data: (file_path as recorded in the manifest, local path) pairs —
-        the recorded path is what position-delete rows reference (spec:
-        delete rows carry the data file's exact `file_path`).
+        data: (file_path as recorded in the manifest, local path,
+        data sequence number) — the recorded path is what position-delete
+        rows reference (spec: delete rows carry the data file's exact
+        `file_path`); the sequence number gates equality deletes.
         position_deletes: local paths of parquet position-delete files
-        (`content=1`). Equality deletes (`content=2`) are refused loudly.
+        (`content=1`); they name files explicitly, so they need no
+        sequence gate here (paths are unique per the spec's
+        UUID-named-file layout).
+        equality_deletes: (local path, data sequence number,
+        equality field ids) for `content=2` files — applied to data files
+        with STRICTLY SMALLER sequence numbers (the spec's rule that
+        makes CDC re-inserts at a later sequence survive earlier
+        deletes).
+
+        Sequence numbers per the v2 inheritance rule: an entry missing/
+        null `sequence_number` inherits its manifest's `sequence_number`
+        from the manifest list (0 when absent — v1 tables have no
+        sequence numbers and no delete files to gate).
         """
         snap = self.snapshot(snapshot_id)
         if not snap:
-            return [], []
+            return [], [], []
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
-        data: list[tuple[str, str]] = []
-        deletes: list[str] = []
+        data: list[tuple[str, str, int]] = []
+        pos_deletes: list[str] = []
+        eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
         for mf in manifests:
+            mf_seq = mf.get("sequence_number")
             _, entries = ocf_read(self._local(mf["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED
                     continue
                 df = e["data_file"]
+                seq = e.get("sequence_number")
+                if seq is None:
+                    seq = mf_seq if mf_seq is not None else 0
                 content = df.get("content", 0) or 0
                 fmt = str(df.get("file_format", "PARQUET")).upper()
                 if content == 0:
@@ -201,21 +225,36 @@ class IcebergTableReader:
                         raise IcebergProtocolError(
                             f"file format {fmt!r} unsupported"
                         )
-                    data.append((df["file_path"], self._local(df["file_path"])))
+                    data.append(
+                        (df["file_path"], self._local(df["file_path"]), seq)
+                    )
                 elif content == 1:  # position deletes
                     if fmt != "PARQUET":
                         raise IcebergProtocolError(
                             "non-parquet position-delete files unsupported"
                         )
-                    deletes.append(self._local(df["file_path"]))
+                    pos_deletes.append(self._local(df["file_path"]))
+                elif content == 2:  # equality deletes
+                    if fmt != "PARQUET":
+                        raise IcebergProtocolError(
+                            "non-parquet equality-delete files unsupported"
+                        )
+                    ids = tuple(df.get("equality_ids") or ())
+                    if not ids:
+                        raise IcebergProtocolError(
+                            "equality-delete file without equality_ids"
+                        )
+                    eq_deletes.append(
+                        (self._local(df["file_path"]), seq, ids)
+                    )
                 else:
                     raise IcebergProtocolError(
-                        "equality delete files unsupported"
+                        f"delete content={content} unsupported"
                     )
-        return data, deletes
+        return data, pos_deletes, eq_deletes
 
     def data_files(self, snapshot_id: int | None = None) -> list[str]:
-        return [p for _, p in self._file_sets(snapshot_id)[0]]
+        return [p for _, p, _ in self._file_sets(snapshot_id)[0]]
 
     # ---------------------------------------------------------------- read
 
@@ -233,20 +272,93 @@ class IcebergTableReader:
         assert isinstance(out, T.StructType)
         return out
 
+    def _field_names_by_id(self) -> dict[int, str]:
+        md = self.metadata
+        if "schemas" in md:
+            sid = md.get("current-schema-id", 0)
+            ice = next(
+                (s for s in md["schemas"] if s.get("schema-id") == sid),
+                md["schemas"][0],
+            )
+        else:
+            ice = md["schema"]
+        return {
+            f["id"]: f["name"] for f in ice["fields"] if "id" in f
+        }
+
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         schema = self.schema()
-        data, deletes = self._file_sets(snapshot_id)
+        data, pos_deletes, eq_deletes = self._file_sets(snapshot_id)
         if not data:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*[p for _, p in data])
-        if not deletes:
+        df = self.spark.read.schema(schema).parquet(*[p for _, p, _ in data])
+        if not pos_deletes and not eq_deletes:
             return df
-        return self._apply_position_deletes(df, data, deletes)
+        from pyspark.sql import functions as F
+
+        cols = df.columns
+        # hidden _metadata resolves only on the scan relation — project it
+        # once; both delete passes key off the projected columns
+        scan = df.select(
+            "*",
+            F.col("_metadata.file_path").alias("__ice_fp"),
+            F.col("_metadata.row_index").alias("__ice_pos"),
+        )
+        if pos_deletes:
+            scan = self._apply_position_deletes(scan, data, pos_deletes)
+        if eq_deletes:
+            scan = self._apply_equality_deletes(scan, data, eq_deletes)
+        return scan.select(*cols)
+
+    def _apply_equality_deletes(
+        self,
+        df: DataFrame,
+        data: list[tuple[str, str, int]],
+        eq_deletes: list[tuple[str, int, tuple[int, ...]]],
+    ) -> DataFrame:
+        """v2 equality deletes: each delete file's rows name column
+        VALUES (for the fields in `equality_ids`); a data row is deleted
+        when it matches any delete row null-safely on those columns AND
+        its file's data sequence number is strictly below the delete
+        file's. Spark-first: the data sequence number rides in via a
+        broadcast (file_path → seq) map join, and each (seq, ids) delete
+        group is one null-safe-equi anti-join — the delete side is small
+        (CDC keys), so AQE broadcasts it; nothing here is per-row Python
+        or a driver loop over data.
+        """
+        from pyspark.sql import functions as F
+
+        by_id = self._field_names_by_id()
+        seq_map = self.spark.createDataFrame(
+            [("file:" + local, seq) for _, local, seq in data],
+            "__ice_fp string, __ice_seq long",
+        )
+        scan = df.join(F.broadcast(seq_map), "__ice_fp")
+
+        groups: dict[tuple[int, tuple[int, ...]], list[str]] = {}
+        for local, seq, ids in eq_deletes:
+            groups.setdefault((seq, ids), []).append(local)
+        for (seq, ids), paths in sorted(groups.items()):
+            try:
+                names = [by_id[i] for i in ids]
+            except KeyError as e:
+                raise IcebergProtocolError(
+                    f"equality_ids reference unknown field id {e}"
+                ) from None
+            dels = (
+                self.spark.read.parquet(*paths).select(*names).distinct()
+            )
+            cond = F.lit(True)
+            for n in names:
+                cond = cond & scan[n].eqNullSafe(dels[n])
+            cond = cond & (scan["__ice_seq"] < F.lit(seq))
+            scan = scan.join(dels, cond, "left_anti")
+        return scan
 
     def _apply_position_deletes(
         self,
         df: DataFrame,
-        data: list[tuple[str, str]],
+        data: list[tuple[str, str, int]],
         deletes: list[str],
     ) -> DataFrame:
         """v2 position deletes: delete-file rows are (file_path, pos)
@@ -258,16 +370,11 @@ class IcebergTableReader:
         when small (the overwhelmingly common case)."""
         from pyspark.sql import functions as F
 
-        cols = df.columns
-        scan = df.select(
-            "*",
-            F.col("_metadata.file_path").alias("__ice_fp"),
-            F.col("_metadata.row_index").alias("__ice_pos"),
-        )
+        scan = df  # arrives with __ice_fp/__ice_pos projected (see read())
         # recorded manifest path -> the URI _metadata.file_path reports
         # (Hadoop renders local files as "file:/abs/path" — one slash)
         mapping = self.spark.createDataFrame(
-            [("file:" + local, rec) for rec, local in data],
+            [("file:" + local, rec) for rec, local, _ in data],
             "__ice_fp string, __del_fp string",
         )
         dels = (
@@ -279,9 +386,7 @@ class IcebergTableReader:
             .join(F.broadcast(mapping), "__del_fp")
             .select("__ice_fp", "__ice_pos")
         )
-        return scan.join(
-            dels, ["__ice_fp", "__ice_pos"], "left_anti"
-        ).select(*cols)
+        return scan.join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
 
 
 # ----------------------------------------------------------------- writer

@@ -275,6 +275,7 @@ MANIFEST_ENTRY_V2_SCHEMA = {
     "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"], "default": None},
+        {"name": "sequence_number", "type": ["null", "long"], "default": None},
         {
             "name": "data_file",
             "type": {
@@ -286,6 +287,11 @@ MANIFEST_ENTRY_V2_SCHEMA = {
                     {"name": "file_format", "type": "string"},
                     {"name": "record_count", "type": "long"},
                     {"name": "file_size_in_bytes", "type": "long"},
+                    {
+                        "name": "equality_ids",
+                        "type": ["null", {"type": "array", "items": "int"}],
+                        "default": None,
+                    },
                 ],
             },
         },
@@ -294,27 +300,31 @@ MANIFEST_ENTRY_V2_SCHEMA = {
 
 
 def _manifest_v2(table, name, entries):
-    """entries: (status, path, content) — content 0=data, 1=pos-del,
-    2=eq-del."""
+    """entries: (status, path, content[, seq[, equality_ids]]) — content
+    0=data, 1=pos-del, 2=eq-del; seq = data sequence number (None →
+    inherit)."""
     p = os.path.join(table, "metadata", name)
-    ocf_write(
-        p,
-        MANIFEST_ENTRY_V2_SCHEMA,
-        [
+    recs = []
+    for entry in entries:
+        status, path, content = entry[0], entry[1], entry[2]
+        seq = entry[3] if len(entry) > 3 else None
+        eq_ids = entry[4] if len(entry) > 4 else None
+        recs.append(
             {
                 "status": status,
                 "snapshot_id": None,
+                "sequence_number": seq,
                 "data_file": {
                     "content": content,
                     "file_path": f"file://{path}",
                     "file_format": "PARQUET",
                     "record_count": 1,
                     "file_size_in_bytes": os.path.getsize(path),
+                    "equality_ids": list(eq_ids) if eq_ids else None,
                 },
             }
-            for status, path, content in entries
-        ],
-    )
+        )
+    ocf_write(p, MANIFEST_ENTRY_V2_SCHEMA, recs)
     return p
 
 
@@ -347,19 +357,115 @@ def test_v2_position_deletes_applied(spark, tmp_path):
     assert len(r.data_files()) == 2
 
 
-def test_v2_equality_deletes_refused(spark, tmp_path):
+# ------------------------------------------ round-5: v2 equality deletes
+
+
+def test_v2_equality_deletes_applied_with_sequence_gate(spark, tmp_path):
+    """The Flink/CDC upsert shape: an equality delete at sequence 2
+    removes matching rows from sequence-1 data files, but a row
+    re-inserted at sequence 3 with the same key survives (strictly-
+    smaller-sequence rule)."""
     t = str(tmp_path / "iceeq")
     os.makedirs(os.path.join(t, "metadata"))
-    f0 = _data_file(spark, t, "f0.parquet", [(1, "a")])
-    ed = _data_file(spark, t, "ed.parquet", [(1,)], schema="id long")
-    m = _manifest_v2(t, "m.avro", [(1, f0, 0), (1, ed, 2)])
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a"), (2, "b"), (3, "c")])
+    ed = _data_file(spark, t, "ed.parquet", [(2,)], schema="id long")
+    f1 = _data_file(spark, t, "f1.parquet", [(2, "b2")])
+    m = _manifest_v2(
+        t,
+        "m.avro",
+        [
+            (1, f0, 0, 1),
+            (1, ed, 2, 2, [1]),  # equality_ids -> field id 1 = "id"
+            (1, f1, 0, 3),
+        ],
+    )
     ml = _manifest_list(t, "snap.avro", [m])
     _metadata(
         t, 1,
         [{"snapshot-id": 3, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
         current=3, fmt_version=2,
     )
-    with pytest.raises(IcebergProtocolError, match="equality"):
+    assert _rows(IcebergTableReader(spark, t).read()) == {
+        (1, "a"), (3, "c"), (2, "b2"),
+    }
+
+
+def test_v2_equality_delete_multi_column_null_safe(spark, tmp_path):
+    """equality_ids over (id, v): null delete values match null data
+    values (the spec's null-safe equality), non-matching combos stay."""
+    t = str(tmp_path / "iceeqn")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(
+        spark, t, "f0.parquet", [(1, "a"), (2, None), (2, "b")]
+    )
+    ed = _data_file(
+        spark, t, "ed.parquet", [(2, None)], schema="id long, v string"
+    )
+    m = _manifest_v2(
+        t, "m.avro", [(1, f0, 0, 1), (1, ed, 2, 2, [1, 2])]
+    )
+    ml = _manifest_list(t, "snap.avro", [m])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 4, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=4, fmt_version=2,
+    )
+    assert _rows(IcebergTableReader(spark, t).read()) == {(1, "a"), (2, "b")}
+
+
+def test_v2_position_and_equality_deletes_combined(spark, tmp_path):
+    t = str(tmp_path / "iceboth")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a"), (2, "b"), (3, "c")])
+    pdel = _data_file(
+        spark, t, "pd.parquet", [(f"file://{f0}", 0)],
+        schema="file_path string, pos long",
+    )
+    ed = _data_file(spark, t, "ed.parquet", [(3,)], schema="id long")
+    m = _manifest_v2(
+        t, "m.avro",
+        [(1, f0, 0, 1), (1, pdel, 1, 2), (1, ed, 2, 2, [1])],
+    )
+    ml = _manifest_list(t, "snap.avro", [m])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 5, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=5, fmt_version=2,
+    )
+    assert _rows(IcebergTableReader(spark, t).read()) == {(2, "b")}
+
+
+def test_equality_delete_unknown_field_id_refused(spark, tmp_path):
+    t = str(tmp_path / "iceeqbad")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a")])
+    ed = _data_file(spark, t, "ed.parquet", [(1,)], schema="id long")
+    m = _manifest_v2(
+        t, "m.avro", [(1, f0, 0, 1), (1, ed, 2, 2, [99])]
+    )
+    ml = _manifest_list(t, "snap.avro", [m])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 6, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=6, fmt_version=2,
+    )
+    with pytest.raises(IcebergProtocolError, match="unknown field id"):
+        IcebergTableReader(spark, t).read().collect()
+
+
+def test_unknown_delete_content_refused(spark, tmp_path):
+    t = str(tmp_path / "icec3")
+    os.makedirs(os.path.join(t, "metadata"))
+    f0 = _data_file(spark, t, "f0.parquet", [(1, "a")])
+    ed = _data_file(spark, t, "ed.parquet", [(1,)], schema="id long")
+    m = _manifest_v2(t, "m.avro", [(1, f0, 0), (1, ed, 3)])
+    ml = _manifest_list(t, "snap.avro", [m])
+    _metadata(
+        t, 1,
+        [{"snapshot-id": 3, "timestamp-ms": 0, "manifest-list": f"file://{ml}"}],
+        current=3, fmt_version=2,
+    )
+    with pytest.raises(IcebergProtocolError, match="content=3"):
         IcebergTableReader(spark, t).read()
 
 
