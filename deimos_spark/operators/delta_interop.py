@@ -482,6 +482,8 @@ class DeltaTableWriter:
                         [
                             ("minReaderVersion", pa.int32()),
                             ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
                         ]
                     ),
                 ),
@@ -515,16 +517,38 @@ class DeltaTableWriter:
                             ("size", pa.int64()),
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
+                            # nullable: present only on DV-carrying adds —
+                            # a checkpoint that dropped this would
+                            # resurrect soft-deleted rows
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),
             ]
         )
         meta = snap.meta_raw
+        proto = dict(
+            snap.protocol_raw or {"minReaderVersion": 1, "minWriterVersion": 2}
+        )
         rows: list[dict] = [
             {
-                "protocol": snap.protocol_raw
-                or {"minReaderVersion": 1, "minWriterVersion": 2}
+                "protocol": {
+                    "minReaderVersion": proto.get("minReaderVersion", 1),
+                    "minWriterVersion": proto.get("minWriterVersion", 2),
+                    "readerFeatures": proto.get("readerFeatures"),
+                    "writerFeatures": proto.get("writerFeatures"),
+                }
             },
             {
                 "metaData": {
@@ -561,6 +585,7 @@ class DeltaTableWriter:
                         ),
                         "modificationTime": a.get("modificationTime") or 0,
                         "dataChange": bool(a.get("dataChange", True)),
+                        "deletionVector": a.get("deletionVector"),
                     }
                 }
             )
@@ -767,10 +792,15 @@ class DeltaKeyedTable:
         schema: T.StructType | str | None = None,
         max_commit_retries: int = 5,
         checkpoint_interval: int = 20,
+        use_dvs: bool = False,
     ):
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
+        # use_dvs: soft-delete via deletion vectors (protocol v3) instead
+        # of rewriting survivor files — merge cost becomes O(batch), not
+        # O(table). Readers need DV support (ours, and any real engine).
+        self.use_dvs = use_dvs
         self.writer = DeltaTableWriter(
             spark,
             path,
@@ -801,6 +831,9 @@ class DeltaKeyedTable:
                 k = src.select(*self.key_cols).distinct()
                 affected = k if affected is None else affected.union(k).distinct()
         if affected is None:
+            return
+        if self.use_dvs:
+            self._merge_dv(upserts, affected)
             return
 
         w = self.writer
@@ -849,6 +882,130 @@ class DeltaKeyedTable:
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, adds)
+        raise DeltaCommitConflict(
+            f"could not commit after {w.max_commit_retries} tries"
+        )
+
+    _DV_PROTOCOL = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"],
+        }
+    }
+
+    def _merge_dv(self, upserts: DataFrame | None, affected: DataFrame) -> None:
+        """MERGE without rewriting survivors: rows whose keys are in
+        `affected` get their file-local row indexes folded into each
+        file's deletion vector (remove + re-add of the SAME data file
+        with a widened DV — the protocol's DV-update pattern), and
+        upserts append as new files. Work is O(batch + touched-file
+        metadata), not O(table): the only full-table cost is the
+        key-probe scan, which prunes to data pages via the semi-join —
+        exactly how real engines run low-shuffle MERGE. First DV use
+        upgrades the table protocol to v3/v7 with the deletionVectors
+        feature (spec-required for any reader to see the DVs).
+        """
+        import numpy as np
+
+        from .deltadv import _dv_file_path, dv_row_indexes, write_dv_file
+
+        w = self.writer
+        for _ in range(w.max_commit_retries):
+            v = w._latest_version()
+            if v < 0:
+                if upserts is None or not upserts.head(1):
+                    return
+                adds = w._write_files(upserts)
+                try:
+                    w._commit(0, w._meta_actions(upserts.schema) + adds)
+                    return
+                except DeltaCommitConflict:
+                    DeltaTableWriter._drop_files(self.path, adds)
+                    continue
+
+            reader = DeltaTableReader(self.spark, self.path)
+            snap = reader.snapshot()
+            if snap.partition_columns:
+                raise DeltaProtocolError(
+                    "DV merge supports unpartitioned keyed tables; "
+                    "use use_dvs=False for partitioned layouts"
+                )
+            hits_by_rel: dict[str, list[int]] = {}
+            if snap.files and snap.schema is not None:
+                scan = (
+                    self.spark.read.schema(snap.schema)
+                    .parquet(
+                        *[os.path.join(self.path, p) for p in snap.files]
+                    )
+                    .withColumn(
+                        "__f",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:", ""
+                        ),
+                    )
+                    .withColumn("__ri", F.col("_metadata.row_index"))
+                )
+                hit_rows = (
+                    scan.join(affected, self.key_cols, "left_semi")
+                    .select("__f", "__ri")
+                    .collect()
+                )
+                for r in hit_rows:
+                    rel = os.path.relpath(r["__f"], self.path)
+                    hits_by_rel.setdefault(rel, []).append(r["__ri"])
+
+            removes, dv_adds, dv_paths = [], [], []
+            for rel in sorted(hits_by_rel):
+                old_add = snap.adds_raw.get(rel) or {}
+                idx = np.asarray(hits_by_rel[rel], dtype=np.int64)
+                old_desc = old_add.get("deletionVector")
+                if old_desc:
+                    idx = np.union1d(idx, dv_row_indexes(self.path, old_desc))
+                desc = write_dv_file(self.path, idx)
+                dv_paths.append(_dv_file_path(self.path, desc)[0])
+                removes.append(
+                    {"remove": {"path": rel, "dataChange": True}}
+                )
+                new_add = dict(old_add) or {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(self.path, rel)),
+                    "modificationTime": 0,
+                    "dataChange": True,
+                }
+                new_add["deletionVector"] = desc
+                new_add["dataChange"] = True
+                dv_adds.append({"add": new_add})
+
+            new_file_adds = (
+                w._write_files(upserts)
+                if upserts is not None and upserts.head(1)
+                else []
+            )
+            if not removes and not new_file_adds:
+                return
+            proto = snap.protocol_raw or {}
+            needs_upgrade = dv_adds and "deletionVectors" not in (
+                proto.get("readerFeatures") or []
+            )
+            actions = (
+                ([self._DV_PROTOCOL] if needs_upgrade else [])
+                + removes
+                + dv_adds
+                + new_file_adds
+            )
+            try:
+                w._commit(v + 1, actions)
+                return
+            except DeltaCommitConflict:
+                DeltaTableWriter._drop_files(self.path, new_file_adds)
+                for p in dv_paths:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
         raise DeltaCommitConflict(
             f"could not commit after {w.max_commit_retries} tries"
         )

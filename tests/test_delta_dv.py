@@ -224,3 +224,85 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
     )
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         DeltaTableReader(spark, table).read()
+
+
+# ----------------------------------------------- DV-based keyed MERGE
+
+
+def test_keyed_merge_with_dvs_soft_deletes(spark, tmp_path):
+    """use_dvs=True: deletes widen per-file DVs instead of rewriting
+    survivors; upserts append new files; the table upgrades to v3."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "kt")
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "id long, v string"))
+    files_v0 = set(DeltaTableReader(spark, t).snapshot().files)
+
+    kt.delete(spark.createDataFrame([(3,), (7,)], "id long"))
+    rd = DeltaTableReader(spark, t)
+    snap = rd.snapshot()
+    # same data files, now carrying DVs — nothing was rewritten
+    assert set(snap.files) == files_v0
+    assert any(
+        (snap.adds_raw[p] or {}).get("deletionVector") for p in snap.files
+    )
+    assert (snap.protocol_raw or {}).get("minReaderVersion") == 3
+    assert sorted(r.id for r in rd.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+
+def test_keyed_merge_dv_upsert_replaces_and_widens(spark, tmp_path):
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "kt2")
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    kt.upsert(spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"))
+    kt.delete(spark.createDataFrame([(1,)], "id long"))
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(2, "B"), (3, "c"), (4, "d")}
+
+
+def test_keyed_merge_dv_survives_checkpoint(spark, tmp_path):
+    """DV descriptors and the v3 protocol must round-trip through the
+    writer's parquet checkpoint — a checkpoint that drops them would
+    resurrect deleted rows."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "kt3")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], use_dvs=True, checkpoint_interval=3
+    )
+    kt.upsert(spark.createDataFrame([(i, "x") for i in range(8)], "id long, v string"))
+    kt.delete(spark.createDataFrame([(0,)], "id long"))
+    kt.delete(spark.createDataFrame([(1,)], "id long"))  # v2 -> checkpoint at 3? (v starts 0)
+    kt.delete(spark.createDataFrame([(2,)], "id long"))
+    kt.delete(spark.createDataFrame([(3,)], "id long"))
+    logdir = os.path.join(t, "_delta_log")
+    assert any(n.endswith(".checkpoint.parquet") for n in os.listdir(logdir))
+    rd = DeltaTableReader(spark, t)
+    assert sorted(r.id for r in rd.read().collect()) == [4, 5, 6, 7]
+
+
+def test_keyed_merge_dv_refuses_partitioned(spark, tmp_path):
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaProtocolError,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "kt4")
+    w = DeltaTableWriter(spark, t, partition_by=("p",))
+    w.append(spark.createDataFrame([(1, "a", "x")], "id long, v string, p string"))
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    with pytest.raises(DeltaProtocolError, match="unpartitioned"):
+        kt.delete(spark.createDataFrame([(1,)], "id long"))
