@@ -503,29 +503,44 @@ _MANIFEST_FILE_SCHEMA = {
 
 
 class IcebergTableWriter:
-    """Append/overwrite writer for UNPARTITIONED Iceberg v2 tables —
-    the export half of the interop story (a pipeline leaving this engine
-    can land its output as a real lakehouse table). Emits the full spec
-    chain per commit: parquet data files → manifest (Avro OCF with spec
+    """Append/overwrite writer for Iceberg v2 tables — the export half
+    of the interop story (a pipeline leaving this engine can land its
+    output as a real lakehouse table). Emits the full spec chain per
+    commit: parquet data files → manifest (Avro OCF with spec
     field-ids) → manifest list → v{N}.metadata.json + version-hint.text.
+
+    `partition_by` declares IDENTITY-transform partition columns: data
+    files land under hive-style dirs but — per the Iceberg spec, unlike
+    Delta/Hive — KEEP the source columns in the files; the partition
+    tuple is also recorded in each manifest entry's `partition` record
+    (field-ids 1000+) and the table metadata's partition-spec, so real
+    engines can prune by manifest. Identity transforms over
+    int/long/string/date columns only (honest gate).
 
     Commit protocol: the new metadata file is claimed with the same
     temp + hard-link put-if-absent txlog/Delta use (HadoopTables'
     filesystem-atomic rename shape); losers raise IcebergCommitConflict
     and the caller's state is re-derived on retry. Scope is honest:
-    flat primitive schemas, no partition spec (files carry all columns,
-    so readers lose pruning, not correctness), append + overwrite only —
-    row-level deletes are a reader feature here, not a writer one.
+    flat primitive schemas, append + overwrite only — row-level deletes
+    are a reader feature here, not a writer one.
     """
+
+    _PARTITION_AVRO = {
+        "int": "int",
+        "bigint": "long",
+        "string": "string",
+    }
 
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         max_commit_retries: int = 5,
+        partition_by: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.path = path
+        self.partition_by = list(partition_by)
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -547,29 +562,89 @@ class IcebergTableWriter:
         with open(os.path.join(self.meta_dir, f"v{v}.metadata.json")) as fh:
             return v, json.load(fh)
 
-    def _write_data_files(self, df: DataFrame) -> list[tuple[str, int, int]]:
-        """df → parquet files under data/; [(abs_path, rows, bytes)]."""
+    def _write_data_files(
+        self, df: DataFrame
+    ) -> list[tuple[str, int, int, dict]]:
+        """df → parquet files under data/;
+        [(abs_path, rows, bytes, partition_values)].
+
+        Partitioned writes duplicate each partition column into a
+        throwaway `__ice_pv_*` column for Spark's `partitionBy` (which
+        drops its partitioning columns from the files — Iceberg requires
+        the SOURCE columns kept), then parse the hive dir names back
+        into typed partition values. One distributed write either way —
+        no per-partition driver loop.
+        """
         import shutil
         import uuid
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
 
         uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".staging_{uid}")
-        df.write.mode("overwrite").parquet(staging)
+        if self.partition_by:
+            tmp_cols = [f"__ice_pv_{c}" for c in self.partition_by]
+            staged = df
+            for c, tc in zip(self.partition_by, tmp_cols):
+                staged = staged.withColumn(tc, F.col(c))
+            staged.write.partitionBy(*tmp_cols).mode("overwrite").parquet(
+                staging
+            )
+        else:
+            df.write.mode("overwrite").parquet(staging)
+
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+        def typed(col: str, raw: str):
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            raw = unquote(raw)
+            t = types.get(col, "string")
+            if t in ("int", "bigint"):
+                return int(raw)
+            return raw
+
         out = []
         i = 0
-        for f in sorted(os.listdir(staging)):
-            if not f.endswith(".parquet"):
-                continue
-            dest = os.path.join(self.data_dir, f"{uid}-{i:05d}.parquet")
-            os.rename(os.path.join(staging, f), dest)
-            try:
-                import pyarrow.parquet as papq
+        for dirpath, _, names in sorted(os.walk(staging)):
+            rel_dir = os.path.relpath(dirpath, staging)
+            pvals: dict = {}
+            if rel_dir != ".":
+                for comp in rel_dir.split(os.sep):
+                    k, _, v = comp.partition("=")
+                    col = k[len("__ice_pv_"):]
+                    pvals[col] = typed(col, v)
+            for f in sorted(names):
+                if not f.endswith(".parquet"):
+                    continue
+                subdir = (
+                    os.path.join(
+                        self.data_dir,
+                        *[
+                            "{}={}".format(
+                                c,
+                                "__HIVE_DEFAULT_PARTITION__"
+                                if pvals[c] is None
+                                else pvals[c],
+                            )
+                            for c in self.partition_by
+                        ],
+                    )
+                    if self.partition_by
+                    else self.data_dir
+                )
+                os.makedirs(subdir, exist_ok=True)
+                dest = os.path.join(subdir, f"{uid}-{i:05d}.parquet")
+                os.rename(os.path.join(dirpath, f), dest)
+                try:
+                    import pyarrow.parquet as papq
 
-                rows = papq.read_metadata(dest).num_rows
-            except Exception:
-                rows = 0
-            out.append((dest, rows, os.path.getsize(dest)))
-            i += 1
+                    rows = papq.read_metadata(dest).num_rows
+                except Exception:
+                    rows = 0
+                out.append((dest, rows, os.path.getsize(dest), pvals))
+                i += 1
         shutil.rmtree(staging, ignore_errors=True)
         return out
 
@@ -609,8 +684,45 @@ class IcebergTableWriter:
         snap_id = seq  # sequential ids: deterministic and spec-legal
         now = int(_time.time() * 1000)
 
+        ice_fields = spark_schema_to_iceberg(df.schema)
+        id_by_name = {f["name"]: f["id"] for f in ice_fields}
+        spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for c in self.partition_by:
+            if c not in id_by_name:
+                raise IcebergProtocolError(f"partition column {c!r} not in schema")
+            if spark_types[c] not in self._PARTITION_AVRO:
+                raise IcebergProtocolError(
+                    f"identity partition over {spark_types[c]!r} column "
+                    f"{c!r} unsupported (int/bigint/string only)"
+                )
+
         files = self._write_data_files(df)
         uid = uuid.uuid4().hex[:12]
+
+        entry_schema = _MANIFEST_ENTRY_SCHEMA
+        if self.partition_by:
+            entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+            pfields = [
+                {
+                    "name": c,
+                    "type": ["null", self._PARTITION_AVRO[spark_types[c]]],
+                    "default": None,
+                    "field-id": 1000 + i,
+                }
+                for i, c in enumerate(self.partition_by)
+            ]
+            entry_schema["fields"][-1]["type"]["fields"].insert(
+                2,
+                {
+                    "name": "partition",
+                    "field-id": 102,
+                    "type": {
+                        "type": "record",
+                        "name": "r102",
+                        "fields": pfields,
+                    },
+                },
+            )
 
         entries = [
             {
@@ -621,16 +733,17 @@ class IcebergTableWriter:
                 "data_file": {
                     "content": 0,
                     "file_path": f"file://{p}",
+                    **({"partition": pvals} if self.partition_by else {}),
                     "file_format": "PARQUET",
                     "record_count": rows,
                     "file_size_in_bytes": size,
                 },
             }
-            for p, rows, size in files
+            for p, rows, size, pvals in files
         ]
-        added_rows = sum(r for _, r, _ in files)
+        added_rows = sum(r for _, r, _, _ in files)
         mpath = os.path.join(self.meta_dir, f"m-{uid}.avro")
-        ocf_write(mpath, _MANIFEST_ENTRY_SCHEMA, entries)
+        ocf_write(mpath, entry_schema, entries)
         manifests = [
             {
                 "manifest_path": f"file://{mpath}",
@@ -684,7 +797,6 @@ class IcebergTableWriter:
         mlpath = os.path.join(self.meta_dir, f"snap-{snap_id}-{uid}.avro")
         ocf_write(mlpath, _MANIFEST_FILE_SCHEMA, manifests)
 
-        ice_fields = spark_schema_to_iceberg(df.schema)
         snapshot = {
             "snapshot-id": snap_id,
             "sequence-number": seq,
@@ -710,9 +822,22 @@ class IcebergTableWriter:
                 {"type": "struct", "schema-id": 0, "fields": ice_fields}
             ],
             "current-schema-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {
+                            "name": c,
+                            "transform": "identity",
+                            "source-id": id_by_name[c],
+                            "field-id": 1000 + i,
+                        }
+                        for i, c in enumerate(self.partition_by)
+                    ],
+                }
+            ],
             "default-spec-id": 0,
-            "last-partition-id": 999,
+            "last-partition-id": 999 + len(self.partition_by),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],
