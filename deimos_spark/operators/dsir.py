@@ -1,0 +1,126 @@
+"""DSIR-style importance weighting for training-data selection.
+
+Implements the hashed n-gram importance-weight estimator from the
+public "Data Selection via Importance Resampling" method (Xie et al.,
+2023): build bag-of-hashed-n-gram unigram models for a TARGET
+distribution (e.g. a high-quality subset) and the RAW corpus, then score
+every document with
+
+    log w(x) = sum_b  n_b(x) * [ log p_target(b) - log p_raw(b) ]
+
+where b ranges over hash buckets and the per-bucket probabilities are
+Laplace-smoothed counts. Documents with high log-weight "look like" the
+target; importance resampling keeps them proportionally.
+
+Why this shape scales to 100 TB: the corpus is touched by exactly
+  1. one tokenize+hash projection (codegen'd string ops, no Python),
+  2. two hash aggregates over (bucket) — B rows out (B = 4096 here),
+  3. one hash aggregate over (doc, bucket) — bounded by corpus tokens,
+  4. a broadcast join of the ≤B-row log-ratio table onto (3),
+  5. one final per-doc aggregate.
+No all-pairs step, no driver-side model fit; the "model" IS the ≤B-row
+broadcast relation. The bucket hash is the engine-portable md5 prefix
+(same construction as operators/sampling.py), so DuckDB oracles and any
+other engine reproduce the weights bit-for-bit at the rounding
+precision.
+
+The reference has no data-selection surface (it moves opaque messages;
+lib/deimos/message.rb:5-32) — this is part of the beyond-reference
+training-data layer, like dedup.py and sampling.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(col: Column, buckets: int, salt: str) -> Column:
+    """Engine-portable hash bucket: first 8 hex chars of md5, as a long.
+    Matches `('0x' || substr(md5(salt || x), 1, 8))::BIGINT % buckets`
+    in DuckDB/ANSI engines."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), col)), 1, 8), 16, 10)
+        .cast("long")
+        % buckets
+    )
+
+
+def _tokens(
+    docs: DataFrame, id_col: str, text_col: str, extra_cols: list[str],
+    ngram: int,
+) -> DataFrame:
+    """(id, *extra, token) — whitespace unigrams, plus space-joined
+    bigrams when ngram >= 2 (both feature families share the hash
+    space, as in the published estimator)."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    base = docs.select(id_col, *extra_cols, ws.alias("__ws"))
+    uni = base.select(
+        id_col, *extra_cols, F.explode("__ws").alias("token")
+    )
+    if ngram < 2:
+        return uni
+    bi = base.select(
+        id_col,
+        *extra_cols,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(__ws) - 1, 0)), "
+                "i -> concat(__ws[i - 1], ' ', __ws[i]))"
+            )
+        ).alias("token"),
+    )
+    return uni.unionByName(bi)
+
+
+def dsir_log_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    salt: str = "dsir",
+    ngram: int = 1,
+) -> DataFrame:
+    """Per-document DSIR log importance weight → (id_col, log_weight).
+
+    `target` is a boolean Column over `docs` selecting the target
+    subset (e.g. `F.col("lang") == "en"`). Probabilities are
+    Laplace-smoothed: p(b) = (count_b + 1) / (total + buckets).
+    """
+    tok = _tokens(
+        docs.withColumn("__tgt", target), id_col, text_col, ["__tgt"], ngram
+    ).withColumn("__b", _bucket(F.col("token"), buckets, salt))
+
+    # single (doc, bucket) aggregate; both the bucket model and the
+    # per-doc scoring derive from it, so the tokenize projection and its
+    # shuffle run ONCE (Spark reuses the identical exchange subplan)
+    per_doc = tok.groupBy(id_col, "__tgt", "__b").agg(
+        F.count("*").alias("__n")
+    )
+    by_bucket = per_doc.groupBy("__b").agg(
+        F.sum("__n").alias("__cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(0)).alias(
+            "__ct"
+        ),
+    )
+    totals = by_bucket.agg(
+        F.sum("__cr").alias("__tr"), F.sum("__ct").alias("__tt")
+    )
+    ratio = (
+        by_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                F.log((F.col("__ct") + 1.0) / (F.col("__tt") + float(buckets)))
+                - F.log(
+                    (F.col("__cr") + 1.0) / (F.col("__tr") + float(buckets))
+                )
+            ).alias("__lr"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("__n") * F.col("__lr")).alias("log_weight"))
+    )

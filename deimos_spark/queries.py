@@ -563,6 +563,25 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t21: DSIR hashed-n-gram importance weights (Xie et al. 2023,
+    arXiv:2302.03169) with the 'en' subset as the target distribution —
+    the 15 most target-like documents by log importance weight. The
+    'model' is a ≤4096-row broadcast of per-bucket log-ratios; the
+    corpus pays one tokenize projection and three hash aggregates
+    (operators/dsir.py has the full scale argument)."""
+    from deimos_spark.operators import dsir
+
+    w = dsir.dsir_log_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en"
+    )
+    return (
+        w.select("doc_id", F.round("log_weight", 4).alias("log_weight"))
+        .orderBy(F.desc("log_weight"), "doc_id")
+        .limit(15)
+    )
+
+
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
@@ -1368,6 +1387,27 @@ def all_queries() -> dict[str, QuerySpec]:
             "SELECT comp, CAST(count(*) AS BIGINT) AS size FROM c "
             "GROUP BY comp ORDER BY size DESC, comp",
             note="connected-component duplicate clusters (iterative)",
+        ),
+        QuerySpec(
+            "t21_dsir_weights", q_dsir_weights,
+            "WITH tk AS (SELECT doc_id, lang, "
+            "(('0x' || substr(md5('dsir' || w), 1, 8))::BIGINT % 4096) AS b "
+            "FROM (SELECT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "bb AS (SELECT b, count(*) AS cr, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct "
+            "FROM tk GROUP BY b), "
+            "tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM bb), "
+            "ratio AS (SELECT b, "
+            "ln((ct + 1.0) / (tt + 4096.0)) - ln((cr + 1.0) / (tr + 4096.0))"
+            " AS lr FROM bb CROSS JOIN tot), "
+            "per AS (SELECT doc_id, b, count(*) AS n FROM tk "
+            "GROUP BY doc_id, b) "
+            "SELECT doc_id, round(sum(n * lr), 4) AS log_weight "
+            "FROM per JOIN ratio USING (b) "
+            "GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 15",
+            note="DSIR hashed-ngram importance weights (target = en)",
         ),
     ]
     specs += _tpch_specs()

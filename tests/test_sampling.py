@@ -145,3 +145,33 @@ def test_pack_plan_bins_are_contiguous_and_conserve_tokens(spark, docs):
         docs_per_shard[r["shard"]] += r["n_docs"]
     n = docs.count()
     assert all(c < n for c in docs_per_shard.values()) and len(by_shard) > 1
+
+
+# ------------------------------------------------- DSIR importance weights
+
+
+def test_dsir_weights_target_affinity_and_bigrams(spark):
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.dsir import dsir_log_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "en"),
+            (2, "gamma delta gamma delta", "de"),
+            (3, "alpha beta gamma delta", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    w = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(docs, F.col("lang") == "en").collect()
+    }
+    # doc 1 is pure target vocabulary, doc 2 pure non-target: the log
+    # importance weight must order them accordingly
+    assert w[1] > w[3] > w[2]
+    # bigram features share the hash space and keep every doc scored
+    w2 = dsir_log_weights(docs, F.col("lang") == "en", ngram=2).collect()
+    assert len(w2) == 3
+    w2m = {r.doc_id: r.log_weight for r in w2}
+    assert w2m[1] > w2m[2]

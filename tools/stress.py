@@ -55,7 +55,7 @@ QUERIES = [
     "t05_jaccard_vs_query", "t06_minhash_pairs", "t11_levenshtein_pairs",
     "t12_top_bigrams", "t13_repetition_stats", "t14_benchmark_contamination",
     "h02_min_cost_supplier", "h11_important_stock",
-    "x06_funnel",
+    "x06_funnel", "t21_dsir_weights",
 ]
 
 # super-linear flagging thresholds (see module docstring)
