@@ -23,10 +23,13 @@ with nothing but `spark.read.parquet` underneath:
   table schema.
 
 Scope: reader protocol v1-v3 with readerFeatures ⊆ {timestampNtz,
-deletionVectors} — deletion vectors decode via `deltadv.py` (Z85 +
-RoaringBitmapArray native format) and filter through a broadcast
-anti-join on `_metadata.row_index`. Column mapping and later features
-are honestly refused.
+deletionVectors, columnMapping} — deletion vectors decode via
+`deltadv.py` (Z85 + RoaringBitmapArray native format) and filter
+through a broadcast anti-join on `_metadata.row_index`; column mapping
+mode "name" scans by each field's `delta.columnMapping.physicalName`
+and renames to the logical schema ("id" mode, and mapping over
+partitioned tables, are honestly refused). Later features refuse
+loudly.
 The write side (`DeltaTableWriter`: append/overwrite; `DeltaKeyedTable`:
 keyed MERGE) emits minReaderVersion-1 logs — add/remove/metaData/
 protocol actions with hard-link put-if-absent version claims — so any
@@ -62,6 +65,8 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str]]
     schema: T.StructType | None
     partition_columns: list[str] = field(default_factory=list)
+    # delta.columnMapping.mode: "none" | "name" ("id" refused)
+    column_mapping: str = "none"
     # raw protocol/metaData/add actions, preserved so a writer can
     # materialize this snapshot back out as a checkpoint without loss
     protocol_raw: dict | None = None
@@ -105,10 +110,16 @@ class DeltaTableReader:
             fmt = (md.get("format") or {}).get("provider", "parquet")
             if fmt != "parquet":
                 raise DeltaProtocolError(f"unsupported data format {fmt!r}")
-            if (md.get("configuration") or {}).get("delta.columnMapping.mode") not in (
-                None, "none",
-            ):
-                raise DeltaProtocolError("column mapping not supported")
+            mode = (md.get("configuration") or {}).get(
+                "delta.columnMapping.mode"
+            ) or "none"
+            if mode not in ("none", "name"):
+                # "id" matches by parquet field ids, which our plain scan
+                # can't resolve — refuse rather than misread
+                raise DeltaProtocolError(
+                    f"column mapping mode {mode!r} not supported"
+                )
+            snap.column_mapping = mode
             # schemaString IS Spark's StructType JSON — parse directly
             snap.schema = T.StructType.fromJson(json.loads(md["schemaString"]))
             snap.partition_columns = list(md.get("partitionColumns") or [])
@@ -121,8 +132,10 @@ class DeltaTableReader:
                     f"minReaderVersion {p['minReaderVersion']} > 3 unsupported"
                 )
             for feat in p.get("readerFeatures") or []:
-                # deletionVectors handled in read() via the deltadv codec
-                if feat not in ("timestampNtz", "deletionVectors"):
+                # deletionVectors / columnMapping handled in read()
+                if feat not in (
+                    "timestampNtz", "deletionVectors", "columnMapping",
+                ):
                     raise DeltaProtocolError(f"reader feature {feat!r} unsupported")
         # commitInfo / txn / cdc: no effect on the live file set
 
@@ -281,7 +294,25 @@ class DeltaTableReader:
         data_fields = [
             f for f in snap.schema.fields if f.name not in snap.partition_columns
         ]
-        data_schema = T.StructType(data_fields)
+        mapping = snap.column_mapping == "name"
+        if mapping and snap.partition_columns:
+            # in mapping mode partitionValues key on PHYSICAL names; we
+            # gate rather than guess the (rarely exercised) combination
+            raise DeltaProtocolError(
+                "column mapping with partition columns not supported"
+            )
+
+        def _phys(f: T.StructField) -> str:
+            return (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+
+        data_schema = T.StructType(
+            [
+                T.StructField(_phys(f) if mapping else f.name, f.dataType, f.nullable)
+                for f in data_fields
+            ]
+        )
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
 
@@ -324,6 +355,13 @@ class DeltaTableReader:
             if dved:
                 scans.append(self._read_with_dvs(dved, data_schema, snap))
             for df in scans:
+                if mapping:
+                    df = df.select(
+                        *[
+                            F.col(_phys(f)).alias(f.name)
+                            for f in data_fields
+                        ]
+                    )
                 for col, raw in key:
                     lit = (
                         F.lit(None).cast(ptypes[col])

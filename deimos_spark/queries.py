@@ -95,24 +95,41 @@ def _param_lookup(sf_dir: str, table: str, key_col: str, key, col: str):
     per re-submission (~0.3s fixed floor) just to move one value to the
     driver. Parquet row-group statistics prune the read to the groups
     that can contain the key."""
+    import os
+
     import pyarrow.compute as pc
     import pyarrow.parquet as papq
 
-    pf = papq.ParquetFile(f"{sf_dir}/{table}.parquet")
-    groups = [
-        i
-        for i in range(pf.num_row_groups)
-        if (lambda s: s is None or (s.min <= key <= s.max))(
-            pf.metadata.row_group(i)
-            .column(pf.schema_arrow.get_field_index(key_col))
-            .statistics
+    # tables may be a single .parquet file (the driver's testdata) or a
+    # directory of part files (Spark-written, e.g. the stress harness)
+    path = f"{sf_dir}/{table}.parquet"
+    parts = (
+        sorted(
+            os.path.join(path, n)
+            for n in os.listdir(path)
+            if n.endswith(".parquet")
         )
-    ]
-    tbl = pf.read_row_groups(groups or [0], columns=[key_col, col])
-    match = tbl.filter(pc.equal(tbl.column(key_col), key))
-    if match.num_rows == 0:
-        raise KeyError(f"{table}.{key_col} == {key!r} not found")
-    return match.column(col)[0].as_py()
+        if os.path.isdir(path)
+        else [path]
+    )
+    for part in parts:
+        pf = papq.ParquetFile(part)
+        groups = [
+            i
+            for i in range(pf.num_row_groups)
+            if (lambda s: s is None or (s.min <= key <= s.max))(
+                pf.metadata.row_group(i)
+                .column(pf.schema_arrow.get_field_index(key_col))
+                .statistics
+            )
+        ]
+        if not groups:
+            continue
+        tbl = pf.read_row_groups(groups, columns=[key_col, col])
+        match = tbl.filter(pc.equal(tbl.column(key_col), key))
+        if match.num_rows:
+            return match.column(col)[0].as_py()
+    raise KeyError(f"{table}.{key_col} == {key!r} not found")
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

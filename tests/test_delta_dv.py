@@ -306,3 +306,99 @@ def test_keyed_merge_dv_refuses_partitioned(spark, tmp_path):
     kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
     with pytest.raises(DeltaProtocolError, match="unpartitioned"):
         kt.delete(spark.createDataFrame([(1,)], "id long"))
+
+
+# ------------------------------------------- column mapping (name mode)
+
+
+def _mapped_meta(mode="name"):
+    """metaData whose schemaString carries physical column names, as
+    Databricks-style column-mapping tables do."""
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": False,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa111",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb222",
+                    },
+                },
+            ],
+        }
+    )
+    m = _meta(schema_json)
+    m["metaData"]["configuration"] = {"delta.columnMapping.mode": mode}
+    return m
+
+
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    # the data FILE stores physical names
+    _write_data_file(
+        spark, table, "f.parquet", [(1, "a"), (2, "b")],
+        schema="`col-aaa111` long, `col-bbb222` string",
+    )
+    _commit(
+        table, 0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            },
+            _mapped_meta(),
+            _add("f.parquet"),
+        ],
+    )
+    df = DeltaTableReader(spark, table).read()
+    assert df.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_column_mapping_composes_with_dvs(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(
+        spark, table, "f.parquet", [(1, "a"), (2, "b"), (3, "c")],
+        schema="`col-aaa111` long, `col-bbb222` string",
+    )
+    desc = deltadv.inline_dv_descriptor(np.array([1], dtype=np.int64))
+    _commit(
+        table, 0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                }
+            },
+            _mapped_meta(),
+            _add_dv("f.parquet", desc),
+        ],
+    )
+    df = DeltaTableReader(spark, table).read()
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "a"), (3, "c")}
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _commit(table, 0, [_mapped_meta(mode="id")])
+    with pytest.raises(DeltaProtocolError, match="column mapping mode"):
+        DeltaTableReader(spark, table).read()
