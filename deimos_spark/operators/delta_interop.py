@@ -771,6 +771,83 @@ class DeltaTableWriter:
             f"could not commit after {self.max_commit_retries} tries"
         )
 
+    def optimize(self) -> None:
+        """Compact the table: rewrite the current live rows as fresh
+        files and drop every old add — including DV-carrying ones, so
+        accumulated soft deletes become physical (the protocol's
+        OPTIMIZE shape: `dataChange: false`, the logical content is
+        unchanged and downstream streams must not re-emit it). Run this
+        periodically on DV-merged tables; without it, heavily-deleted
+        files keep paying their DV anti-join forever."""
+        for _ in range(self.max_commit_retries):
+            reader = self._reader()
+            v = self._latest_version()
+            if v < 0:
+                return
+            snap = reader.snapshot()
+            if not snap.files:
+                return
+            current = reader.read()
+            removes = [
+                {"remove": {"path": p, "dataChange": False}}
+                for p in sorted(snap.files)
+            ]
+            adds = self._write_files(current)
+            for a in adds:
+                a["add"]["dataChange"] = False
+            try:
+                self._commit(v + 1, removes + adds)
+                return
+            except DeltaCommitConflict:
+                self._drop_files(self.path, adds)
+        raise DeltaCommitConflict(
+            f"could not commit after {self.max_commit_retries} tries"
+        )
+
+    def vacuum(self, keep_versions: int = 0) -> list[str]:
+        """Delete data/DV files no snapshot within the retention window
+        references; returns the deleted paths. `keep_versions` retains
+        the file sets of that many historical versions (0 = only the
+        current snapshot survives — time travel past that is gone,
+        exactly the documented Delta VACUUM trade-off)."""
+        reader = self._reader()
+        latest = self._latest_version()
+        if latest < 0:
+            return []
+        keep: set[str] = set()
+        lo = max(0, latest - keep_versions)
+        for v in range(lo, latest + 1):
+            try:
+                snap = reader.snapshot(v)
+            except DeltaProtocolError:
+                continue
+            for rel, a in snap.adds_raw.items():
+                keep.add(os.path.abspath(os.path.join(self.path, rel)))
+                desc = (a or {}).get("deletionVector")
+                if desc and desc.get("storageType") in ("u", "p"):
+                    from .deltadv import _dv_file_path
+
+                    keep.add(
+                        os.path.abspath(_dv_file_path(self.path, desc)[0])
+                    )
+        deleted = []
+        for dirpath, _, names in os.walk(self.path):
+            if "_delta_log" in dirpath or ".staging" in dirpath:
+                continue
+            for n in names:
+                if not (
+                    n.endswith(".parquet") or n.startswith("deletion_vector_")
+                ):
+                    continue
+                ap = os.path.abspath(os.path.join(dirpath, n))
+                if ap not in keep:
+                    try:
+                        os.unlink(ap)
+                        deleted.append(ap)
+                    except OSError:
+                        pass
+        return deleted
+
     def overwrite(self, df: DataFrame) -> None:
         for _ in range(self.max_commit_retries):
             v = self._latest_version()

@@ -402,3 +402,47 @@ def test_column_mapping_id_mode_refused(spark, tmp_path):
     _commit(table, 0, [_mapped_meta(mode="id")])
     with pytest.raises(DeltaProtocolError, match="column mapping mode"):
         DeltaTableReader(spark, table).read()
+
+
+# ---------------------------------------------- OPTIMIZE + VACUUM
+
+
+def test_optimize_clears_dvs_and_vacuum_reclaims(spark, tmp_path):
+    """The maintenance pair a DV-merged table needs: OPTIMIZE rewrites
+    live rows as fresh files (dataChange=false) so soft deletes become
+    physical; VACUUM then reclaims the unreferenced data and DV files."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "kt")
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    kt.delete(spark.createDataFrame([(2,), (5,)], "id long"))
+    snap = DeltaTableReader(spark, t).snapshot()
+    assert any(
+        (snap.adds_raw[p] or {}).get("deletionVector") for p in snap.files
+    )
+    dv_files = [n for n in os.listdir(t) if n.startswith("deletion_vector_")]
+    assert dv_files
+
+    kt.writer.optimize()
+    snap2 = DeltaTableReader(spark, t).snapshot()
+    assert not any(
+        (snap2.adds_raw[p] or {}).get("deletionVector") for p in snap2.files
+    )
+    rd = DeltaTableReader(spark, t)
+    assert sorted(r.id for r in rd.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+    deleted = kt.writer.vacuum(keep_versions=0)
+    assert deleted  # old data files + orphaned DV files reclaimed
+    assert not [
+        n for n in os.listdir(t) if n.startswith("deletion_vector_")
+    ]
+    # current snapshot still fully readable after vacuum
+    assert sorted(r.id for r in rd.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
