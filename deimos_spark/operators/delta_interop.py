@@ -287,10 +287,51 @@ class DeltaTableReader:
 
     # ---------------------------------------------------------------- read
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> DataFrame:
+        """`partition_filter` prunes by the LOG's partitionValues before
+        any file is opened — {col: value} or {col: [values...]}; values
+        compare as the protocol's raw strings (None matches null). At
+        100 TB this is the difference between planning over the files of
+        one partition and listing-and-opening all of them; Spark's own
+        partition pruning can't help because Delta carries partition
+        values in the log, not the directory layout."""
         snap = self.snapshot(version)
         if snap.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
+        if partition_filter:
+            unknown = set(partition_filter) - set(snap.partition_columns)
+            if unknown:
+                raise DeltaProtocolError(
+                    f"partition_filter names non-partition columns {sorted(unknown)}"
+                )
+
+            def _keep(pvals: dict) -> bool:
+                for c, want in partition_filter.items():
+                    opts = want if isinstance(want, (list, tuple, set)) else [want]
+                    raw = pvals.get(c)
+                    if not any(
+                        (o is None and raw is None)
+                        or (o is not None and raw == str(o))
+                        for o in opts
+                    ):
+                        return False
+                return True
+
+            kept = {p: pv for p, pv in snap.files.items() if _keep(pv)}
+            snap = DeltaSnapshot(
+                snap.version,
+                kept,
+                snap.schema,
+                snap.partition_columns,
+                snap.column_mapping,
+                snap.protocol_raw,
+                snap.meta_raw,
+                {p: a for p, a in snap.adds_raw.items() if p in kept},
+            )
         data_fields = [
             f for f in snap.schema.fields if f.name not in snap.partition_columns
         ]

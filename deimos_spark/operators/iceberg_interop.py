@@ -175,7 +175,7 @@ class IcebergTableReader:
     def _file_sets(
         self, snapshot_id: int | None = None
     ) -> tuple[
-        list[tuple[str, str, int]],
+        list[tuple[str, str, int, dict]],
         list[str],
         list[tuple[str, int, tuple[int, ...]]],
     ]:
@@ -205,7 +205,7 @@ class IcebergTableReader:
         if not snap:
             return [], [], []
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
-        data: list[tuple[str, str, int]] = []
+        data: list[tuple[str, str, int, dict]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
         for mf in manifests:
@@ -226,7 +226,12 @@ class IcebergTableReader:
                             f"file format {fmt!r} unsupported"
                         )
                     data.append(
-                        (df["file_path"], self._local(df["file_path"]), seq)
+                        (
+                            df["file_path"],
+                            self._local(df["file_path"]),
+                            seq,
+                            dict(df.get("partition") or {}),
+                        )
                     )
                 elif content == 1:  # position deletes
                     if fmt != "PARQUET":
@@ -253,8 +258,17 @@ class IcebergTableReader:
                     )
         return data, pos_deletes, eq_deletes
 
-    def data_files(self, snapshot_id: int | None = None) -> list[str]:
-        return [p for _, p, _ in self._file_sets(snapshot_id)[0]]
+    def data_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> list[str]:
+        data = self._file_sets(snapshot_id)[0]
+        if partition_filter:
+            data = [
+                t for t in data if self._partition_keep(t[3], partition_filter)
+            ]
+        return [p for _, p, _, _ in data]
 
     # ---------------------------------------------------------------- read
 
@@ -286,12 +300,37 @@ class IcebergTableReader:
             f["id"]: f["name"] for f in ice["fields"] if "id" in f
         }
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    @staticmethod
+    def _partition_keep(pvals: dict, partition_filter: dict) -> bool:
+        for c, want in partition_filter.items():
+            opts = want if isinstance(want, (list, tuple, set)) else [want]
+            if pvals.get(c) not in opts:
+                return False
+        return True
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> DataFrame:
+        """`partition_filter` prunes by each manifest entry's typed
+        `partition` record before any file opens — {col: value} or
+        {col: [values...]}. Manifest-level pruning is the Iceberg scan
+        contract: at 100 TB the planner touches KB of manifest metadata
+        instead of listing/opening the full file set. (Identity values
+        also remain in the data files, so Catalyst still row-group-
+        prunes whatever survives.)"""
         schema = self.schema()
         data, pos_deletes, eq_deletes = self._file_sets(snapshot_id)
+        if partition_filter:
+            data = [
+                t
+                for t in data
+                if self._partition_keep(t[3], partition_filter)
+            ]
         if not data:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*[p for _, p, _ in data])
+        df = self.spark.read.schema(schema).parquet(*[p for _, p, _, _ in data])
         if not pos_deletes and not eq_deletes:
             return df
         from pyspark.sql import functions as F
@@ -313,7 +352,7 @@ class IcebergTableReader:
     def _apply_equality_deletes(
         self,
         df: DataFrame,
-        data: list[tuple[str, str, int]],
+        data: list[tuple[str, str, int, dict]],
         eq_deletes: list[tuple[str, int, tuple[int, ...]]],
     ) -> DataFrame:
         """v2 equality deletes: each delete file's rows name column
@@ -330,7 +369,7 @@ class IcebergTableReader:
 
         by_id = self._field_names_by_id()
         seq_map = self.spark.createDataFrame(
-            [("file:" + local, seq) for _, local, seq in data],
+            [("file:" + local, seq) for _, local, seq, _ in data],
             "__ice_fp string, __ice_seq long",
         )
         scan = df.join(F.broadcast(seq_map), "__ice_fp")
@@ -358,7 +397,7 @@ class IcebergTableReader:
     def _apply_position_deletes(
         self,
         df: DataFrame,
-        data: list[tuple[str, str, int]],
+        data: list[tuple[str, str, int, dict]],
         deletes: list[str],
     ) -> DataFrame:
         """v2 position deletes: delete-file rows are (file_path, pos)
@@ -374,7 +413,7 @@ class IcebergTableReader:
         # recorded manifest path -> the URI _metadata.file_path reports
         # (Hadoop renders local files as "file:/abs/path" — one slash)
         mapping = self.spark.createDataFrame(
-            [("file:" + local, rec) for rec, local, _ in data],
+            [("file:" + local, rec) for rec, local, _, _ in data],
             "__ice_fp string, __del_fp string",
         )
         dels = (

@@ -446,3 +446,38 @@ def test_optimize_clears_dvs_and_vacuum_reclaims(spark, tmp_path):
     ]
     # current snapshot still fully readable after vacuum
     assert sorted(r.id for r in rd.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_delta_partition_filter_prunes_from_log(spark, tmp_path):
+    """read(partition_filter=...) drops files by the LOG's
+    partitionValues before any scan (Delta has no dir-layout pruning)."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": False, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _write_data_file(spark, table, "p=x/a.parquet", [(1, "a"), (2, "b")])
+    _write_data_file(spark, table, "p=y/b.parquet", [(3, "c")])
+    _commit(
+        table, 0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(schema_json, ("p",)),
+            _add("p=x/a.parquet", {"p": "x"}),
+            _add("p=y/b.parquet", {"p": "y"}),
+        ],
+    )
+    rd = DeltaTableReader(spark, table)
+    assert {r.id for r in rd.read(partition_filter={"p": "x"}).collect()} == {1, 2}
+    assert {
+        r.id for r in rd.read(partition_filter={"p": ["x", "y"]}).collect()
+    } == {1, 2, 3}
+    with pytest.raises(DeltaProtocolError, match="non-partition"):
+        rd.read(partition_filter={"nope": 1})

@@ -624,3 +624,25 @@ def test_writer_partitioned_refuses_bad_partition_types(spark, tmp_path):
     w = IcebergTableWriter(spark, t, partition_by=("d",))
     with pytest.raises(IcebergProtocolError, match="identity partition"):
         w.append(spark.createDataFrame([(1, 1.5)], "id long, d double"))
+
+
+def test_partition_filter_prunes_by_manifest(spark, tmp_path):
+    """read(partition_filter=...) plans from the manifest partition
+    records — the pruned partition's files are never in the scan."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    t = str(tmp_path / "icewprune")
+    w = IcebergTableWriter(spark, t, partition_by=("p",))
+    w.append(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+            "id long, v string, p string",
+        )
+    )
+    r = IcebergTableReader(spark, t)
+    assert len(r.data_files(partition_filter={"p": "y"})) < len(r.data_files())
+    got = {x.id for x in r.read(partition_filter={"p": "y"}).collect()}
+    assert got == {2, 3}
+    got2 = {x.id for x in r.read(partition_filter={"p": ["x", "y"]}).collect()}
+    assert got2 == {1, 2, 3}
+    assert r.read(partition_filter={"p": "zzz"}).count() == 0
