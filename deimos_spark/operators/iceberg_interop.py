@@ -1,8 +1,9 @@
 """Apache Iceberg table adapter — pure-Python metadata walk over the
 PUBLIC Iceberg table spec (iceberg.apache.org/spec; no Iceberg jars or
-runtime used). Reader covers v1/v2 incl. position deletes; writer
-(`IcebergTableWriter`) emits unpartitioned v2 append/overwrite
-snapshots with the full metadata chain.
+runtime used). Reader covers v1/v2 incl. position AND equality deletes;
+writer (`IcebergTableWriter`) emits v2 append/overwrite snapshots
+(identity-partitioned layouts included) with the full metadata chain;
+`IcebergKeyedTable` adds keyed MERGE via position-delete emission.
 
 The metadata chain, exactly as the spec lays it out:
 
@@ -560,8 +561,8 @@ class IcebergTableWriter:
     temp + hard-link put-if-absent txlog/Delta use (HadoopTables'
     filesystem-atomic rename shape); losers raise IcebergCommitConflict
     and the caller's state is re-derived on retry. Scope is honest:
-    flat primitive schemas, append + overwrite only — row-level deletes
-    are a reader feature here, not a writer one.
+    flat primitive schemas; append + overwrite here, keyed MERGE via
+    position deletes in `IcebergKeyedTable` below.
     """
 
     _PARTITION_AVRO = {
@@ -712,20 +713,36 @@ class IcebergTableWriter:
 
     # ----------------------------------------------------------- write API
 
-    def _snapshot_commit(self, df: DataFrame, overwrite: bool) -> None:
+    def _snapshot_commit(
+        self,
+        df: DataFrame | None,
+        overwrite: bool,
+        delete_files: list[tuple[str, int, int, dict]] | None = None,
+        schema_override: T.StructType | None = None,
+    ) -> None:
+        """One snapshot commit. `df` → new data files (None for
+        delete-only commits, with `schema_override` supplying the table
+        schema); `delete_files` → already-written position-delete
+        parquet files recorded in their own content=1 manifest."""
         import time as _time
         import uuid
 
         from deimos_spark.schemas.avro_ocf import ocf_write
 
         mv, md = self._current()
+        delete_files = delete_files or []
         seq = (md.get("last-sequence-number", 0) if md else 0) + 1
         snap_id = seq  # sequential ids: deterministic and spec-legal
         now = int(_time.time() * 1000)
 
-        ice_fields = spark_schema_to_iceberg(df.schema)
+        ice_fields = spark_schema_to_iceberg(
+            df.schema if df is not None else schema_override
+        )
         id_by_name = {f["name"]: f["id"] for f in ice_fields}
-        spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        spark_types = {
+            f.name: f.dataType.simpleString()
+            for f in (df.schema if df is not None else schema_override).fields
+        }
         for c in self.partition_by:
             if c not in id_by_name:
                 raise IcebergProtocolError(f"partition column {c!r} not in schema")
@@ -735,7 +752,7 @@ class IcebergTableWriter:
                     f"{c!r} unsupported (int/bigint/string only)"
                 )
 
-        files = self._write_data_files(df)
+        files = self._write_data_files(df) if df is not None else []
         uid = uuid.uuid4().hex[:12]
 
         entry_schema = _MANIFEST_ENTRY_SCHEMA
@@ -781,25 +798,58 @@ class IcebergTableWriter:
             for p, rows, size, pvals in files
         ]
         added_rows = sum(r for _, r, _, _ in files)
-        mpath = os.path.join(self.meta_dir, f"m-{uid}.avro")
-        ocf_write(mpath, entry_schema, entries)
-        manifests = [
-            {
+
+        def _manifest_row(mpath, content, n_files, n_rows):
+            return {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": content,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
-                "added_files_count": len(files),
+                "added_files_count": n_files,
                 "existing_files_count": 0,
                 "deleted_files_count": 0,
-                "added_rows_count": added_rows,
+                "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
             }
-        ]
+
+        manifests = []
+        if entries:
+            mpath = os.path.join(self.meta_dir, f"m-{uid}.avro")
+            ocf_write(mpath, entry_schema, entries)
+            manifests.append(_manifest_row(mpath, 0, len(files), added_rows))
+        if delete_files:
+            # position-delete files get their OWN manifest: the spec's
+            # manifest-list `content` field is data(0) XOR deletes(1)
+            del_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": f"file://{p}",
+                        "file_format": "PARQUET",
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                    },
+                }
+                for p, rows, size, _ in delete_files
+            ]
+            dpath = os.path.join(self.meta_dir, f"d-{uid}.avro")
+            ocf_write(dpath, _MANIFEST_ENTRY_SCHEMA, del_entries)
+            manifests.append(
+                _manifest_row(
+                    dpath,
+                    1,
+                    len(delete_files),
+                    sum(r for _, r, _, _ in delete_files),
+                )
+            )
         if not overwrite and md is not None:
             # append: carry the previous snapshot's manifests forward
             prev = next(
@@ -842,7 +892,9 @@ class IcebergTableWriter:
             "timestamp-ms": now,
             "manifest-list": f"file://{mlpath}",
             "summary": {
-                "operation": "append" if not overwrite else "overwrite"
+                "operation": "overwrite"
+                if (overwrite or delete_files)
+                else "append"
             },
             "schema-id": 0,
         }
@@ -895,3 +947,129 @@ class IcebergTableWriter:
 
     def overwrite(self, df: DataFrame) -> None:
         self._snapshot_commit(df, overwrite=True)
+
+
+class IcebergKeyedTable:
+    """MERGE semantics over an Iceberg v2 table via POSITION DELETES —
+    the Iceberg twin of `DeltaKeyedTable(use_dvs=True)`: deletes land as
+    (file_path, pos) delete files instead of rewriting survivors, so a
+    merge costs O(batch + delete-file metadata), not O(table). This is
+    the low-shuffle MERGE-ON-READ shape real engines (Spark/Flink
+    Iceberg writers) emit; any spec-conforming reader — ours included —
+    applies the deletes at scan time. Unpartitioned tables only (the
+    writer's keyed scope, matching the Delta DV merge gate).
+
+    `optimize()` compacts: rewrites current live rows as a fresh
+    overwrite snapshot, after which accumulated delete files stop
+    costing their scan-time anti-join.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_cols,
+        max_commit_retries: int = 5,
+    ):
+        self.spark = spark
+        self.path = path
+        self.key_cols = list(key_cols)
+        self.max_commit_retries = max_commit_retries
+        self.writer = IcebergTableWriter(spark, path)
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        return IcebergTableReader(self.spark, self.path).read(snapshot_id)
+
+    def upsert(self, batch: DataFrame) -> None:
+        self.merge(upserts=batch)
+
+    def delete(self, keys: DataFrame) -> None:
+        self.merge(delete_keys=keys)
+
+    def optimize(self) -> None:
+        reader = IcebergTableReader(self.spark, self.path)
+        self.writer.overwrite(reader.read())
+
+    def merge(
+        self,
+        upserts: DataFrame | None = None,
+        delete_keys: DataFrame | None = None,
+    ) -> None:
+        from pyspark.sql import functions as F
+
+        affected = None
+        for src in (upserts, delete_keys):
+            if src is not None:
+                k = src.select(*self.key_cols).distinct()
+                affected = (
+                    k if affected is None else affected.union(k).distinct()
+                )
+        if affected is None:
+            return
+
+        for _ in range(self.max_commit_retries):
+            _, md = self.writer._current()
+            if md is None or not md.get("snapshots"):
+                if upserts is None or not upserts.head(1):
+                    return
+                try:
+                    self.writer._snapshot_commit(upserts, overwrite=False)
+                    return
+                except IcebergCommitConflict:
+                    continue
+
+            reader = IcebergTableReader(self.spark, self.path)
+            data, _, _ = reader._file_sets(None)
+            schema = reader.schema()
+            pairs = []
+            if data:
+                rec_by_fp = {"file:" + local: rec for rec, local, _, _ in data}
+                scan = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[local for _, local, _, _ in data])
+                    .select(
+                        *self.key_cols,
+                        F.col("_metadata.file_path").alias("__fp"),
+                        F.col("_metadata.row_index").alias("__pos"),
+                    )
+                )
+                hits = (
+                    scan.join(affected, self.key_cols, "left_semi")
+                    .select("__fp", "__pos")
+                    .collect()
+                )
+                pairs = sorted(
+                    (rec_by_fp[r["__fp"]], int(r["__pos"]))
+                    for r in hits
+                    if r["__fp"] in rec_by_fp
+                )
+
+            delete_files = []
+            if pairs:
+                # spec orders delete rows by (file_path, pos) for
+                # row-group pruning on the read side
+                pairs_df = self.spark.createDataFrame(
+                    pairs, "file_path string, pos long"
+                ).coalesce(1)
+                delete_files = self.writer._write_data_files(pairs_df)
+
+            has_upserts = upserts is not None and bool(upserts.head(1))
+            if not pairs and not has_upserts:
+                return
+            try:
+                self.writer._snapshot_commit(
+                    upserts if has_upserts else None,
+                    overwrite=False,
+                    delete_files=delete_files,
+                    schema_override=schema,
+                )
+                return
+            except IcebergCommitConflict:
+                for p, _, _, _ in delete_files:
+                    try:
+                        os.unlink(p)
+                    except OSError:
+                        pass
+        raise IcebergCommitConflict(
+            f"could not commit after {self.max_commit_retries} tries"
+        )

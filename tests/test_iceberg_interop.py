@@ -646,3 +646,63 @@ def test_partition_filter_prunes_by_manifest(spark, tmp_path):
     got2 = {x.id for x in r.read(partition_filter={"p": ["x", "y"]}).collect()}
     assert got2 == {1, 2, 3}
     assert r.read(partition_filter={"p": "zzz"}).count() == 0
+
+
+# --------------------------------- round-5: keyed MERGE via position deletes
+
+
+def test_iceberg_keyed_merge_soft_deletes_and_optimize(spark, tmp_path):
+    """The Iceberg twin of the Delta DV merge: deletes land as
+    position-delete files (no survivor rewrite), upserts append;
+    OPTIMIZE compacts the history away."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "icekt")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        )
+    )
+    files_before = set(IcebergTableReader(spark, t).data_files())
+
+    kt.delete(spark.createDataFrame([(3,), (7,)], "id long"))
+    r = IcebergTableReader(spark, t)
+    # no data file was rewritten — the delete is metadata + a delete file
+    assert set(r.data_files()) == files_before
+    _, pos_dels, _ = r._file_sets(None)
+    assert pos_dels
+    assert sorted(x.id for x in r.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
+
+    kt.upsert(
+        spark.createDataFrame([(5, "V5"), (42, "new")], "id long, v string")
+    )
+    r = IcebergTableReader(spark, t)
+    got = {(x.id, x.v) for x in r.read().collect()}
+    assert (5, "V5") in got and (42, "new") in got and (5, "v5") not in got
+    assert sorted(i for i, _ in got) == [0, 1, 2, 4, 5, 6, 8, 9, 42]
+
+    kt.optimize()
+    r = IcebergTableReader(spark, t)
+    _, pos_dels2, _ = r._file_sets(None)
+    assert pos_dels2 == []  # compaction: fresh file set, no delete files
+    got2 = {(x.id, x.v) for x in r.read().collect()}
+    assert got2 == got
+
+
+def test_iceberg_keyed_merge_delete_only_and_empty(spark, tmp_path):
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "icekt2")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    # delete against an empty table is a no-op
+    kt.delete(spark.createDataFrame([(1,)], "id long"))
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.delete(spark.createDataFrame([(1,)], "id long"))
+    r = IcebergTableReader(spark, t)
+    assert {(x.id, x.v) for x in r.read().collect()} == {(2, "b")}
+    # deleting a key with no match commits nothing new
+    v_before = r.metadata["last-sequence-number"]
+    kt.delete(spark.createDataFrame([(999,)], "id long"))
+    r2 = IcebergTableReader(spark, t)
+    assert r2.metadata["last-sequence-number"] == v_before
