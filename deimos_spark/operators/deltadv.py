@@ -114,6 +114,12 @@ def _deserialize_roaring32(buf: bytes, pos: int) -> tuple[np.ndarray, int]:
     else:
         raise DeletionVectorError(f"bad roaring cookie {cookie}")
 
+    # a corrupt header must not drive a huge allocation or a scan past
+    # the buffer: every container needs ≥4 header bytes
+    if size < 0 or pos + 4 * size > len(buf):
+        raise DeletionVectorError(
+            f"roaring header claims {size} containers beyond buffer"
+        )
     keys = np.empty(size, dtype=np.uint32)
     cards = np.empty(size, dtype=np.int64)
     for i in range(size):
@@ -281,8 +287,21 @@ def read_dv_data(table_path: str, desc: dict) -> bytes:
 
 
 def dv_row_indexes(table_path: str, desc: dict) -> np.ndarray:
-    """Descriptor → sorted int64 file-local row indexes to DROP."""
-    idx = deserialize_bitmap_array(read_dv_data(table_path, desc))
+    """Descriptor → sorted int64 file-local row indexes to DROP.
+
+    Containment boundary: a corrupt payload (CRC only covers the file
+    variants — inline descriptors have none) must surface as
+    `DeletionVectorError`, never as a raw struct/index/value error that
+    would kill the Spark task with an undiagnosable traceback — the
+    same corrupt-input discipline as the media codecs.
+    """
+    try:
+        idx = deserialize_bitmap_array(read_dv_data(table_path, desc))
+    except DeletionVectorError:
+        raise
+    except (struct.error, IndexError, ValueError, KeyError, ArithmeticError,
+            TypeError, MemoryError) as e:
+        raise DeletionVectorError(f"malformed deletion vector: {e!r}") from None
     card = desc.get("cardinality")
     if card is not None and int(card) != len(idx):
         raise DeletionVectorError(

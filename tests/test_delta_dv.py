@@ -481,3 +481,57 @@ def test_delta_partition_filter_prunes_from_log(spark, tmp_path):
     } == {1, 2, 3}
     with pytest.raises(DeltaProtocolError, match="non-partition"):
         rd.read(partition_filter={"nope": 1})
+
+
+# ----------------------------------------- corrupt-input containment
+
+
+def test_corrupt_dv_payloads_contained(tmp_path):
+    """Fuzz: arbitrary bytes fed through an inline descriptor must
+    surface as DeletionVectorError — never a raw struct/index/overflow
+    error that kills a Spark task (the corrupt-input discipline the
+    media codecs follow)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def fuzz(blob):
+        pad = (-len(blob)) % 4
+        desc = {
+            "storageType": "i",
+            "pathOrInlineDv": deltadv.z85_encode(blob + b"\x00" * pad),
+            "sizeInBytes": len(blob),
+            "cardinality": 1,
+        }
+        try:
+            deltadv.dv_row_indexes(str(tmp_path), desc)
+        except deltadv.DeletionVectorError:
+            pass  # the contract: typed, catchable, record-level
+
+    fuzz()
+
+
+def test_corrupt_dv_with_valid_magic_contained(tmp_path):
+    """Payloads that pass the magic check but lie about structure."""
+    import struct as _struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(min_size=0, max_size=120))
+    def fuzz(tail):
+        blob = _struct.pack("<Iq", deltadv.MAGIC, 1) + tail
+        pad = (-len(blob)) % 4
+        desc = {
+            "storageType": "i",
+            "pathOrInlineDv": deltadv.z85_encode(blob + b"\x00" * pad),
+            "sizeInBytes": len(blob),
+        }
+        try:
+            deltadv.dv_row_indexes(str(tmp_path), desc)
+        except deltadv.DeletionVectorError:
+            pass
+
+    fuzz()
