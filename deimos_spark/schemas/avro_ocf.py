@@ -76,7 +76,33 @@ def ocf_write(
 
 
 def ocf_read(path: str) -> tuple[dict, list[dict]]:
-    """Read an OCF file → (writer schema, records)."""
+    """Read an OCF file → (writer schema, records).
+
+    Containment contract: any corruption — flipped bytes in the header,
+    metadata, block framing, or record bodies — surfaces as `OcfError`,
+    never a raw Unicode/struct/index/zlib error. Manifest walks over
+    untrusted tables depend on this to fail as a typed, per-file error
+    instead of an undiagnosable task death.
+    """
+    try:
+        return _ocf_read_inner(path)
+    except OcfError:
+        raise
+    except (
+        UnicodeDecodeError,
+        ValueError,
+        KeyError,
+        IndexError,
+        TypeError,
+        EOFError,
+        ArithmeticError,
+        MemoryError,
+        zlib.error,
+    ) as e:
+        raise OcfError(f"{path}: corrupt container: {e!r}") from None
+
+
+def _ocf_read_inner(path: str) -> tuple[dict, list[dict]]:
     with open(path, "rb") as fh:
         buf = fh.read()
     if buf[:4] != MAGIC:
@@ -96,6 +122,12 @@ def ocf_read(path: str) -> tuple[dict, list[dict]]:
     while pos < n:
         count, pos = _read_varint(buf, pos)
         size, pos = _read_varint(buf, pos)
+        if count < 0 or size < 0 or pos + size > n:
+            raise OcfError(f"{path}: block framing out of bounds")
+        if count > max(size, 1) * 8:
+            # a corrupt varint must not drive a near-infinite decode
+            # loop; real records are never 1/8th of a byte
+            raise OcfError(f"{path}: absurd block record count {count}")
         body = buf[pos : pos + size]
         pos += size
         if codec == "deflate":

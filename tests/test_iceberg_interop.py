@@ -706,3 +706,36 @@ def test_iceberg_keyed_merge_delete_only_and_empty(spark, tmp_path):
     kt.delete(spark.createDataFrame([(999,)], "id long"))
     r2 = IcebergTableReader(spark, t)
     assert r2.metadata["last-sequence-number"] == v_before
+
+
+def test_ocf_corrupt_bytes_contained(tmp_path):
+    """Byte-flip fuzz: corrupt containers surface as OcfError, never a
+    raw Unicode/struct/zlib error — manifest walks over untrusted
+    tables depend on this typed-failure contract."""
+    import random
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},
+        ],
+    }
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"f_{codec}.avro")
+        ocf_write(
+            p, schema, [{"a": i, "b": "x" * 10} for i in range(300)],
+            codec=codec,
+        )
+        blob = bytearray(open(p, "rb").read())
+        rng = random.Random(7)
+        for _ in range(200):
+            b2 = bytearray(blob)
+            for _ in range(rng.randint(1, 6)):
+                b2[rng.randrange(4, len(b2))] = rng.randrange(256)
+            open(p + ".c", "wb").write(bytes(b2))
+            try:
+                ocf_read(p + ".c")
+            except OcfError:
+                pass  # the contract
