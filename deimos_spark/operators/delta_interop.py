@@ -148,8 +148,16 @@ class DeltaTableReader:
             return False
         self.last_snapshot_commit_reads += 1
         for line in lines:
-            if line.strip():
+            if not line.strip():
+                continue
+            try:
                 self._apply_action(json.loads(line), snap)
+            except DeltaProtocolError:
+                raise  # deliberate feature refusals keep their message
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
+                raise DeltaProtocolError(
+                    f"{p}: corrupt commit line: {e!r}"
+                ) from None
         snap.version = version
         return True
 

@@ -535,3 +535,20 @@ def test_corrupt_dv_with_valid_magic_contained(tmp_path):
             pass
 
     fuzz()
+
+
+def test_corrupt_commit_json_contained(spark, tmp_path):
+    """A mangled commit file surfaces as DeltaProtocolError, not a raw
+    JSONDecodeError from deep in the replay loop."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f.parquet", [(1, "a")])
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        _meta(), _add("f.parquet"),
+    ])
+    logp = os.path.join(table, "_delta_log", f"{1:020d}.json")
+    with open(logp, "w") as fh:
+        fh.write('{"add": {"path": "f.parq\n')  # truncated mid-object
+    with pytest.raises(DeltaProtocolError, match="corrupt commit"):
+        DeltaTableReader(spark, table).read()
