@@ -60,6 +60,29 @@ def hash_split(
     return df.withColumn("split", expr.otherwise(F.lit(last)))
 
 
+def dedup_safe_split(
+    df: DataFrame,
+    content_col: str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: bucket on the CONTENT hash, not the row id,
+    so byte-identical duplicates always land in the same split.
+
+    Splitting a deduplicated-in-name-only corpus by row id leaks
+    training text into eval: every duplicate pair straddling the
+    boundary is a memorization freebie. Keying the split on
+    md5(content) makes co-location structural — no join against a
+    dup-pair table, no shuffle, just a different hash input. (Near-dup
+    clusters need the t20 cluster id as the key instead; same
+    mechanism.)
+    """
+    keyed = df.withColumn("__content_key", F.md5(F.col(content_col)))
+    return hash_split(keyed, "__content_key", weights, salt=salt).drop(
+        "__content_key"
+    )
+
+
 def hash_sample(
     df: DataFrame, id_col: str, rate: float, salt: str = "sample"
 ) -> DataFrame:

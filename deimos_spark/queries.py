@@ -599,6 +599,39 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t22: train/test leakage audit — split the corpus two ways (by
+    doc_id vs by content hash, `sampling.dedup_safe_split`) and count
+    the contents that straddle splits. The id-keyed split leaks every
+    duplicate pair across the boundary; the content-keyed split is
+    structurally leak-free. One projection + two hash aggregates per
+    method; no joins."""
+    from deimos_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    weights = {"train": 0.9, "test": 0.1}
+
+    def audit(split_df: DataFrame, method: str) -> DataFrame:
+        per_content = split_df.groupBy(F.md5("text").alias("ck")).agg(
+            F.countDistinct("split").alias("ns"),
+            F.count(F.lit(1)).alias("docs"),
+        )
+        return per_content.agg(
+            F.count(F.lit(1)).cast("bigint").alias("contents"),
+            F.sum("docs").cast("bigint").alias("docs"),
+            F.sum((F.col("ns") > 1).cast("int")).cast("bigint").alias(
+                "leaked_contents"
+            ),
+        ).select(F.lit(method).alias("method"), "docs", "contents",
+                 "leaked_contents")
+
+    naive = audit(sampling.hash_split(d, "doc_id", weights, salt="leak"), "naive")
+    safe = audit(
+        sampling.dedup_safe_split(d, "text", weights, salt="leak"), "safe"
+    )
+    return naive.unionByName(safe).orderBy("method")
+
+
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
@@ -1425,6 +1458,32 @@ def all_queries() -> dict[str, QuerySpec]:
             "FROM per JOIN ratio USING (b) "
             "GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 15",
             note="DSIR hashed-ngram importance weights (target = en)",
+        ),
+        QuerySpec(
+            "t22_dedup_safe_split", q_dedup_safe_split,
+            "WITH base AS (SELECT doc_id, md5(text) AS ck FROM documents), "
+            "naive AS (SELECT ck, CASE WHEN "
+            "(('0x' || substr(md5('leak' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 10000) < 9000 THEN 'train' ELSE 'test' END AS split "
+            "FROM base), "
+            "safe AS (SELECT ck, CASE WHEN "
+            "(('0x' || substr(md5('leak' || ck), 1, 8))"
+            "::BIGINT % 10000) < 9000 THEN 'train' ELSE 'test' END AS split "
+            "FROM base), "
+            "na AS (SELECT ck, count(DISTINCT split) AS ns, count(*) AS docs "
+            "FROM naive GROUP BY ck), "
+            "sa AS (SELECT ck, count(DISTINCT split) AS ns, count(*) AS docs "
+            "FROM safe GROUP BY ck) "
+            "SELECT 'naive' AS method, CAST(sum(docs) AS BIGINT) AS docs, "
+            "CAST(count(*) AS BIGINT) AS contents, "
+            "CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS leaked_contents FROM na "
+            "UNION ALL "
+            "SELECT 'safe', CAST(sum(docs) AS BIGINT), "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM sa ORDER BY method",
+            note="train/test leakage audit: id-keyed vs content-keyed split",
         ),
     ]
     specs += _tpch_specs()

@@ -175,3 +175,29 @@ def test_dsir_weights_target_affinity_and_bigrams(spark):
     assert len(w2) == 3
     w2m = {r.doc_id: r.log_weight for r in w2}
     assert w2m[1] > w2m[2]
+
+
+def test_dedup_safe_split_colocates_duplicates(spark):
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.sampling import dedup_safe_split, hash_split
+
+    # 200 distinct contents, each duplicated 3x under different ids —
+    # the boilerplate-heavy corpus shape
+    rows = [(i * 3 + j, f"content number {i}") for i in range(200) for j in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {"train": 0.7, "test": 0.3}
+
+    def leaked(df):
+        return (
+            df.groupBy("text")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .count()
+        )
+
+    assert leaked(hash_split(d, "doc_id", w, salt="leak")) > 0  # id split leaks
+    safe = dedup_safe_split(d, "text", w, salt="leak")
+    assert leaked(safe) == 0  # content split cannot leak
+    # and it is still a real split, not everything in one bucket
+    assert safe.select("split").distinct().count() == 2
