@@ -429,22 +429,65 @@ class DeltaTableReader:
     ) -> DataFrame:
         """Scan files that carry deletion vectors, dropping deleted rows.
 
-        The DV bitmaps decode driver-side (they are small by construction:
-        bitmap-compressed, per-file, and OPTIMIZE rewrites heavily-deleted
-        files); the (file, row_index) drop set becomes a broadcast
-        LocalRelation anti-joined against `_metadata.row_index` — the same
-        selection-vector shape real kernels push to their scans. Only the
-        files that HAVE a DV pay the metadata projection and join.
+        The drop set is built DISTRIBUTED: the driver ships only the
+        per-file DV *descriptors* (a few hundred bytes each); executors
+        decode the bitmaps via `mapInPandas` and expand them to
+        (file, row_index) rows, which anti-join against
+        `_metadata.row_index` — the selection-vector shape real kernels
+        push to their scans. DV *cardinality* can be tens of millions of
+        rows while `sizeInBytes` stays in the KBs (that is the point of
+        bitmap compression), so materializing the expansion driver-side
+        would blow up the driver; only the expansion's SIZE decides the
+        join strategy: descriptors carry `cardinality`, so when the total
+        is small we broadcast, otherwise it stays a shuffle anti-join.
+        Only the files that HAVE a DV pay the metadata projection + join.
         """
-        from .deltadv import dv_row_indexes
+        from .deltadv import dv_row_indexes  # noqa: F401 (executor import)
 
-        files, ris = [], []
-        for rel in rel_paths:
-            desc = snap.adds_raw[rel]["deletionVector"]
-            idx = dv_row_indexes(self.path, desc)
-            ap = os.path.abspath(os.path.join(self.path, rel))
-            files.extend([ap] * len(idx))
-            ris.extend(int(i) for i in idx)
+        table_path = self.path
+        desc_rows = [
+            (
+                os.path.abspath(os.path.join(self.path, rel)),
+                json.dumps(snap.adds_raw[rel]["deletionVector"]),
+            )
+            for rel in rel_paths
+        ]
+        total_card = sum(
+            int((snap.adds_raw[rel]["deletionVector"] or {}).get(
+                "cardinality", 0
+            ))
+            for rel in rel_paths
+        )
+        desc_df = self.spark.createDataFrame(
+            desc_rows, "__dv_file string, __dv_desc string"
+        )
+        if len(desc_rows) > 1:
+            desc_df = desc_df.repartition(min(len(desc_rows), 64))
+
+        def _expand(batches):
+            import json as _json
+
+            import pandas as _pd
+
+            from deimos_spark.operators.deltadv import (
+                dv_row_indexes as _dvri,
+            )
+
+            for pdf in batches:
+                for f, dj in zip(pdf["__dv_file"], pdf["__dv_desc"]):
+                    idx = _dvri(table_path, _json.loads(dj))
+                    yield _pd.DataFrame(
+                        {"__dv_file": f, "__dv_ri": idx.astype("int64")}
+                    )
+
+        drop = desc_df.mapInPandas(
+            _expand, "__dv_file string, __dv_ri long"
+        )
+        # broadcast only when the descriptor-declared cardinality is
+        # bounded; a heavily-deleted table falls back to a shuffle
+        # anti-join that never concentrates the expansion anywhere
+        if total_card <= 4_000_000:
+            drop = F.broadcast(drop)
         df = (
             self.spark.read.schema(data_schema)
             .parquet(*[os.path.join(self.path, p) for p in rel_paths])
@@ -454,17 +497,8 @@ class DeltaTableReader:
             )
             .withColumn("__dv_ri", F.col("_metadata.row_index"))
         )
-        drop = self.spark.createDataFrame(
-            list(zip(files, ris)),
-            T.StructType(
-                [
-                    T.StructField("__dv_file", T.StringType()),
-                    T.StructField("__dv_ri", T.LongType()),
-                ]
-            ),
-        )
         return (
-            df.join(F.broadcast(drop), ["__dv_file", "__dv_ri"], "left_anti")
+            df.join(drop, ["__dv_file", "__dv_ri"], "left_anti")
             .drop("__dv_file", "__dv_ri")
         )
 
@@ -853,12 +887,26 @@ class DeltaTableWriter:
             f"could not commit after {self.max_commit_retries} tries"
         )
 
-    def vacuum(self, keep_versions: int = 0) -> list[str]:
+    def vacuum(
+        self, keep_versions: int = 0, retention_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data/DV files no snapshot within the retention window
         references; returns the deleted paths. `keep_versions` retains
         the file sets of that many historical versions (0 = only the
         current snapshot survives — time travel past that is gone,
-        exactly the documented Delta VACUUM trade-off)."""
+        exactly the documented Delta VACUUM trade-off).
+
+        Files younger than `retention_seconds` are kept even when
+        unreferenced: `_write_files`/`write_dv_file` move files into
+        their final table location BEFORE the commit attempt, so a
+        vacuum racing an in-flight append/merge (or a commit-conflict
+        retry window) would otherwise delete files the writer's
+        about-to-succeed commit references — silent data loss. This is
+        the same rationale as real Delta's time-based retention window
+        (default 7 days there; 1 hour here, sized for test tables —
+        pass 0.0 only when no concurrent writer can exist)."""
+        import time as _time
+
         reader = self._reader()
         latest = self._latest_version()
         if latest < 0:
@@ -880,6 +928,7 @@ class DeltaTableWriter:
                         os.path.abspath(_dv_file_path(self.path, desc)[0])
                     )
         deleted = []
+        cutoff = _time.time() - retention_seconds
         for dirpath, _, names in os.walk(self.path):
             if "_delta_log" in dirpath or ".staging" in dirpath:
                 continue
@@ -889,12 +938,15 @@ class DeltaTableWriter:
                 ):
                     continue
                 ap = os.path.abspath(os.path.join(dirpath, n))
-                if ap not in keep:
-                    try:
-                        os.unlink(ap)
-                        deleted.append(ap)
-                    except OSError:
-                        pass
+                if ap in keep:
+                    continue
+                try:
+                    if os.path.getmtime(ap) > cutoff:
+                        continue  # young: possibly an in-flight writer's
+                    os.unlink(ap)
+                    deleted.append(ap)
+                except OSError:
+                    pass
         return deleted
 
     def overwrite(self, df: DataFrame) -> None:
@@ -1096,7 +1148,7 @@ class DeltaKeyedTable:
                     "DV merge supports unpartitioned keyed tables; "
                     "use use_dvs=False for partitioned layouts"
                 )
-            hits_by_rel: dict[str, list[int]] = {}
+            removes, dv_adds, dv_paths = [], [], []
             if snap.files and snap.schema is not None:
                 scan = (
                     self.spark.read.schema(snap.schema)
@@ -1111,37 +1163,44 @@ class DeltaKeyedTable:
                     )
                     .withColumn("__ri", F.col("_metadata.row_index"))
                 )
-                hit_rows = (
+                # hit indexes aggregate per FILE executor-side; the
+                # driver streams one file's index list at a time
+                # (toLocalIterator) and folds it into that file's DV —
+                # peak driver memory is O(rows of one data file), never
+                # O(total hits), no matter how large the delete batch
+                grouped = (
                     scan.join(affected, self.key_cols, "left_semi")
-                    .select("__f", "__ri")
-                    .collect()
+                    .groupBy("__f")
+                    .agg(
+                        F.sort_array(F.collect_list("__ri")).alias("__ris")
+                    )
                 )
-                for r in hit_rows:
+                for r in grouped.toLocalIterator():
                     rel = os.path.relpath(r["__f"], self.path)
-                    hits_by_rel.setdefault(rel, []).append(r["__ri"])
-
-            removes, dv_adds, dv_paths = [], [], []
-            for rel in sorted(hits_by_rel):
-                old_add = snap.adds_raw.get(rel) or {}
-                idx = np.asarray(hits_by_rel[rel], dtype=np.int64)
-                old_desc = old_add.get("deletionVector")
-                if old_desc:
-                    idx = np.union1d(idx, dv_row_indexes(self.path, old_desc))
-                desc = write_dv_file(self.path, idx)
-                dv_paths.append(_dv_file_path(self.path, desc)[0])
-                removes.append(
-                    {"remove": {"path": rel, "dataChange": True}}
-                )
-                new_add = dict(old_add) or {
-                    "path": rel,
-                    "partitionValues": {},
-                    "size": os.path.getsize(os.path.join(self.path, rel)),
-                    "modificationTime": 0,
-                    "dataChange": True,
-                }
-                new_add["deletionVector"] = desc
-                new_add["dataChange"] = True
-                dv_adds.append({"add": new_add})
+                    old_add = snap.adds_raw.get(rel) or {}
+                    idx = np.asarray(r["__ris"], dtype=np.int64)
+                    old_desc = old_add.get("deletionVector")
+                    if old_desc:
+                        idx = np.union1d(
+                            idx, dv_row_indexes(self.path, old_desc)
+                        )
+                    desc = write_dv_file(self.path, idx)
+                    dv_paths.append(_dv_file_path(self.path, desc)[0])
+                    removes.append(
+                        {"remove": {"path": rel, "dataChange": True}}
+                    )
+                    new_add = dict(old_add) or {
+                        "path": rel,
+                        "partitionValues": {},
+                        "size": os.path.getsize(
+                            os.path.join(self.path, rel)
+                        ),
+                        "modificationTime": 0,
+                        "dataChange": True,
+                    }
+                    new_add["deletionVector"] = desc
+                    new_add["dataChange"] = True
+                    dv_adds.append({"add": new_add})
 
             new_file_adds = (
                 w._write_files(upserts)

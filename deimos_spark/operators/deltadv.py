@@ -14,11 +14,17 @@ with no Delta code or jars:
 - **DV file framing**: byte 0 is format version `1`; each DV within the
   file sits at `offset`: a 4-byte big-endian data size, the data, then a
   4-byte big-endian CRC-32 of the data.
-- **Data**: a 64-bit RoaringBitmapArray in the "native" serialization:
-  magic `1681511377` (4 bytes LE), bitmap count (8 bytes LE), then each
-  32-bit Roaring bitmap in the standard portable format
+- **Data**: a 64-bit RoaringBitmapArray in the "portable" serialization
+  (PROTOCOL.md "Deletion Vector Format"; delta-spark's
+  PortableRoaringBitmapArraySerializationFormat and delta-rs'
+  RoaringTreemap agree): magic `1681511377` (4 bytes LE), the number of
+  NON-EMPTY 32-bit bitmaps (8 bytes LE), then for each non-empty bitmap
+  in increasing key order a 4-byte LE key (the high 32 bits) followed by
+  that 32-bit Roaring bitmap in the standard portable format
   (RoaringFormatSpec: cookies 12346/12347, array/bitmap/run containers).
-  A set 64-bit value v means: bitmap `v >> 32`, bit `v & 0xFFFFFFFF`.
+  A set 64-bit value v means: key `v >> 32`, bit `v & 0xFFFFFFFF`.
+  Empty keys are NOT stored — the key prefix, not array position,
+  carries the high word.
 - **Z85**: `"u"` UUIDs and `"i"` payloads are ZeroMQ Base85 text.
 
 The reference treats payloads as opaque bytes and has no lakehouse layer
@@ -42,7 +48,7 @@ import zlib
 
 import numpy as np
 
-MAGIC = 1681511377  # RoaringBitmapArray "native" format magic (LE)
+MAGIC = 1681511377  # RoaringBitmapArray "portable" format magic (LE)
 _SERIAL_COOKIE_NO_RUN = 12346
 _SERIAL_COOKIE = 12347
 _NO_OFFSET_THRESHOLD = 4
@@ -195,9 +201,14 @@ def _serialize_roaring32(values: np.ndarray) -> bytes:
 
 
 def deserialize_bitmap_array(data: bytes) -> np.ndarray:
-    """Native-format RoaringBitmapArray → sorted int64 row indexes."""
+    """Portable-format RoaringBitmapArray → sorted int64 row indexes.
+
+    Each of the `n` stored bitmaps is prefixed by its 4-byte LE key (the
+    high 32 bits of the values it holds); empty keys are absent, so the
+    key — not the loop index — supplies the high word.
+    """
     if len(data) < 12:
-        raise DeletionVectorError("DV data shorter than native header")
+        raise DeletionVectorError("DV data shorter than portable header")
     magic, n = struct.unpack_from("<Iq", data, 0)
     if magic != MAGIC:
         raise DeletionVectorError(f"bad DV magic {magic} (want {MAGIC})")
@@ -205,9 +216,19 @@ def deserialize_bitmap_array(data: bytes) -> np.ndarray:
         raise DeletionVectorError(f"absurd DV bitmap count {n}")
     pos = 12
     parts: list[np.ndarray] = []
-    for high in range(n):
+    last_key = -1
+    for _ in range(n):
+        if pos + 4 > len(data):
+            raise DeletionVectorError("DV truncated before bitmap key")
+        (key,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if key <= last_key:
+            raise DeletionVectorError(
+                f"DV bitmap keys not strictly increasing at {key}"
+            )
+        last_key = key
         vals, pos = _deserialize_roaring32(data, pos)
-        parts.append((np.int64(high) << np.int64(32)) | vals.astype(np.int64))
+        parts.append((np.int64(key) << np.int64(32)) | vals.astype(np.int64))
     if pos != len(data):
         raise DeletionVectorError(
             f"DV data has {len(data) - pos} trailing bytes"
@@ -220,12 +241,13 @@ def serialize_bitmap_array(indexes: np.ndarray) -> bytes:
     if len(indexes) and indexes[0] < 0:
         raise DeletionVectorError("negative row index")
     highs = indexes >> np.int64(32)
-    n = int(highs[-1]) + 1 if len(indexes) else 0
-    out = bytearray(struct.pack("<Iq", MAGIC, n))
-    for high in range(n):
+    uniq_highs = np.unique(highs)  # only non-empty keys are stored
+    out = bytearray(struct.pack("<Iq", MAGIC, len(uniq_highs)))
+    for high in uniq_highs:
         vals = (indexes[highs == high] & np.int64(0xFFFFFFFF)).astype(
             np.uint32
         )
+        out += struct.pack("<I", int(high))
         out += _serialize_roaring32(vals)
     return bytes(out)
 

@@ -63,10 +63,15 @@ def _tokens(
     bi = base.select(
         id_col,
         *extra_cols,
+        # guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), so an
+        # unguarded expression emits two null "bigrams" for 0-1-token
+        # docs — null-bucket counts that shift every bucket's log-ratio
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(__ws) - 1, 0)), "
-                "i -> concat(__ws[i - 1], ' ', __ws[i]))"
+                "CASE WHEN size(__ws) >= 2 THEN "
+                "transform(sequence(1, size(__ws) - 1), "
+                "i -> concat(__ws[i - 1], ' ', __ws[i])) "
+                "ELSE array() END"
             )
         ).alias("token"),
     )

@@ -124,14 +124,17 @@ def _ocf_read_inner(path: str) -> tuple[dict, list[dict]]:
         size, pos = _read_varint(buf, pos)
         if count < 0 or size < 0 or pos + size > n:
             raise OcfError(f"{path}: block framing out of bounds")
-        if count > max(size, 1) * 8:
-            # a corrupt varint must not drive a near-infinite decode
-            # loop; real records are never 1/8th of a byte
-            raise OcfError(f"{path}: absurd block record count {count}")
         body = buf[pos : pos + size]
         pos += size
         if codec == "deflate":
             body = zlib.decompress(body, wbits=-15)
+        # a corrupt count varint must not drive a near-infinite decode
+        # loop. Bound against the DECOMPRESSED body (deflate routinely
+        # exceeds 8:1 on repetitive data, so the on-disk size would
+        # falsely reject valid blocks of tiny compressible records);
+        # a record costs >= 1 byte even when null-heavy
+        if count > max(len(body), 1) * 8:
+            raise OcfError(f"{path}: absurd block record count {count}")
         bpos = 0
         for _ in range(count):
             rec, bpos = decode_value(schema, body, bpos)

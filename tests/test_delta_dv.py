@@ -1,7 +1,7 @@
 """Deletion-vector reads: the deltadv codec (Z85, portable Roaring,
-native RoaringBitmapArray, DV file framing+CRC) and DeltaTableReader
-integration — hand-authored minReaderVersion-3 logs per the public
-protocol spec, rows dropped by file-local row index.
+portable 64-bit RoaringBitmapArray, DV file framing+CRC) and
+DeltaTableReader integration — hand-authored minReaderVersion-3 logs per
+the public protocol spec, rows dropped by file-local row index.
 """
 
 import json
@@ -59,6 +59,61 @@ def test_bitmap_array_roundtrip(indexes):
     data = deltadv.serialize_bitmap_array(idx)
     out = deltadv.deserialize_bitmap_array(data)
     assert out.tolist() == sorted(set(indexes))
+
+
+def test_bitmap_array_golden_bytes():
+    """Pin the EXACT portable byte layout from PROTOCOL.md ("Deletion
+    Vector Format"): magic, count of NON-EMPTY bitmaps (8B LE), then per
+    bitmap a 4-byte LE key followed by a standard portable 32-bit
+    Roaring bitmap. Hand-derived from the spec — not a self-round-trip —
+    so a drift back to a keyless/dense layout fails here even though
+    serialize+deserialize would still agree with each other.
+    """
+    import struct
+
+    def roaring32_array(vals16):  # one array container, key 0
+        return (
+            struct.pack("<II", 12346, 1)           # no-run cookie, 1 container
+            + struct.pack("<HH", 0, len(vals16) - 1)  # key 0, card-1
+            + struct.pack("<I", 16)                # offset header
+            + b"".join(struct.pack("<H", v) for v in vals16)
+        )
+
+    # values {3, 5, 2^32+3}: keys 0 and 1, both present
+    expect = (
+        struct.pack("<Iq", deltadv.MAGIC, 2)
+        + struct.pack("<I", 0) + roaring32_array([3, 5])
+        + struct.pack("<I", 1) + roaring32_array([3])
+    )
+    got = deltadv.serialize_bitmap_array(
+        np.array([3, 5, (1 << 32) + 3], dtype=np.int64)
+    )
+    assert got == expect
+    assert deltadv.deserialize_bitmap_array(expect).tolist() == [
+        3, 5, (1 << 32) + 3,
+    ]
+
+    # SPARSE keys {0, 5}: the portable format stores 2 bitmaps with
+    # explicit keys — NOT 6 dense slots. This is the real-engine
+    # compatibility case the keyless layout broke.
+    sparse = (
+        struct.pack("<Iq", deltadv.MAGIC, 2)
+        + struct.pack("<I", 0) + roaring32_array([7])
+        + struct.pack("<I", 5) + roaring32_array([9])
+    )
+    idx = np.array([7, (5 << 32) + 9], dtype=np.int64)
+    assert deltadv.serialize_bitmap_array(idx) == sparse
+    assert deltadv.deserialize_bitmap_array(sparse).tolist() == idx.tolist()
+
+    # keys must be strictly increasing — a duplicated/decreasing key is
+    # a corrupt payload, not a silent merge
+    bad = (
+        struct.pack("<Iq", deltadv.MAGIC, 2)
+        + struct.pack("<I", 5) + roaring32_array([1])
+        + struct.pack("<I", 5) + roaring32_array([2])
+    )
+    with pytest.raises(deltadv.DeletionVectorError, match="increasing"):
+        deltadv.deserialize_bitmap_array(bad)
 
 
 def test_run_container_decode():
@@ -439,13 +494,39 @@ def test_optimize_clears_dvs_and_vacuum_reclaims(spark, tmp_path):
     rd = DeltaTableReader(spark, t)
     assert sorted(r.id for r in rd.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
 
-    deleted = kt.writer.vacuum(keep_versions=0)
+    deleted = kt.writer.vacuum(keep_versions=0, retention_seconds=0.0)
     assert deleted  # old data files + orphaned DV files reclaimed
     assert not [
         n for n in os.listdir(t) if n.startswith("deletion_vector_")
     ]
     # current snapshot still fully readable after vacuum
     assert sorted(r.id for r in rd.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_vacuum_retention_protects_young_files(spark, tmp_path):
+    """Default-retention vacuum must keep young unreferenced files: a
+    writer moves data/DV files into the table BEFORE committing, so
+    deleting them mid-flight would let its commit land pointing at
+    missing files (the Delta retention-window rationale; mirrors
+    txlog.vacuum's grace window)."""
+    from deimos_spark.operators.delta_interop import DeltaTableWriter
+
+    t = str(tmp_path / "t")
+    w = DeltaTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate an in-flight writer: a data file and a DV file placed in
+    # the table but not referenced by any commit yet
+    orphan = os.path.join(t, "part-inflight.parquet")
+    spark.createDataFrame([(9, "z")], "id long, v string").toPandas().to_parquet(
+        orphan
+    )
+    deltadv.write_dv_file(t, np.array([0], dtype=np.int64))
+    assert w.vacuum() == []  # young + unreferenced -> kept
+    assert os.path.exists(orphan)
+    assert [n for n in os.listdir(t) if n.startswith("deletion_vector_")]
+    got = w.vacuum(retention_seconds=0.0)  # expired -> reclaimed
+    assert orphan in got
+    assert not [n for n in os.listdir(t) if n.startswith("deletion_vector_")]
 
 
 def test_delta_partition_filter_prunes_from_log(spark, tmp_path):

@@ -43,6 +43,20 @@ def test_ocf_roundtrip_multiblock_both_codecs(tmp_path):
         assert schema["name"] == "R"
 
 
+def test_ocf_highly_compressible_tiny_records(tmp_path):
+    """Deflate routinely beats 8:1 on repetitive data, so the absurd-
+    count guard must bound the record count against the DECOMPRESSED
+    body — a valid block of tiny identical records (count far above
+    8 x on-disk block size) must read back, not be rejected."""
+    schema = {"type": "record", "name": "T",
+              "fields": [{"name": "a", "type": "long"}]}
+    recs = [{"a": 0}] * 20000  # 1-byte records, compresses to ~tens of bytes
+    p = str(tmp_path / "tiny.avro")
+    ocf_write(p, schema, recs, codec="deflate", records_per_block=20000)
+    _, got = ocf_read(p)
+    assert got == recs
+
+
 def test_ocf_rejects_garbage(tmp_path):
     p = str(tmp_path / "bad.avro")
     with open(p, "wb") as fh:

@@ -177,6 +177,43 @@ def test_dsir_weights_target_affinity_and_bigrams(spark):
     assert w2m[1] > w2m[2]
 
 
+def test_dsir_bigrams_no_null_tokens_for_short_docs(spark):
+    """sequence(1, 0) is DESCENDING in Spark, so an unguarded bigram
+    transform emits null 'bigrams' for 0-1-token docs — nulls that hash
+    into a phantom bucket and shift every log-ratio. The guarded
+    expression must emit NO tokens for such docs, and their presence
+    must not change other docs' weights."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.dsir import _tokens, dsir_log_weights
+
+    base = [
+        (1, "alpha beta alpha beta", "en"),
+        (2, "gamma delta gamma delta", "de"),
+    ]
+    schema = "doc_id long, text string, lang string"
+    docs = spark.createDataFrame(base, schema)
+    with_short = spark.createDataFrame(
+        base + [(4, "solo", "en"), (5, "", "de")], schema
+    )
+    tok = _tokens(with_short, "doc_id", "text", [], 2)
+    assert tok.filter(F.col("token").isNull()).count() == 0
+    # the short docs contribute only unigrams; docs 1/2's weights are
+    # affected only through the shared totals, never a null bucket
+    ref = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(docs, F.col("lang") == "en", ngram=2).collect()
+    }
+    got = {
+        r.doc_id: r.log_weight
+        for r in dsir_log_weights(
+            with_short, F.col("lang") == "en", ngram=2
+        ).collect()
+    }
+    assert 4 in got and 5 not in got  # empty doc has no tokens at all
+    assert ref[1] > ref[2] and got[1] > got[2]
+
+
 def test_dedup_safe_split_colocates_duplicates(spark):
     from pyspark.sql import functions as F
 
