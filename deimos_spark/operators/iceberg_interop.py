@@ -301,11 +301,67 @@ class IcebergTableReader:
             f["id"]: f["name"] for f in ice["fields"] if "id" in f
         }
 
-    @staticmethod
-    def _partition_keep(pvals: dict, partition_filter: dict) -> bool:
-        for c, want in partition_filter.items():
-            opts = want if isinstance(want, (list, tuple, set)) else [want]
-            if pvals.get(c) not in opts:
+    def _partition_fields(self):
+        """Default partition spec → {field_name: PartitionField} (source
+        resolved to a column name via the schema's field ids)."""
+        from deimos_spark.operators.iceberg_transforms import (
+            parse_spec_transform,
+        )
+
+        cached = getattr(self, "_pf_cache", None)
+        if cached is not None:
+            return cached
+        md = self.metadata
+        fields = []
+        specs = md.get("partition-specs") or []
+        if specs:
+            sid = md.get("default-spec-id", 0)
+            spec = next(
+                (s for s in specs if s.get("spec-id") == sid), specs[0]
+            )
+            fields = spec.get("fields") or []
+        elif md.get("partition-spec"):  # v1 layout
+            fields = md["partition-spec"]
+        by_id = self._field_names_by_id()
+        out = {}
+        for f in fields:
+            src = by_id.get(f.get("source-id"), "")
+            try:
+                pf = parse_spec_transform(f["transform"], f["name"], src)
+            except ValueError as e:
+                raise IcebergProtocolError(str(e)) from None
+            out[pf.name] = pf
+        self._pf_cache = out
+        return out
+
+    def _partition_keep(self, pvals: dict, partition_filter: dict) -> bool:
+        """True when a manifest entry's partition tuple can match the
+        filter. Filter keys may name a SOURCE column (values are
+        transformed with the spec's transform before comparing — e.g.
+        {"id": 5} prunes a bucket[4] layout by bucketing 5) or a
+        partition FIELD (raw transformed values compared directly)."""
+        from deimos_spark.operators.iceberg_transforms import (
+            TransformError,
+            transform_value,
+        )
+
+        pfs = self._partition_fields()
+        by_source: dict[str, list] = {}
+        for pf in pfs.values():
+            by_source.setdefault(pf.source, []).append(pf)
+        for key, want in partition_filter.items():
+            opts = list(want) if isinstance(
+                want, (list, tuple, set)
+            ) else [want]
+            if key in by_source:
+                for pf in by_source[key]:
+                    try:
+                        txs = {transform_value(pf, o) for o in opts}
+                    except TransformError as e:
+                        raise IcebergProtocolError(str(e)) from None
+                    if pvals.get(pf.name) not in txs:
+                        return False
+            elif pvals.get(key) not in opts:
                 return False
         return True
 
@@ -549,13 +605,19 @@ class IcebergTableWriter:
     commit: parquet data files → manifest (Avro OCF with spec
     field-ids) → manifest list → v{N}.metadata.json + version-hint.text.
 
-    `partition_by` declares IDENTITY-transform partition columns: data
-    files land under hive-style dirs but — per the Iceberg spec, unlike
-    Delta/Hive — KEEP the source columns in the files; the partition
-    tuple is also recorded in each manifest entry's `partition` record
-    (field-ids 1000+) and the table metadata's partition-spec, so real
-    engines can prune by manifest. Identity transforms over
-    int/long/string/date columns only (honest gate).
+    `partition_by` declares partition fields — identity columns AND the
+    spec's non-identity transforms: `"col"` (identity),
+    `"bucket(N, col)"`, `"truncate(W, col)"`, `"years(col)"`,
+    `"months(col)"`, `"days(col)"`, `"hours(col)"` (iceberg_transforms
+    .py implements the spec's murmur3 bucket hash with Appendix B's
+    published vectors pinned in tests). Data files land under hive-style
+    dirs named by the TRANSFORMED value but — per the Iceberg spec,
+    unlike Delta/Hive — KEEP the source columns in the files; the
+    transformed partition tuple is recorded in each manifest entry's
+    `partition` record (field-ids 1000+) and the table metadata's
+    partition-spec carries the transform string, so real engines prune
+    by manifest. Source-type gates per transform are in
+    `iceberg_transforms.WRITABLE_SOURCES` (refused loudly).
 
     Commit protocol: the new metadata file is claimed with the same
     temp + hard-link put-if-absent txlog/Delta use (HadoopTables'
@@ -578,9 +640,15 @@ class IcebergTableWriter:
         max_commit_retries: int = 5,
         partition_by: tuple[str, ...] = (),
     ):
+        from deimos_spark.operators.iceberg_transforms import (
+            parse_partition_field,
+        )
+
         self.spark = spark
         self.path = path
-        self.partition_by = list(partition_by)
+        self.partition_fields = [
+            parse_partition_field(s) for s in partition_by
+        ]
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
         os.makedirs(self.meta_dir, exist_ok=True)
@@ -608,40 +676,51 @@ class IcebergTableWriter:
         """df → parquet files under data/;
         [(abs_path, rows, bytes, partition_values)].
 
-        Partitioned writes duplicate each partition column into a
-        throwaway `__ice_pv_*` column for Spark's `partitionBy` (which
-        drops its partitioning columns from the files — Iceberg requires
-        the SOURCE columns kept), then parse the hive dir names back
-        into typed partition values. One distributed write either way —
+        Partitioned writes compute each partition field's TRANSFORMED
+        value into a throwaway `__ice_pv_*` column for Spark's
+        `partitionBy` (which drops its partitioning columns from the
+        files — Iceberg requires the SOURCE columns kept), then parse
+        the hive dir names back into typed partition values (typed by
+        the transform's RESULT type). One distributed write either way —
         no per-partition driver loop.
         """
         import shutil
         import uuid
         from urllib.parse import unquote
 
-        from pyspark.sql import functions as F
+        from deimos_spark.operators.iceberg_transforms import (
+            result_spark_type,
+            transform_column,
+        )
 
         uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".staging_{uid}")
-        if self.partition_by:
-            tmp_cols = [f"__ice_pv_{c}" for c in self.partition_by]
+        src_types = {
+            f.name: f.dataType.simpleString() for f in df.schema.fields
+        }
+        if self.partition_fields:
+            tmp_cols = [f"__ice_pv_{pf.name}" for pf in self.partition_fields]
             staged = df
-            for c, tc in zip(self.partition_by, tmp_cols):
-                staged = staged.withColumn(tc, F.col(c))
+            for pf, tc in zip(self.partition_fields, tmp_cols):
+                staged = staged.withColumn(
+                    tc, transform_column(pf, src_types[pf.source])
+                )
             staged.write.partitionBy(*tmp_cols).mode("overwrite").parquet(
                 staging
             )
         else:
             df.write.mode("overwrite").parquet(staging)
 
-        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        res_types = {
+            pf.name: result_spark_type(pf, src_types[pf.source])
+            for pf in self.partition_fields
+        }
 
-        def typed(col: str, raw: str):
+        def typed(name: str, raw: str):
             if raw == "__HIVE_DEFAULT_PARTITION__":
                 return None
             raw = unquote(raw)
-            t = types.get(col, "string")
-            if t in ("int", "bigint"):
+            if res_types.get(name, "string") in ("int", "bigint"):
                 return int(raw)
             return raw
 
@@ -653,8 +732,8 @@ class IcebergTableWriter:
             if rel_dir != ".":
                 for comp in rel_dir.split(os.sep):
                     k, _, v = comp.partition("=")
-                    col = k[len("__ice_pv_"):]
-                    pvals[col] = typed(col, v)
+                    name = k[len("__ice_pv_"):]
+                    pvals[name] = typed(name, v)
             for f in sorted(names):
                 if not f.endswith(".parquet"):
                     continue
@@ -663,15 +742,15 @@ class IcebergTableWriter:
                         self.data_dir,
                         *[
                             "{}={}".format(
-                                c,
+                                pf.name,
                                 "__HIVE_DEFAULT_PARTITION__"
-                                if pvals[c] is None
-                                else pvals[c],
+                                if pvals[pf.name] is None
+                                else pvals[pf.name],
                             )
-                            for c in self.partition_by
+                            for pf in self.partition_fields
                         ],
                     )
-                    if self.partition_by
+                    if self.partition_fields
                     else self.data_dir
                 )
                 os.makedirs(subdir, exist_ok=True)
@@ -743,29 +822,44 @@ class IcebergTableWriter:
             f.name: f.dataType.simpleString()
             for f in (df.schema if df is not None else schema_override).fields
         }
-        for c in self.partition_by:
-            if c not in id_by_name:
-                raise IcebergProtocolError(f"partition column {c!r} not in schema")
-            if spark_types[c] not in self._PARTITION_AVRO:
+        from deimos_spark.operators.iceberg_transforms import (
+            WRITABLE_SOURCES,
+            result_spark_type,
+        )
+
+        for pf in self.partition_fields:
+            if pf.source not in id_by_name:
                 raise IcebergProtocolError(
-                    f"identity partition over {spark_types[c]!r} column "
-                    f"{c!r} unsupported (int/bigint/string only)"
+                    f"partition source column {pf.source!r} not in schema"
+                )
+            if spark_types[pf.source] not in WRITABLE_SOURCES.get(
+                pf.kind, ()
+            ):
+                raise IcebergProtocolError(
+                    f"{pf.spec_transform} over {spark_types[pf.source]!r} "
+                    f"column {pf.source!r} unsupported (accepts: "
+                    f"{WRITABLE_SOURCES.get(pf.kind, ())})"
                 )
 
         files = self._write_data_files(df) if df is not None else []
         uid = uuid.uuid4().hex[:12]
 
         entry_schema = _MANIFEST_ENTRY_SCHEMA
-        if self.partition_by:
+        if self.partition_fields:
             entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
             pfields = [
                 {
-                    "name": c,
-                    "type": ["null", self._PARTITION_AVRO[spark_types[c]]],
+                    "name": pf.name,
+                    "type": [
+                        "null",
+                        self._PARTITION_AVRO[
+                            result_spark_type(pf, spark_types[pf.source])
+                        ],
+                    ],
                     "default": None,
                     "field-id": 1000 + i,
                 }
-                for i, c in enumerate(self.partition_by)
+                for i, pf in enumerate(self.partition_fields)
             ]
             entry_schema["fields"][-1]["type"]["fields"].insert(
                 2,
@@ -789,7 +883,7 @@ class IcebergTableWriter:
                 "data_file": {
                     "content": 0,
                     "file_path": f"file://{p}",
-                    **({"partition": pvals} if self.partition_by else {}),
+                    **({"partition": pvals} if self.partition_fields else {}),
                     "file_format": "PARQUET",
                     "record_count": rows,
                     "file_size_in_bytes": size,
@@ -918,17 +1012,17 @@ class IcebergTableWriter:
                     "spec-id": 0,
                     "fields": [
                         {
-                            "name": c,
-                            "transform": "identity",
-                            "source-id": id_by_name[c],
+                            "name": pf.name,
+                            "transform": pf.spec_transform,
+                            "source-id": id_by_name[pf.source],
                             "field-id": 1000 + i,
                         }
-                        for i, c in enumerate(self.partition_by)
+                        for i, pf in enumerate(self.partition_fields)
                     ],
                 }
             ],
             "default-spec-id": 0,
-            "last-partition-id": 999 + len(self.partition_by),
+            "last-partition-id": 999 + len(self.partition_fields),
             "sort-orders": [{"order-id": 0, "fields": []}],
             "default-sort-order-id": 0,
             "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],

@@ -7,6 +7,7 @@ parquet data files. The OCF layer itself is round-trip tested
 
 import json
 import os
+import re
 
 import pytest
 from pyspark.sql import types as T
@@ -636,7 +637,7 @@ def test_writer_partitioned_refuses_bad_partition_types(spark, tmp_path):
 
     t = str(tmp_path / "icewp3")
     w = IcebergTableWriter(spark, t, partition_by=("d",))
-    with pytest.raises(IcebergProtocolError, match="identity partition"):
+    with pytest.raises(IcebergProtocolError, match="identity over"):
         w.append(spark.createDataFrame([(1, 1.5)], "id long, d double"))
 
 
@@ -660,6 +661,199 @@ def test_partition_filter_prunes_by_manifest(spark, tmp_path):
     got2 = {x.id for x in r.read(partition_filter={"p": ["x", "y"]}).collect()}
     assert got2 == {1, 2, 3}
     assert r.read(partition_filter={"p": "zzz"}).count() == 0
+
+
+# --------------------------- round-6: non-identity partition transforms
+
+
+def test_murmur3_spec_vectors():
+    """Appendix B's published 32-bit hash requirement vectors — these
+    pin our bucket numbers to every conforming engine's."""
+    import datetime as dt
+    import struct
+
+    from deimos_spark.operators.iceberg_transforms import (
+        bucket_value,
+        murmur3_32,
+    )
+
+    assert murmur3_32(struct.pack("<q", 34)) == 2017239379  # int AND long
+    assert murmur3_32("iceberg".encode()) == 1210000089
+    days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+    assert murmur3_32(struct.pack("<q", days)) == -653330422
+    micros = (
+        dt.datetime(2017, 11, 16, 22, 31, 8) - dt.datetime(1970, 1, 1)
+    ) // dt.timedelta(microseconds=1)
+    assert murmur3_32(struct.pack("<q", micros)) == -2047944441
+    # bucket folds the signed hash through & Integer.MAX_VALUE
+    assert bucket_value(34, 16) == (2017239379 & 0x7FFFFFFF) % 16
+    assert bucket_value(None, 16) is None
+
+
+def test_writer_bucket_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    """bucket[4] over id: metadata carries the transform, manifests
+    carry bucket numbers, pruning by SOURCE value buckets the filter
+    value driver-side, and the pandas-UDF bucket assignment agrees with
+    the spec hash for every row."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+    from deimos_spark.operators.iceberg_transforms import bucket_value
+
+    t = str(tmp_path / "icebkt")
+    w = IcebergTableWriter(spark, t, partition_by=("bucket(4, id)",))
+    rows = [(i, f"v{i}") for i in range(50)]
+    w.append(spark.createDataFrame(rows, "id long, v string"))
+    r = IcebergTableReader(spark, t)
+    spec = r.metadata["partition-specs"][0]["fields"]
+    assert spec == [
+        {"name": "id_bucket", "transform": "bucket[4]", "source-id": 1,
+         "field-id": 1000}
+    ]
+    # full round-trip (source column kept in the files)
+    assert {(x.id, x.v) for x in r.read().collect()} == set(rows)
+    # dirs named by bucket number; every row in the file matches its
+    # dir's bucket per the spec hash
+    for p in r.data_files():
+        b = int(re.search(r"id_bucket=(\d+)", p).group(1))
+        for x in spark.read.parquet(p).collect():
+            assert bucket_value(x.id, 4) == b
+    # manifest-level pruning by source value
+    want = 17
+    pruned = r.data_files(partition_filter={"id": want})
+    assert pruned and len(pruned) < len(r.data_files())
+    assert all(
+        f"id_bucket={bucket_value(want, 4)}" in p for p in pruned
+    )
+    got = {x.id for x in r.read(partition_filter={"id": want}).collect()}
+    assert want in got and got < {i for i, _ in rows}
+    # pruning by the partition FIELD name takes raw bucket numbers
+    got2 = {
+        x.id for x in r.read(partition_filter={"id_bucket": 0}).collect()
+    }
+    assert got2 == {i for i in range(50) if bucket_value(i, 4) == 0}
+
+
+def test_writer_truncate_and_days_partitions(spark, tmp_path):
+    """truncate[10] over a long + days over a date, together: both
+    transforms land in the spec, partition tuples hold transformed
+    values, and source-value pruning works for each."""
+    import datetime as dt
+
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+    from deimos_spark.schemas.avro_ocf import ocf_read
+
+    t = str(tmp_path / "icetr")
+    w = IcebergTableWriter(
+        spark, t, partition_by=("truncate(10, amt)", "days(d)")
+    )
+    rows = [
+        (1, 7, dt.date(2024, 3, 5)),
+        (2, 13, dt.date(2024, 3, 5)),
+        (3, -3, dt.date(2024, 3, 6)),
+    ]
+    w.append(spark.createDataFrame(rows, "id long, amt long, d date"))
+    r = IcebergTableReader(spark, t)
+    transforms = {
+        f["name"]: f["transform"]
+        for f in r.metadata["partition-specs"][0]["fields"]
+    }
+    assert transforms == {"amt_trunc": "truncate[10]", "d_day": "day"}
+    assert {(x.id, x.amt, x.d) for x in r.read().collect()} == set(rows)
+    snap = r.snapshot()
+    _, manifests = ocf_read(snap["manifest-list"][len("file://"):])
+    _, entries = ocf_read(manifests[0]["manifest_path"][len("file://"):])
+    parts = {
+        (e["data_file"]["partition"]["amt_trunc"],
+         e["data_file"]["partition"]["d_day"])
+        for e in entries
+    }
+    d0 = (dt.date(2024, 3, 5) - dt.date(1970, 1, 1)).days
+    assert parts == {(0, d0), (10, d0), (-10, d0 + 1)}  # floor, negatives too
+    # prune by source values: amt=13 → trunc 10; d as a date or a string
+    assert {
+        x.id for x in r.read(partition_filter={"amt": 13}).collect()
+    } == {2}
+    assert {
+        x.id
+        for x in r.read(
+            partition_filter={"d": dt.date(2024, 3, 6)}
+        ).collect()
+    } == {3}
+    assert {
+        x.id for x in r.read(partition_filter={"d": "2024-03-05"}).collect()
+    } == {1, 2}
+
+
+def test_writer_hours_and_months_partitions(spark, tmp_path):
+    import datetime as dt
+
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    t = str(tmp_path / "icehr")
+    w = IcebergTableWriter(spark, t, partition_by=("hours(ts)",))
+    ts1 = dt.datetime(2024, 3, 5, 10, 15)
+    ts2 = dt.datetime(2024, 3, 5, 11, 45)
+    w.append(
+        spark.createDataFrame(
+            [(1, ts1), (2, ts2)], "id long, ts timestamp_ntz"
+        )
+    )
+    r = IcebergTableReader(spark, t)
+    assert r.metadata["partition-specs"][0]["fields"][0]["transform"] == "hour"
+    assert {x.id for x in r.read().collect()} == {1, 2}
+    assert {
+        x.id for x in r.read(partition_filter={"ts": ts1}).collect()
+    } == {1}
+
+    t2 = str(tmp_path / "icemo")
+    w2 = IcebergTableWriter(spark, t2, partition_by=("months(d)",))
+    w2.append(
+        spark.createDataFrame(
+            [(1, dt.date(2024, 3, 5)), (2, dt.date(2024, 4, 1))],
+            "id long, d date",
+        )
+    )
+    r2 = IcebergTableReader(spark, t2)
+    assert {
+        x.id
+        for x in r2.read(partition_filter={"d": dt.date(2024, 3, 31)}).collect()
+    } == {1}
+
+
+def test_transform_partition_refuses_bad_sources(spark, tmp_path):
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    t = str(tmp_path / "icebad")
+    w = IcebergTableWriter(spark, t, partition_by=("hours(d)",))
+    with pytest.raises(IcebergProtocolError, match="hour over"):
+        w.append(
+            spark.createDataFrame([(1, "2024-01-01")], "id long, d string")
+        )
+    w2 = IcebergTableWriter(spark, t + "2", partition_by=("truncate(3, f)",))
+    with pytest.raises(IcebergProtocolError, match="truncate"):
+        w2.append(spark.createDataFrame([(1, 1.5)], "id long, f double"))
+
+
+def test_transform_roundtrip_through_own_writer_reader(spark, tmp_path):
+    """VERDICT done-criterion: a transform-partitioned table written by
+    our writer round-trips through our reader across APPENDS, with
+    pruning asserted at manifest level on the multi-snapshot table."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+    from deimos_spark.operators.iceberg_transforms import bucket_value
+
+    t = str(tmp_path / "icemulti")
+    w = IcebergTableWriter(spark, t, partition_by=("bucket(4, k)",))
+    w.append(spark.createDataFrame([(i, i) for i in range(20)], "id long, k long"))
+    w.append(
+        spark.createDataFrame([(i, i) for i in range(20, 40)], "id long, k long")
+    )
+    r = IcebergTableReader(spark, t)
+    assert {x.id for x in r.read().collect()} == set(range(40))
+    pruned = r.data_files(partition_filter={"k": 33})
+    b = bucket_value(33, 4)
+    assert pruned and all(f"k_bucket={b}" in p for p in pruned)
+    assert 33 in {
+        x.id for x in r.read(partition_filter={"k": 33}).collect()
+    }
 
 
 # --------------------------------- round-5: keyed MERGE via position deletes
