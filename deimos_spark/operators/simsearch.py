@@ -116,12 +116,19 @@ def lsh_bucket(
     query only scans matching buckets (candidate pruning at scale).
     """
     planes = _hyperplanes(dim, n_planes, seed)
+    return df.withColumn("bucket", _bucket_expr(vec_col, planes))
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Sign-bit bucket id as a codegen'd Column expression."""
     emb = to_double_array(vec_col)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        bit = F.when(dot(emb, to_double_array(lit_vector(p))) >= 0, 1).otherwise(0)
+        bit = F.when(
+            dot(emb, to_double_array(lit_vector(p))) >= 0, 1
+        ).otherwise(0)
         bucket = bucket + F.shiftleft(bit, i)
-    return df.withColumn("bucket", bucket)
+    return bucket
 
 
 def cosine_topk_lsh(
@@ -133,21 +140,33 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: only score vectors whose LSH bucket is within
     `probe_hamming` bits of the query's bucket. At 100 TB with a bucketed
-    table layout this prunes ~ (1 - probed/2^n_planes) of the scan."""
+    table layout this prunes ~ (1 - probed/2^n_planes) of the scan.
+
+    `n_tables > 1` is the standard LSH recall amplifier: L independent
+    plane sets, a vector is a candidate when ANY table's bucket is
+    within the probe radius (candidate-miss probability decays as
+    miss_one^L). Here that is an OR of L codegen'd popcount predicates
+    over ONE scan — no join, no extra pass; the scanned fraction grows
+    ~L-fold, which is the documented recall/cost dial."""
     dim = len(query_vec)
-    planes = _hyperplanes(dim, n_planes, seed)
-    qbits = 0
-    for i, p in enumerate(planes):
-        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
-            qbits |= 1 << i
-    bucketed = lsh_bucket(df, dim, n_planes, vec_col, seed)
-    # hamming distance via popcount of XOR — bit_count is JVM-side
-    ham = F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qbits)))
-    candidates = bucketed.filter(ham <= probe_hamming)
-    return cosine_topk(candidates, query_vec, k, id_col, vec_col)
+    cond = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qbits = 0
+        for i, p in enumerate(planes):
+            if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+                qbits |= 1 << i
+        # hamming distance via popcount of XOR — bit_count is JVM-side
+        ham = F.bit_count(
+            _bucket_expr(vec_col, planes).bitwiseXOR(F.lit(qbits))
+        )
+        c = ham <= probe_hamming
+        cond = c if cond is None else cond | c
+    return cosine_topk(df.filter(cond), query_vec, k, id_col, vec_col)
 
 
 def ivf_assign(
