@@ -104,13 +104,43 @@ class HttpSchemaRegistry:
         raise last_err  # type: ignore[misc]
 
     # ----------------------------------------------------------- registry
-    def register(self, subject: str, schema: str | dict | AvroSchema) -> int:
-        parsed = schema if isinstance(schema, AvroSchema) else parse_avsc(schema)
+    @staticmethod
+    def _schema_payload(schema, schema_type: str) -> dict:
+        if schema_type == "AVRO":
+            parsed = (
+                schema
+                if isinstance(schema, AvroSchema)
+                else parse_avsc(schema)
+            )
+            return {"schema": json.dumps(parsed.raw)}
+        if schema_type == "PROTOBUF":
+            text = schema if isinstance(schema, str) else schema.source
+            if not text:
+                raise ValueError(
+                    "PROTOBUF registration needs .proto source text"
+                )
+            return {"schema": text, "schemaType": "PROTOBUF"}
+        raise ValueError(f"unknown schemaType {schema_type!r}")
+
+    @staticmethod
+    def _parse_response_schema(out: dict):
+        if out.get("schemaType") == "PROTOBUF":
+            from deimos_spark.schemas.protowire import parse_proto
+
+            return parse_proto(out["schema"])
+        return parse_avsc(out["schema"])
+
+    def register(
+        self,
+        subject: str,
+        schema: str | dict | AvroSchema,
+        schema_type: str = "AVRO",
+    ) -> int:
         try:
             out = self._request(
                 "POST",
                 f"/subjects/{subject}/versions",
-                {"schema": json.dumps(parsed.raw)},
+                self._schema_payload(schema, schema_type),
             )
         except RegistryHttpError as e:
             if e.status == 409:
@@ -122,13 +152,17 @@ class HttpSchemaRegistry:
             raise
         return int(out["id"])
 
-    def check(self, subject: str, schema: str | dict | AvroSchema) -> list[str]:
-        parsed = schema if isinstance(schema, AvroSchema) else parse_avsc(schema)
+    def check(
+        self,
+        subject: str,
+        schema: str | dict | AvroSchema,
+        schema_type: str = "AVRO",
+    ) -> list[str]:
         try:
             out = self._request(
                 "POST",
                 f"/compatibility/subjects/{subject}/versions/latest?verbose=true",
-                {"schema": json.dumps(parsed.raw)},
+                self._schema_payload(schema, schema_type),
             )
         except RegistryHttpError as e:
             if e.status == 404:  # no versions yet → anything registers
@@ -155,21 +189,25 @@ class HttpSchemaRegistry:
         return out.get("compatibilityLevel", "BACKWARD")
 
     # ------------------------------------------------------------ lookups
-    def get_by_id(self, schema_id: int) -> AvroSchema:
+    def get_by_id(self, schema_id: int):
         cached = self._schema_cache.get(schema_id)
         if cached is not None:
             return cached
         out = self._request("GET", f"/schemas/ids/{schema_id}")
-        parsed = parse_avsc(out["schema"])
+        parsed = self._parse_response_schema(out)
         self._schema_cache[schema_id] = parsed
         return parsed
 
-    def latest(self, subject: str) -> tuple[int, AvroSchema]:
+    def latest(self, subject: str):
         out = self._request("GET", f"/subjects/{subject}/versions/latest")
         sid = int(out["id"])
-        parsed = parse_avsc(out["schema"])
+        parsed = self._parse_response_schema(out)
         self._schema_cache[sid] = parsed
         return sid, parsed
+
+    def schema_type_of(self, schema_id: int) -> str:
+        out = self._request("GET", f"/schemas/ids/{schema_id}")
+        return out.get("schemaType", "AVRO")
 
     def versions(self, subject: str) -> list[int]:
         """Schema ids in version order (the in-memory registry's
@@ -180,12 +218,23 @@ class HttpSchemaRegistry:
         for v in vnums:
             out = self._request("GET", f"/subjects/{subject}/versions/{v}")
             sid = int(out["id"])
-            self._schema_cache.setdefault(sid, parse_avsc(out["schema"]))
+            self._schema_cache.setdefault(
+                sid, self._parse_response_schema(out)
+            )
             ids.append(sid)
         return ids
 
     def writer_schemas(self, subject: str) -> dict[int, dict]:
-        return {sid: self.get_by_id(sid).raw for sid in self.versions(subject)}
+        out = {}
+        for sid in self.versions(subject):
+            s = self.get_by_id(sid)
+            if not hasattr(s, "raw"):
+                raise ValueError(
+                    f"subject {subject!r} holds non-Avro schemas; "
+                    "writer_schemas is Avro-only"
+                )
+            out[sid] = s.raw
+        return out
 
 
 # --------------------------------------------------------------- dev server
@@ -230,6 +279,13 @@ def serve_registry(
             n = int(self.headers.get("Content-Length") or 0)
             return json.loads(self.rfile.read(n) or b"{}")
 
+        def _schema_fields(self, sid: int) -> dict:
+            s = reg.get_by_id(sid)
+            st = reg.schema_type_of(sid)
+            if st == "PROTOBUF":
+                return {"schema": s.source or "", "schemaType": "PROTOBUF"}
+            return {"schema": json.dumps(s.raw)}
+
         def _subject_version(self, subject: str, v: str):
             ids = reg.versions(subject)
             if not ids:
@@ -242,7 +298,7 @@ def serve_registry(
                 "subject": subject,
                 "version": idx + 1,
                 "id": sid,
-                "schema": json.dumps(reg.get_by_id(sid).raw),
+                **self._schema_fields(sid),
             }
 
         def do_GET(self):
@@ -251,10 +307,11 @@ def serve_registry(
             parts = self.path.strip("/").split("/")
             if parts[0] == "schemas" and parts[1] == "ids":
                 try:
-                    s = reg.get_by_id(int(parts[2]))
+                    sid = int(parts[2])
+                    reg.get_by_id(sid)
                 except KeyError:
                     return self._send(404, {"error_code": 40403, "message": "not found"})
-                return self._send(200, {"schema": json.dumps(s.raw)})
+                return self._send(200, self._schema_fields(sid))
             if parts[0] == "subjects" and len(parts) == 3 and parts[2] == "versions":
                 ids = reg.versions(parts[1])
                 if not ids:
@@ -279,8 +336,13 @@ def serve_registry(
                 return
             parts = self.path.split("?")[0].strip("/").split("/")
             if parts[0] == "subjects" and len(parts) == 3 and parts[2] == "versions":
+                body = self._body()
                 try:
-                    sid = reg.register(parts[1], self._body()["schema"])
+                    sid = reg.register(
+                        parts[1],
+                        body["schema"],
+                        body.get("schemaType", "AVRO"),
+                    )
                 except IncompatibleSchemaError as e:
                     return self._send(409, {"error_code": 409, "message": str(e)})
                 except (ValueError, KeyError) as e:
@@ -292,7 +354,10 @@ def serve_registry(
                 subject = parts[2]
                 if not reg.versions(subject):
                     return self._send(404, {"error_code": 40401, "message": "subject not found"})
-                errs = reg.check(subject, self._body()["schema"])
+                body = self._body()
+                errs = reg.check(
+                    subject, body["schema"], body.get("schemaType", "AVRO")
+                )
                 return self._send(
                     200, {"is_compatible": not errs, "messages": errs}
                 )

@@ -106,6 +106,7 @@ class ProtoSchema:
     messages: dict[str, ProtoMessage]
     enums: dict[str, list[str]]
     root: str                       # name of the message this schema encodes
+    source: str | None = None       # original .proto text (registry transport)
 
     @property
     def message(self) -> ProtoMessage:
@@ -330,7 +331,8 @@ def parse_proto(src: str, root: str | None = None) -> ProtoSchema:
     if not order:
         raise ValueError("no message definitions found")
     return ProtoSchema(
-        package=package, messages=messages, enums=enums, root=root or order[-1]
+        package=package, messages=messages, enums=enums,
+        root=root or order[-1], source=src,
     )
 
 

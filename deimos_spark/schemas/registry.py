@@ -68,7 +68,8 @@ class InMemorySchemaRegistry:
         if default_compatibility not in COMPAT_MODES:
             raise ValueError(f"unknown compatibility mode {default_compatibility!r}")
         self.default_compatibility = default_compatibility
-        self._by_id: dict[int, AvroSchema] = {}
+        self._by_id: dict[int, object] = {}  # AvroSchema | ProtoSchema
+        self._types: dict[int, str] = {}     # id → "AVRO" | "PROTOBUF"
         self._id_by_canonical: dict[str, int] = {}
         self._subjects: dict[str, list[int]] = {}
         self._subject_modes: dict[str, str] = {}
@@ -84,19 +85,57 @@ class InMemorySchemaRegistry:
         return self._subject_modes.get(subject, self.default_compatibility)
 
     # ----------------------------------------------------------- registry
-    def register(self, subject: str, schema: str | dict | AvroSchema) -> int:
+    @staticmethod
+    def _parse(schema, schema_type: str):
+        if schema_type == "AVRO":
+            return (
+                schema
+                if isinstance(schema, AvroSchema)
+                else parse_avsc(schema)
+            )
+        if schema_type == "PROTOBUF":
+            from deimos_spark.schemas.protowire import ProtoSchema, parse_proto
+
+            return (
+                schema
+                if isinstance(schema, ProtoSchema)
+                else parse_proto(schema)
+            )
+        raise ValueError(f"unknown schemaType {schema_type!r}")
+
+    @staticmethod
+    def _canonical_of(parsed, schema_type: str) -> str:
+        if schema_type == "AVRO":
+            return "A\x00" + _canonical(parsed.raw)
+        # whitespace-normalized source: byte-identical registrations dedup,
+        # formatting-only edits register a new version (Confluent parses
+        # deeper; this is the honest subset). A hand-built ProtoSchema
+        # without source text never dedups against a different object —
+        # colliding two distinct schemas onto one id would be worse.
+        if parsed.source:
+            return "P\x00" + " ".join(parsed.source.split())
+        return f"P\x00<object {id(parsed)}>"
+
+    def register(
+        self,
+        subject: str,
+        schema: str | dict | "AvroSchema",
+        schema_type: str = "AVRO",
+    ) -> int:
         """Register a schema version under `subject`, enforcing the
         subject's compatibility mode. Returns the schema id. Re-registering
         a byte-identical schema returns the existing id without a new
-        version."""
-        parsed = schema if isinstance(schema, AvroSchema) else parse_avsc(schema)
-        key = _canonical(parsed.raw)
+        version. `schema_type`: "AVRO" (default) or "PROTOBUF" (.proto
+        source text / parsed ProtoSchema — the reference's
+        proto_schema_registry.rb backend shape)."""
+        parsed = self._parse(schema, schema_type)
+        key = self._canonical_of(parsed, schema_type)
         existing = self._id_by_canonical.get(key)
         versions = self._subjects.setdefault(subject, [])
         if existing is not None and existing in versions:
             return existing
 
-        errs = self.check(subject, parsed)
+        errs = self.check(subject, parsed, schema_type)
         if errs:
             raise IncompatibleSchemaError(subject, self.compatibility(subject), errs)
 
@@ -104,16 +143,22 @@ class InMemorySchemaRegistry:
             sid = self._next_id
             self._next_id += 1
             self._by_id[sid] = parsed
+            self._types[sid] = schema_type
             self._id_by_canonical[key] = sid
         else:
             sid = existing
         versions.append(sid)
         return sid
 
-    def check(self, subject: str, schema: str | dict | AvroSchema) -> list[str]:
+    def check(
+        self,
+        subject: str,
+        schema: str | dict | "AvroSchema",
+        schema_type: str = "AVRO",
+    ) -> list[str]:
         """Compatibility errors that registering `schema` would raise
         (empty = would be accepted)."""
-        parsed = schema if isinstance(schema, AvroSchema) else parse_avsc(schema)
+        parsed = self._parse(schema, schema_type)
         mode = self.compatibility(subject)
         versions = self._subjects.get(subject, [])
         if mode == "NONE" or not versions:
@@ -121,6 +166,18 @@ class InMemorySchemaRegistry:
         prior = versions if mode.endswith("_TRANSITIVE") else versions[-1:]
         errs: list[str] = []
         for vid in prior:
+            if self._types.get(vid, "AVRO") != schema_type:
+                errs.append(
+                    f"v{vid}: schemaType changed "
+                    f"({self._types.get(vid, 'AVRO')} → {schema_type})"
+                )
+                continue
+            if schema_type == "PROTOBUF":
+                errs += [
+                    f"v{vid} {e}"
+                    for e in _proto_compat_errors(self._by_id[vid], parsed)
+                ]
+                continue
             old = self._by_id[vid].raw
             new = parsed.raw
             if mode.startswith(("BACKWARD", "FULL")) and not can_read(old, new):
@@ -128,6 +185,9 @@ class InMemorySchemaRegistry:
             if mode.startswith(("FORWARD", "FULL")) and not can_read(new, old):
                 errs += [f"v{vid}(forward) {e}" for e in compat_errors(new, old)]
         return errs
+
+    def schema_type_of(self, schema_id: int) -> str:
+        return self._types.get(schema_id, "AVRO")
 
     # ------------------------------------------------------------ lookups
     def get_by_id(self, schema_id: int) -> AvroSchema:
@@ -145,8 +205,47 @@ class InMemorySchemaRegistry:
     def writer_schemas(self, subject: str) -> dict[int, dict]:
         """id → raw writer schema for every version of `subject` — the
         closure a decode kernel ships to executors (plain dicts, picklable,
-        no registry round-trips from workers)."""
-        return {vid: self._by_id[vid].raw for vid in self._subjects.get(subject, [])}
+        no registry round-trips from workers). Avro subjects only: proto
+        decoding needs no writer schema (field numbers self-describe
+        against the reader; see RegistryProtoCodec)."""
+        out = {}
+        for vid in self._subjects.get(subject, []):
+            if self._types.get(vid, "AVRO") != "AVRO":
+                raise ValueError(
+                    f"subject {subject!r} holds {self._types[vid]} schemas; "
+                    "writer_schemas is Avro-only"
+                )
+            out[vid] = self._by_id[vid].raw
+        return out
+
+
+def _proto_compat_errors(old, new) -> list[str]:
+    """Minimal structural proto compatibility (Confluent's core rules for
+    both directions, proto3 being number-addressed): a field NUMBER that
+    exists in both versions must keep its type shape (scalar kind /
+    message-ness / repeated / map) — adding or removing numbered fields
+    is always wire-compatible in proto3 (unknown fields skip, missing
+    fields default). Renames are legal (numbers, not names, address the
+    wire). Confluent adds reserved-range bookkeeping; out of scope."""
+    errs = []
+    if old.root != new.root:
+        # root message renames break consumers bound to the type name
+        errs.append(f"root message renamed {old.root!r} → {new.root!r}")
+    old_by_n = old.message.field_by_number()
+    new_by_n = new.message.field_by_number()
+    for num in sorted(set(old_by_n) & set(new_by_n)):
+        a, b = old_by_n[num], new_by_n[num]
+        if a.type != b.type or a.repeated != b.repeated:
+            errs.append(
+                f"field #{num} changed "
+                f"{a.type}{'[]' if a.repeated else ''} → "
+                f"{b.type}{'[]' if b.repeated else ''}"
+            )
+        elif a.type == "map" and (a.map_key, a.map_value) != (
+            b.map_key, b.map_value
+        ):
+            errs.append(f"map field #{num} changed key/value types")
+    return errs
 
 
 class RegistryAvroCodec:
@@ -190,6 +289,57 @@ class RegistryAvroCodec:
             _all_nullable(self.struct),
         )
         return F.when(binary_col.isNotNull(), dec_udf(binary_col))
+
+
+class RegistryProtoCodec:
+    """Confluent-style codec for PROTOBUF subjects — closes the §2D gap
+    vs the reference's proto_schema_registry.rb backend (behavior only:
+    encode via the registry with schema-id framing, decode via the
+    registry client; proto_schema_registry.rb:16-26). encode frames the
+    proto3 wire bytes with the Confluent Protobuf header (magic 0 +
+    4-byte big-endian schema id + message-indexes, [0] encoding as the
+    single byte 0x00 per the public wire-format spec); decode validates
+    the frame and decodes with the READER schema — proto3 needs no
+    writer schema per message (unknown field numbers skip, missing
+    fields default), which is exactly why real proto consumers decode
+    with their compiled class while the id serves governance."""
+
+    def __init__(
+        self,
+        registry: InMemorySchemaRegistry,
+        subject: str,
+        reader_schema=None,
+    ):
+        self.registry = registry
+        self.subject = subject
+        self.schema_id, latest = registry.latest(subject)
+        if registry.schema_type_of(self.schema_id) != "PROTOBUF":
+            raise ValueError(
+                f"subject {subject!r} latest schema is not PROTOBUF"
+            )
+        self.schema = reader_schema or latest
+        self.struct = self.schema.struct
+
+    def encode(self, struct_col: Column) -> Column:
+        from deimos_spark.schemas.codecs import (
+            ProtoCodec,
+            add_proto_registry_frame,
+        )
+
+        inner = ProtoCodec(self.registry.get_by_id(self.schema_id))
+        return add_proto_registry_frame(
+            inner.encode(struct_col), self.schema_id
+        )
+
+    def decode(self, binary_col: Column) -> Column:
+        from deimos_spark.schemas.codecs import (
+            ProtoCodec,
+            strip_proto_registry_frame,
+        )
+
+        return ProtoCodec(self.schema).decode(
+            strip_proto_registry_frame(binary_col)
+        )
 
 
 def _all_nullable(dt: T.DataType) -> T.DataType:

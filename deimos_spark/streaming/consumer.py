@@ -54,7 +54,14 @@ class BatchConsumer:
     def __init__(self, config: ConsumerConfig, table: KeyedParquetTable):
         self.config = config
         self.table = table
-        if config.registry is not None:
+        if config.registry is not None and config.codec == "proto":
+            from deimos_spark.schemas.registry import RegistryProtoCodec
+
+            subject = config.subject or "value"
+            self.codec = RegistryProtoCodec(
+                config.registry, subject, reader_schema=config.schema
+            )
+        elif config.registry is not None:
             from deimos_spark.schemas.registry import RegistryAvroCodec
 
             subject = config.subject or "value"
@@ -78,7 +85,18 @@ class BatchConsumer:
                 return RegistryAvroCodec(cfg.registry, cfg.key_subject)
             except KeyError:
                 pass  # no key schema registered (plain/field keys): fall through
-        raw = cfg.schema.raw
+        raw = getattr(cfg.schema, "raw", None)
+        if raw is None:
+            # proto reader schema: keys are sorted JSON over the sliced
+            # 1-field key message (proto_base.rb:58-60 behavior)
+            if hasattr(cfg.schema, "key_schema") and len(cfg.key_cols) == 1:
+                try:
+                    return get_codec(
+                        "sorted_json", cfg.schema.key_schema(cfg.key_cols[0])
+                    )
+                except Exception:
+                    return None
+            return None
         key_fields = [f for f in raw.get("fields", []) if f["name"] in cfg.key_cols]
         if not key_fields:
             return None

@@ -84,7 +84,18 @@ class Producer:
     ):
         self.config = config
         self.transform = transform
-        if config.registry is not None:
+        if config.registry is not None and config.codec == "proto":
+            # reference proto_schema_registry.rb behavior: register the
+            # .proto under the value subject, frame with the assigned id
+            from deimos_spark.schemas.registry import RegistryProtoCodec
+
+            config.registry.register(
+                config.value_subject, config.schema, "PROTOBUF"
+            )
+            self.value_codec = RegistryProtoCodec(
+                config.registry, config.value_subject
+            )
+        elif config.registry is not None:
             from deimos_spark.schemas.registry import RegistryAvroCodec
 
             config.registry.register(config.value_subject, config.schema)
@@ -110,7 +121,11 @@ class Producer:
         )
         if self._key_schema is None:
             self.key_codec = None
-        elif config.registry is not None and not config.sorted_json_keys:
+        elif (
+            config.registry is not None
+            and not config.sorted_json_keys
+            and config.codec != "proto"  # proto keys stay sorted JSON
+        ):
             from deimos_spark.schemas.registry import RegistryAvroCodec
 
             key_subject = f"{config.topic}-key"

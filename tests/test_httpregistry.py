@@ -66,6 +66,41 @@ def test_register_latest_get_by_id_versions(server):
     assert set(client.writer_schemas("acct-value")) == {id1, id2}
 
 
+PROTO_SRC = """
+syntax = "proto3";
+message Acct {
+  string acct_id = 1;
+  int64 balance = 2;
+}
+"""
+
+
+def test_protobuf_subject_roundtrip(server):
+    """PROTOBUF subjects ship the .proto text with schemaType over the
+    REST surface; get_by_id/latest parse back to a ProtoSchema; an
+    incompatible proto change 409s; writer_schemas refuses (Avro-only,
+    proto decode needs no writer map)."""
+    from deimos_spark.schemas.protowire import ProtoSchema
+    from deimos_spark.schemas.registry import IncompatibleSchemaError
+
+    client = HttpSchemaRegistry(server)
+    pid = client.register("p-value", PROTO_SRC, schema_type="PROTOBUF")
+    assert client.schema_type_of(pid) == "PROTOBUF"
+    sid, latest = client.latest("p-value")
+    assert sid == pid and isinstance(latest, ProtoSchema)
+    assert latest.root == "Acct"
+    assert latest.struct.fieldNames() == ["acct_id", "balance"]
+    assert client.versions("p-value") == [pid]
+    # byte-identical re-registration dedups to the same id
+    assert client.register("p-value", PROTO_SRC, schema_type="PROTOBUF") == pid
+    bad = PROTO_SRC.replace("int64 balance", "string balance")
+    with pytest.raises(IncompatibleSchemaError):
+        client.register("p-value", bad, schema_type="PROTOBUF")
+    assert client.check("p-value", bad, schema_type="PROTOBUF")
+    with pytest.raises(ValueError, match="Avro-only"):
+        client.writer_schemas("p-value")
+
+
 def test_incompatible_register_raises(server):
     from deimos_spark.schemas.registry import IncompatibleSchemaError
 

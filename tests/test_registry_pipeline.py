@@ -120,6 +120,109 @@ def test_registry_producer_rejects_incompatible_evolution(spark):
         Producer(TopicConfig(topic="t", schema=bad, key_field="acct_id", registry=reg))
 
 
+PROTO_SRC = """
+syntax = "proto3";
+message Acct {
+  string acct_id = 1;
+  int64 balance = 2;
+}
+"""
+
+PROTO_SRC_V2 = """
+syntax = "proto3";
+message Acct {
+  string acct_id = 1;
+  int64 balance = 2;
+  string tier = 3;
+}
+"""
+
+
+def test_registry_pipeline_proto_framed(spark, tmp_path):
+    """§2D gap closure (VERDICT r5 #3): a PROTOBUF subject registered
+    with the registry, values framed with the Confluent Protobuf wire
+    header (magic 0 + 4-byte BE schema id + the [0] message-index byte),
+    consumed back through RegistryProtoCodec into a keyed table. Keys
+    stay sorted JSON per the reference's proto key rule."""
+    import json as _json
+
+    from deimos_spark.schemas.protowire import parse_proto
+
+    reg = InMemorySchemaRegistry(default_compatibility="BACKWARD")
+    schema = parse_proto(PROTO_SRC)
+    p = Producer(
+        TopicConfig(
+            topic="paccts", schema=schema, key_field="acct_id",
+            codec="proto", registry=reg,
+        )
+    )
+    sid = reg.versions("paccts-value")[0]
+    assert reg.schema_type_of(sid) == "PROTOBUF"
+
+    batch = _kafka_shaped(
+        spark, p,
+        [Row(acct_id="a", balance=10), Row(acct_id="b", balance=20)],
+    )
+    rows = {
+        _json.loads(bytes(r["key"]))["acct_id"]: bytes(r["value"])
+        for r in batch.collect()
+    }
+    # Confluent Protobuf wire header on every value
+    for v in rows.values():
+        assert v[0] == 0
+        assert int.from_bytes(v[1:5], "big") == sid
+        assert v[5] == 0  # message-indexes [0] encodes as one 0x00 byte
+
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "paccts"), ["acct_id"], schema=schema.struct
+    )
+    consumer = BatchConsumer(
+        ConsumerConfig(
+            schema=schema, key_cols=["acct_id"], registry=reg,
+            subject="paccts-value", codec="proto",
+        ),
+        table,
+    )
+    consumer.consume_batch(batch)
+    got = {r["acct_id"]: r["balance"] for r in table.read().collect()}
+    assert got == {"a": 10, "b": 20}
+    # a v2 (field-added) producer interleaves; v1 reader still consumes
+    schema2 = parse_proto(PROTO_SRC_V2)
+    p2 = Producer(
+        TopicConfig(
+            topic="paccts", schema=schema2, key_field="acct_id",
+            codec="proto", registry=reg,
+        )
+    )
+    assert len(reg.versions("paccts-value")) == 2
+    consumer.consume_batch(
+        _kafka_shaped(
+            spark, p2, [Row(acct_id="c", balance=7, tier="gold")],
+            start_offset=10,
+        )
+    )
+    got = {r["acct_id"]: r["balance"] for r in table.read().collect()}
+    assert got == {"a": 10, "b": 20, "c": 7}  # unknown field #3 skipped
+
+
+def test_registry_proto_compat_gate():
+    """Changing an existing field NUMBER's type is incompatible; adding
+    or removing numbered fields is proto3-legal."""
+    import pytest
+
+    from deimos_spark.schemas.registry import IncompatibleSchemaError
+
+    reg = InMemorySchemaRegistry(default_compatibility="BACKWARD")
+    reg.register("p-value", PROTO_SRC, "PROTOBUF")
+    reg.register("p-value", PROTO_SRC_V2, "PROTOBUF")  # add: fine
+    bad = PROTO_SRC.replace("int64 balance", "string balance")
+    with pytest.raises(IncompatibleSchemaError, match="field #2"):
+        reg.register("p-value", bad, "PROTOBUF")
+    # cross-type registration under one subject is refused
+    with pytest.raises(IncompatibleSchemaError, match="schemaType"):
+        reg.register("p-value", V1)
+
+
 def test_registry_tombstone_roundtrip(spark, tmp_path):
     reg = InMemorySchemaRegistry()
     p = Producer(TopicConfig(topic="tt", schema=V1, key_field="acct_id", registry=reg))
