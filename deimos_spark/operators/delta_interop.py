@@ -27,9 +27,10 @@ deletionVectors, columnMapping} — deletion vectors decode via
 `deltadv.py` (Z85 + RoaringBitmapArray native format) and filter
 through a broadcast anti-join on `_metadata.row_index`; column mapping
 mode "name" scans by each field's `delta.columnMapping.physicalName`
-and renames to the logical schema ("id" mode, and mapping over
-partitioned tables, are honestly refused). Later features refuse
-loudly.
+and renames to the logical schema; mode "id" scans by parquet field ids
+(Spark's `parquet.field.id` schema metadata + fieldId read conf);
+mapping over partitioned tables translates the physical-keyed
+partitionValues back to logical columns. Later features refuse loudly.
 The write side (`DeltaTableWriter`: append/overwrite; `DeltaKeyedTable`:
 keyed MERGE) emits minReaderVersion-1 logs — add/remove/metaData/
 protocol actions with hard-link put-if-absent version claims — so any
@@ -113,9 +114,7 @@ class DeltaTableReader:
             mode = (md.get("configuration") or {}).get(
                 "delta.columnMapping.mode"
             ) or "none"
-            if mode not in ("none", "name"):
-                # "id" matches by parquet field ids, which our plain scan
-                # can't resolve — refuse rather than misread
+            if mode not in ("none", "name", "id"):
                 raise DeltaProtocolError(
                     f"column mapping mode {mode!r} not supported"
                 )
@@ -310,6 +309,20 @@ class DeltaTableReader:
         snap = self.snapshot(version)
         if snap.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
+        mapping = snap.column_mapping in ("name", "id")
+
+        def _phys(f: T.StructField) -> str:
+            return (f.metadata or {}).get(
+                "delta.columnMapping.physicalName", f.name
+            )
+
+        # in mapping mode, partitionValues (and partition dir names) key
+        # on PHYSICAL names while metaData.partitionColumns stays logical
+        # (PROTOCOL.md "Column Mapping") — translate lookups
+        pv_key = {
+            f.name: (_phys(f) if mapping else f.name)
+            for f in snap.schema.fields
+        }
         if partition_filter:
             unknown = set(partition_filter) - set(snap.partition_columns)
             if unknown:
@@ -320,7 +333,7 @@ class DeltaTableReader:
             def _keep(pvals: dict) -> bool:
                 for c, want in partition_filter.items():
                     opts = want if isinstance(want, (list, tuple, set)) else [want]
-                    raw = pvals.get(c)
+                    raw = pvals.get(pv_key[c])
                     if not any(
                         (o is None and raw is None)
                         or (o is not None and raw == str(o))
@@ -343,25 +356,44 @@ class DeltaTableReader:
         data_fields = [
             f for f in snap.schema.fields if f.name not in snap.partition_columns
         ]
-        mapping = snap.column_mapping == "name"
-        if mapping and snap.partition_columns:
-            # in mapping mode partitionValues key on PHYSICAL names; we
-            # gate rather than guess the (rarely exercised) combination
-            raise DeltaProtocolError(
-                "column mapping with partition columns not supported"
+
+        if snap.column_mapping == "id":
+            # "id" mode matches columns by parquet field ids. Spark's
+            # scan does exactly that when the requested schema carries
+            # `parquet.field.id` metadata and the fieldId read conf is
+            # on — names in the files become irrelevant (that is the
+            # point of id mode: renames without rewrites).
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
             )
 
-        def _phys(f: T.StructField) -> str:
-            return (f.metadata or {}).get(
-                "delta.columnMapping.physicalName", f.name
-            )
+            def _fid(f: T.StructField) -> int:
+                fid = (f.metadata or {}).get("delta.columnMapping.id")
+                if fid is None:
+                    raise DeltaProtocolError(
+                        f"column {f.name!r} lacks delta.columnMapping.id "
+                        "in id mapping mode"
+                    )
+                return int(fid)
 
-        data_schema = T.StructType(
-            [
-                T.StructField(_phys(f) if mapping else f.name, f.dataType, f.nullable)
-                for f in data_fields
-            ]
-        )
+            data_schema = T.StructType(
+                [
+                    T.StructField(
+                        _phys(f), f.dataType, f.nullable,
+                        metadata={"parquet.field.id": _fid(f)},
+                    )
+                    for f in data_fields
+                ]
+            )
+        else:
+            data_schema = T.StructType(
+                [
+                    T.StructField(
+                        _phys(f) if mapping else f.name, f.dataType, f.nullable
+                    )
+                    for f in data_fields
+                ]
+            )
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
 
@@ -376,7 +408,7 @@ class DeltaTableReader:
         groups: dict[tuple, list[str]] = {}
         for path, pvals in snap.files.items():
             key = tuple(
-                (c, pvals.get(c)) for c in snap.partition_columns
+                (c, pvals.get(pv_key[c])) for c in snap.partition_columns
             )
             groups.setdefault(key, []).append(path)
 
@@ -1009,6 +1041,7 @@ class DeltaKeyedTable:
         max_commit_retries: int = 5,
         checkpoint_interval: int = 20,
         use_dvs: bool = False,
+        partition_by: tuple[str, ...] = (),
     ):
         self.spark = spark
         self.path = path
@@ -1023,6 +1056,7 @@ class DeltaKeyedTable:
             schema=schema,
             max_commit_retries=max_commit_retries,
             checkpoint_interval=checkpoint_interval,
+            partition_by=partition_by,
         )
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
@@ -1143,26 +1177,86 @@ class DeltaKeyedTable:
 
             reader = DeltaTableReader(self.spark, self.path)
             snap = reader.snapshot()
-            if snap.partition_columns:
+            if snap.column_mapping not in (None, "", "none"):
                 raise DeltaProtocolError(
-                    "DV merge supports unpartitioned keyed tables; "
-                    "use use_dvs=False for partitioned layouts"
+                    "DV merge over column-mapped tables not supported"
                 )
+            pcols = list(snap.partition_columns)
+
+            # partition-pruned probe (the txlog MERGE gating, DV flavor):
+            # when a partition column is part of the key, only files whose
+            # partitionValues appear in the batch can hold hits. The
+            # batch's distinct partition values are a bounded control read
+            # (capped — a wider batch just skips pruning, never wrong).
+            probe_files = dict(snap.files)
+            prune_cols = [c for c in pcols if c in self.key_cols]
+            if prune_cols and probe_files:
+                vals = (
+                    affected.select(*prune_cols).distinct().limit(1025).collect()
+                )
+                if len(vals) <= 1024:
+                    # protocol partitionValues are raw strings; compare
+                    # with the same str() convention read()'s
+                    # partition_filter uses
+                    want = {
+                        tuple(
+                            None if r[c] is None else str(r[c])
+                            for c in prune_cols
+                        )
+                        for r in vals
+                    }
+                    probe_files = {
+                        p: pv
+                        for p, pv in probe_files.items()
+                        if tuple(pv.get(c) for c in prune_cols) in want
+                    }
+
             removes, dv_adds, dv_paths = [], [], []
-            if snap.files and snap.schema is not None:
-                scan = (
-                    self.spark.read.schema(snap.schema)
-                    .parquet(
-                        *[os.path.join(self.path, p) for p in snap.files]
+            if probe_files and snap.schema is not None:
+                data_fields = [
+                    f for f in snap.schema.fields if f.name not in pcols
+                ]
+                data_schema = T.StructType(data_fields)
+                ptypes = {
+                    f.name: f.dataType
+                    for f in snap.schema.fields
+                    if f.name in pcols
+                }
+                # one scan per partition-value group (files lack the
+                # partition columns — re-attach as typed literals so the
+                # key probe can include partition-key columns)
+                groups: dict[tuple, list[str]] = {}
+                for p, pv in probe_files.items():
+                    key = tuple((c, pv.get(c)) for c in pcols)
+                    groups.setdefault(key, []).append(p)
+                scan = None
+                for key, paths in sorted(
+                    groups.items(),
+                    key=lambda kv: tuple(
+                        (c, v is not None, v or "") for c, v in kv[0]
+                    ),
+                ):
+                    g = (
+                        self.spark.read.schema(data_schema)
+                        .parquet(
+                            *[os.path.join(self.path, p) for p in paths]
+                        )
+                        .withColumn(
+                            "__f",
+                            F.regexp_replace(
+                                F.col("_metadata.file_path"), "^file:", ""
+                            ),
+                        )
+                        .withColumn("__ri", F.col("_metadata.row_index"))
                     )
-                    .withColumn(
-                        "__f",
-                        F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:", ""
-                        ),
-                    )
-                    .withColumn("__ri", F.col("_metadata.row_index"))
-                )
+                    for col, raw in key:
+                        lit = (
+                            F.lit(None).cast(ptypes[col])
+                            if raw is None
+                            else F.lit(raw).cast(ptypes[col])
+                        )
+                        g = g.withColumn(col, lit)
+                    scan = g if scan is None else scan.unionByName(g)
                 # hit indexes aggregate per FILE executor-side; the
                 # driver streams one file's index list at a time
                 # (toLocalIterator) and folds it into that file's DV —

@@ -348,19 +348,31 @@ def test_keyed_merge_dv_survives_checkpoint(spark, tmp_path):
     assert sorted(r.id for r in rd.read().collect()) == [4, 5, 6, 7]
 
 
-def test_keyed_merge_dv_refuses_partitioned(spark, tmp_path):
+def test_keyed_merge_dv_deletes_on_pre_partitioned_table(spark, tmp_path):
+    """Round-5 refused this; now a DV delete lands on a table another
+    writer partitioned, folding the hit into that partition's file DV
+    (non-key partition column: no pruning, full probe, still correct)."""
     from deimos_spark.operators.delta_interop import (
         DeltaKeyedTable,
-        DeltaProtocolError,
+        DeltaTableReader,
         DeltaTableWriter,
     )
 
     t = str(tmp_path / "kt4")
     w = DeltaTableWriter(spark, t, partition_by=("p",))
-    w.append(spark.createDataFrame([(1, "a", "x")], "id long, v string, p string"))
+    w.append(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, v string, p string"
+        )
+    )
     kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
-    with pytest.raises(DeltaProtocolError, match="unpartitioned"):
-        kt.delete(spark.createDataFrame([(1,)], "id long"))
+    kt.delete(spark.createDataFrame([(1,)], "id long"))
+    snap = DeltaTableReader(spark, t).snapshot()
+    assert any(
+        (snap.adds_raw[p] or {}).get("deletionVector") for p in snap.files
+    )
+    got = {(x.id, x.p) for x in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(2, "y")}
 
 
 # ------------------------------------------- column mapping (name mode)
@@ -451,12 +463,139 @@ def test_column_mapping_composes_with_dvs(spark, tmp_path):
     assert {(r.id, r.v) for r in df.collect()} == {(1, "a"), (3, "c")}
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
+def _write_fieldid_file(table, name, rows):
+    """Data file with arbitrary PHYSICAL names + parquet field ids —
+    what an id-mode (Databricks-style) writer produces. pyarrow maps
+    b'PARQUET:field_id' field metadata to the parquet schema's field_id."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    arr_id = pa.array([r[0] for r in rows], pa.int64())
+    arr_v = pa.array([r[1] for r in rows], pa.string())
+    schema = pa.schema(
+        [
+            pa.field(
+                "whatever-x1", pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "whatever-x2", pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_arrays([arr_id, arr_v], schema=schema),
+        os.path.join(table, name),
+    )
+
+
+def test_column_mapping_id_mode_reads(spark, tmp_path):
+    """id mode (round-5 refusal closed): columns match by parquet field
+    id — the file's column NAMES are garbage on purpose and must not
+    matter (that is what id mode buys: renames without rewrites)."""
     table = str(tmp_path / "t")
     os.makedirs(table)
-    _commit(table, 0, [_mapped_meta(mode="id")])
-    with pytest.raises(DeltaProtocolError, match="column mapping mode"):
-        DeltaTableReader(spark, table).read()
+    _write_fieldid_file(table, "f.parquet", [(1, "a"), (2, "b")])
+    _commit(
+        table, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _mapped_meta(mode="id"),
+            _add("f.parquet"),
+        ],
+    )
+    df = DeltaTableReader(spark, table).read()
+    assert df.columns == ["id", "v"]
+    assert {(r.id, r.v) for r in df.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_column_mapping_id_mode_composes_with_dvs(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_fieldid_file(table, "f.parquet", [(1, "a"), (2, "b"), (3, "c")])
+    desc = deltadv.inline_dv_descriptor(np.array([0], dtype=np.int64))
+    _commit(
+        table, 0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping", "deletionVectors"],
+                }
+            },
+            _mapped_meta(mode="id"),
+            _add_dv("f.parquet", desc),
+        ],
+    )
+    df = DeltaTableReader(spark, table).read()
+    assert {(r.id, r.v) for r in df.collect()} == {(2, "b"), (3, "c")}
+
+
+def _mapped_partitioned_meta(mode="name"):
+    """Mapping + partitions: metaData.partitionColumns stays LOGICAL,
+    add.partitionValues keys on the PHYSICAL name (PROTOCOL.md)."""
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": False,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa111",
+                    },
+                },
+                {
+                    "name": "p",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-ppp999",
+                    },
+                },
+            ],
+        }
+    )
+    m = _meta(schema_json)
+    m["metaData"]["partitionColumns"] = ["p"]
+    m["metaData"]["configuration"] = {"delta.columnMapping.mode": mode}
+    return m
+
+
+def test_column_mapping_over_partitions(spark, tmp_path):
+    """Round-5 refusal closed: name-mode mapping on a partitioned
+    table — partitionValues keyed by physical name resolve back to the
+    logical partition column, and partition_filter prunes logically."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(
+        spark, table, "fx.parquet", [(1,), (2,)], schema="`col-aaa111` long"
+    )
+    _write_data_file(
+        spark, table, "fy.parquet", [(3,)], schema="`col-aaa111` long"
+    )
+    _commit(
+        table, 0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            _mapped_partitioned_meta(),
+            _add("fx.parquet", {"col-ppp999": "x"}),
+            _add("fy.parquet", {"col-ppp999": "y"}),
+        ],
+    )
+    r = DeltaTableReader(spark, table)
+    df = r.read()
+    assert sorted(df.columns) == ["id", "p"]
+    assert {(x.id, x.p) for x in df.collect()} == {
+        (1, "x"), (2, "x"), (3, "y"),
+    }
+    pruned = r.read(partition_filter={"p": "y"})
+    assert {(x.id, x.p) for x in pruned.collect()} == {(3, "y")}
 
 
 # ---------------------------------------------- OPTIMIZE + VACUUM
@@ -501,6 +640,94 @@ def test_optimize_clears_dvs_and_vacuum_reclaims(spark, tmp_path):
     ]
     # current snapshot still fully readable after vacuum
     assert sorted(r.id for r in rd.read().collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_keyed_merge_dv_partitioned_layout(spark, tmp_path):
+    """VERDICT r5 #4: DV-based keyed MERGE on a PARTITIONED Delta
+    layout — deletes fold into per-file DVs (no survivor rewrite),
+    partition values ride the log, and when a partition column is part
+    of the key the probe scan is pruned to the batch's partitions
+    (untouched partitions' files are not even opened, asserted via
+    unchanged adds)."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "ktp")
+    kt = DeltaKeyedTable(
+        spark, t, ["day", "id"], use_dvs=True, partition_by=("day",)
+    )
+    rows = [(d, i, f"v{d}-{i}") for d in ("a", "b") for i in range(5)]
+    kt.upsert(
+        spark.createDataFrame(rows, "day string, id long, v string")
+    )
+    r = DeltaTableReader(spark, t)
+    snap0 = r.snapshot()
+    assert snap0.partition_columns == ["day"]
+    files_by_part = {}
+    for p, pv in snap0.files.items():
+        files_by_part.setdefault(pv["day"], set()).add(p)
+    assert set(files_by_part) == {"a", "b"}
+
+    # delete two keys in partition 'a' only
+    kt.delete(
+        spark.createDataFrame([("a", 1), ("a", 3)], "day string, id long")
+    )
+    snap1 = DeltaTableReader(spark, t).snapshot()
+    # partition b's adds are untouched — no rewrite, no DV
+    for p in files_by_part["b"]:
+        assert p in snap1.files
+        assert not (snap1.adds_raw[p] or {}).get("deletionVector")
+    # partition a's file(s) re-added with DVs, same data file paths
+    assert any(
+        (snap1.adds_raw[p] or {}).get("deletionVector")
+        for p in snap1.files
+        if snap1.files[p]["day"] == "a"
+    )
+    assert set(snap1.files) == set(snap0.files)  # no data file rewritten
+    got = {(x.day, x.id) for x in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(d, i) for d, i, _ in rows} - {("a", 1), ("a", 3)}
+
+    # upsert into one partition: survivors keep their DVs, new file lands
+    kt.upsert(
+        spark.createDataFrame(
+            [("a", 2, "A2"), ("a", 9, "new")], "day string, id long, v string"
+        )
+    )
+    got = {
+        (x.day, x.id, x.v) for x in DeltaTableReader(spark, t).read().collect()
+    }
+    assert ("a", 2, "A2") in got and ("a", 9, "new") in got
+    assert ("a", 2, "va-2") not in got
+    assert len(got) == 9  # 10 - 2 deleted - 1 replaced + 1 replacement + 1 new
+
+    # replay-cost shape: merges touched only affected partitions' files;
+    # partition b never gained a DV through all of it
+    snap2 = DeltaTableReader(spark, t).snapshot()
+    for p in files_by_part["b"]:
+        assert not (snap2.adds_raw[p] or {}).get("deletionVector")
+
+
+def test_keyed_merge_dv_partitioned_null_partition(spark, tmp_path):
+    """Null partition values round-trip through the DV merge path."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "ktpn")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], use_dvs=True, partition_by=("day",)
+    )
+    kt.upsert(
+        spark.createDataFrame(
+            [(None, 1, "x"), ("a", 2, "y")], "day string, id long, v string"
+        )
+    )
+    kt.delete(spark.createDataFrame([(1,)], "id long"))
+    got = {(x.day, x.id) for x in DeltaTableReader(spark, t).read().collect()}
+    assert got == {("a", 2)}
 
 
 def test_vacuum_retention_protects_young_files(spark, tmp_path):
