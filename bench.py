@@ -91,6 +91,22 @@ HEADLINE = [
     # round 3: full TPC-H coverage via derived partsupp
     "h02_min_cost_supplier",
     "h11_important_stock",
+    # round 6: the deferred-then-added x-ops carry perf evidence too
+    # (VERDICT r5 #7) — as-of/interval joins, pivot, percentile,
+    # hierarchy rollup, funnel, HLL rollup, splits/sampling, decimal,
+    # time-series resample + OHLC
+    "x01_asof_join",
+    "x02_interval_join",
+    "x03_pivot",
+    "x04_percentile",
+    "x05_rollup_hierarchy",
+    "x06_funnel",
+    "x07_hll_rollup",
+    "x08_hash_split",
+    "x09_stratified_sample",
+    "x10_decimal_revenue",
+    "x11_resample_ffill",
+    "x12_ohlc_daily",
 ]
 
 

@@ -176,7 +176,7 @@ class IcebergTableReader:
     def _file_sets(
         self, snapshot_id: int | None = None
     ) -> tuple[
-        list[tuple[str, str, int, dict]],
+        list[tuple[str, str, int, dict, int]],
         list[str],
         list[tuple[str, int, tuple[int, ...]]],
     ]:
@@ -184,9 +184,12 @@ class IcebergTableReader:
         equality_deletes).
 
         data: (file_path as recorded in the manifest, local path,
-        data sequence number) — the recorded path is what position-delete
-        rows reference (spec: delete rows carry the data file's exact
-        `file_path`); the sequence number gates equality deletes.
+        data sequence number, partition tuple, partition_spec_id) — the
+        recorded path is what position-delete rows reference (spec:
+        delete rows carry the data file's exact `file_path`); the
+        sequence number gates equality deletes; the spec id resolves the
+        entry's partition tuple against the spec its manifest was
+        written under (evolved tables carry several).
         position_deletes: local paths of parquet position-delete files
         (`content=1`); they name files explicitly, so they need no
         sequence gate here (paths are unique per the spec's
@@ -206,11 +209,12 @@ class IcebergTableReader:
         if not snap:
             return [], [], []
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
-        data: list[tuple[str, str, int, dict]] = []
+        data: list[tuple[str, str, int, dict, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
         for mf in manifests:
             mf_seq = mf.get("sequence_number")
+            mf_spec = int(mf.get("partition_spec_id") or 0)
             _, entries = ocf_read(self._local(mf["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED
@@ -232,6 +236,7 @@ class IcebergTableReader:
                             self._local(df["file_path"]),
                             seq,
                             dict(df.get("partition") or {}),
+                            mf_spec,
                         )
                     )
                 elif content == 1:  # position deletes
@@ -267,9 +272,11 @@ class IcebergTableReader:
         data = self._file_sets(snapshot_id)[0]
         if partition_filter:
             data = [
-                t for t in data if self._partition_keep(t[3], partition_filter)
+                t
+                for t in data
+                if self._partition_keep(t[3], partition_filter, t[4])
             ]
-        return [p for _, p, _, _ in data]
+        return [p for _, p, _, _, _ in data]
 
     # ---------------------------------------------------------------- read
 
@@ -301,24 +308,37 @@ class IcebergTableReader:
             f["id"]: f["name"] for f in ice["fields"] if "id" in f
         }
 
-    def _partition_fields(self):
-        """Default partition spec → {field_name: PartitionField} (source
-        resolved to a column name via the schema's field ids)."""
+    def _partition_fields(self, spec_id: int | None = None):
+        """Partition spec (the entry's own `spec_id`, or the table
+        default) → {field_name: PartitionField} (source resolved to a
+        column name via the schema's field ids). Evolved tables carry
+        several specs; pruning an entry with the WRONG spec would drop
+        live files, so an unknown spec id refuses loudly."""
         from deimos_spark.operators.iceberg_transforms import (
             parse_spec_transform,
         )
 
-        cached = getattr(self, "_pf_cache", None)
-        if cached is not None:
-            return cached
+        cache = getattr(self, "_pf_cache", None)
+        if cache is None:
+            cache = self._pf_cache = {}
+        if spec_id in cache:
+            return cache[spec_id]
         md = self.metadata
         fields = []
         specs = md.get("partition-specs") or []
         if specs:
-            sid = md.get("default-spec-id", 0)
+            sid = md.get("default-spec-id", 0) if spec_id is None else spec_id
             spec = next(
-                (s for s in specs if s.get("spec-id") == sid), specs[0]
+                (s for s in specs if s.get("spec-id") == sid), None
             )
+            if spec is None:
+                if spec_id is None:
+                    spec = specs[0]
+                else:
+                    raise IcebergProtocolError(
+                        f"manifest references partition spec {spec_id} "
+                        "absent from table metadata"
+                    )
             fields = spec.get("fields") or []
         elif md.get("partition-spec"):  # v1 layout
             fields = md["partition-spec"]
@@ -331,21 +351,27 @@ class IcebergTableReader:
             except ValueError as e:
                 raise IcebergProtocolError(str(e)) from None
             out[pf.name] = pf
-        self._pf_cache = out
+        cache[spec_id] = out
         return out
 
-    def _partition_keep(self, pvals: dict, partition_filter: dict) -> bool:
+    def _partition_keep(
+        self, pvals: dict, partition_filter: dict, spec_id: int | None = None
+    ) -> bool:
         """True when a manifest entry's partition tuple can match the
         filter. Filter keys may name a SOURCE column (values are
         transformed with the spec's transform before comparing — e.g.
         {"id": 5} prunes a bucket[4] layout by bucketing 5) or a
-        partition FIELD (raw transformed values compared directly)."""
+        partition FIELD (raw transformed values compared directly).
+        Resolution uses the ENTRY's partition spec, so evolved tables
+        prune each manifest against the spec it was written under; a
+        filter key an entry's spec cannot resolve refuses loudly —
+        guessing would either drop live files or leak pruned ones."""
         from deimos_spark.operators.iceberg_transforms import (
             TransformError,
             transform_value,
         )
 
-        pfs = self._partition_fields()
+        pfs = self._partition_fields(spec_id)
         by_source: dict[str, list] = {}
         for pf in pfs.values():
             by_source.setdefault(pf.source, []).append(pf)
@@ -361,8 +387,17 @@ class IcebergTableReader:
                         raise IcebergProtocolError(str(e)) from None
                     if pvals.get(pf.name) not in txs:
                         return False
-            elif pvals.get(key) not in opts:
-                return False
+            elif key in pfs:
+                if pvals.get(key) not in opts:
+                    return False
+            else:
+                raise IcebergProtocolError(
+                    f"partition_filter key {key!r} is not a partition "
+                    f"source or field under partition spec "
+                    f"{spec_id if spec_id is not None else 'default'} — "
+                    "entries written under this spec cannot be pruned "
+                    "safely"
+                )
         return True
 
     def read(
@@ -383,11 +418,13 @@ class IcebergTableReader:
             data = [
                 t
                 for t in data
-                if self._partition_keep(t[3], partition_filter)
+                if self._partition_keep(t[3], partition_filter, t[4])
             ]
         if not data:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*[p for _, p, _, _ in data])
+        df = self.spark.read.schema(schema).parquet(
+            *[p for _, p, _, _, _ in data]
+        )
         if not pos_deletes and not eq_deletes:
             return df
         from pyspark.sql import functions as F
@@ -426,7 +463,7 @@ class IcebergTableReader:
 
         by_id = self._field_names_by_id()
         seq_map = self.spark.createDataFrame(
-            [("file:" + local, seq) for _, local, seq, _ in data],
+            [("file:" + local, seq) for _, local, seq, _, _ in data],
             "__ice_fp string, __ice_seq long",
         )
         scan = df.join(F.broadcast(seq_map), "__ice_fp")
@@ -470,7 +507,7 @@ class IcebergTableReader:
         # recorded manifest path -> the URI _metadata.file_path reports
         # (Hadoop renders local files as "file:/abs/path" — one slash)
         mapping = self.spark.createDataFrame(
-            [("file:" + local, rec) for rec, local, _, _ in data],
+            [("file:" + local, rec) for rec, local, _, _, _ in data],
             "__ice_fp string, __del_fp string",
         )
         dels = (
@@ -1117,10 +1154,10 @@ class IcebergKeyedTable:
             schema = reader.schema()
             pairs = []
             if data:
-                rec_by_fp = {"file:" + local: rec for rec, local, _, _ in data}
+                rec_by_fp = {"file:" + local: rec for rec, local, _, _, _ in data}
                 scan = (
                     self.spark.read.schema(schema)
-                    .parquet(*[local for _, local, _, _ in data])
+                    .parquet(*[local for _, local, _, _, _ in data])
                     .select(
                         *self.key_cols,
                         F.col("_metadata.file_path").alias("__fp"),

@@ -833,6 +833,112 @@ def test_transform_partition_refuses_bad_sources(spark, tmp_path):
         w2.append(spark.createDataFrame([(1, 1.5)], "id long, f double"))
 
 
+def test_partition_spec_evolution_prunes_per_entry_spec(spark, tmp_path):
+    """An evolved table carries several partition specs; each manifest's
+    entries must prune against the spec recorded in the manifest list
+    (partition_spec_id), not the table default. Here spec 0 = identity
+    over v, spec 1 = bucket[4] over id (the default); a filter on id
+    buckets against spec-1 entries and refuses on spec-0 entries (their
+    spec cannot resolve `id` — loud, never silently wrong)."""
+    from deimos_spark.operators.iceberg_transforms import bucket_value
+
+    t = str(tmp_path / "ice_evo")
+    os.makedirs(os.path.join(t, "metadata"))
+    fa = _data_file(spark, t, "fa.parquet", [(1, "x"), (2, "x")])
+    fb = _data_file(spark, t, "fb.parquet", [(7, "y")])
+    entry_schema = json.loads(json.dumps(MANIFEST_ENTRY_SCHEMA))
+    # spec-0 manifest: partition record {v}; spec-1 manifest: {id_bucket}
+    for mname, path, pfield, pval in (
+        ("m-old.avro", fa, "v", "x"),
+        ("m-new.avro", fb, "id_bucket", bucket_value(7, 4)),
+    ):
+        es = json.loads(json.dumps(entry_schema))
+        es["fields"][-1]["type"]["fields"].insert(
+            1,
+            {
+                "name": "partition",
+                "type": {
+                    "type": "record",
+                    "name": f"r_{pfield}",
+                    "fields": [
+                        {
+                            "name": pfield,
+                            "type": ["null", "int" if pfield == "id_bucket" else "string"],
+                            "default": None,
+                        }
+                    ],
+                },
+            },
+        )
+        ocf_write(
+            os.path.join(t, "metadata", mname), es,
+            [{
+                "status": 1, "snapshot_id": None,
+                "data_file": {
+                    "file_path": f"file://{path}",
+                    "partition": {pfield: pval},
+                    "file_format": "PARQUET",
+                    "record_count": 1,
+                    "file_size_in_bytes": os.path.getsize(path),
+                },
+            }],
+        )
+    mlp = os.path.join(t, "metadata", "snap-1.avro")
+    ocf_write(
+        mlp, MANIFEST_FILE_SCHEMA,
+        [
+            {"manifest_path": f"file://{os.path.join(t, 'metadata', 'm-old.avro')}",
+             "manifest_length": 1, "partition_spec_id": 0,
+             "added_snapshot_id": None},
+            {"manifest_path": f"file://{os.path.join(t, 'metadata', 'm-new.avro')}",
+             "manifest_length": 1, "partition_spec_id": 1,
+             "added_snapshot_id": None},
+        ],
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "00000000-0000-0000-0000-000000000000",
+        "location": f"file://{t}",
+        "last-updated-ms": 0,
+        "last-column-id": 2,
+        "schemas": [ICE_SCHEMA_V1],
+        "current-schema-id": 0,
+        "last-sequence-number": 1,
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "v", "transform": "identity", "source-id": 2,
+                 "field-id": 1000}]},
+            {"spec-id": 1, "fields": [
+                {"name": "id_bucket", "transform": "bucket[4]",
+                 "source-id": 1, "field-id": 1001}]},
+        ],
+        "default-spec-id": 1,
+        "snapshots": [
+            {"snapshot-id": 1, "timestamp-ms": 0,
+             "manifest-list": f"file://{mlp}"}
+        ],
+        "current-snapshot-id": 1,
+    }
+    with open(os.path.join(t, "metadata", "v1.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(t, "metadata", "version-hint.text"), "w") as fh:
+        fh.write("1")
+
+    r = IcebergTableReader(spark, t)
+    # unfiltered read sees both generations
+    assert _rows(r.read()) == {(1, "x"), (2, "x"), (7, "y")}
+    # filter on v: resolvable by spec 0 (identity) — but spec-1 entries
+    # can't resolve it → loud refusal, not silent pruning
+    with pytest.raises(IcebergProtocolError, match="cannot be pruned"):
+        r.data_files(partition_filter={"v": "x"})
+    # filter on id: spec-1 buckets it; spec-0 entries refuse
+    with pytest.raises(IcebergProtocolError, match="cannot be pruned"):
+        r.data_files(partition_filter={"id": 7})
+    # unknown spec id in a manifest refuses loudly
+    with pytest.raises(IcebergProtocolError, match="absent from table"):
+        r._partition_fields(99)
+
+
 def test_transform_roundtrip_through_own_writer_reader(spark, tmp_path):
     """VERDICT done-criterion: a transform-partitioned table written by
     our writer round-trips through our reader across APPENDS, with

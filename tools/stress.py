@@ -345,6 +345,220 @@ def _interop_bench(spark, kdir: str) -> dict:
     return out
 
 
+def _graph_bench(spark, k: int) -> dict:
+    """t20 connected-components scaling (VERDICT r5 #6): K× synthetic
+    near-dup graphs with FIXED diameter — 2000K star clusters (hub + 8
+    spokes, the dominant real shape) and 400K chains of length 5 (multi-
+    round convergence, the path the max_iters gate guards). Rounds stay
+    constant with K, so healthy scaling is ~linear per-round join work —
+    the per-round fixed cost (two joins + a control count) dominates at
+    small K and amortizes as K grows, so the exponent UNDERSTATES
+    nothing at scale."""
+    n_stars, n_chains = 2000 * k, 400 * k
+    stars = (
+        spark.range(n_stars)
+        .selectExpr("id * 100 AS hub")
+        .selectExpr("hub", "explode(sequence(1, 8)) AS s")
+        .selectExpr("hub AS id_a", "hub + s AS id_b")
+    )
+    chain_base = n_stars * 100 + 1000
+    chains = (
+        spark.range(n_chains)
+        .selectExpr(f"{chain_base} + id * 100 AS start")
+        .selectExpr("start", "explode(sequence(0, 4)) AS i")
+        .selectExpr("start + i AS id_a", "start + i + 1 AS id_b")
+    )
+    edges = stars.union(chains)
+    from deimos_spark.operators.graph import cluster_sizes
+
+    cluster_sizes(edges).collect()  # warm
+    runs, n = [], 0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        got = cluster_sizes(edges).collect()
+        runs.append(time.perf_counter() - t0)
+        n = len(got)
+    assert n == n_stars + n_chains, (n, n_stars + n_chains)
+    return {
+        "edges": n_stars * 8 + n_chains * 5,
+        "clusters": n,
+        "sec": round(min(runs), 3),
+    }
+
+
+def _delete_reads_bench(spark, kdir: str) -> dict:
+    """Read-path cost of soft-deleted tables at this K (VERDICT r5 #6):
+    (a) a Delta table whose rows were 10%-deleted via deletion vectors
+    (scan + distributed DV expansion + anti-join), and (b) an Iceberg v2
+    table carrying an EQUALITY-delete file over the same 10% of keys
+    (sequence-gated null-safe anti-join). Timed read = fresh reader +
+    count, 3 runs, median."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+    from deimos_spark.operators.iceberg_interop import IcebergTableReader
+    from deimos_spark.schemas.avro_ocf import ocf_write
+
+    out: dict = {}
+    docs = spark.read.parquet(f"{kdir}/documents.parquet")
+    dead = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 0)
+
+    # -------- Delta: DV-deleted table
+    dpath = f"{kdir}/delta_dv_docs"
+    kt = DeltaKeyedTable(spark, dpath, ["doc_id"], use_dvs=True)
+    kt.upsert(docs)
+    kt.delete(dead.select("doc_id"))
+    DeltaTableReader(spark, dpath).read().count()  # warm
+    runs, rows = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = DeltaTableReader(spark, dpath).read().count()
+        runs.append(time.perf_counter() - t0)
+    out["delta_dv"] = {"live_rows": rows, "sec": round(sorted(runs)[1], 3)}
+
+    # -------- Iceberg: equality-delete table authored over the data
+    ipath = f"{kdir}/ice_eq_docs"
+    meta_dir = os.path.join(ipath, "metadata")
+    data_dir = os.path.join(ipath, "data")
+    os.makedirs(meta_dir, exist_ok=True)
+    os.makedirs(data_dir, exist_ok=True)
+    docs.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    eq_path = os.path.join(ipath, "eq-del.parquet")
+    dead.select("doc_id").toPandas().to_parquet(eq_path)
+    type_map = {
+        "bigint": "long", "int": "int", "string": "string",
+        "double": "double", "float": "float", "boolean": "boolean",
+        "date": "date", "binary": "binary",
+    }
+    ice_fields = [
+        {"id": i, "name": f.name, "required": False,
+         "type": type_map[f.dataType.simpleString()]}
+        for i, f in enumerate(docs.schema.fields, 1)
+    ]
+    doc_id_fid = next(
+        f["id"] for f in ice_fields if f["name"] == "doc_id"
+    )
+    entry_schema = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                        {"name": "equality_ids",
+                         "type": ["null", {"type": "array",
+                                           "items": "int"}],
+                         "default": None},
+                    ],
+                },
+            },
+        ],
+    }
+    m_data = os.path.join(meta_dir, "m-data.avro")
+    ocf_write(
+        m_data, entry_schema,
+        [
+            {
+                "status": 1, "sequence_number": 1,
+                "data_file": {
+                    "content": 0, "file_path": f"file://{p}",
+                    "file_format": "PARQUET", "record_count": 0,
+                    "file_size_in_bytes": os.path.getsize(p),
+                    "equality_ids": None,
+                },
+            }
+            for p in files
+        ],
+    )
+    m_del = os.path.join(meta_dir, "m-del.avro")
+    ocf_write(
+        m_del, entry_schema,
+        [{
+            "status": 1, "sequence_number": 2,
+            "data_file": {
+                "content": 2, "file_path": f"file://{eq_path}",
+                "file_format": "PARQUET", "record_count": 0,
+                "file_size_in_bytes": os.path.getsize(eq_path),
+                "equality_ids": [doc_id_fid],
+            },
+        }],
+    )
+    ml_schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"],
+             "default": None},
+        ],
+    }
+    mlpath = os.path.join(meta_dir, "snap-1.avro")
+    ocf_write(
+        mlpath, ml_schema,
+        [
+            {"manifest_path": f"file://{m_data}",
+             "manifest_length": os.path.getsize(m_data),
+             "partition_spec_id": 0, "sequence_number": 1},
+            {"manifest_path": f"file://{m_del}",
+             "manifest_length": os.path.getsize(m_del),
+             "partition_spec_id": 0, "sequence_number": 2},
+        ],
+    )
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(
+            {
+                "format-version": 2,
+                "table-uuid": "00000000-0000-0000-0000-000000000001",
+                "location": f"file://{ipath}",
+                "last-updated-ms": 0,
+                "last-column-id": len(ice_fields),
+                "schemas": [
+                    {"type": "struct", "schema-id": 0, "fields": ice_fields}
+                ],
+                "current-schema-id": 0,
+                "partition-spec": [],
+                "last-sequence-number": 2,
+                "snapshots": [
+                    {"snapshot-id": 1, "timestamp-ms": 0,
+                     "manifest-list": f"file://{mlpath}"}
+                ],
+                "current-snapshot-id": 1,
+            },
+            fh,
+        )
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    IcebergTableReader(spark, ipath).read().count()  # warm
+    runs, rows = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = IcebergTableReader(spark, ipath).read().count()
+        runs.append(time.perf_counter() - t0)
+    out["iceberg_eq"] = {"live_rows": rows, "sec": round(sorted(runs)[1], 3)}
+    return out
+
+
 def _fit_exponent(ks: list[int], times: list[float]) -> float:
     """Least-squares slope of log(time) vs log(K) — the empirical scaling
     exponent (1.0 = linear, 0 = constant). Times are floored at 50ms so
@@ -372,7 +586,10 @@ def main() -> None:
     spark = get_spark("deimos_stress")
 
     curve: dict[str, dict] = {name: {} for name in QUERIES}
-    interop: dict[str, dict] = {"delta": {}, "iceberg": {}}
+    interop: dict[str, dict] = {
+        "delta": {}, "iceberg": {}, "delta_dv": {}, "iceberg_eq": {},
+    }
+    graph_curve: dict[int, dict] = {}
     interop_detail: dict = {}
     rows = {}
     for k in sorted(ks):
@@ -384,9 +601,11 @@ def main() -> None:
         for name, sec in _time_queries(spark, kdir).items():
             curve[name][k] = sec
         io = _interop_bench(spark, kdir)
+        io.update(_delete_reads_bench(spark, kdir))
         for fmt in interop:
             interop[fmt][k] = io[fmt]["sec"]
         interop_detail[k] = io
+        graph_curve[k] = _graph_bench(spark, k)
         shutil.rmtree(kdir, ignore_errors=True)
         _between_rounds(spark)
 
@@ -422,6 +641,15 @@ def main() -> None:
                         for fmt in interop
                     },
                     "detail_at_max_k": interop_detail[sks[-1]],
+                },
+                "graph_cc": {
+                    "curve": {str(k): graph_curve[k] for k in sks},
+                    "exponent": round(
+                        _fit_exponent(
+                            sks, [graph_curve[k]["sec"] for k in sks]
+                        ),
+                        3,
+                    ),
                 },
                 "outbox_relay_100k": relay,
                 "total_sec_at_max_k": round(
