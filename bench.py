@@ -79,6 +79,9 @@ HEADLINE = [
     "t17_pack_plan",
     "t18_mixture_sample",
     "t19_gopher_quality",
+    # round 6: new data-selection / contamination ops
+    "t23_unigram_ppl",
+    "t24_source_overlap",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",

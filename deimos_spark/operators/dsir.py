@@ -129,3 +129,66 @@ def dsir_log_weights(
         .groupBy(id_col)
         .agg(F.sum(F.col("__n") * F.col("__lr")).alias("log_weight"))
     )
+
+
+def unigram_ppl_scores(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    salt: str = "ppl",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring → (id_col, n_tokens,
+    ppl_score): mean negative log-probability of each document's tokens
+    under a Laplace-smoothed hashed-unigram model trained on the TARGET
+    subset (Wenzek et al. 2020, arXiv:1911.00359, use a target-domain LM
+    and keep low-perplexity documents; the hashed-unigram model is the
+    engine-portable stand-in for their KenLM). Lower = more target-like.
+
+    Differs from `dsir_log_weights`: DSIR scores a target/raw RATIO
+    (importance weight for resampling); this scores absolute likelihood
+    under one model (quality filter threshold). Same 100-TB shape: one
+    tokenize projection, one (doc,bucket) aggregate reused for both the
+    model and scoring, a ≤`buckets`-row broadcast model — no all-pairs
+    step, no driver-side fit. Docs with zero tokens are absent from the
+    output (no tokens → no likelihood), mirroring dsir_log_weights.
+    """
+    tok = _tokens(
+        docs.withColumn("__tgt", target), id_col, text_col, ["__tgt"], 1
+    ).withColumn("__b", _bucket(F.col("token"), buckets, salt))
+    per_doc = tok.groupBy(id_col, "__tgt", "__b").agg(
+        F.count("*").alias("__n")
+    )
+    # one aggregate covers every corpus bucket; target counts fold in as
+    # a conditional sum (ct = 0 where the target never hashed there →
+    # the smoothed floor probability), so the tokenize exchange is
+    # shared with scoring exactly as in dsir_log_weights
+    by_bucket = per_doc.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(0)).alias(
+            "__ct"
+        )
+    )
+    totals = by_bucket.agg(F.sum("__ct").alias("__tt"))
+    model = (
+        by_bucket.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                -F.log(
+                    (F.col("__ct") + 1.0)
+                    / (F.coalesce(F.col("__tt"), F.lit(0)) + float(buckets))
+                )
+            ).alias("__nll"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("__n") * F.col("__nll")) / F.sum("__n")).alias(
+                "ppl_score"
+            ),
+        )
+    )

@@ -607,6 +607,49 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t23: CCNet-style LM quality scoring (Wenzek et al. 2020,
+    arXiv:1911.00359) — mean token negative log-prob under a hashed
+    unigram model of the 'en' subset; the 15 most target-like (lowest
+    score) documents. Same broadcast-model shape as t21 (operators/
+    dsir.py has the scale argument)."""
+    from deimos_spark.operators import dsir
+
+    s = dsir.unigram_ppl_scores(_docs(spark, sf_dir), F.col("lang") == "en")
+    return (
+        s.select(
+            "doc_id", "n_tokens", F.round("ppl_score", 4).alias("ppl_score")
+        )
+        .orderBy("ppl_score", "doc_id")
+        .limit(15)
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t24: cross-source contamination matrix — for every pair of
+    sources, how many distinct CONTENTS (md5 of text) appear in both.
+    The audit a multi-dump pipeline runs before mixing crawls (verbatim
+    overlap across dumps inflates effective epochs). One projection →
+    distinct (source, hash) → self equi-join on the 16-byte hash →
+    one hash aggregate; join keys are hashes (uniform, no skew) and the
+    relation entering the join is already content-deduped per source,
+    so cost scales with unique content, not raw rows."""
+    d = _docs(spark, sf_dir)
+    s = d.select("source", F.md5("text").alias("ck")).distinct()
+    a = s.alias("a")
+    b = s.alias("b")
+    return (
+        a.join(b, "ck")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.countDistinct("ck").cast("bigint").alias("shared_contents"))
+        .orderBy("source_a", "source_b")
+    )
+
+
 def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t22: train/test leakage audit — split the corpus two ways (by
     doc_id vs by content hash, `sampling.dedup_safe_split`) and count
@@ -1466,6 +1509,38 @@ def all_queries() -> dict[str, QuerySpec]:
             "FROM per JOIN ratio USING (b) "
             "GROUP BY doc_id ORDER BY log_weight DESC, doc_id LIMIT 15",
             note="DSIR hashed-ngram importance weights (target = en)",
+        ),
+        QuerySpec(
+            "t23_unigram_ppl", q_unigram_ppl,
+            "WITH tk AS (SELECT doc_id, lang, "
+            "(('0x' || substr(md5('ppl' || w), 1, 8))::BIGINT % 4096) AS b "
+            "FROM (SELECT doc_id, lang, "
+            "unnest(string_split(text, ' ')) AS w FROM documents) "
+            "WHERE w <> ''), "
+            "per AS (SELECT doc_id, b, count(*) AS n FROM tk "
+            "GROUP BY doc_id, b), "
+            "tgt AS (SELECT b, count(*) AS ct_raw FROM tk "
+            "WHERE lang = 'en' GROUP BY b), "
+            "bb AS (SELECT DISTINCT per.b, COALESCE(tgt.ct_raw, 0) AS ct "
+            "FROM per LEFT JOIN tgt USING (b)), "
+            "tot AS (SELECT sum(ct) AS tt FROM bb), "
+            "model AS (SELECT b, -ln((ct + 1.0) / (tt + 4096.0)) AS nll "
+            "FROM bb CROSS JOIN tot) "
+            "SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens, "
+            "round(sum(n * nll) / sum(n), 4) AS ppl_score "
+            "FROM per JOIN model USING (b) "
+            "GROUP BY doc_id ORDER BY ppl_score, doc_id LIMIT 15",
+            note="CCNet-style hashed-unigram LM quality score (target = en)",
+        ),
+        QuerySpec(
+            "t24_source_overlap", q_source_overlap,
+            "WITH s AS (SELECT DISTINCT source, md5(text) AS ck "
+            "FROM documents) "
+            "SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(DISTINCT a.ck) AS BIGINT) AS shared_contents "
+            "FROM s a JOIN s b ON a.ck = b.ck AND a.source < b.source "
+            "GROUP BY 1, 2 ORDER BY 1, 2",
+            note="cross-source verbatim-content contamination matrix",
         ),
         QuerySpec(
             "t22_dedup_safe_split", q_dedup_safe_split,

@@ -214,6 +214,63 @@ def test_dsir_bigrams_no_null_tokens_for_short_docs(spark):
     assert ref[1] > ref[2] and got[1] > got[2]
 
 
+def test_unigram_ppl_orders_by_target_likelihood(spark):
+    """t23: a document made of target vocabulary must score LOWER (more
+    likely under the target LM) than one of never-seen vocabulary; a
+    zero-token document is absent; token counts are exact."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.dsir import unigram_ppl_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta alpha beta", "en"),
+            (2, "zork quux zork grue", "de"),
+            (3, "alpha beta zork quux", "en"),
+            (4, "", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.ppl_score)
+        for r in unigram_ppl_scores(docs, F.col("lang") == "en").collect()
+    }
+    assert set(got) == {1, 2, 3}  # empty doc has no likelihood
+    assert got[1][0] == 6 and got[2][0] == 4 and got[3][0] == 4
+    # pure target vocab < mixed < pure non-target
+    assert got[1][1] < got[3][1] < got[2][1]
+
+
+def test_source_overlap_counts_shared_contents(spark):
+    """t24: distinct shared contents per source pair, self-pairs and
+    symmetric duplicates excluded."""
+    from deimos_spark.queries import q_source_overlap
+
+    rows = (
+        [(i, f"shared {i % 3}", "en", "crawl_a", 1) for i in range(6)]
+        + [(10 + i, f"shared {i % 3}", "en", "crawl_b", 1) for i in range(3)]
+        + [(20, "only in a", "en", "crawl_a", 1)]
+        + [(21, "shared 0", "en", "crawl_c", 1)]
+    )
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        d.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            (r.source_a, r.source_b): r.shared_contents
+            for r in q_source_overlap(spark, td).collect()
+        }
+    assert got == {
+        ("crawl_a", "crawl_b"): 3,   # shared 0/1/2
+        ("crawl_a", "crawl_c"): 1,   # shared 0
+        ("crawl_b", "crawl_c"): 1,
+    }
+
+
 def test_dedup_safe_split_colocates_duplicates(spark):
     from pyspark.sql import functions as F
 
