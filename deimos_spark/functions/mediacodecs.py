@@ -82,7 +82,8 @@ class Audio:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """Magic-byte detection: 'png' | 'bmp' | 'wav' | 'jpeg' | None."""
+    """Magic-byte detection:
+    'png' | 'bmp' | 'wav' | 'jpeg' | 'mp3' | 'mp4' | None."""
     if data[:8] == PNG_MAGIC:
         return "png"
     if data[:2] == b"BM":
@@ -91,6 +92,12 @@ def sniff_format(data: bytes) -> str | None:
         return "wav"
     if data[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:3] == b"ID3" or (
+        len(data) >= 2 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        return "mp3"
     return None
 
 

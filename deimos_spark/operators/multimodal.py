@@ -129,18 +129,42 @@ FRAME_SCHEMA = T.StructType(
 
 
 def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> DataFrame:
-    """Frame-sampling plumbing: 1 video row → N frame rows. The stub
-    'frames' are content slices; a real kernel would demux with av/ffmpeg
-    (no stdlib container demuxer exists). Fan-out via mapInPandas keeps
-    memory bounded per batch."""
+    """Frame-sampling: 1 video row → N frame rows via mapInPandas (fan-out
+    stays memory-bounded per batch).
+
+    MP4 inputs DEMUX FOR REAL: the ISO BMFF sample tables
+    (functions/mp_containers.py: stsz/stsc/stco resolved to per-sample
+    byte ranges) locate every encoded access unit, and each emitted
+    `frame` is the exact encoded sample bytes — every `every_n`-th
+    sample of the video track, up to `max_frames`. Only the CODEC decode
+    of those bytes (H.264 etc.) would need ffmpeg and stays out of
+    scope. Non-container formats keep the content-slice stub."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deimos_spark.functions.mp_containers import parse_mp4_info
+
         for pdf in batches:
             out_ids, out_idx, out_frames = [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
                 raw = bytes(content)
+                if mc.sniff_format(raw) == "mp4":
+                    try:
+                        info = parse_mp4_info(raw)
+                        trk = info.track("vide") or (
+                            info.tracks[0] if info.tracks else None
+                        )
+                        ranges = trk.sample_ranges() if trk else []
+                        for i, (off, size) in enumerate(
+                            ranges[:: max(every_n, 1)][:max_frames]
+                        ):
+                            out_ids.append(mid)
+                            out_idx.append(i * max(every_n, 1))
+                            out_frames.append(raw[off : off + size])
+                        continue
+                    except mc.MediaDecodeError:
+                        pass  # corrupt container: fall through to stub
                 n = min(max_frames, max(len(raw) // max(every_n, 1), 1))
                 for i in range(n):
                     out_ids.append(mid)
@@ -230,10 +254,15 @@ def extract_audio_features(
 ) -> DataFrame:
     """Audio decode + features: WAV decodes for real via the stdlib
     `wave` module (RMS energy over out_dim time slices of the mono mix,
-    exact duration from the frame count). Other formats (MP3/OGG/...)
-    use the stub (or raise with strict=True)."""
+    exact duration from the frame count). MP3 parses its FRAME HEADERS
+    for real (functions/mp_containers.py) — exact duration/sample-rate
+    from the stream, features stubbed (sample decode needs a codec), and
+    `decoded` stays False so callers see which rows carry real features.
+    Other formats use the stub (or raise with strict=True)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deimos_spark.functions.mp_containers import parse_mp3_info
+
         for pdf in batches:
             feats, durs, decoded = [], [], []
             for content, meta in zip(pdf["content"], pdf["meta"]):
@@ -249,6 +278,16 @@ def extract_audio_features(
                         feats.append(mc.audio_features(audio, out_dim))
                         durs.append(audio.duration_ms)
                         decoded.append(True)
+                        continue
+                    except mc.MediaDecodeError:
+                        pass
+                if mc.sniff_format(raw) == "mp3":
+                    try:
+                        info = parse_mp3_info(raw)
+                        _unsupported("MP3 sample decode", strict)
+                        feats.append(_fake_decode(raw, out_dim))
+                        durs.append(info.duration_ms)  # REAL duration
+                        decoded.append(False)
                         continue
                     except mc.MediaDecodeError:
                         pass
@@ -268,6 +307,91 @@ def extract_audio_features(
 
     return df.select("media_id", "content", "meta").mapInPandas(
         kernel, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def probe_media(df: DataFrame) -> DataFrame:
+    """ffprobe-shaped metadata extraction, REAL for every format this
+    engine parses: PNG/BMP/JPEG dimensions (full header decode), WAV
+    duration/sample-rate, MP3 frame-walk duration/bitrate/sample-rate,
+    MP4 box-walk duration/dimensions/codec/sample-count. The first pass
+    a multimodal corpus pipeline runs — filter/route on the result
+    without ever decoding samples. Corrupt rows land in `error` (typed,
+    per-row), never as task failures."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from deimos_spark.functions.mp_containers import (
+            parse_mp3_info,
+            parse_mp4_info,
+        )
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                row = {
+                    "media_id": mid, "format": None, "codec": None,
+                    "width": None, "height": None, "duration_ms": None,
+                    "sample_rate": None, "n_samples": None,
+                    "n_bytes": None, "error": None,
+                }
+                if content is None:
+                    rows.append(row)
+                    continue
+                raw = bytes(content)
+                row["n_bytes"] = len(raw)
+                fmt = mc.sniff_format(raw)
+                row["format"] = fmt
+                try:
+                    if fmt in ("png", "bmp", "jpeg"):
+                        img = mc.decode_image(raw)
+                        row["width"], row["height"] = img.width, img.height
+                    elif fmt == "wav":
+                        audio = mc.decode_wav(raw)
+                        row["duration_ms"] = audio.duration_ms
+                        row["sample_rate"] = audio.sample_rate
+                        row["n_samples"] = audio.n_frames
+                    elif fmt == "mp3":
+                        info = parse_mp3_info(raw)
+                        row["codec"] = f"mpeg{info.version[1:]}-L{info.layer}"
+                        row["duration_ms"] = info.duration_ms
+                        row["sample_rate"] = info.sample_rate
+                        row["n_samples"] = info.n_frames
+                    elif fmt == "mp4":
+                        info = parse_mp4_info(raw)
+                        row["duration_ms"] = info.duration_ms
+                        trk = info.track("vide") or (
+                            info.tracks[0] if info.tracks else None
+                        )
+                        if trk is not None:
+                            row["codec"] = trk.codec
+                            row["width"] = trk.width
+                            row["height"] = trk.height
+                            row["n_samples"] = len(trk.sample_sizes)
+                    else:
+                        row["error"] = "unknown format"
+                except mc.MediaDecodeError as e:
+                    row["error"] = str(e)[:200]
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA])
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=PROBE_SCHEMA
     )
 
 
