@@ -16,6 +16,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int,
+    order_cols: tuple[str, ...] = (),
+    out_col: str = "session_seq",
+) -> DataFrame:
+    """Gap-based BATCH sessionization: rows whose `ts_col` (numeric, e.g.
+    epoch nanos) is more than `gap` after the key's previous row start a
+    new session; `out_col` numbers sessions 1..n per key. The batch twin
+    of the streaming `applyInPandasWithState` sessionizer
+    (streaming/stateful.py) — same semantics, expressed as two ordered
+    window functions (lag → boundary flag → running sum), fully
+    codegen'd. Scale: one shuffle on the key, window state is one row —
+    the standard sessionization plan at any corpus size."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(ts_col).over(w)
+    boundary = prev.isNull() | (F.col(ts_col) - prev > F.lit(gap))
+    return df.withColumn(
+        out_col,
+        F.sum(boundary.cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,

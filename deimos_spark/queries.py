@@ -309,6 +309,27 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day_s")
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x13: gap-based batch sessionization (30-min gap on per-user event
+    streams) → session-length histogram (n_events per session → session
+    count). The batch twin of C5's streaming sessionizer, as two ordered
+    windows + two hash aggregates."""
+    from deimos_spark.operators import timeseries
+
+    e = _events(spark, sf_dir)
+    s = timeseries.sessionize(
+        e, "user_id", "ts", gap=1_800_000_000_000, order_cols=("event_id",)
+    )
+    sessions = s.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        sessions.groupBy("n_events")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+        .orderBy("n_events")
+    )
+
+
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC rollup per user: first/last by timestamp + min/max/avg."""
     from deimos_spark.operators import timeseries
@@ -1265,6 +1286,24 @@ def all_queries() -> dict[str, QuerySpec]:
             "FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id "
             "AND g.day = d.day ORDER BY g.user_id, day_s",
             note="per-key daily grid + forward fill (gapfill analogue)",
+        ),
+        QuerySpec(
+            "x13_sessionize", q_sessionize,
+            "WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id "
+            "FROM events), "
+            "s AS (SELECT user_id, tns, event_id, "
+            "CASE WHEN lag(tns) OVER w IS NULL OR "
+            "tns - lag(tns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS nb "
+            "FROM e WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY tns, event_id)), "
+            "c AS (SELECT user_id, sum(nb) OVER "
+            "(PARTITION BY user_id ORDER BY tns, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_seq FROM s), "
+            "sess AS (SELECT user_id, session_seq, count(*) AS n_events "
+            "FROM c GROUP BY user_id, session_seq) "
+            "SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions "
+            "FROM sess GROUP BY n_events ORDER BY n_events",
+            note="gap-based batch sessionization (30-min gap) histogram",
         ),
         QuerySpec(
             "x12_ohlc_daily", q_ohlc_daily,

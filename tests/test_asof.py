@@ -60,3 +60,26 @@ def test_interval_join_bounds(spark):
     # (100,100) excluded (lower exclusive), (100,150) in, (100,161) out (>60),
     # (150/161 vs 200): only right rows AFTER left count — (200, none)
     assert got == [(100, 150)]
+
+
+def test_sessionize_gap_semantics(spark):
+    """x13's core: a gap STRICTLY greater than `gap` starts a new
+    session; ties on ts break by order_cols; numbering restarts per key."""
+    from deimos_spark.operators.timeseries import sessionize
+
+    rows = [
+        ("u1", 0, 1), ("u1", 100, 2), ("u1", 200, 3),   # one session
+        ("u1", 401, 4),                                  # gap 201 > 200 → new
+        ("u1", 500, 5),
+        ("u2", 0, 6), ("u2", 300, 7),                    # gap 300 → new
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long")
+    out = sessionize(df, "user_id", "ts", gap=200, order_cols=("event_id",))
+    got = {r.event_id: r.session_seq for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 2}
+    # exact-gap boundary: 200 is NOT a new session (strict >)
+    df2 = spark.createDataFrame(
+        [("u", 0, 1), ("u", 200, 2)], "user_id string, ts long, event_id long"
+    )
+    out2 = sessionize(df2, "user_id", "ts", gap=200)
+    assert {r.event_id: r.session_seq for r in out2.collect()} == {1: 1, 2: 1}
