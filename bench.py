@@ -110,6 +110,7 @@ HEADLINE = [
     "x10_decimal_revenue",
     "x11_resample_ffill",
     "x12_ohlc_daily",
+    "x13_sessionize",
 ]
 
 

@@ -778,11 +778,22 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous interpolation) per group."""
+    """Exact percentiles (continuous interpolation) per group. One
+    `percentile(col, array(...))` call, not one per quantile — Spark's
+    exact percentile is a TypedImperativeAggregate whose buffer holds
+    the group's value multiset, so N separate calls buffer (and
+    shuffle-serialize) the data N times; the array form pays once."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.expr("percentile(o_totalprice, array(0.5, 0.9))").alias("__p")
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("__p")[0], 2).alias("p50"),
+            F.round(F.col("__p")[1], 2).alias("p90"),
+        )
     )
 
 

@@ -37,6 +37,29 @@ TABLES = (
     "embeddings"
 ).split()
 
+# The round-5 41-query headline — kept as a FIXED comparison set so the
+# ratio stays comparable to BASELINE.md across rounds even as the
+# headline grows (every query added later pays Spark's fixed ~0.2-0.6s
+# local job floor against DuckDB's ~10-80ms, so the expanded-total ratio
+# mechanically drifts with query COUNT, not engine quality; STRESS.json
+# is the evidence the floor amortizes with data).
+R5_SET = {
+    "b01_scan_count", "b03_filter", "b05_join_multiway", "b07_join_semi",
+    "b10_join_theta", "b11_agg_hash", "b12_distinct_count", "b14_rollup",
+    "b15_having", "b16_sort_topk", "b18_window_rank", "b19_window_running",
+    "b20_keep_last_per_key", "b21_union_distinct", "b23_scalar_subquery",
+    "b26_date_funcs", "b27_math_funcs", "b28_json_funcs", "c04_time_bucket",
+    "b31_dedup_exact", "t01_token_stats", "t02_lang_id",
+    "b33_simsearch_topk", "t06_minhash_pairs", "t12_top_bigrams",
+    "t13_repetition_stats", "t14_benchmark_contamination",
+    "t15_duplicate_ngrams", "t16_pii_scrub", "t17_pack_plan",
+    "t18_mixture_sample", "t19_gopher_quality", "h01_pricing_summary",
+    "h03_shipping_priority", "h05_local_supplier_volume", "h08_market_share",
+    "h13_customer_distribution", "h17_small_quantity_revenue",
+    "h18_large_volume_customers", "h21_waiting_supplier",
+    "h02_min_cost_supplier", "h11_important_stock",
+}
+
 
 def median3(fn) -> float:
     runs = []
@@ -90,6 +113,9 @@ def main() -> None:
 
     s_tot = round(sum(r["spark_sec"] for r in rows.values()), 3)
     d_tot = round(sum(r["duckdb_sec"] for r in rows.values()), 3)
+    r5 = {k: v for k, v in rows.items() if k in R5_SET}
+    s5 = round(sum(r["spark_sec"] for r in r5.values()), 3)
+    d5 = round(sum(r["duckdb_sec"] for r in r5.values()), 3)
     print(
         json.dumps(
             {
@@ -98,6 +124,15 @@ def main() -> None:
                 "spark_total_sec": s_tot,
                 "duckdb_total_sec": d_tot,
                 "ratio": round(s_tot / d_tot, 3),
+                # fixed round-5 comparison set: the BASELINE.md-comparable
+                # number (see R5_SET comment); the full-headline ratio
+                # above moves with query COUNT as coverage grows
+                "r5_queryset": {
+                    "n_queries": len(r5),
+                    "spark_total_sec": s5,
+                    "duckdb_total_sec": d5,
+                    "ratio": round(s5 / d5, 3) if d5 else None,
+                },
                 "regime": "resubmit-both",
                 "queries": rows,
             },
