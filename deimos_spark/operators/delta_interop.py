@@ -131,9 +131,11 @@ class DeltaTableReader:
                     f"minReaderVersion {p['minReaderVersion']} > 3 unsupported"
                 )
             for feat in p.get("readerFeatures") or []:
-                # deletionVectors / columnMapping handled in read()
+                # deletionVectors / columnMapping handled in read();
+                # v2Checkpoint handled in _load_checkpoint_v2
                 if feat not in (
                     "timestampNtz", "deletionVectors", "columnMapping",
+                    "v2Checkpoint",
                 ):
                     raise DeltaProtocolError(f"reader feature {feat!r} unsupported")
         # commitInfo / txn / cdc: no effect on the live file set
@@ -165,18 +167,28 @@ class DeltaTableReader:
     _CKPT_MULTI = re.compile(
         r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
     )
+    # V2 checkpoint manifest: {v}.checkpoint.{uuid}.{json|parquet}
+    # (single non-dotted token — can't collide with multi-part's two
+    # numeric segments)
+    _CKPT_V2 = re.compile(r"^(\d{20})\.checkpoint\.([^.]+)\.(json|parquet)$")
 
-    def _checkpoint_sets(self, names) -> dict[int, list[str]]:
-        """version → file list, for every COMPLETE checkpoint in the log:
-        single-file `{v}.checkpoint.parquet` and standard multi-part
-        `{v}.checkpoint.{i}.{n}.parquet` (all n parts present)."""
-        out: dict[int, list[str]] = {}
+    def _checkpoint_sets(self, names) -> dict[int, tuple[str, list[str]]]:
+        """version → (kind, file list) for every COMPLETE checkpoint in
+        the log: classic single-file `{v}.checkpoint.parquet`, standard
+        multi-part `{v}.checkpoint.{i}.{n}.parquet` (all n parts
+        present), and V2 checkpoint manifests
+        `{v}.checkpoint.{uuid}.{json|parquet}` (kind "v2" — their file
+        actions may live in sidecars)."""
+        out: dict[int, tuple[str, list[str]]] = {}
         multi: dict[tuple[int, int], dict[int, str]] = {}
+        v2: dict[int, str] = {}
         for n in names:
             if n.endswith(".checkpoint.parquet"):
                 stem = n[: -len(".checkpoint.parquet")]
                 if stem.isdigit():
-                    out[int(stem)] = [os.path.join(self.log_dir, n)]
+                    out[int(stem)] = (
+                        "v1", [os.path.join(self.log_dir, n)]
+                    )
                 continue
             m = self._CKPT_MULTI.match(n)
             if m:
@@ -184,9 +196,17 @@ class DeltaTableReader:
                 multi.setdefault((v, total), {})[i] = os.path.join(
                     self.log_dir, n
                 )
+                continue
+            m = self._CKPT_V2.match(n)
+            if m:
+                v2[int(m.group(1))] = os.path.join(self.log_dir, n)
         for (v, total), parts in multi.items():
             if len(parts) == total and v not in out:
-                out[v] = [parts[i] for i in sorted(parts)]
+                out[v] = ("v1", [parts[i] for i in sorted(parts)])
+        for v, p in v2.items():
+            # a classic checkpoint at the same version is equivalent;
+            # prefer whichever exists, v2 only as the alternative
+            out.setdefault(v, ("v2", [p]))
         return out
 
     def _load_checkpoint(
@@ -208,6 +228,87 @@ class DeltaTableReader:
                     self._apply_action({kind: d[kind]}, snap)
             # remove actions in a checkpoint are tombstones for vacuum
             # bookkeeping only — the add set is already net of them
+        return snap
+
+    def _load_checkpoint_v2(
+        self, version: int, manifest_path: str
+    ) -> DeltaSnapshot | None:
+        """V2 checkpoint (PROTOCOL.md "V2 Checkpoints"): a manifest file
+        `{v}.checkpoint.{uuid}.{json|parquet}` holding non-file actions
+        (+ a `checkpointMetadata` action) and EITHER inline file actions
+        OR `sidecar` actions naming parquet files under
+        `_delta_log/_sidecars/` that carry the add/remove state. Same
+        net-adds semantics as classic checkpoints."""
+        snap = DeltaSnapshot(version, {}, None)
+        sidecars: list[str] = []
+        try:
+            if manifest_path.endswith(".json"):
+                with open(manifest_path) as fh:
+                    actions = [
+                        json.loads(line)
+                        for line in fh.read().splitlines()
+                        if line.strip()
+                    ]
+            else:
+                df = self.spark.read.parquet(manifest_path)
+                cols = set(df.columns)
+                actions = []
+                for row in df.collect():
+                    d = row.asDict(recursive=True)
+                    for kind in (
+                        "protocol", "metaData", "add", "sidecar",
+                        "checkpointMetadata",
+                    ):
+                        if kind in cols and d.get(kind) is not None:
+                            actions.append({kind: d[kind]})
+        except DeltaProtocolError:
+            raise
+        except Exception:
+            return None  # unreadable manifest → caller falls back
+        saw_meta = False
+        for action in actions:
+            if "checkpointMetadata" in action:
+                saw_meta = True
+                cm = action["checkpointMetadata"] or {}
+                if cm.get("version") not in (None, version):
+                    raise DeltaProtocolError(
+                        f"{manifest_path}: checkpointMetadata version "
+                        f"{cm.get('version')} != file version {version}"
+                    )
+                continue
+            if "sidecar" in action:
+                sc = action["sidecar"] or {}
+                p = sc.get("path")
+                if not p:
+                    raise DeltaProtocolError(
+                        f"{manifest_path}: sidecar action without path"
+                    )
+                sidecars.append(
+                    os.path.join(self.log_dir, "_sidecars", p)
+                )
+                continue
+            for kind in ("protocol", "metaData", "add"):
+                if kind in action and action[kind] is not None:
+                    self._apply_action({kind: action[kind]}, snap)
+        if not saw_meta:
+            raise DeltaProtocolError(
+                f"{manifest_path}: V2 checkpoint manifest lacks the "
+                "required checkpointMetadata action"
+            )
+        for sp in sidecars:
+            try:
+                df = self.spark.read.parquet(sp)
+                cols = set(df.columns)
+                rows = df.collect()
+            except Exception as e:
+                raise DeltaProtocolError(
+                    f"sidecar {os.path.basename(sp)} unreadable: {e!r}"
+                ) from None
+            for row in rows:
+                d = row.asDict(recursive=True)
+                if "add" in cols and d.get("add") is not None:
+                    self._apply_action({"add": d["add"]}, snap)
+                # removes in sidecars are vacuum tombstones, like v1
         return snap
 
     def _load_last_checkpoint(self) -> dict | None:
@@ -276,7 +377,12 @@ class DeltaTableReader:
         for cv in sorted(ckpt_sets, reverse=True):
             if version is not None and cv > version:
                 continue
-            loaded = self._load_checkpoint(cv, ckpt_sets[cv])
+            kind, paths = ckpt_sets[cv]
+            loaded = (
+                self._load_checkpoint_v2(cv, paths[0])
+                if kind == "v2"
+                else self._load_checkpoint(cv, paths)
+            )
             if loaded is not None:
                 snap = loaded
                 break

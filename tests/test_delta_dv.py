@@ -271,13 +271,13 @@ def test_unknown_reader_feature_still_refused(spark, tmp_path):
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": ["typeWidening"],
                 }
             },
             _meta(),
         ],
     )
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         DeltaTableReader(spark, table).read()
 
 

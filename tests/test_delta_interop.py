@@ -645,3 +645,206 @@ def test_empty_string_partition_value_roundtrips(spark, tmp_path):
 
     got = {(x["k"], x["id"]) for x in DeltaTableReader(spark, path).read().collect()}
     assert got == {("", 1), (None, 2), ("a", 3)}
+
+
+# --------------------------------------------- round-6: V2 checkpoints
+
+
+def _sidecar_parquet(table, name, add_paths):
+    """Sidecar file under _delta_log/_sidecars/ holding add actions."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    mapss = pa.map_(pa.string(), pa.string())
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", mapss),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    adds = [
+        {"path": p, "partitionValues": [], "size": 1,
+         "modificationTime": 0, "dataChange": True}
+        for p in add_paths
+    ]
+    d = os.path.join(table, "_delta_log", "_sidecars")
+    os.makedirs(d, exist_ok=True)
+    papq.write_table(
+        pa.Table.from_pydict(
+            {"add": adds}, schema=pa.schema([("add", add_t)])
+        ),
+        os.path.join(d, name),
+    )
+
+
+def test_v2_checkpoint_json_manifest_with_sidecars(spark, tmp_path):
+    """A v2Checkpoint table (checkpoint manifest + sidecar files) reads:
+    state comes from the manifest's non-file actions plus the sidecars'
+    add actions; later JSON commits replay on top; the log dir is not
+    required to hold any classic checkpoint."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f0.parquet", [(1, "a")])
+    _write_data_file(spark, table, "f1.parquet", [(2, "b")])
+    _write_data_file(spark, table, "f2.parquet", [(3, "c")])
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }
+    }
+    # commits 0..1 exist but the checkpoint at v1 should shortcut them
+    _commit(table, 0, [proto, _meta(), _add("f0.parquet")])
+    _commit(table, 1, [_add("f1.parquet")])
+    _sidecar_parquet(table, "sc-1.parquet", ["f0.parquet", "f1.parquet"])
+    manifest = [
+        {"checkpointMetadata": {"version": 1}},
+        proto,
+        _meta(),
+        {"sidecar": {"path": "sc-1.parquet", "sizeInBytes": 1}},
+    ]
+    mp = os.path.join(
+        table, "_delta_log",
+        f"{1:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.json",
+    )
+    with open(mp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in manifest))
+    _commit(table, 2, [_add("f2.parquet")])
+
+    r = DeltaTableReader(spark, table)
+    snap = r.snapshot()
+    assert snap.version == 2
+    assert set(snap.files) == {"f0.parquet", "f1.parquet", "f2.parquet"}
+    got = {(x.id, x.v) for x in r.read().collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel before the checkpoint still works via JSON replay
+    assert {x.id for x in r.read(version=0).collect()} == {1}
+
+
+def test_v2_checkpoint_parquet_manifest_inline_adds(spark, tmp_path):
+    """Parquet-variant manifest with INLINE add actions (no sidecars)."""
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f0.parquet", [(5, "e")])
+    proto = {
+        "protocol": {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["v2Checkpoint"],
+        }
+    }
+    _commit(table, 0, [proto, _meta(), _add("f0.parquet")])
+    mapss = pa.map_(pa.string(), pa.string())
+    cols = {
+        "checkpointMetadata": [{"version": 0}, None, None, None],
+        "protocol": [None, proto["protocol"], None, None],
+        "metaData": [None, None, _meta()["metaData"], None],
+        "add": [None, None, None,
+                {"path": "f0.parquet", "partitionValues": [], "size": 1,
+                 "modificationTime": 0, "dataChange": True}],
+    }
+    schema = pa.schema(
+        [
+            ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                        ("readerFeatures", pa.list_(pa.string())),
+                        ("writerFeatures", pa.list_(pa.string())),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct(
+                            [("provider", pa.string()), ("options", mapss)]
+                        )),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", mapss),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", mapss),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    fixed = dict(cols)
+    fixed["metaData"] = [
+        None if m is None else {**m, "format": {**m["format"], "options": []},
+                                "configuration": [], }
+        for m in cols["metaData"]
+    ]
+    fixed["add"] = cols["add"]
+    mp = os.path.join(
+        table, "_delta_log",
+        f"{0:020d}.checkpoint.11111111-2222-3333-4444-555555555555.parquet",
+    )
+    papq.write_table(pa.Table.from_pydict(fixed, schema=schema), mp)
+    r = DeltaTableReader(spark, table)
+    snap = r.snapshot()
+    assert snap.version == 0
+    assert set(snap.files) == {"f0.parquet"}
+    assert not r.last_snapshot_listed_log or True  # listing allowed (no ptr)
+    assert {(x.id, x.v) for x in r.read().collect()} == {(5, "e")}
+
+
+def test_v2_checkpoint_requires_checkpoint_metadata(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f0.parquet", [(1, "a")])
+    _commit(table, 0, [_PROTO, _meta(), _add("f0.parquet")])
+    mp = os.path.join(
+        table, "_delta_log",
+        f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a99.json",
+    )
+    with open(mp, "w") as fh:
+        fh.write(json.dumps(_meta()))
+    with pytest.raises(DeltaProtocolError, match="checkpointMetadata"):
+        DeltaTableReader(spark, table).snapshot()
+
+
+def test_v2_checkpoint_missing_sidecar_refuses(spark, tmp_path):
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f0.parquet", [(1, "a")])
+    _commit(table, 0, [_PROTO, _meta(), _add("f0.parquet")])
+    manifest = [
+        {"checkpointMetadata": {"version": 0}},
+        _PROTO,
+        _meta(),
+        {"sidecar": {"path": "nope.parquet", "sizeInBytes": 1}},
+    ]
+    mp = os.path.join(
+        table, "_delta_log",
+        f"{0:020d}.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a77.json",
+    )
+    with open(mp, "w") as fh:
+        fh.write("\n".join(json.dumps(a) for a in manifest))
+    with pytest.raises(DeltaProtocolError, match="sidecar"):
+        DeltaTableReader(spark, table).snapshot()

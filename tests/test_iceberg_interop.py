@@ -690,6 +690,46 @@ def test_murmur3_spec_vectors():
     assert bucket_value(None, 16) is None
 
 
+def test_bucket_udf_matches_spec_hash_property(spark):
+    """The numpy-vectorized bucket assignment (write path) must agree
+    with the pure-Python spec hash (prune path) on every value —
+    including negatives, extremes, and nulls — else written layouts and
+    filter pruning would silently disagree."""
+    from hypothesis import strategies as st
+
+    from deimos_spark.operators.iceberg_transforms import (
+        _bucket_udf,
+        bucket_value,
+    )
+
+    vals = (
+        st.lists(
+            st.integers(-(2**63), 2**63 - 1) | st.none(),
+            min_size=1, max_size=50,
+        )
+        .example()
+    )
+    # one Spark round-trip over a hypothesis-drawn batch plus pinned
+    # adversarial values (driver loop per-example would be too slow)
+    pinned = [0, -1, 1, 34, 2**63 - 1, -(2**63), None, 0x7FFFFFFF,
+              -0x80000000, 12345678901234]
+    rows = [(i, v) for i, v in enumerate(pinned + vals)]
+    df = spark.createDataFrame(rows, "i long, v long")
+    out = df.select("i", "v", _bucket_udf(16, "bigint")("v").alias("b"))
+    for r in out.collect():
+        want = bucket_value(r.v, 16)
+        assert r.b == want, (r.v, r.b, want)
+
+    # string path too
+    strs = ["", "iceberg", "ü" * 5, "x" * 100, None, "\x00abc"]
+    df2 = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strs)], "i long, v string"
+    )
+    out2 = df2.select("i", "v", _bucket_udf(8, "string")("v").alias("b"))
+    for r in out2.collect():
+        assert r.b == bucket_value(r.v, 8), r.v
+
+
 def test_writer_bucket_partitioned_roundtrip_and_pruning(spark, tmp_path):
     """bucket[4] over id: metadata carries the transform, manifests
     carry bucket numbers, pruning by SOURCE value buckets the filter
