@@ -53,6 +53,79 @@ def write_clustered(
     writer.parquet(path)
 
 
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Add a Morton (Z-order) key column interleaving `cols`' bucketed
+    values → (df, key_col_name).
+
+    Each column is bucketed to [0, 2^bits) with `width_bucket` over its
+    min/max (one scalar agg per column — a bounded driver read of 2
+    numbers, the same shape Delta's OPTIMIZE ZORDER uses for range ids),
+    then the bucket bits interleave into one long. Everything after the
+    min/max probe is a single codegen'd expression — no window, no
+    shuffle beyond the caller's eventual range partition.
+
+    Equal-width bucketing keeps the key expression O(bits) instead of a
+    2^bits-way CASE; heavily skewed columns trade some balance for that
+    (the docstring's honest caveat — quantile boundaries would fix skew
+    at the cost of an approxQuantile pass)."""
+    if not cols or len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder needs 1..{63 // bits} columns at {bits} bits"
+        )
+    bounds = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).head()
+    n_buckets = 1 << bits
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn = float(bounds[f"mn_{c}"])
+        mx = float(bounds[f"mx_{c}"])
+        if mx <= mn:
+            mx = mn + 1.0
+        b = (
+            F.width_bucket(
+                F.col(c).cast("double"), F.lit(mn), F.lit(mx),
+                F.lit(n_buckets),
+            )
+            - F.lit(1)
+        )
+        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)).cast(
+            "long"
+        )
+        for i in range(bits):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
+    key = "__zorder"
+    return df.withColumn(key, z), key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ORDER clustered on `cols` — multi-dimensional
+    data skipping (Delta OPTIMIZE ZORDER's shape): each output file
+    covers a small hyper-rectangle of the key space, so min/max stats
+    prune files for predicates on ANY of the columns, where a linear
+    sort only skips on its leading column. Range-partition + sort on
+    the Morton key, then drop it (layout-only — schema unchanged)."""
+    keyed, key = zorder_key(df, cols, bits)
+    (
+        keyed.repartitionByRange(n_files, key)
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_files(
     spark: SparkSession,
     path: str,

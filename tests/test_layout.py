@@ -135,3 +135,66 @@ def test_dynamic_partition_pruning_fires_on_dim_filtered_join(spark, tmp_path):
         ln for ln in plan.split("\n") if "FileScan" in ln or "Scan parquet" in ln
     ]
     assert scan_node  # plan readable; DPP assertion above is the gate
+
+
+def test_zorder_skips_on_both_dimensions(spark, tmp_path):
+    """Z-order's point: per-file min/max stay TIGHT on every clustered
+    column. Against the same data linearly clustered on x, the y spans
+    are ~full-range (no skipping); z-ordered files must cover small
+    hyper-rectangles on BOTH dims."""
+    import pyarrow.parquet as pq
+
+    from deimos_spark.operators.layout import write_zordered
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 253).alias("x"),
+        ((F.col("id") * 7919) % 241).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(
+        lpath
+    )
+
+    def spans(path):
+        out = {"x": [], "y": []}
+        for dp, _, fs in __import__("os").walk(path):
+            for f in fs:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.read_metadata(f"{dp}/{f}")
+                mins = {"x": 1e18, "y": 1e18}
+                maxs = {"x": -1e18, "y": -1e18}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        name = col.path_in_schema
+                        if name in mins and col.statistics is not None:
+                            mins[name] = min(mins[name], col.statistics.min)
+                            maxs[name] = max(maxs[name], col.statistics.max)
+                for k in out:
+                    out[k].append((maxs[k] - mins[k]) / 253.0)
+        return {k: sum(v) / len(v) for k, v in out.items()}
+
+    zs, ls = spans(zpath), spans(lpath)
+    # linear layout: x tight, y useless (~full range)
+    assert ls["x"] < 0.2 and ls["y"] > 0.8
+    # z-order: BOTH dims meaningfully tighter than full range
+    assert zs["x"] < 0.55 and zs["y"] < 0.55, (zs, ls)
+    # and the data itself round-trips unchanged
+    got = spark.read.parquet(zpath)
+    assert got.count() == n and set(got.columns) == {"x", "y"}
+
+
+def test_zorder_key_guards(spark):
+    import pytest
+
+    from deimos_spark.operators.layout import zorder_key
+
+    df = spark.range(10).select(F.col("id").alias("a"))
+    with pytest.raises(ValueError, match="zorder"):
+        zorder_key(df, [], bits=12)
+    with pytest.raises(ValueError, match="zorder"):
+        zorder_key(df, ["a"] * 9, bits=12)  # 9*12 > 63 bits
