@@ -313,6 +313,61 @@ def ivf_topk_clustered(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
 
 
+def write_lsh_clustered(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the SRP-LSH layout: compute each vector's sign-bit
+    bucket once, write hive-partitioned by `lsh_bucket` — the LSH twin
+    of `write_ivf_clustered`. After this write a multiprobe query's
+    bucket set becomes PARTITION PRUNING (only probed/2^n_planes of the
+    files are listed or read), so b33b-style queries scale with the
+    probed fraction, not the table."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    df.withColumn("lsh_bucket", _bucket_expr(vec_col, planes)).write.mode(
+        mode
+    ).partitionBy("lsh_bucket").parquet(path)
+
+
+def lsh_topk_clustered(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k over a table materialized by
+    `write_lsh_clustered`: the probe set (all buckets within
+    `probe_hamming` of the query's) is a driver-side integer list, so
+    Filter(lsh_bucket IN probes) prunes partitions before any byte is
+    read — no per-row bucket computation at query time."""
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, n_planes, seed)
+    qbits = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) >= 0:
+            qbits |= 1 << i
+    probes = [
+        b
+        for b in range(1 << n_planes)
+        if bin(b ^ qbits).count("1") <= probe_hamming
+    ]
+    pruned = spark.read.parquet(path).filter(
+        F.col("lsh_bucket").isin(probes)
+    )
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
+
+
 MAX_EXACT_PAIRWISE_ROWS = 100_000
 
 

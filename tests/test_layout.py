@@ -198,3 +198,47 @@ def test_zorder_key_guards(spark):
         zorder_key(df, [], bits=12)
     with pytest.raises(ValueError, match="zorder"):
         zorder_key(df, ["a"] * 9, bits=12)  # 9*12 > 63 bits
+
+
+def test_lsh_clustered_layout_prunes_files(spark, tmp_path):
+    """LSH twin of the IVF layout test: the multiprobe bucket set shows
+    up as PartitionFilters, fewer files are read than exist, results
+    match the in-memory LSH query, no per-row Python at query time."""
+    import os
+
+    from deimos_spark.operators import simsearch
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(e.select("embedding").head()[0])
+    path = str(tmp_path / "lsh_layout")
+    simsearch.write_lsh_clustered(e, path, dim, n_planes=6)
+
+    qvec = [float(x) for x in e.filter("vec_id = 0").select("embedding").head()[0]]
+    df = simsearch.lsh_topk_clustered(
+        spark, path, qvec, k=10, n_planes=6, probe_hamming=1
+    )
+    got = [(r["vec_id"], r["sim"]) for r in df.collect()]
+    want = [
+        (r["vec_id"], r["sim"])
+        for r in simsearch.cosine_topk_lsh(
+            e, qvec, k=10, n_planes=6, probe_hamming=1
+        ).collect()
+    ]
+    assert got == want  # layout changes nothing about results
+    assert got[0][0] == 0 and got[0][1] == 1.0  # query vector survives
+
+    qe = df._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    assert "PartitionFilters: [lsh_bucket" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    num_files_read = None
+    leaves = qe.executedPlan().collectLeaves()
+    for i in range(leaves.size()):
+        metrics = leaves.apply(i).metrics()
+        if metrics.contains("numFiles"):
+            num_files_read = metrics.apply("numFiles").value()
+    total_files = sum(
+        1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert num_files_read is not None and num_files_read < total_files

@@ -142,6 +142,42 @@ def test_mp4_byteflip_fuzz_contained(pos, val):
         pass
 
 
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(st.binary(min_size=1, max_size=64), min_size=1, max_size=12),
+    st.integers(1, 10_000),
+    st.integers(1, 255),
+)
+def test_mp4_fixture_roundtrip_property(samples, timescale, sample_dur):
+    """Any sample list round-trips: parse must locate every sample's
+    exact bytes and reproduce the duration arithmetic."""
+    data = encode_mp4_fixture(
+        samples, timescale=timescale, sample_dur=sample_dur
+    )
+    info = parse_mp4_info(data)
+    assert info.duration_ms == int(
+        len(samples) * sample_dur * 1000 / timescale
+    )
+    trk = info.track("vide")
+    got = [data[o : o + s] for o, s in trk.sample_ranges()]
+    assert got == samples
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.integers(1, 200),
+    st.sampled_from([32000, 44100, 48000]),
+    st.sampled_from([32, 64, 128, 192, 320]),
+)
+def test_mp3_fixture_roundtrip_property(n_frames, sr, kbps):
+    info = parse_mp3_info(encode_mp3_fixture(n_frames, sr, kbps))
+    assert info.n_frames == n_frames
+    assert info.sample_rate == sr
+    assert info.bitrate_kbps == kbps
+
+
 # ------------------------------------------- Spark operators over them
 
 

@@ -56,6 +56,7 @@ QUERIES = [
     "t12_top_bigrams", "t13_repetition_stats", "t14_benchmark_contamination",
     "h02_min_cost_supplier", "h11_important_stock",
     "x06_funnel", "t21_dsir_weights",
+    "t23_unigram_ppl", "t24_source_overlap", "x13_sessionize",
 ]
 
 # super-linear flagging thresholds (see module docstring)
