@@ -164,3 +164,23 @@ def test_tpch_q21_no_cartesian_no_window(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_dsir_family_reuses_tokenize_exchange(spark):
+    """t21/t23 promise their tokenize+hash (doc,bucket) aggregate's
+    exchange is computed ONCE and reused by both the bucket model and
+    the per-doc scoring — the difference between 1x and 2x corpus cost
+    at 100 TB. AQE shows that as a ReusedExchange/ReusedShuffle node (or
+    a reused stage) in the final plan."""
+    for name in ("t21_dsir_weights", "t23_unigram_ppl"):
+        df = all_queries()[name].builder(spark, SF)
+        plan = _plan(df)
+        assert ("ReusedExchange" in plan) or ("ReusedShuffle" in plan), name
+
+
+def test_source_overlap_no_cartesian(spark):
+    """t24's self-join must be a hash join on the content hash, never a
+    cartesian/nested-loop product."""
+    plan = _plan(all_queries()["t24_source_overlap"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
