@@ -130,3 +130,56 @@ def ivf_cell_udf(centroids):
         return pd.Series(d.argmin(axis=1).astype(np.int32))
 
     return pandas_udf(_cell, "int")
+
+
+def proto_registry_decode_udf(message, names, out_struct, known_ids=None):
+    """Confluent-Protobuf-framed bytes → struct rows: validates magic 0
+    + 4-byte BE schema id (optionally against the subject's known ids),
+    parses the zigzag-varint message-indexes array ([0] encodes as one
+    0x00 byte), then decodes the proto3 body with the READER schema —
+    typed errors for any malformed frame, mirroring registry_decode_udf.
+    """
+    ids = frozenset(known_ids) if known_ids else None
+
+    def _zz_varint(b, pos):
+        shift, acc = 0, 0
+        while True:
+            if pos >= len(b):
+                raise ValueError("truncated message-index varint")
+            x = b[pos]
+            pos += 1
+            acc |= (x & 0x7F) << shift
+            if not x & 0x80:
+                return (acc >> 1) ^ -(acc & 1), pos
+            shift += 7
+            if shift > 63:
+                raise ValueError("runaway message-index varint")
+
+    def _dec(bs: pd.Series) -> pd.DataFrame:
+        from deimos_spark.schemas.protowire import decode_message
+
+        rows = []
+        for b in bs:
+            if b is None:
+                rows.append({n: None for n in names})
+                continue
+            b = bytes(b)
+            if len(b) < 6 or b[0] != 0:
+                raise ValueError(
+                    "message lacks Confluent Protobuf wire framing"
+                )
+            sid = int.from_bytes(b[1:5], "big")
+            if ids is not None and sid not in ids:
+                raise ValueError(
+                    f"unknown schema id {sid} for subject "
+                    f"(known: {sorted(ids)})"
+                )
+            count, pos = _zz_varint(b, 5)
+            if count < 0 or count > 128:
+                raise ValueError(f"absurd message-index count {count}")
+            for _ in range(count):
+                _, pos = _zz_varint(b, pos)
+            rows.append(decode_message(message, b[pos:]))
+        return pd.DataFrame(rows, columns=list(names))
+
+    return pandas_udf(_dec, out_struct)

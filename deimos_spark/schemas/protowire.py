@@ -521,15 +521,26 @@ def encode_message(msg: ProtoMessage, value: dict) -> bytes:
 
 # ------------------------------------------------------------------ decode
 
+class ProtoWireError(ValueError):
+    """Malformed proto3 wire payload (truncation, runaway varint, bad
+    wire type) — the typed containment boundary for untrusted broker
+    bytes, same discipline as the media/DV/OCF codecs: a corrupt
+    message must never kill a Spark task with a raw IndexError."""
+
+
 def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
     shift, acc = 0, 0
     while True:
+        if pos >= len(buf):
+            raise ProtoWireError("truncated varint")
         b = buf[pos]
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             return acc, pos
         shift += 7
+        if shift > 63:
+            raise ProtoWireError("varint longer than 10 bytes")
 
 
 def _to_signed64(n: int) -> int:
@@ -592,13 +603,17 @@ def _skip_field(wire: int, buf: bytes, pos: int) -> int:
         _, pos = _read_uvarint(buf, pos)
         return pos
     if wire == _I64:
-        return pos + 8
-    if wire == _I32:
-        return pos + 4
-    if wire == _LEN:
-        n, pos = _read_uvarint(buf, pos)
-        return pos + n
-    raise ValueError(f"unsupported wire type {wire}")
+        pos += 8
+    elif wire == _I32:
+        pos += 4
+    elif wire == _LEN:
+        n, pos0 = _read_uvarint(buf, pos)
+        pos = pos0 + n
+    else:
+        raise ProtoWireError(f"unsupported wire type {wire}")
+    if pos > len(buf):
+        raise ProtoWireError("field extends past end of message")
+    return pos
 
 
 def _decode_timestamp(buf: bytes) -> _dt.datetime:
@@ -643,6 +658,17 @@ def _proto3_defaults(msg: ProtoMessage) -> dict:
 
 
 def decode_message(msg: ProtoMessage, buf: bytes) -> dict:
+    """Decode one message; corrupt payloads raise ProtoWireError."""
+    try:
+        return _decode_message_inner(msg, buf)
+    except ProtoWireError:
+        raise
+    except (IndexError, ValueError, KeyError, OverflowError,
+            _struct.error, MemoryError, UnicodeDecodeError) as e:
+        raise ProtoWireError(f"malformed proto payload: {e!r}") from None
+
+
+def _decode_message_inner(msg: ProtoMessage, buf: bytes) -> dict:
     out = _proto3_defaults(msg)
     by_num = msg.field_by_number()
     pos = 0

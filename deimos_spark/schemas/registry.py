@@ -332,14 +332,15 @@ class RegistryProtoCodec:
         )
 
     def decode(self, binary_col: Column) -> Column:
-        from deimos_spark.schemas.codecs import (
-            ProtoCodec,
-            strip_proto_registry_frame,
-        )
+        from deimos_spark.schemas.kernels import proto_registry_decode_udf
 
-        return ProtoCodec(self.schema).decode(
-            strip_proto_registry_frame(binary_col)
+        dec = proto_registry_decode_udf(
+            self.schema.message,
+            self.struct.fieldNames(),
+            _all_nullable(self.struct),
+            known_ids=self.registry.versions(self.subject),
         )
+        return F.when(binary_col.isNotNull(), dec(binary_col))
 
 
 def _all_nullable(dt: T.DataType) -> T.DataType:

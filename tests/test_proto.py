@@ -10,6 +10,8 @@ Byte vectors are hand-derived from the public protobuf encoding spec.
 import datetime as dt
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -401,3 +403,41 @@ def test_map_fuzz_roundtrip(maps_schema, seed):
         assert out["level_map"] == levels
 
     run()
+
+
+# ------------------------------- round-6: corrupt-wire containment
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.binary(min_size=0, max_size=200))
+def test_decode_fuzz_contained(sample, blob):
+    """Arbitrary bytes must decode or raise typed ProtoWireError — never
+    a raw IndexError/struct.error that would kill a Spark task (the
+    executor-poisoning class; same discipline as the media/DV/OCF
+    codecs)."""
+    from deimos_spark.schemas.protowire import ProtoWireError
+
+    try:
+        decode_message(sample.message, blob)
+    except ProtoWireError:
+        pass
+
+
+@settings(max_examples=100, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(0, 500), st.integers(0, 255))
+def test_decode_byteflip_fuzz_contained(sample, pos, val):
+    from deimos_spark.schemas.protowire import ProtoWireError
+
+    base = encode_message(
+        sample.message,
+        {"str": "abc", "num": 7, "str_arr": ["x", "y"], "flag": True,
+         "message_id": "m1"},
+    )
+    data = bytearray(base)
+    data[pos % len(data)] = val
+    try:
+        decode_message(sample.message, bytes(data))
+    except ProtoWireError:
+        pass
