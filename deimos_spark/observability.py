@@ -18,6 +18,7 @@ import logging
 import random
 import time
 from collections import defaultdict
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -139,6 +140,88 @@ def route_invalid(
             "append"
         ).parquet(dlq_path)
     return df.filter(F.coalesce(valid_predicate, F.lit(False)))
+
+
+# ------------------------------------------------------------------ tracing
+
+class Span:
+    """One trace span: name, resource, wall-clock bounds, tags, error.
+    (Reference contract: tracing/provider.rb start/finish/set_error/
+    set_tag/get_tag — behavior parity, A35.)"""
+
+    __slots__ = ("name", "resource", "started_at", "ended_at", "tags", "error")
+
+    def __init__(self, name: str, resource: str | None = None, **tags):
+        self.name = name
+        self.resource = resource
+        self.started_at = time.time()
+        self.ended_at: float | None = None
+        self.tags: dict = dict(tags)
+        self.error: BaseException | None = None
+
+    def set_tag(self, tag: str, value) -> None:
+        self.tags[tag] = value
+
+    def get_tag(self, tag: str):
+        return self.tags.get(tag)
+
+    @property
+    def duration_s(self) -> float | None:
+        return None if self.ended_at is None else self.ended_at - self.started_at
+
+
+class MockTracer:
+    """In-memory tracing provider — the reference ships exactly this
+    shape as its default (tracing/mock.rb; the Datadog adapter is the
+    same 6-method contract over a real client, tracing/datadog.rb).
+    Spans nest via a stack, so `active_span` inside a consume batch is
+    the batch's span (batch_consumption.rb:39 tags 'topic' on it and
+    deadlock retry reads it back, :242). Driver-side only by design:
+    spans wrap CONTROL operations (a consume batch, a poll cycle, a
+    relay drain) — per-row spans would be a scale anti-pattern."""
+
+    def __init__(self):
+        self.finished: list[Span] = []
+        self._stack: list[Span] = []
+
+    # -- provider contract (reference tracing/provider.rb)
+    def start(self, span_name: str, resource: str | None = None, **tags) -> Span:
+        span = Span(span_name, resource, **tags)
+        self._stack.append(span)
+        return span
+
+    def finish(self, span: Span) -> None:
+        span.ended_at = time.time()
+        if span in self._stack:
+            self._stack.remove(span)
+        self.finished.append(span)
+
+    def set_error(self, span: Span, exc: BaseException) -> None:
+        span.error = exc
+
+    def active_span(self) -> Span | None:
+        return self._stack[-1] if self._stack else None
+
+    def set_tag(self, tag: str, value, span: Span | None = None) -> None:
+        target = span or self.active_span()
+        if target is not None:
+            target.set_tag(tag, value)
+
+    def get_tag(self, tag: str):
+        span = self.active_span()
+        return None if span is None else span.get_tag(tag)
+
+    # -- ergonomic wrapper for the reference's _with_span shape
+    @contextmanager
+    def span(self, name: str, resource: str | None = None, **tags):
+        s = self.start(name, resource, **tags)
+        try:
+            yield s
+        except BaseException as e:
+            self.set_error(s, e)
+            raise
+        finally:
+            self.finish(s)
 
 
 # -------------------------------------------------------------------- retry

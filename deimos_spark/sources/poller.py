@@ -95,6 +95,7 @@ class TimeBasedPoller:
         batch_size: int = 1000,
         delay_micros: int = 2_000_000,  # reference default delay_time=2s
         full_table: bool = False,
+        tracer: "object | None" = None,
     ):
         self.source = source
         self.publish = publish
@@ -104,12 +105,29 @@ class TimeBasedPoller:
         self.batch_size = batch_size
         self.delay_micros = delay_micros
         self.full_table = full_table
+        self.tracer = tracer  # A35: 'deimos-db-poller' span per cycle
 
     def run_once(self, now_micros: int) -> int:
         """One poll cycle: fetch → publish → commit cursor, repeating until
         the window is drained (reference: process_updates loop). Returns
         rows published. Crash between publish and cursor-save re-sends the
-        tail → at-least-once (C1)."""
+        tail → at-least-once (C1). With a tracer, the cycle runs inside a
+        'deimos-db-poller' span with errors recorded
+        (db_poller/base.rb:134 process_batch_with_span parity)."""
+        if self.tracer is None:
+            return self._run_once(now_micros)
+        span = self.tracer.start(
+            "deimos-db-poller", resource=type(self).__name__
+        )
+        try:
+            return self._run_once(now_micros)
+        except BaseException as e:
+            self.tracer.set_error(span, e)
+            raise
+        finally:
+            self.tracer.finish(span)
+
+    def _run_once(self, now_micros: int) -> int:
         if self.full_table:
             src = self.source
             base = src.read_all() if hasattr(src, "read_all") else src()

@@ -48,6 +48,11 @@ class ConsumerConfig:
     registry: "object | None" = None
     subject: str | None = None
     key_subject: str | None = None
+    # A35 tracing: provider with the reference's 6-method contract
+    # (observability.MockTracer is the in-memory default shape); spans
+    # wrap each consume batch like consumer.rb's _with_span
+    tracer: "object | None" = None
+    topic: str | None = None
 
 
 class BatchConsumer:
@@ -161,6 +166,27 @@ class BatchConsumer:
     # -------------------------------------------------------------- apply
 
     def consume_batch(self, raw: DataFrame) -> None:
+        cfg = self.config
+        if cfg.tracer is None:
+            self._consume_batch(raw)
+            return
+        # reference consumer.rb _with_span: one 'deimos-consumer' span
+        # per batch, resource = consumer class, topic tagged on the
+        # active span (batch_consumption.rb:39), errors recorded
+        span = cfg.tracer.start(
+            "deimos-consumer", resource=type(self).__name__
+        )
+        if cfg.topic:
+            cfg.tracer.set_tag("topic", cfg.topic, span)
+        try:
+            self._consume_batch(raw)
+        except BaseException as e:
+            cfg.tracer.set_error(span, e)
+            raise
+        finally:
+            cfg.tracer.finish(span)
+
+    def _consume_batch(self, raw: DataFrame) -> None:
         cfg = self.config
         df = self.decode(raw)
         if cfg.filter_predicate is not None:

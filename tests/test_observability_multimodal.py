@@ -299,3 +299,116 @@ def test_frame_fanout_exact_at_scale(spark):
     assert frames.count() == n * 3
     per = frames.groupBy("media_id").count()
     assert per.filter(F.col("count") != 3).count() == 0
+
+
+# ----------------------------------------------- round-6: A35 tracing
+
+
+def test_mock_tracer_contract():
+    """Reference tracing/provider.rb contract: start/finish/set_error/
+    active_span/set_tag/get_tag; nesting makes the innermost span
+    active (batch_consumption.rb tags 'topic' on the active span and
+    deadlock retry reads it back)."""
+    t = obs.MockTracer()
+    outer = t.start("deimos-consumer", resource="MyConsumer")
+    t.set_tag("topic", "accts")
+    assert t.active_span() is outer
+    assert t.get_tag("topic") == "accts"
+    inner = t.start("db-write")
+    assert t.active_span() is inner
+    assert t.get_tag("topic") is None  # inner span has its own tags
+    t.finish(inner)
+    assert t.active_span() is outer
+    boom = RuntimeError("x")
+    t.set_error(outer, boom)
+    t.finish(outer)
+    assert [s.name for s in t.finished] == ["db-write", "deimos-consumer"]
+    done = t.finished[1]
+    assert done.error is boom and done.get_tag("topic") == "accts"
+    assert done.duration_s is not None and done.duration_s >= 0
+    # context-manager form records errors and always finishes
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with t.span("poll", resource="R"):
+            raise ValueError("y")
+    assert t.finished[-1].name == "poll"
+    assert isinstance(t.finished[-1].error, ValueError)
+
+
+def test_consumer_batch_traced(spark, tmp_path):
+    """consume_batch runs inside a 'deimos-consumer' span with the topic
+    tagged; a failing batch records the error on the span and re-raises
+    (consumer.rb _with_span/_error parity)."""
+    from pyspark.sql import Row, Window
+
+    from deimos_spark.streaming.producer import Producer, TopicConfig
+
+    schema = parse_avsc(
+        {
+            "type": "record",
+            "name": "Acct",
+            "fields": [
+                {"name": "acct_id", "type": "string"},
+                {"name": "balance", "type": "int"},
+            ],
+        }
+    )
+    tracer = obs.MockTracer()
+    p = Producer(TopicConfig(topic="tr", schema=schema, key_field="acct_id"))
+    table = KeyedParquetTable(
+        spark, str(tmp_path / "tr"), ["acct_id"], schema=schema.struct
+    )
+    c = BatchConsumer(
+        ConsumerConfig(
+            schema=schema, key_cols=["acct_id"], tracer=tracer, topic="tr",
+        ),
+        table,
+    )
+    msgs = p.build_messages(
+        spark.createDataFrame([Row(acct_id="a", balance=1)])
+    )
+    w = Window.orderBy(F.monotonically_increasing_id())
+    batch = (
+        msgs.withColumn("offset", F.row_number().over(w))
+        .withColumn("partition", F.lit(0))
+        .select("key", "value", "partition", "offset")
+    )
+    c.consume_batch(batch)
+    assert len(tracer.finished) == 1
+    span = tracer.finished[0]
+    assert span.name == "deimos-consumer"
+    assert span.resource == "BatchConsumer"
+    assert span.get_tag("topic") == "tr" and span.error is None
+
+    # error path: a batch missing the value column fails decode; the
+    # span records the error and the exception still propagates
+    import pytest as _pytest
+
+    bad = spark.createDataFrame([Row(key=bytearray(b"k"), partition=0,
+                                     offset=9)])
+    with _pytest.raises(Exception):
+        c.consume_batch(bad)
+    assert tracer.finished[-1].error is not None
+
+
+def test_poller_cycle_traced(spark, tmp_path):
+    from deimos_spark.sources.poller import TimeBasedPoller
+
+    src_path = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 100), (2, 200)], "id long, updated_at long"
+    ).write.parquet(src_path)
+    seen = []
+    tracer = obs.MockTracer()
+    poller = TimeBasedPoller(
+        source=lambda: spark.read.parquet(src_path),
+        publish=lambda df: seen.append(df.count()),
+        cursor_path=str(tmp_path / "cur"),
+        delay_micros=0,
+        tracer=tracer,
+    )
+    n = poller.run_once(now_micros=10_000)
+    assert n == 2 and seen
+    assert [s.name for s in tracer.finished] == ["deimos-db-poller"]
+    assert tracer.finished[0].error is None
