@@ -835,11 +835,19 @@ class IcebergTableWriter:
         overwrite: bool,
         delete_files: list[tuple[str, int, int, dict]] | None = None,
         schema_override: T.StructType | None = None,
+        eq_delete_files: list[tuple[str, int, int, dict]] | None = None,
+        eq_key_cols: list[str] | None = None,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
         schema); `delete_files` → already-written position-delete
-        parquet files recorded in their own content=1 manifest."""
+        parquet files recorded in their own content=1 manifest;
+        `eq_delete_files` → EQUALITY-delete parquet files (rows = key
+        values, columns = `eq_key_cols`) recorded content=2 with
+        `equality_ids` resolved from the schema — they share the new
+        snapshot's sequence number, so per the spec's strictly-smaller
+        rule they erase prior data while same-commit adds survive (the
+        Flink CDC upsert shape)."""
         import time as _time
         import uuid
 
@@ -981,6 +989,53 @@ class IcebergTableWriter:
                     sum(r for _, r, _, _ in delete_files),
                 )
             )
+        if eq_delete_files:
+            if not eq_key_cols:
+                raise IcebergProtocolError(
+                    "eq_delete_files requires eq_key_cols"
+                )
+            try:
+                eq_ids = [id_by_name[c] for c in eq_key_cols]
+            except KeyError as e:
+                raise IcebergProtocolError(
+                    f"equality key column {e} not in schema"
+                ) from None
+            eq_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+            eq_schema["fields"][-1]["type"]["fields"].append(
+                {
+                    "name": "equality_ids",
+                    "type": ["null", {"type": "array", "items": "int"}],
+                    "default": None,
+                    "field-id": 135,
+                }
+            )
+            eq_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 2,
+                        "file_path": f"file://{p}",
+                        "file_format": "PARQUET",
+                        "record_count": rows,
+                        "file_size_in_bytes": size,
+                        "equality_ids": eq_ids,
+                    },
+                }
+                for p, rows, size, _ in eq_delete_files
+            ]
+            epath = os.path.join(self.meta_dir, f"e-{uid}.avro")
+            ocf_write(epath, eq_schema, eq_entries)
+            manifests.append(
+                _manifest_row(
+                    epath,
+                    1,
+                    len(eq_delete_files),
+                    sum(r for _, r, _, _ in eq_delete_files),
+                )
+            )
         if not overwrite and md is not None:
             # append: carry the previous snapshot's manifests forward
             prev = next(
@@ -1024,7 +1079,7 @@ class IcebergTableWriter:
             "manifest-list": f"file://{mlpath}",
             "summary": {
                 "operation": "overwrite"
-                if (overwrite or delete_files)
+                if (overwrite or delete_files or eq_delete_files)
                 else "append"
             },
             "schema-id": 0,
@@ -1101,11 +1156,26 @@ class IcebergKeyedTable:
         path: str,
         key_cols,
         max_commit_retries: int = 5,
+        delete_mode: str = "position",
     ):
+        if delete_mode not in ("position", "equality"):
+            raise ValueError(
+                f"delete_mode must be position|equality, got {delete_mode!r}"
+            )
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
         self.max_commit_retries = max_commit_retries
+        # "position": probe-scan for row positions, write (path, pos)
+        # delete files — read-side cost is one anti-join, merge pays an
+        # O(table) key-probe scan. "equality": write just the batch's
+        # KEYS as a content=2 equality-delete file — merge is O(batch)
+        # with NO table scan at all (the Flink CDC upsert shape); reads
+        # pay a null-safe anti-join per delete generation until
+        # optimize() compacts. At 100 TB with frequent keyed batches,
+        # equality mode is the only merge whose cost is independent of
+        # table size.
+        self.delete_mode = delete_mode
         self.writer = IcebergTableWriter(spark, path)
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
@@ -1147,6 +1217,31 @@ class IcebergKeyedTable:
                     self.writer._snapshot_commit(upserts, overwrite=False)
                     return
                 except IcebergCommitConflict:
+                    continue
+
+            if self.delete_mode == "equality":
+                reader = IcebergTableReader(self.spark, self.path)
+                schema = reader.schema()
+                # no probe scan: the delete file IS the key batch
+                eq_files = self.writer._write_data_files(
+                    affected.coalesce(1)
+                )
+                has_upserts = upserts is not None and bool(upserts.head(1))
+                try:
+                    self.writer._snapshot_commit(
+                        upserts if has_upserts else None,
+                        overwrite=False,
+                        schema_override=schema,
+                        eq_delete_files=eq_files,
+                        eq_key_cols=self.key_cols,
+                    )
+                    return
+                except IcebergCommitConflict:
+                    for p, _, _, _ in eq_files:
+                        try:
+                            os.unlink(p)
+                        except OSError:
+                            pass
                     continue
 
             reader = IcebergTableReader(self.spark, self.path)

@@ -1093,3 +1093,57 @@ def test_ocf_corrupt_bytes_contained(tmp_path):
                 ocf_read(p + ".c")
             except OcfError:
                 pass  # the contract
+
+
+def test_iceberg_keyed_merge_equality_mode(spark, tmp_path):
+    """delete_mode='equality' (the Flink CDC upsert shape): merges write
+    ONLY the batch's keys as content=2 equality-delete files — no probe
+    scan of the table at all — and same-commit upserts survive the
+    strictly-smaller sequence rule while prior generations are erased."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "iceeq")
+    kt = IcebergKeyedTable(spark, t, ["id"], delete_mode="equality")
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        )
+    )
+    files_before = set(IcebergTableReader(spark, t).data_files())
+
+    # upsert that REPLACES id 3 and adds id 42 — one commit, no scan
+    kt.upsert(
+        spark.createDataFrame([(3, "V3"), (42, "new")], "id long, v string")
+    )
+    r = IcebergTableReader(spark, t)
+    # original data files untouched (no rewrite, no position probe)
+    assert files_before <= set(r.data_files())
+    _, pos_dels, eq_dels = r._file_sets(None)
+    assert pos_dels == [] and eq_dels
+    got = {(x.id, x.v) for x in r.read().collect()}
+    assert (3, "V3") in got and (42, "new") in got and (3, "v3") not in got
+    assert len(got) == 9
+
+    # pure delete
+    kt.delete(spark.createDataFrame([(0,), (42,)], "id long"))
+    got = {x.id for x in IcebergTableReader(spark, t).read().collect()}
+    assert got == {1, 2, 3, 4, 5, 6, 7}
+
+    # re-insert AFTER a delete: later sequence wins (CDC re-insert)
+    kt.upsert(spark.createDataFrame([(0, "back")], "id long, v string"))
+    got = {(x.id, x.v) for x in IcebergTableReader(spark, t).read().collect()}
+    assert (0, "back") in got and len(got) == 8
+
+    # optimize compacts the delete history away
+    kt.optimize()
+    r = IcebergTableReader(spark, t)
+    _, pos2, eq2 = r._file_sets(None)
+    assert eq2 == [] and pos2 == []
+    assert {(x.id, x.v) for x in r.read().collect()} == got
+
+
+def test_iceberg_keyed_table_rejects_bad_delete_mode(spark, tmp_path):
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    with pytest.raises(ValueError, match="delete_mode"):
+        IcebergKeyedTable(spark, str(tmp_path / "x"), ["id"], delete_mode="dv")
