@@ -269,8 +269,27 @@ def _bucket_udf(n: int, source_type: str):
     from pyspark.sql.functions import pandas_udf
 
     def _vec_long(vals):
+        # Arrow hands a long column WITH nulls to pandas as float64,
+        # which silently rounds |v| > 2^53 (2^63-1 became 2^63 → wrong
+        # bucket; caught by the spec-hash equivalence property test).
+        # transform_column masks nulls JVM-side so this path always
+        # sees exact integers; refuse loudly if a float column slips
+        # through — its precision is already gone.
+        if vals.dtype.kind == "f":
+            raise TypeError(
+                "bucket over a float-backed long column: nulls must be "
+                "masked JVM-side before the UDF (transform_column does "
+                "this) — float64 has already rounded values past 2^53"
+            )
         mask = vals.notna()
-        v = vals[mask].astype("int64").to_numpy().view(np.uint64)
+        if vals.dtype.kind in ("i", "u"):
+            v = vals[mask].to_numpy().astype(np.int64, copy=False).view(
+                np.uint64
+            )
+        else:  # object dtype: exact Python ints
+            v = np.array(
+                [int(x) for x in vals[mask]], dtype=np.int64
+            ).view(np.uint64)
         k_lo = (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)
         k_hi = (v >> np.uint64(32)).astype(np.uint32)
         c1 = np.uint32(0xCC9E2D51)
@@ -331,7 +350,13 @@ def transform_column(pf: PartitionField, source_type: str) -> Column:
         w = F.lit(pf.param)
         return (col - (((col % w) + w) % w)).cast(source_type)
     if pf.kind == "bucket":
-        return _bucket_udf(pf.param, source_type)(col)
+        udf = _bucket_udf(pf.param, source_type)
+        if source_type in ("int", "bigint"):
+            # mask nulls JVM-side: a long column with nulls crosses
+            # Arrow as float64 and silently rounds past 2^53 — feed the
+            # UDF a null-free column, restore null buckets with when()
+            return F.when(col.isNotNull(), udf(F.coalesce(col, F.lit(0))))
+        return udf(col)
     if pf.kind == "year":
         return (F.year(col) - F.lit(1970)).cast("int")
     if pf.kind == "month":

@@ -698,8 +698,9 @@ def test_bucket_udf_matches_spec_hash_property(spark):
     from hypothesis import strategies as st
 
     from deimos_spark.operators.iceberg_transforms import (
-        _bucket_udf,
+        PartitionField,
         bucket_value,
+        transform_column,
     )
 
     vals = (
@@ -710,12 +711,16 @@ def test_bucket_udf_matches_spec_hash_property(spark):
         .example()
     )
     # one Spark round-trip over a hypothesis-drawn batch plus pinned
-    # adversarial values (driver loop per-example would be too slow)
+    # adversarial values (driver loop per-example would be too slow).
+    # 2^63-1 alongside None is the regression this test caught: a long
+    # column WITH nulls crosses Arrow as float64 and silently rounds
+    # past 2^53 — transform_column masks nulls JVM-side to prevent it.
     pinned = [0, -1, 1, 34, 2**63 - 1, -(2**63), None, 0x7FFFFFFF,
               -0x80000000, 12345678901234]
     rows = [(i, v) for i, v in enumerate(pinned + vals)]
     df = spark.createDataFrame(rows, "i long, v long")
-    out = df.select("i", "v", _bucket_udf(16, "bigint")("v").alias("b"))
+    pf = PartitionField("v_bucket", "bucket", "v", 16)
+    out = df.select("i", "v", transform_column(pf, "bigint").alias("b"))
     for r in out.collect():
         want = bucket_value(r.v, 16)
         assert r.b == want, (r.v, r.b, want)
@@ -725,7 +730,8 @@ def test_bucket_udf_matches_spec_hash_property(spark):
     df2 = spark.createDataFrame(
         [(i, s) for i, s in enumerate(strs)], "i long, v string"
     )
-    out2 = df2.select("i", "v", _bucket_udf(8, "string")("v").alias("b"))
+    pf2 = PartitionField("v_bucket", "bucket", "v", 8)
+    out2 = df2.select("i", "v", transform_column(pf2, "string").alias("b"))
     for r in out2.collect():
         assert r.b == bucket_value(r.v, 8), r.v
 
