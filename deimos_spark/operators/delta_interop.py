@@ -398,9 +398,41 @@ class DeltaTableReader:
             )
         return snap
 
+    def version_at(self, as_of_ms: int) -> int:
+        """Timestamp time travel: the latest version whose commit
+        timestamp is <= `as_of_ms` (epoch millis). Per the protocol a
+        commit's timestamp is its log file's modification time (the
+        `inCommitTimestamp` feature overrides that; tables carrying it
+        refuse loudly at the protocol gate already). Requires a LIST of
+        the log dir — timestamp resolution is inherently a listing
+        operation, unlike version reads."""
+        commits = []
+        for n in os.listdir(self.log_dir):
+            if n.endswith(".json") and n[:-5].isdigit():
+                p = os.path.join(self.log_dir, n)
+                commits.append((int(n[:-5]), os.path.getmtime(p) * 1000.0))
+        eligible = [v for v, ts in commits if ts <= as_of_ms]
+        if not eligible:
+            raise DeltaProtocolError(
+                f"no commit at or before timestamp {as_of_ms}"
+            )
+        return max(eligible)
+
     # ---------------------------------------------------------------- read
 
     def read(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, object] | None = None,
+        as_of_ms: int | None = None,
+    ) -> DataFrame:
+        if as_of_ms is not None:
+            if version is not None:
+                raise ValueError("pass version OR as_of_ms, not both")
+            version = self.version_at(as_of_ms)
+        return self._read(version, partition_filter)
+
+    def _read(
         self,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,

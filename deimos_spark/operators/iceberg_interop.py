@@ -173,6 +173,20 @@ class IcebergTableReader:
                 return s
         raise IcebergProtocolError(f"snapshot {snapshot_id} not found")
 
+    def snapshot_id_at(self, as_of_ms: int) -> int:
+        """Timestamp time travel: the snapshot current AS OF `as_of_ms`
+        (epoch millis) — the latest snapshot whose `timestamp-ms` is
+        <= the bound, per the spec's snapshot-log semantics."""
+        snaps = self.metadata.get("snapshots") or []
+        eligible = [
+            s for s in snaps if s.get("timestamp-ms", 0) <= as_of_ms
+        ]
+        if not eligible:
+            raise IcebergProtocolError(
+                f"no snapshot at or before timestamp {as_of_ms}"
+            )
+        return max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
+
     def _file_sets(
         self, snapshot_id: int | None = None
     ) -> tuple[
@@ -404,6 +418,7 @@ class IcebergTableReader:
         self,
         snapshot_id: int | None = None,
         partition_filter: dict[str, object] | None = None,
+        as_of_ms: int | None = None,
     ) -> DataFrame:
         """`partition_filter` prunes by each manifest entry's typed
         `partition` record before any file opens — {col: value} or
@@ -411,7 +426,12 @@ class IcebergTableReader:
         contract: at 100 TB the planner touches KB of manifest metadata
         instead of listing/opening the full file set. (Identity values
         also remain in the data files, so Catalyst still row-group-
-        prunes whatever survives.)"""
+        prunes whatever survives.) `as_of_ms` is timestamp time travel
+        (the latest snapshot at or before the bound)."""
+        if as_of_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of_ms, not both")
+            snapshot_id = self.snapshot_id_at(as_of_ms)
         schema = self.schema()
         data, pos_deletes, eq_deletes = self._file_sets(snapshot_id)
         if partition_filter:

@@ -848,3 +848,30 @@ def test_v2_checkpoint_missing_sidecar_refuses(spark, tmp_path):
         fh.write("\n".join(json.dumps(a) for a in manifest))
     with pytest.raises(DeltaProtocolError, match="sidecar"):
         DeltaTableReader(spark, table).snapshot()
+
+
+# ------------------------------------------- round-6: timestamp time travel
+
+
+def test_delta_timestamp_time_travel(spark, tmp_path):
+    """read(as_of_ms=...) resolves the latest commit whose log-file
+    mtime is <= the bound (the protocol's commit-timestamp rule)."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f0.parquet", [(1, "a")])
+    _write_data_file(spark, table, "f1.parquet", [(2, "b")])
+    _commit(table, 0, [_PROTO, _meta(), _add("f0.parquet")])
+    _commit(table, 1, [_add("f1.parquet")])
+    # pin distinct commit timestamps
+    t0, t1 = 1_000_000_000, 2_000_000_000  # epoch seconds
+    os.utime(os.path.join(table, "_delta_log", f"{0:020d}.json"), (t0, t0))
+    os.utime(os.path.join(table, "_delta_log", f"{1:020d}.json"), (t1, t1))
+    r = DeltaTableReader(spark, table)
+    assert r.version_at(t0 * 1000) == 0
+    assert r.version_at((t1 + 5) * 1000) == 1
+    assert {x.id for x in r.read(as_of_ms=t0 * 1000 + 1).collect()} == {1}
+    assert {x.id for x in r.read(as_of_ms=t1 * 1000).collect()} == {1, 2}
+    with pytest.raises(DeltaProtocolError, match="no commit"):
+        r.version_at(t0 * 1000 - 1)
+    with pytest.raises(ValueError, match="not both"):
+        r.read(version=0, as_of_ms=t0 * 1000)

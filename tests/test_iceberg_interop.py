@@ -1153,3 +1153,17 @@ def test_iceberg_keyed_table_rejects_bad_delete_mode(spark, tmp_path):
 
     with pytest.raises(ValueError, match="delete_mode"):
         IcebergKeyedTable(spark, str(tmp_path / "x"), ["id"], delete_mode="dv")
+
+
+def test_iceberg_timestamp_time_travel(spark, ice_table):
+    """read(as_of_ms=...) picks the latest snapshot with timestamp-ms
+    <= the bound (snap 1 has ts 0, snap 2 has ts 1 in the fixture)."""
+    r = IcebergTableReader(spark, ice_table)
+    assert r.snapshot_id_at(0) == 1
+    assert r.snapshot_id_at(10_000) == 2
+    assert _rows(r.read(as_of_ms=0)) == {(1, "a"), (2, "b")}
+    assert _rows(r.read(as_of_ms=99)) == {(1, "a"), (2, "b"), (3, "c")}
+    with pytest.raises(IcebergProtocolError, match="no snapshot"):
+        r.snapshot_id_at(-5)
+    with pytest.raises(ValueError, match="not both"):
+        r.read(snapshot_id=1, as_of_ms=0)
