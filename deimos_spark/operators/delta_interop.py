@@ -401,16 +401,34 @@ class DeltaTableReader:
     def version_at(self, as_of_ms: int) -> int:
         """Timestamp time travel: the latest version whose commit
         timestamp is <= `as_of_ms` (epoch millis). Per the protocol a
-        commit's timestamp is its log file's modification time (the
-        `inCommitTimestamp` feature overrides that; tables carrying it
-        refuse loudly at the protocol gate already). Requires a LIST of
-        the log dir — timestamp resolution is inherently a listing
-        operation, unlike version reads."""
+        commit's timestamp is its log file's modification time UNLESS
+        the commit carries `commitInfo.inCommitTimestamp` (the
+        clock-skew-proof writer feature) — honored here when present.
+        Requires a LIST of the log dir — timestamp resolution is
+        inherently a listing operation, unlike version reads."""
         commits = []
-        for n in os.listdir(self.log_dir):
-            if n.endswith(".json") and n[:-5].isdigit():
-                p = os.path.join(self.log_dir, n)
-                commits.append((int(n[:-5]), os.path.getmtime(p) * 1000.0))
+        for n in sorted(os.listdir(self.log_dir)):
+            if not (n.endswith(".json") and n[:-5].isdigit()):
+                continue
+            p = os.path.join(self.log_dir, n)
+            ts = os.path.getmtime(p) * 1000.0
+            try:
+                with open(p) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        action = json.loads(line)
+                        ict = (action.get("commitInfo") or {}).get(
+                            "inCommitTimestamp"
+                        )
+                        if ict is not None:
+                            ts = float(ict)
+                        # commitInfo must be first when ICT is enabled;
+                        # one parsed line either way is enough
+                        break
+            except (OSError, ValueError):
+                pass  # unreadable line: fall back to mtime
+            commits.append((int(n[:-5]), ts))
         eligible = [v for v, ts in commits if ts <= as_of_ms]
         if not eligible:
             raise DeltaProtocolError(

@@ -875,3 +875,28 @@ def test_delta_timestamp_time_travel(spark, tmp_path):
         r.version_at(t0 * 1000 - 1)
     with pytest.raises(ValueError, match="not both"):
         r.read(version=0, as_of_ms=t0 * 1000)
+
+
+def test_delta_time_travel_honors_in_commit_timestamp(spark, tmp_path):
+    """commitInfo.inCommitTimestamp (the clock-skew-proof writer
+    feature) overrides the log file's mtime when present."""
+    table = str(tmp_path / "t")
+    os.makedirs(table)
+    _write_data_file(spark, table, "f0.parquet", [(1, "a")])
+    _write_data_file(spark, table, "f1.parquet", [(2, "b")])
+    _commit(
+        table, 0,
+        [{"commitInfo": {"inCommitTimestamp": 5_000_000}},
+         _PROTO, _meta(), _add("f0.parquet")],
+    )
+    _commit(
+        table, 1,
+        [{"commitInfo": {"inCommitTimestamp": 9_000_000}},
+         _add("f1.parquet")],
+    )
+    # mtimes say "now" — ICT must win
+    r = DeltaTableReader(spark, table)
+    assert r.version_at(5_000_000) == 0
+    assert r.version_at(9_000_001) == 1
+    with pytest.raises(DeltaProtocolError, match="no commit"):
+        r.version_at(4_999_999)
