@@ -1177,6 +1177,7 @@ class IcebergKeyedTable:
         key_cols,
         max_commit_retries: int = 5,
         delete_mode: str = "position",
+        partition_by: tuple[str, ...] = (),
     ):
         if delete_mode not in ("position", "equality"):
             raise ValueError(
@@ -1196,7 +1197,21 @@ class IcebergKeyedTable:
         # equality mode is the only merge whose cost is independent of
         # table size.
         self.delete_mode = delete_mode
-        self.writer = IcebergTableWriter(spark, path)
+        # partitioned keyed tables work in BOTH delete modes: Iceberg
+        # data files keep their source columns (unlike Delta), so the
+        # position-mode probe scan and the equality-mode anti-join see
+        # partition columns like any other; only the upsert WRITE path
+        # needs the partition spec
+        self.writer = IcebergTableWriter(
+            spark, path, partition_by=partition_by
+        )
+        # delete files (position pairs / equality keys) are never
+        # partitioned data files — they write through a plain writer
+        self._delete_writer = (
+            self.writer
+            if not partition_by
+            else IcebergTableWriter(spark, path)
+        )
 
     def read(self, snapshot_id: int | None = None) -> DataFrame:
         return IcebergTableReader(self.spark, self.path).read(snapshot_id)
@@ -1243,7 +1258,7 @@ class IcebergKeyedTable:
                 reader = IcebergTableReader(self.spark, self.path)
                 schema = reader.schema()
                 # no probe scan: the delete file IS the key batch
-                eq_files = self.writer._write_data_files(
+                eq_files = self._delete_writer._write_data_files(
                     affected.coalesce(1)
                 )
                 has_upserts = upserts is not None and bool(upserts.head(1))
@@ -1297,7 +1312,9 @@ class IcebergKeyedTable:
                 pairs_df = self.spark.createDataFrame(
                     pairs, "file_path string, pos long"
                 ).coalesce(1)
-                delete_files = self.writer._write_data_files(pairs_df)
+                delete_files = self._delete_writer._write_data_files(
+                    pairs_df
+                )
 
             has_upserts = upserts is not None and bool(upserts.head(1))
             if not pairs and not has_upserts:

@@ -1167,3 +1167,58 @@ def test_iceberg_timestamp_time_travel(spark, ice_table):
         r.snapshot_id_at(-5)
     with pytest.raises(ValueError, match="not both"):
         r.read(snapshot_id=1, as_of_ms=0)
+
+
+def test_iceberg_keyed_merge_partitioned_equality(spark, tmp_path):
+    """Partitioned keyed table, equality mode: upserts land under the
+    partition layout (manifests carry partition tuples), the key-only
+    delete files stay unpartitioned, and merges never rewrite data."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "icepkt")
+    kt = IcebergKeyedTable(
+        spark, t, ["id"], delete_mode="equality", partition_by=("p",)
+    )
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}", "x" if i % 2 else "y") for i in range(6)],
+            "id long, v string, p string",
+        )
+    )
+    r = IcebergTableReader(spark, t)
+    assert any("p=x" in f for f in r.data_files())
+    files_before = set(r.data_files())
+
+    kt.upsert(
+        spark.createDataFrame([(1, "V1", "x"), (9, "new", "y")],
+                              "id long, v string, p string")
+    )
+    kt.delete(spark.createDataFrame([(0,)], "id long"))
+    r = IcebergTableReader(spark, t)
+    assert files_before <= set(r.data_files())  # nothing rewritten
+    got = {(x.id, x.v, x.p) for x in r.read().collect()}
+    assert (1, "V1", "x") in got and (9, "new", "y") in got
+    assert (1, "v1", "x") not in got and not any(i == 0 for i, _, _ in got)
+    assert len(got) == 6
+    # partition pruning still works through the merge history
+    px = {x.id for x in r.read(partition_filter={"p": "x"}).collect()}
+    assert px == {1, 3, 5}
+
+
+def test_iceberg_keyed_merge_partitioned_position(spark, tmp_path):
+    """Position mode works on partitioned layouts too (Iceberg files
+    keep source columns, so the probe scan sees them)."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "icepkt2")
+    kt = IcebergKeyedTable(spark, t, ["id"], partition_by=("p",))
+    kt.upsert(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y")], "id long, v string, p string"
+        )
+    )
+    kt.delete(spark.createDataFrame([(1,)], "id long"))
+    r = IcebergTableReader(spark, t)
+    _, pos_dels, _ = r._file_sets(None)
+    assert pos_dels
+    assert {(x.id, x.p) for x in r.read().collect()} == {(2, "y")}
