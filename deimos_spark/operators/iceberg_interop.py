@@ -1257,10 +1257,12 @@ class IcebergKeyedTable:
             if self.delete_mode == "equality":
                 reader = IcebergTableReader(self.spark, self.path)
                 schema = reader.schema()
-                # no probe scan: the delete file IS the key batch
-                eq_files = self._delete_writer._write_data_files(
-                    affected.coalesce(1)
-                )
+                # no probe scan: the delete files ARE the key batch —
+                # written with the batch's natural partitioning (the
+                # spec allows many equality-delete files per commit;
+                # coalesce(1) here would funnel a 100M-key delete batch
+                # through one task)
+                eq_files = self._delete_writer._write_data_files(affected)
                 has_upserts = upserts is not None and bool(upserts.head(1))
                 try:
                     self.writer._snapshot_commit(
