@@ -659,7 +659,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = d.select("source", F.md5("text").alias("ck")).distinct()
     a = s.alias("a")
     b = s.alias("b")
-    return (
+    shared = (
         a.join(b, "ck")
         .filter(F.col("a.source") < F.col("b.source"))
         .groupBy(
@@ -667,6 +667,31 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.source").alias("source_b"),
         )
         .agg(F.countDistinct("ck").cast("bigint").alias("shared_contents"))
+    )
+    # every source pair appears, zero-overlap pairs included — the
+    # audit's "clean" verdict is as much signal as its hits (and the
+    # source list is dimension-sized: the pair frame broadcasts)
+    srcs = d.select("source").distinct()
+    pairs = (
+        srcs.alias("sa")
+        .crossJoin(srcs.alias("sb"))
+        .filter(F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("source_a"),
+            F.col("sb.source").alias("source_b"),
+        )
+    )
+    return (
+        # both sides of the fill-in join are pair-cardinality (≤ n_src²)
+        # — broadcast keeps it a map-side hash join, no sort-merge
+        pairs.join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("shared_contents", F.lit(0)).cast("bigint").alias(
+                "shared_contents"
+            ),
+        )
         .orderBy("source_a", "source_b")
     )
 
@@ -1585,11 +1610,18 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "t24_source_overlap", q_source_overlap,
             "WITH s AS (SELECT DISTINCT source, md5(text) AS ck "
-            "FROM documents) "
-            "SELECT a.source AS source_a, b.source AS source_b, "
-            "CAST(count(DISTINCT a.ck) AS BIGINT) AS shared_contents "
+            "FROM documents), "
+            "shared AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(DISTINCT a.ck) AS BIGINT) AS sc "
             "FROM s a JOIN s b ON a.ck = b.ck AND a.source < b.source "
-            "GROUP BY 1, 2 ORDER BY 1, 2",
+            "GROUP BY 1, 2), "
+            "srcs AS (SELECT DISTINCT source FROM documents) "
+            "SELECT sa.source AS source_a, sb.source AS source_b, "
+            "CAST(COALESCE(shared.sc, 0) AS BIGINT) AS shared_contents "
+            "FROM srcs sa JOIN srcs sb ON sa.source < sb.source "
+            "LEFT JOIN shared ON shared.source_a = sa.source "
+            "AND shared.source_b = sb.source "
+            "ORDER BY 1, 2",
             note="cross-source verbatim-content contamination matrix",
         ),
         QuerySpec(

@@ -264,6 +264,8 @@ def test_source_overlap_counts_shared_contents(spark):
             (r.source_a, r.source_b): r.shared_contents
             for r in q_source_overlap(spark, td).collect()
         }
+    # every pair present — zero-overlap pairs included (the audit's
+    # "clean" verdict is signal too)
     assert got == {
         ("crawl_a", "crawl_b"): 3,   # shared 0/1/2
         ("crawl_a", "crawl_c"): 1,   # shared 0
