@@ -1154,6 +1154,89 @@ class IcebergTableWriter:
     def overwrite(self, df: DataFrame) -> None:
         self._snapshot_commit(df, overwrite=True)
 
+    def expire_snapshots(
+        self,
+        keep_last: int = 1,
+        retention_seconds: float = 3600.0,
+    ) -> list[str]:
+        """The Iceberg maintenance pair to Delta's vacuum: rewrite table
+        metadata retaining only the last `keep_last` snapshots, then
+        delete data/delete/manifest files no retained snapshot
+        references (returned as a path list). Time travel past the
+        retained window is gone — the documented trade-off.
+
+        Files younger than `retention_seconds` are kept even when
+        unreferenced: writers place files before committing, so an
+        expiry racing an in-flight append would otherwise delete files
+        its about-to-succeed commit references (same rationale as
+        Delta vacuum's window; pass 0.0 only when no concurrent writer
+        can exist)."""
+        import time as _time
+
+        mv, md = self._current()
+        if md is None:
+            return []
+        snaps = md.get("snapshots") or []
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        retained = snaps[-keep_last:]
+        if len(retained) == len(snaps):
+            kept_all = True
+        else:
+            kept_all = False
+            new_md = dict(md)
+            new_md["snapshots"] = retained
+            new_md["snapshot-log"] = [
+                e
+                for e in md.get("snapshot-log", [])
+                if e.get("snapshot-id")
+                in {s["snapshot-id"] for s in retained}
+            ]
+            self._commit(mv + 1, new_md)
+
+        # referenced-file closure of the RETAINED snapshots
+        reader = IcebergTableReader(self.spark, self.path)
+        keep: set[str] = set()
+        for s in retained:
+            ml = reader._local(s["manifest-list"])
+            keep.add(os.path.abspath(ml))
+            _, manifests = ocf_read(ml)
+            for mf in manifests:
+                mp = reader._local(mf["manifest_path"])
+                keep.add(os.path.abspath(mp))
+                _, entries = ocf_read(mp)
+                for e in entries:
+                    if e.get("status") == 2:
+                        continue
+                    keep.add(
+                        os.path.abspath(
+                            reader._local(e["data_file"]["file_path"])
+                        )
+                    )
+        deleted: list[str] = []
+        cutoff = _time.time() - retention_seconds
+        roots = [self.data_dir, self.meta_dir]
+        for root in roots:
+            for dirpath, _, names in os.walk(root):
+                for n in names:
+                    if not (
+                        n.endswith(".parquet") or n.endswith(".avro")
+                    ):
+                        continue
+                    ap = os.path.abspath(os.path.join(dirpath, n))
+                    if ap in keep:
+                        continue
+                    try:
+                        if os.path.getmtime(ap) > cutoff:
+                            continue  # young: possibly in-flight
+                        os.unlink(ap)
+                        deleted.append(ap)
+                    except OSError:
+                        pass
+        if kept_all and not deleted:
+            return []
+        return deleted
+
 
 class IcebergKeyedTable:
     """MERGE semantics over an Iceberg v2 table via POSITION DELETES —

@@ -1222,3 +1222,44 @@ def test_iceberg_keyed_merge_partitioned_position(spark, tmp_path):
     _, pos_dels, _ = r._file_sets(None)
     assert pos_dels
     assert {(x.id, x.p) for x in r.read().collect()} == {(2, "y")}
+
+
+def test_expire_snapshots_reclaims_unreferenced(spark, tmp_path):
+    """expire_snapshots(keep_last=1): old snapshots leave the metadata,
+    their exclusive data/manifest files are reclaimed, the current
+    snapshot stays fully readable, and YOUNG unreferenced files survive
+    the default retention window (in-flight-writer protection, like
+    Delta vacuum)."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    t = str(tmp_path / "iceexp")
+    w = IcebergTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    w.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    r = IcebergTableReader(spark, t)
+    assert len(r.metadata["snapshots"]) == 3
+    files_all = sum(
+        1 for dp, _, fs in os.walk(t) for f in fs
+        if f.endswith(".parquet") or f.endswith(".avro")
+    )
+
+    # default retention keeps everything (files are seconds old)
+    assert w.expire_snapshots(keep_last=1) == []
+    # metadata already rewrote to 1 snapshot though
+    assert len(IcebergTableReader(spark, t).metadata["snapshots"]) == 1
+
+    got = w.expire_snapshots(keep_last=1, retention_seconds=0.0)
+    assert got  # v1's overwritten data file + old manifests reclaimed
+    files_after = sum(
+        1 for dp, _, fs in os.walk(t) for f in fs
+        if f.endswith(".parquet") or f.endswith(".avro")
+    )
+    assert files_after < files_all
+    r2 = IcebergTableReader(spark, t)
+    assert {(x.id, x.v) for x in r2.read().collect()} == {(2, "b"), (3, "c")}
+    # further appends keep working on the expired table
+    w.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert {x.id for x in IcebergTableReader(spark, t).read().collect()} == {
+        2, 3, 4,
+    }
