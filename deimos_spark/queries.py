@@ -670,8 +670,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # every source pair appears, zero-overlap pairs included — the
     # audit's "clean" verdict is as much signal as its hits (and the
-    # source list is dimension-sized: the pair frame broadcasts)
-    srcs = d.select("source").distinct()
+    # source list is dimension-sized: the pair frame broadcasts).
+    # Derived from `s`, not the raw table: Spark reuses the distinct
+    # exchange instead of scanning documents a third time
+    srcs = s.select("source").distinct()
     pairs = (
         srcs.alias("sa")
         .crossJoin(srcs.alias("sb"))

@@ -61,13 +61,17 @@ R5_SET = {
 }
 
 
-def median3(fn) -> float:
+def median5(fn) -> float:
+    """Median of 5 (was 3 through round 6's first runs): per-query
+    medians still wobbled the 55-query TOTAL by ±0.5s run-to-run —
+    enough to flip a 1.97 into a 2.02 on identical code. Applied to
+    BOTH engines symmetrically."""
     runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         fn()
         runs.append(time.perf_counter() - t0)
-    return round(sorted(runs)[1], 3)
+    return round(sorted(runs)[2], 3)
 
 
 def main() -> None:
@@ -104,7 +108,7 @@ def main() -> None:
         def duck_run(spec=spec):
             con.execute(spec.oracle).fetchall()
 
-        s, d = median3(spark_run), median3(duck_run)
+        s, d = median5(spark_run), median5(duck_run)
         rows[name] = {
             "spark_sec": s,
             "duckdb_sec": d,
