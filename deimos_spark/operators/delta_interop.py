@@ -59,6 +59,24 @@ class DeltaProtocolError(Exception):
 _EMPTY_SENTINEL = "__DEIMOS_EMPTY_STRING__"
 
 
+def _pv_str(o) -> str | None:
+    """Render a Python value with the convention Spark used when it wrote
+    the table's partition dir names (which become the log's
+    partitionValues strings): booleans lowercase ('true'/'false', not
+    Python's 'True'), floats via repr (matches Java's shortest-roundtrip
+    for the common cases), dates/timestamps via Spark's
+    'yyyy-MM-dd[ HH:mm:ss]' which str() already yields for
+    datetime.date/datetime. Python str() alone renders bool as 'True',
+    which matches nothing in the log and silently prunes every file."""
+    if o is None:
+        return None
+    if isinstance(o, bool):
+        return "true" if o else "false"
+    if isinstance(o, float):
+        return repr(o)
+    return str(o)
+
+
 @dataclass
 class DeltaSnapshot:
     version: int
@@ -492,7 +510,7 @@ class DeltaTableReader:
                     raw = pvals.get(pv_key[c])
                     if not any(
                         (o is None and raw is None)
-                        or (o is not None and raw == str(o))
+                        or (o is not None and raw == _pv_str(o))
                         for o in opts
                     ):
                         return False
@@ -518,7 +536,12 @@ class DeltaTableReader:
             # scan does exactly that when the requested schema carries
             # `parquet.field.id` metadata and the fieldId read conf is
             # on — names in the files become irrelevant (that is the
-            # point of id mode: renames without rewrites).
+            # point of id mode: renames without rewrites). The conf is
+            # set in session.RUNTIME_CONFS; re-assert here for foreign
+            # sessions. It stays set (NOT restored): the scan is lazy and
+            # reads confs at execution time, and the conf is inert for
+            # any requested schema without parquet.field.id metadata, so
+            # it cannot change unrelated reads.
             self.spark.conf.set(
                 "spark.sql.parquet.fieldId.read.enabled", "true"
             )
@@ -1347,19 +1370,23 @@ class DeltaKeyedTable:
             probe_files = dict(snap.files)
             prune_cols = [c for c in pcols if c in self.key_cols]
             if prune_cols and probe_files:
+                # cast to string SPARK-side: Spark's string cast is the
+                # same rendering it used for the hive partition dir names
+                # that became the log's partitionValues ('true' not
+                # Python's 'True' for booleans, Java float formatting) —
+                # Python str() over typed row values silently mismatches
+                # and would prune every file, skipping deletes.
                 vals = (
-                    affected.select(*prune_cols).distinct().limit(1025).collect()
+                    affected.select(
+                        *[F.col(c).cast("string").alias(c) for c in prune_cols]
+                    )
+                    .distinct()
+                    .limit(1025)
+                    .collect()
                 )
                 if len(vals) <= 1024:
-                    # protocol partitionValues are raw strings; compare
-                    # with the same str() convention read()'s
-                    # partition_filter uses
                     want = {
-                        tuple(
-                            None if r[c] is None else str(r[c])
-                            for c in prune_cols
-                        )
-                        for r in vals
+                        tuple(r[c] for c in prune_cols) for r in vals
                     }
                     probe_files = {
                         p: pv

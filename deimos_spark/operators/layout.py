@@ -75,19 +75,30 @@ def zorder_key(
             f"zorder needs 1..{63 // bits} columns at {bits} bits"
         )
     bounds = df.agg(
+        F.count(F.lit(1)).alias("__n"),
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).head()
+    if bounds is None or bounds["__n"] == 0:
+        raise ValueError("zorder_key: empty DataFrame — nothing to cluster")
     n_buckets = 1 << bits
     z = F.lit(0).cast("long")
     for j, c in enumerate(cols):
+        if bounds[f"mn_{c}"] is None:
+            raise ValueError(
+                f"zorder_key: column {c!r} is all NULL — no value range "
+                "to bucket; drop it from the z-order columns"
+            )
         mn = float(bounds[f"mn_{c}"])
         mx = float(bounds[f"mx_{c}"])
         if mx <= mn:
             mx = mn + 1.0
+        # per-row NULLs land in bucket 0 (width_bucket yields NULL, which
+        # would otherwise null the whole interleaved key for the row)
         b = (
             F.width_bucket(
-                F.col(c).cast("double"), F.lit(mn), F.lit(mx),
+                F.coalesce(F.col(c).cast("double"), F.lit(mn)),
+                F.lit(mn), F.lit(mx),
                 F.lit(n_buckets),
             )
             - F.lit(1)

@@ -68,6 +68,10 @@ class HttpSchemaRegistry:
         self.max_retries = max_retries
         self.backoff = backoff
         self._schema_cache: dict[int, AvroSchema] = {}
+        # schemaType ("AVRO"/"PROTOBUF") per id, filled by the same
+        # responses that fill _schema_cache — schema_type_of answers from
+        # here instead of re-fetching /schemas/ids/{id} a second time
+        self._schema_type_cache: dict[int, str] = {}
 
     # ------------------------------------------------------------- trans
     def _request(self, method: str, path: str, payload: dict | None = None) -> dict | list:
@@ -196,6 +200,7 @@ class HttpSchemaRegistry:
         out = self._request("GET", f"/schemas/ids/{schema_id}")
         parsed = self._parse_response_schema(out)
         self._schema_cache[schema_id] = parsed
+        self._schema_type_cache[schema_id] = out.get("schemaType", "AVRO")
         return parsed
 
     def latest(self, subject: str):
@@ -203,11 +208,20 @@ class HttpSchemaRegistry:
         sid = int(out["id"])
         parsed = self._parse_response_schema(out)
         self._schema_cache[sid] = parsed
+        self._schema_type_cache[sid] = out.get("schemaType", "AVRO")
         return sid, parsed
 
     def schema_type_of(self, schema_id: int) -> str:
+        cached = self._schema_type_cache.get(schema_id)
+        if cached is not None:
+            return cached
         out = self._request("GET", f"/schemas/ids/{schema_id}")
-        return out.get("schemaType", "AVRO")
+        st = out.get("schemaType", "AVRO")
+        self._schema_type_cache[schema_id] = st
+        self._schema_cache.setdefault(
+            schema_id, self._parse_response_schema(out)
+        )
+        return st
 
     def versions(self, subject: str) -> list[int]:
         """Schema ids in version order (the in-memory registry's
@@ -220,6 +234,9 @@ class HttpSchemaRegistry:
             sid = int(out["id"])
             self._schema_cache.setdefault(
                 sid, self._parse_response_schema(out)
+            )
+            self._schema_type_cache.setdefault(
+                sid, out.get("schemaType", "AVRO")
             )
             ids.append(sid)
         return ids

@@ -36,6 +36,13 @@ RUNTIME_CONFS: dict[str, str] = {
     # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp —
     # read as long (ns since epoch) and convert explicitly where needed.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Delta column-mapping id mode matches parquet columns by field id
+    # instead of name. Set once here, not per-read: the conf only changes
+    # behavior when the REQUESTED schema carries parquet.field.id metadata
+    # (only our id-mode reads do), so it is inert for every other scan,
+    # and per-read set/restore can't work anyway — the scan is lazy and
+    # reads the conf at execution, not plan, time.
+    "spark.sql.parquet.fieldId.read.enabled": "true",
 }
 
 

@@ -860,3 +860,71 @@ def test_corrupt_commit_json_contained(spark, tmp_path):
         fh.write('{"add": {"path": "f.parq\n')  # truncated mid-object
     with pytest.raises(DeltaProtocolError, match="corrupt commit"):
         DeltaTableReader(spark, table).read()
+
+
+def test_keyed_merge_dv_boolean_partition_key_prune(spark, tmp_path):
+    """ADVICE r6 (medium): the merge's partition prune collected typed
+    row values and compared Python str() ('True') against the log's
+    partitionValues ('true'), so on boolean partition keys EVERY file
+    was pruned and deletes silently became no-ops. The prune now casts
+    to string Spark-side (Spark's own rendering == what it wrote in the
+    hive dir names)."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "ktb")
+    kt = DeltaKeyedTable(
+        spark, t, ["flag", "id"], use_dvs=True, partition_by=("flag",)
+    )
+    rows = [(f, i, f"v{f}-{i}") for f in (True, False) for i in range(4)]
+    kt.upsert(
+        spark.createDataFrame(rows, "flag boolean, id long, v string")
+    )
+    snap0 = DeltaTableReader(spark, t).snapshot()
+    assert {pv["flag"] for pv in snap0.files.values()} == {"true", "false"}
+
+    # the regression: delete two keys in the flag=true partition —
+    # under the old str() convention no file matched and both rows
+    # survived
+    kt.delete(
+        spark.createDataFrame([(True, 1), (True, 3)], "flag boolean, id long")
+    )
+    got = {(x.flag, x.id) for x in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(f, i) for f, i, _ in rows} - {(True, 1), (True, 3)}
+
+    # upsert replacing one key must not duplicate it either
+    kt.upsert(
+        spark.createDataFrame(
+            [(False, 2, "NEW")], "flag boolean, id long, v string"
+        )
+    )
+    vals = {
+        (x.flag, x.id): x.v
+        for x in DeltaTableReader(spark, t).read().collect()
+    }
+    assert vals[(False, 2)] == "NEW"
+    assert len(vals) == 6
+
+
+def test_delta_partition_filter_accepts_python_bool(spark, tmp_path):
+    """read(partition_filter={'flag': True}) must match the log's
+    'true' string (same normalization as the merge prune)."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "pfb")
+    w = DeltaTableWriter(spark, t, partition_by=("flag",))
+    w.append(
+        spark.createDataFrame(
+            [(True, 1), (True, 2), (False, 3)], "flag boolean, id long"
+        )
+    )
+    r = DeltaTableReader(spark, t)
+    got = {x.id for x in r.read(partition_filter={"flag": True}).collect()}
+    assert got == {1, 2}
+    got = {x.id for x in r.read(partition_filter={"flag": False}).collect()}
+    assert got == {3}

@@ -242,3 +242,35 @@ def test_lsh_clustered_layout_prunes_files(spark, tmp_path):
         1 for dp, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
     )
     assert num_files_read is not None and num_files_read < total_files
+
+
+def test_zorder_key_null_handling(spark):
+    """ADVICE r6: empty input and all-NULL columns raise typed errors
+    instead of a bare TypeError; per-row NULLs bucket to the min bucket
+    instead of nulling the whole Morton key."""
+    import pytest
+
+    from deimos_spark.operators.layout import zorder_key
+
+    empty = spark.range(0).select(
+        F.col("id").alias("a"), F.col("id").alias("b")
+    )
+    with pytest.raises(ValueError, match="empty"):
+        zorder_key(empty, ["a", "b"])
+
+    allnull = spark.range(5).select(
+        F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+    )
+    with pytest.raises(ValueError, match="all NULL"):
+        zorder_key(allnull, ["a", "b"])
+
+    somenull = spark.range(10).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 2 == 0, F.col("id")).alias("b"),
+    )
+    keyed, key = zorder_key(somenull, ["a", "b"], bits=4)
+    rows = keyed.collect()
+    assert all(r[key] is not None for r in rows)
+    # null-b rows get bucket 0 on b: their key must differ only via a
+    null_keys = {r[key] for r in rows if r["b"] is None}
+    assert len(null_keys) == sum(1 for r in rows if r["b"] is None)
