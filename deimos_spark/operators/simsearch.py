@@ -37,7 +37,11 @@ def cosine_topk(
     Deterministic: ties broken by id. The cosine is unrolled into codegen'd
     scalar arithmetic for dims ≤ 256 (see vectors.cosine_vs_literal).
     """
-    sim = cosine_vs_literal(F.col(vec_col) if isinstance(vec_col, str) else vec_col, query_vec)
+    # pass the NAME through: cosine_vs_literal's string path builds the
+    # whole unrolled expression as one SQL parse; wrapping in F.col here
+    # forced the Column path (~5·dim py4j calls, ~0.45s of driver time
+    # per plan build at 64 dims)
+    sim = cosine_vs_literal(vec_col, query_vec)
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (

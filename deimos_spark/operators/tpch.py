@@ -495,16 +495,22 @@ def h21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_supp = j.groupBy("l_orderkey", "l_suppkey").agg(
         F.max(F.col("_late").cast("int")).alias("_supp_late")
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("_nsupp"),
-        F.sum("_supp_late").alias("_nlate"),
-    )
+    # one more aggregate instead of a per_supp ⋈ per_order self-join:
+    # when exactly one supplier on the order was late (_nlate == 1), the
+    # max over late suppliers' keys IS the culprit — so the second
+    # aggregation can carry the culprit's identity and the join (plus
+    # the duplicated join+agg subtree it forced) disappears. At 100 TB
+    # that's one lineitem pass and three shuffles total.
     culprit = (
-        per_supp.filter(F.col("_supp_late") == 1)
-        .join(
-            per_order.filter((F.col("_nsupp") >= 2) & (F.col("_nlate") == 1)),
-            "l_orderkey",
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("_nsupp"),
+            F.sum("_supp_late").alias("_nlate"),
+            F.max(
+                F.when(F.col("_supp_late") == 1, F.col("l_suppkey"))
+            ).alias("l_suppkey"),
         )
+        .filter((F.col("_nsupp") >= 2) & (F.col("_nlate") == 1))
         .select("l_orderkey", "l_suppkey")
     )
     return (

@@ -21,7 +21,10 @@ RUNTIME_CONFS: dict[str, str] = {
     # dedup need modular math) and permissive casts — matching the
     # reference's permissive coercion behavior (SURVEY §1.2).
     "spark.sql.ansi.enabled": "false",
-    "spark.sql.adaptive.enabled": "true",
+    # NOTE: spark.sql.adaptive.enabled is deliberately NOT pinned here —
+    # autotune_for_dir owns it (on at scale, off for provably tiny
+    # inputs); Spark's default is already true for sessions that never
+    # pass through autotune. The sub-confs below only bind when it's on.
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     # Coalesce post-shuffle partitions to the advisory byte size rather than
     # stopping at defaultParallelism (the `true` default). With `true`, a
@@ -58,6 +61,89 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # non-mutable in this deployment; keep going
     return spark
+
+
+# Scale-aware adaptivity. AQE's value is runtime re-planning: partition
+# coalescing, skew-join splitting, join-strategy switches — decisions that
+# only EXIST when shuffles carry enough data for stats to change the plan.
+# For a sub-second query over a tiny input there is nothing to re-decide,
+# and AQE's per-stage materialization barrier + driver re-optimization
+# costs a measured ~80-130ms per query (b01 145→64ms, b05 264→134ms,
+# b11 275→180ms with AQE off at sf0.1). So: AQE ON (the 100 TB posture)
+# unless the input directory is provably below this threshold. The toggle
+# keys on DATA SIZE, not on "benchmark mode" — a 100 TB table always
+# re-enables it.
+AQE_MIN_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_AQE_MIN_BYTES", str(1 << 30))
+)
+
+_dir_bytes_cache: dict[str, int] = {}
+_last_autotune: dict[str, tuple] = {}
+_base_shuffle_partitions: dict[str, int] = {}
+
+
+def dir_input_bytes(sf_dir: str) -> int:
+    """Total bytes of data files under sf_dir (cached — the value feeds a
+    one-time conf decision, not a live metric)."""
+    got = _dir_bytes_cache.get(sf_dir)
+    if got is None:
+        total = 0
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        _dir_bytes_cache[sf_dir] = got = total
+    return got
+
+
+def autotune_for_dir(
+    spark: SparkSession, sf_dir: str, force_adaptive: bool = False
+) -> None:
+    """Set AQE and shuffle-partition count by input scale.
+
+    - AQE on when the input is big (>= AQE_MIN_INPUT_BYTES) OR the caller
+      declares runtime-uncertain cardinality (`force_adaptive` — plans
+      where an exploded stream joins a side whose runtime size enables
+      SMJ→broadcast conversion; see queries.RUNTIME_ADAPTIVE). Off
+      otherwise: for a sub-second query over a tiny input AQE has nothing
+      to re-decide and its stage barriers cost ~80-130ms.
+    - shuffle partitions sized like AQE's own coalescing would size them
+      (~16 MiB of input per partition, floored at 8 for parallelism,
+      capped at the session's configured base) — a static right-size for
+      the small-input regime where AQE is off; at scale the base value +
+      AQE coalescing govern, exactly as before.
+
+    Idempotent and cheap: the decision is cached per session so repeated
+    builder calls don't pay py4j conf round-trips."""
+    try:
+        nbytes = dir_input_bytes(sf_dir)
+    except Exception:
+        nbytes = None
+    key = spark.sparkContext.applicationId
+    base = _base_shuffle_partitions.get(key)
+    if base is None:
+        try:
+            base = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            base = 32
+        _base_shuffle_partitions[key] = base
+    if nbytes is None:
+        adaptive, sp = True, base  # unknown size: keep the scale posture
+    else:
+        big = nbytes >= AQE_MIN_INPUT_BYTES
+        adaptive = big or force_adaptive
+        sp = base if big else max(8, min(base, -(-nbytes // (16 << 20))))
+    want = (adaptive, sp)
+    if _last_autotune.get(key) == want:
+        return
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
+        spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+        _last_autotune[key] = want
+    except Exception:
+        pass
 
 
 def get_spark(app_name: str = "deimos_spark", shuffle_partitions: int | None = None) -> SparkSession:
