@@ -119,6 +119,11 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    # machine-contention fingerprint: a benchmark taken at load>ncpus/4
+    # is not comparable run-to-run (r6 lesson — both engines inflated
+    # 30-50% in one window); the artifact carries the evidence either way
+    load_before = os.getloadavg()
+
     spark = get_spark("deimos_spark_bench")
     spark.range(1).collect()  # warm the JVM / executor threads
 
@@ -160,6 +165,8 @@ def main() -> None:
                 # DataFrames, so totals are not comparable across that
                 # boundary
                 "regime": "resubmit",
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

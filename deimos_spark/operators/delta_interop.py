@@ -113,6 +113,10 @@ class DeltaTableReader:
         # _last_checkpoint and probing exact commit names.
         self.last_snapshot_commit_reads = 0
         self.last_snapshot_listed_log = False
+        # add-action rows the last snapshot() materialized on the driver
+        # from checkpoint/sidecar scans — with a partition_filter this is
+        # the PRUNED count (the scale assertion tests pin this)
+        self.last_checkpoint_rows_collected = 0
 
     # ------------------------------------------------------------- actions
 
@@ -227,8 +231,72 @@ class DeltaTableReader:
             out.setdefault(v, ("v2", [p]))
         return out
 
+    def _physical_prune(
+        self, snap: DeltaSnapshot, prune: dict | None
+    ) -> dict | None:
+        """Translate a normalized {logical_col: [raw str|None]} prune spec
+        to PHYSICAL partitionValues keys using the snapshot's schema (in
+        mapping modes partitionValues key on physicalName). Returns None
+        when pruning can't be applied safely (no schema yet, or a column
+        not in the schema — caller post-filters instead)."""
+        if not prune or snap.schema is None:
+            return None
+        mapping = snap.column_mapping in ("name", "id")
+        out = {}
+        for c, vals in prune.items():
+            fld = next(
+                (f for f in snap.schema.fields if f.name == c), None
+            )
+            if fld is None:
+                return None
+            pk = (
+                (fld.metadata or {}).get(
+                    "delta.columnMapping.physicalName", c
+                )
+                if mapping
+                else c
+            )
+            out[pk] = vals
+        return out
+
+    def _collect_add_rows(self, df, cols, snap, prune):
+        """Collect add actions from a checkpoint/sidecar scan with the
+        100-TB driver-memory shape: the partition-prune predicate and the
+        column pruning (drop the per-file `stats` JSON, the dominant
+        payload) are pushed into the DISTRIBUTED scan, so the driver
+        materializes only the surviving files' control fields — not the
+        whole checkpoint. Returns the number of rows collected."""
+        if "add" not in cols:
+            return 0
+        sel = df.filter(F.col("add").isNotNull())
+        pp = self._physical_prune(snap, prune)
+        add_type = df.schema["add"].dataType
+        if pp and (
+            not isinstance(add_type, T.StructType)
+            or "partitionValues" not in add_type.names
+        ):
+            pp = None  # no partitionValues in this layout: post-filter
+        if pp:
+            for pk, vals in pp.items():
+                item = F.col("add.partitionValues").getItem(pk)
+                opts = [v for v in vals if v is not None]
+                cond = item.isin(opts) if opts else F.lit(False)
+                if any(v is None for v in vals):
+                    cond = cond | item.isNull()
+                sel = sel.filter(cond)
+        add_col = F.col("add")
+        for heavy in ("stats", "stats_parsed", "parsedStats"):
+            add_col = add_col.dropFields(heavy)
+        rows = sel.select(add_col.alias("add")).collect()
+        for row in rows:
+            self._apply_action(
+                {"add": row.asDict(recursive=True)["add"]}, snap
+            )
+        self.last_checkpoint_rows_collected += len(rows)
+        return len(rows)
+
     def _load_checkpoint(
-        self, version: int, paths: list[str]
+        self, version: int, paths: list[str], prune: dict | None = None
     ) -> DeltaSnapshot | None:
         if not all(os.path.exists(p) for p in paths):
             return None
@@ -236,20 +304,39 @@ class DeltaTableReader:
         try:
             df = self.spark.read.parquet(*paths)
             cols = set(df.columns)
-            rows = df.collect()
+            # phase 1: the handful of non-file actions (protocol/metaData)
+            # — a column-pruned scan collecting O(1) rows; the metaData
+            # row is needed BEFORE the add scan so mapping-mode prune
+            # columns can be translated to physical names
+            meta_cols = [c for c in ("protocol", "metaData") if c in cols]
+            if meta_cols:
+                mrows = (
+                    df.select(*meta_cols)
+                    .filter(
+                        " OR ".join(f"{c} IS NOT NULL" for c in meta_cols)
+                    )
+                    .collect()
+                )
+            else:
+                mrows = []
         except Exception:
             return None  # unreadable/corrupt checkpoint → caller falls back
-        for row in rows:
+        for row in mrows:
             d = row.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "add"):
-                if kind in cols and d.get(kind) is not None:
+            for kind in ("protocol", "metaData"):
+                if d.get(kind) is not None:
                     self._apply_action({kind: d[kind]}, snap)
-            # remove actions in a checkpoint are tombstones for vacuum
-            # bookkeeping only — the add set is already net of them
+        try:
+            # phase 2: file actions, prune + stats-drop pushed to the scan
+            self._collect_add_rows(df, cols, snap, prune)
+        except Exception:
+            return None
+        # remove actions in a checkpoint are tombstones for vacuum
+        # bookkeeping only — the add set is already net of them
         return snap
 
     def _load_checkpoint_v2(
-        self, version: int, manifest_path: str
+        self, version: int, manifest_path: str, prune: dict | None = None
     ) -> DeltaSnapshot | None:
         """V2 checkpoint (PROTOCOL.md "V2 Checkpoints"): a manifest file
         `{v}.checkpoint.{uuid}.{json|parquet}` holding non-file actions
@@ -317,16 +404,19 @@ class DeltaTableReader:
             try:
                 df = self.spark.read.parquet(sp)
                 cols = set(df.columns)
-                rows = df.collect()
             except Exception as e:
                 raise DeltaProtocolError(
                     f"sidecar {os.path.basename(sp)} unreadable: {e!r}"
                 ) from None
-            for row in rows:
-                d = row.asDict(recursive=True)
-                if "add" in cols and d.get("add") is not None:
-                    self._apply_action({"add": d["add"]}, snap)
-                # removes in sidecars are vacuum tombstones, like v1
+            try:
+                # same driver-memory shape as classic checkpoints: prune
+                # + stats-drop pushed into the distributed sidecar scan
+                self._collect_add_rows(df, cols, snap, prune)
+            except Exception as e:
+                raise DeltaProtocolError(
+                    f"sidecar {os.path.basename(sp)} unreadable: {e!r}"
+                ) from None
+            # removes in sidecars are vacuum tombstones, like v1
         return snap
 
     def _load_last_checkpoint(self) -> dict | None:
@@ -339,15 +429,42 @@ class DeltaTableReader:
 
     # ------------------------------------------------------------ snapshot
 
-    def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+    def snapshot(
+        self,
+        version: int | None = None,
+        partition_filter: dict[str, object] | None = None,
+    ) -> DeltaSnapshot:
         """Live file set at `version` (default latest). Fast path follows
         `_last_checkpoint` (honoring its `parts` field for multi-part
         checkpoints) and probes JSON commits forward by exact name —
         Delta logs are gapless by the commit protocol — so a fresh
         pointer means no directory LIST at all. Slow path (no/stale/
-        corrupt pointer, or time travel before it) lists the dir."""
+        corrupt pointer, or time travel before it) lists the dir.
+
+        `partition_filter` (same contract as read()'s) makes this a
+        PRUNED, read-only snapshot: the predicate is pushed into the
+        distributed checkpoint/sidecar scans so the driver materializes
+        only the surviving files — the 100-TB shape, where the full add
+        set (millions of files, dominated by per-file stats JSON) must
+        never land on the driver. The JSON commit tail (bounded by
+        checkpoint interval) is post-filtered driver-side. Pruned
+        snapshots must not seed writes/merges."""
         self.last_snapshot_commit_reads = 0
         self.last_snapshot_listed_log = False
+        self.last_checkpoint_rows_collected = 0
+        prune = None
+        if partition_filter:
+            prune = {
+                c: [
+                    None if o is None else _pv_str(o)
+                    for o in (
+                        want
+                        if isinstance(want, (list, tuple, set))
+                        else [want]
+                    )
+                ]
+                for c, want in partition_filter.items()
+            }
 
         lc = self._load_last_checkpoint()
         if (
@@ -369,7 +486,7 @@ class DeltaTableReader:
                 paths = [
                     os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
                 ]
-            snap = self._load_checkpoint(cv, paths)
+            snap = self._load_checkpoint(cv, paths, prune)
             if snap is not None:
                 v = snap.version + 1
                 while version is None or v <= version:
@@ -380,7 +497,7 @@ class DeltaTableReader:
                     raise DeltaProtocolError(
                         f"version {version} not present (latest {snap.version})"
                     )
-                return snap
+                return self._post_prune(snap, prune)
 
         self.last_snapshot_listed_log = True
         names = os.listdir(self.log_dir)
@@ -397,9 +514,9 @@ class DeltaTableReader:
                 continue
             kind, paths = ckpt_sets[cv]
             loaded = (
-                self._load_checkpoint_v2(cv, paths[0])
+                self._load_checkpoint_v2(cv, paths[0], prune)
                 if kind == "v2"
-                else self._load_checkpoint(cv, paths)
+                else self._load_checkpoint(cv, paths, prune)
             )
             if loaded is not None:
                 snap = loaded
@@ -414,7 +531,64 @@ class DeltaTableReader:
             raise DeltaProtocolError(
                 f"version {version} not present (latest {snap.version})"
             )
-        return snap
+        return self._post_prune(snap, prune)
+
+    def _post_prune(
+        self, snap: DeltaSnapshot, prune: dict | None
+    ) -> DeltaSnapshot:
+        """Driver-side filter for files the pushed-down checkpoint prune
+        couldn't cover: adds from the JSON commit tail (bounded by the
+        checkpoint interval) and layouts without partitionValues. Values
+        in `prune` are already normalized raw strings (or None)."""
+        if not prune:
+            return snap
+        if snap.schema is not None:
+            unknown = set(prune) - set(snap.partition_columns)
+            if unknown:
+                raise DeltaProtocolError(
+                    f"partition_filter names non-partition columns "
+                    f"{sorted(unknown)}"
+                )
+        mapping = snap.column_mapping in ("name", "id")
+
+        def _phys_key(c: str) -> str:
+            if not mapping or snap.schema is None:
+                return c
+            fld = next(
+                (f for f in snap.schema.fields if f.name == c), None
+            )
+            if fld is None:
+                return c
+            return (fld.metadata or {}).get(
+                "delta.columnMapping.physicalName", c
+            )
+
+        pk = {c: _phys_key(c) for c in prune}
+
+        def _keep(pvals: dict) -> bool:
+            for c, vals in prune.items():
+                raw = pvals.get(pk[c])
+                if not any(
+                    (v is None and raw is None)
+                    or (v is not None and raw == v)
+                    for v in vals
+                ):
+                    return False
+            return True
+
+        kept = {p: pv for p, pv in snap.files.items() if _keep(pv)}
+        if len(kept) == len(snap.files):
+            return snap
+        return DeltaSnapshot(
+            snap.version,
+            kept,
+            snap.schema,
+            snap.partition_columns,
+            snap.column_mapping,
+            snap.protocol_raw,
+            snap.meta_raw,
+            {p: a for p, a in snap.adds_raw.items() if p in kept},
+        )
 
     def version_at(self, as_of_ms: int) -> int:
         """Timestamp time travel: the latest version whose commit
@@ -480,7 +654,10 @@ class DeltaTableReader:
         one partition and listing-and-opening all of them; Spark's own
         partition pruning can't help because Delta carries partition
         values in the log, not the directory layout."""
-        snap = self.snapshot(version)
+        # pruning happens INSIDE snapshot(): pushed into the distributed
+        # checkpoint scan, post-filtered for the JSON tail — the driver
+        # only ever holds the pruned file set (see snapshot() docstring)
+        snap = self.snapshot(version, partition_filter)
         if snap.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
         mapping = snap.column_mapping in ("name", "id")
@@ -490,43 +667,13 @@ class DeltaTableReader:
                 "delta.columnMapping.physicalName", f.name
             )
 
-        # in mapping mode, partitionValues (and partition dir names) key
-        # on PHYSICAL names while metaData.partitionColumns stays logical
-        # (PROTOCOL.md "Column Mapping") — translate lookups
+        # in mapping mode, partitionValues key on PHYSICAL names while
+        # metaData.partitionColumns stays logical (PROTOCOL.md "Column
+        # Mapping") — translate lookups
         pv_key = {
             f.name: (_phys(f) if mapping else f.name)
             for f in snap.schema.fields
         }
-        if partition_filter:
-            unknown = set(partition_filter) - set(snap.partition_columns)
-            if unknown:
-                raise DeltaProtocolError(
-                    f"partition_filter names non-partition columns {sorted(unknown)}"
-                )
-
-            def _keep(pvals: dict) -> bool:
-                for c, want in partition_filter.items():
-                    opts = want if isinstance(want, (list, tuple, set)) else [want]
-                    raw = pvals.get(pv_key[c])
-                    if not any(
-                        (o is None and raw is None)
-                        or (o is not None and raw == _pv_str(o))
-                        for o in opts
-                    ):
-                        return False
-                return True
-
-            kept = {p: pv for p, pv in snap.files.items() if _keep(pv)}
-            snap = DeltaSnapshot(
-                snap.version,
-                kept,
-                snap.schema,
-                snap.partition_columns,
-                snap.column_mapping,
-                snap.protocol_raw,
-                snap.meta_raw,
-                {p: a for p, a in snap.adds_raw.items() if p in kept},
-            )
         data_fields = [
             f for f in snap.schema.fields if f.name not in snap.partition_columns
         ]

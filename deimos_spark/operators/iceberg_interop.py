@@ -188,7 +188,9 @@ class IcebergTableReader:
         return max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
 
     def _file_sets(
-        self, snapshot_id: int | None = None
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict | None = None,
     ) -> tuple[
         list[tuple[str, str, int, dict, int]],
         list[str],
@@ -238,6 +240,21 @@ class IcebergTableReader:
                 if seq is None:
                     seq = mf_seq if mf_seq is not None else 0
                 content = df.get("content", 0) or 0
+                # prune DATA entries at walk time so the driver only
+                # retains the surviving files, not the whole table's
+                # entry list (delete files are never pruned: a matching
+                # delete can target surviving data regardless of its own
+                # partition tuple)
+                if (
+                    partition_filter
+                    and content == 0
+                    and not self._partition_keep(
+                        dict(df.get("partition") or {}),
+                        partition_filter,
+                        mf_spec,
+                    )
+                ):
+                    continue
                 fmt = str(df.get("file_format", "PARQUET")).upper()
                 if content == 0:
                     if fmt != "PARQUET":
@@ -283,13 +300,7 @@ class IcebergTableReader:
         snapshot_id: int | None = None,
         partition_filter: dict[str, object] | None = None,
     ) -> list[str]:
-        data = self._file_sets(snapshot_id)[0]
-        if partition_filter:
-            data = [
-                t
-                for t in data
-                if self._partition_keep(t[3], partition_filter, t[4])
-            ]
+        data = self._file_sets(snapshot_id, partition_filter)[0]
         return [p for _, p, _, _, _ in data]
 
     # ---------------------------------------------------------------- read
@@ -433,13 +444,9 @@ class IcebergTableReader:
                 raise ValueError("pass snapshot_id OR as_of_ms, not both")
             snapshot_id = self.snapshot_id_at(as_of_ms)
         schema = self.schema()
-        data, pos_deletes, eq_deletes = self._file_sets(snapshot_id)
-        if partition_filter:
-            data = [
-                t
-                for t in data
-                if self._partition_keep(t[3], partition_filter, t[4])
-            ]
+        data, pos_deletes, eq_deletes = self._file_sets(
+            snapshot_id, partition_filter
+        )
         if not data:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(

@@ -79,6 +79,7 @@ def main() -> None:
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     specs = all_queries()
+    load_before = os.getloadavg()  # contention fingerprint (r6 lesson)
 
     spark = get_spark("head2head")
     spark.range(1).collect()
@@ -138,6 +139,8 @@ def main() -> None:
                     "ratio": round(s5 / d5, 3) if d5 else None,
                 },
                 "regime": "resubmit-both",
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "queries": rows,
             },
             indent=1,
