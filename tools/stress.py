@@ -183,6 +183,130 @@ def _relay_bench(spark, scratch: str, n: int = 100_000) -> dict:
     return out
 
 
+def _consume_merge_bench(spark, scratch: str, k: int) -> dict:
+    """Streaming-path stress (VERDICT r6 #5): BatchConsumer →
+    DeltaKeyedTable MERGE throughput at a K-scaled batch size, both DV
+    modes. The kafka-shaped batch (JSON-encoded via the real produce
+    pipeline) is materialized to parquet OUTSIDE the timed region, so the
+    timing covers decode → compact → MERGE — the consume path itself.
+    n rows span n/2 keys (per-key compaction halves the batch) and the
+    table is pre-seeded with half the keys, so the merge exercises
+    update + insert together; a 10%-key delete is timed separately (the
+    DV fold vs survivor-rewrite distinction)."""
+    from deimos_spark.operators.delta_interop import DeltaKeyedTable
+    from deimos_spark.schemas.avro import parse_avsc
+    from deimos_spark.streaming.consumer import BatchConsumer, ConsumerConfig
+    from deimos_spark.streaming.producer import Producer, TopicConfig
+
+    n = 30_000 * k
+    nkeys = max(n // 2, 1)
+    schema = parse_avsc(
+        {
+            "type": "record",
+            "name": "StressMsg",
+            "fields": [
+                {"name": "test_id", "type": "string"},
+                {"name": "v", "type": "int"},
+                {"name": "payload", "type": "string"},
+            ],
+        }
+    )
+    prod = Producer(
+        TopicConfig(topic="stress", schema=schema, key_field="test_id")
+    )
+    rows_df = spark.range(n).select(
+        F.concat(F.lit("k"), (F.col("id") % nkeys).cast("string")).alias(
+            "test_id"
+        ),
+        F.col("id").cast("int").alias("v"),
+        F.repeat(F.lit("x"), 200).alias("payload"),
+    )
+    raw_dir = os.path.join(scratch, f"raw_{k}")
+    (
+        prod.build_messages(rows_df)
+        .withColumn("partition", F.lit(0))
+        .withColumn("offset", F.monotonically_increasing_id())
+        .select("key", "value", "partition", "offset")
+        .write.mode("overwrite")
+        .parquet(raw_dir)
+    )
+    raw = spark.read.parquet(raw_dir)
+    seed = spark.range(nkeys // 2).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("test_id"),
+        F.lit(-1).alias("v"),
+        F.lit("seed").alias("payload"),
+    )
+    del_keys = spark.range(max(nkeys // 10, 1)).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("test_id")
+    )
+    out = {}
+    for dv in (False, True):
+        tdir = os.path.join(scratch, f"tbl_{'dv' if dv else 'rw'}_{k}")
+        shutil.rmtree(tdir, ignore_errors=True)
+        table = DeltaKeyedTable(spark, tdir, ["test_id"], use_dvs=dv)
+        table.upsert(seed)
+        consumer = BatchConsumer(
+            ConsumerConfig(schema=schema, key_cols=["test_id"]), table
+        )
+        t0 = time.perf_counter()
+        consumer.consume_batch(raw)
+        merge_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        table.delete(del_keys)
+        delete_sec = time.perf_counter() - t0
+        out["dv" if dv else "rewrite"] = {
+            "rows": n,
+            "merge_sec": round(merge_sec, 2),
+            "rows_per_sec": int(n / merge_sec) if merge_sec else 0,
+            "delete_sec": round(delete_sec, 2),
+        }
+        shutil.rmtree(tdir, ignore_errors=True)
+    shutil.rmtree(raw_dir, ignore_errors=True)
+    return out
+
+
+def _relay_curve_bench(spark, scratch: str, k: int) -> dict:
+    """Executor-mode relay throughput at a K-scaled outbox (the per-K
+    twin of _relay_bench's fixed 100k two-mode comparison)."""
+    from deimos_spark.sources.outbox import OutboxRelay, OutboxTable
+
+    n = 10_000 * k
+    payload = "x" * 4096
+    path = f"{scratch}/outbox_k{k}"
+    ob = OutboxTable(spark, path)
+    ob.append(
+        spark.range(n).select(
+            F.encode((F.col("id") % 1024).cast("string"), "utf-8").alias(
+                "key"
+            ),
+            F.encode(
+                F.concat_ws(
+                    "-", F.col("id").cast("string"), F.lit(payload)
+                ),
+                "utf-8",
+            ).alias("value"),
+            F.lit("bench_topic").alias("topic"),
+        )
+    )
+    batch = ob.read().orderBy("id").limit(n)
+    relay = OutboxRelay(
+        ob, _null_produce, batch_size=n, mode="executor",
+        executor_parallelism=16,
+    )
+    runs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sent = relay._produce_executor("bench_topic", batch)
+        runs.append(time.perf_counter() - t0)
+    dt = sorted(runs)[1]
+    shutil.rmtree(path, ignore_errors=True)
+    return {
+        "rows": sent,
+        "sec": round(dt, 2),
+        "rows_per_sec": int(sent / dt) if dt else 0,
+    }
+
+
 def _interop_bench(spark, kdir: str) -> dict:
     """Read-path cost of the lakehouse interop layers at this K: the
     scaled documents table re-landed as (a) a 25-commit Delta table with
@@ -592,6 +716,8 @@ def main() -> None:
     }
     graph_curve: dict[int, dict] = {}
     interop_detail: dict = {}
+    consume_curve: dict[int, dict] = {}
+    relay_curve: dict[int, dict] = {}
     rows = {}
     for k in sorted(ks):
         # distinct dir per K: Spark caches file listings by path, and
@@ -607,6 +733,8 @@ def main() -> None:
             interop[fmt][k] = io[fmt]["sec"]
         interop_detail[k] = io
         graph_curve[k] = _graph_bench(spark, k)
+        consume_curve[k] = _consume_merge_bench(spark, scratch + "_stream", k)
+        relay_curve[k] = _relay_curve_bench(spark, scratch + "_stream", k)
         shutil.rmtree(kdir, ignore_errors=True)
         _between_rounds(spark)
 
@@ -653,6 +781,34 @@ def main() -> None:
                     ),
                 },
                 "outbox_relay_100k": relay,
+                # streaming-path curves (VERDICT r6 #5): consume->MERGE
+                # in both DV modes and the executor relay, K-scaled rows
+                # -> exponent ~1.0 = the path amortizes linearly
+                "consume_merge": {
+                    "curve": {str(k): consume_curve[k] for k in sks},
+                    "exponent": {
+                        mode: round(
+                            _fit_exponent(
+                                sks,
+                                [
+                                    consume_curve[k][mode]["merge_sec"]
+                                    for k in sks
+                                ],
+                            ),
+                            3,
+                        )
+                        for mode in ("rewrite", "dv")
+                    },
+                },
+                "relay_executor": {
+                    "curve": {str(k): relay_curve[k] for k in sks},
+                    "exponent": round(
+                        _fit_exponent(
+                            sks, [relay_curve[k]["sec"] for k in sks]
+                        ),
+                        3,
+                    ),
+                },
                 "total_sec_at_max_k": round(
                     sum(curve[n][sks[-1]] for n in QUERIES), 2
                 ),
