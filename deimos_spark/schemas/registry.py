@@ -223,28 +223,56 @@ def _proto_compat_errors(old, new) -> list[str]:
     """Minimal structural proto compatibility (Confluent's core rules for
     both directions, proto3 being number-addressed): a field NUMBER that
     exists in both versions must keep its type shape (scalar kind /
-    message-ness / repeated / map) — adding or removing numbered fields
-    is always wire-compatible in proto3 (unknown fields skip, missing
-    fields default). Renames are legal (numbers, not names, address the
-    wire). Confluent adds reserved-range bookkeeping; out of scope."""
+    message-ness / repeated / map) — recursively through NESTED message
+    fields, since a nested type change corrupts the wire just as surely.
+    Adding or removing numbered fields is always wire-compatible in
+    proto3 (unknown fields skip, missing fields default). Renames are
+    legal (numbers, not names, address the wire). Number REUSE with a
+    different type is caught transitively: the registry checks a new
+    version against EVERY prior version, which is what proto's
+    `reserved` bookkeeping exists to prevent (the reference documents
+    deimos's proto evolution the same way — numbers are the contract)."""
     errs = []
     if old.root != new.root:
         # root message renames break consumers bound to the type name
         errs.append(f"root message renamed {old.root!r} → {new.root!r}")
-    old_by_n = old.message.field_by_number()
-    new_by_n = new.message.field_by_number()
+    errs += _proto_msg_compat_errors(old.message, new.message, "")
+    return errs
+
+
+def _proto_msg_compat_errors(oldm, newm, path: str) -> list[str]:
+    errs = []
+    old_by_n = oldm.field_by_number()
+    new_by_n = newm.field_by_number()
     for num in sorted(set(old_by_n) & set(new_by_n)):
         a, b = old_by_n[num], new_by_n[num]
+        label = f"field {path}#{num}"
         if a.type != b.type or a.repeated != b.repeated:
             errs.append(
-                f"field #{num} changed "
+                f"{label} changed "
                 f"{a.type}{'[]' if a.repeated else ''} → "
                 f"{b.type}{'[]' if b.repeated else ''}"
             )
-        elif a.type == "map" and (a.map_key, a.map_value) != (
-            b.map_key, b.map_value
+        elif a.type == "map":
+            if (a.map_key, a.map_value) != (b.map_key, b.map_value):
+                errs.append(f"map {label} changed key/value types")
+            elif (
+                a.map_value == "message"
+                and a.map_value_message is not None
+                and b.map_value_message is not None
+            ):
+                errs += _proto_msg_compat_errors(
+                    a.map_value_message, b.map_value_message,
+                    f"{path}#{num}.",
+                )
+        elif (
+            a.type == "message"
+            and a.message is not None
+            and b.message is not None
         ):
-            errs.append(f"map field #{num} changed key/value types")
+            errs += _proto_msg_compat_errors(
+                a.message, b.message, f"{path}#{num}."
+            )
     return errs
 
 

@@ -1263,3 +1263,114 @@ def test_expire_snapshots_reclaims_unreferenced(spark, tmp_path):
     assert {x.id for x in IcebergTableReader(spark, t).read().collect()} == {
         2, 3, 4,
     }
+
+
+def test_expire_retention_protects_inflight_files(spark, tmp_path):
+    """VERDICT r6 #6 — crash-window twin of the Delta vacuum test: an
+    in-flight writer places data/manifest files BEFORE committing, so
+    default-retention expiry must keep young unreferenced files (deleting
+    them would let the about-to-succeed commit land pointing at missing
+    files); zero retention reclaims them once the writer is known dead."""
+    import shutil as _sh
+
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    t = str(tmp_path / "iceinflight")
+    w = IcebergTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+    # simulate an in-flight append: a data parquet + a manifest avro
+    # placed in the table, referenced by no commit yet
+    src_parquet = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "data"))
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    orphan_data = os.path.join(t, "data", "inflight-0.parquet")
+    _sh.copyfile(src_parquet, orphan_data)
+    src_avro = next(
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(os.path.join(t, "metadata"))
+        for f in fs
+        if f.endswith(".avro")
+    )
+    orphan_manifest = os.path.join(t, "metadata", "m-inflight.avro")
+    _sh.copyfile(src_avro, orphan_manifest)
+
+    got = w.expire_snapshots(keep_last=1)
+    assert orphan_data not in got and orphan_manifest not in got
+    assert os.path.exists(orphan_data) and os.path.exists(orphan_manifest)
+    # the retained snapshot stays readable alongside the orphans
+    assert {x.id for x in IcebergTableReader(spark, t).read().collect()} == {2}
+
+    got = w.expire_snapshots(keep_last=1, retention_seconds=0.0)
+    assert orphan_data in got and orphan_manifest in got
+    assert not os.path.exists(orphan_data)
+
+
+def test_expire_racing_append_conflicts_cleanly_then_retries(spark, tmp_path):
+    """expire_snapshots commits a metadata rewrite like any writer — an
+    append that read table state BEFORE that commit must lose the
+    version race loudly (IcebergCommitConflict), its already-written
+    files must survive default-retention expiry (the crash window), and
+    a plain retry must land with nothing lost."""
+    from unittest import mock
+
+    import pytest
+
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergCommitConflict,
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    t = str(tmp_path / "icerace")
+    w = IcebergTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+    stale = w._current()  # the racing appender's view, pre-expiry
+    files_before = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert w.expire_snapshots(keep_last=1) == []  # metadata rewrite lands
+
+    w2 = IcebergTableWriter(spark, t)
+    with mock.patch.object(w2, "_current", return_value=stale):
+        with pytest.raises(IcebergCommitConflict):
+            w2.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+
+    # the loser's data files were placed before its commit attempt —
+    # a default-retention expiry in the crash window must not eat them
+    loser_files = {
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(t)
+        for f in fs
+        if f.endswith(".parquet")
+    } - files_before
+    assert loser_files
+    assert w.expire_snapshots(keep_last=1) == []
+    for p in loser_files:
+        assert os.path.exists(p)
+
+    # plain retry (fresh read of current state) lands; nothing lost
+    w2.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    got = {x.id for x in IcebergTableReader(spark, t).read().collect()}
+    assert got == {1, 2, 3}
+
+    # and once retention expires, the failed attempt's orphans reclaim
+    # (the retry wrote fresh files; the loser's originals stay orphaned)
+    reclaimed = set(w.expire_snapshots(keep_last=1, retention_seconds=0.0))
+    live = {x.id for x in IcebergTableReader(spark, t).read().collect()}
+    assert live == {1, 2, 3}
+    assert loser_files <= reclaimed
+    for p in loser_files:
+        assert not os.path.exists(p)

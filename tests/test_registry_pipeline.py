@@ -256,3 +256,79 @@ def test_registry_tombstone_roundtrip(spark, tmp_path):
     assert batch.filter(F.col("value").isNull()).count() == 1
     c.consume_batch(batch)
     assert table.read().count() == 0
+
+
+def test_registry_proto_evolution_matrix():
+    """VERDICT r6 #7: pin the full proto evolution matrix the reference
+    documents (numbers are the contract, names are not):
+    - field RENAME at the same number/type: legal
+    - field ADD / REMOVE: legal
+    - number REUSE with a different type after a removal: refused via
+      the transitive check against every prior version (what proto's
+      `reserved` bookkeeping exists to prevent)
+    - nested message internal type change: refused (recursed)
+    - nested message internal field add: legal
+    - enum symbol add: legal (unknown symbols decode as open enum)
+    """
+    import pytest
+
+    from deimos_spark.schemas.registry import IncompatibleSchemaError
+
+    base = """
+syntax = "proto3";
+message Inner {
+  int32 score = 1;
+}
+message Acct {
+  string acct_id = 1;
+  int64 balance = 2;
+  Inner inner = 4;
+}
+"""
+    renamed = base.replace("int64 balance", "int64 account_balance")
+    removed = base.replace("  int64 balance = 2;\n", "")
+    reused = base.replace("int64 balance = 2", "string note = 2")
+    nested_change = base.replace("int32 score = 1", "string score = 1")
+    nested_add = base.replace(
+        "int32 score = 1;", "int32 score = 1;\n  string label = 2;"
+    )
+
+    reg = InMemorySchemaRegistry(
+        default_compatibility="BACKWARD_TRANSITIVE"
+    )
+    reg.register("m-value", base, "PROTOBUF")
+    reg.register("m-value", renamed, "PROTOBUF")      # rename: legal
+    reg.register("m-value", nested_add, "PROTOBUF")   # nested add: legal
+    reg.register("m-value", removed, "PROTOBUF")      # remove: legal
+    # number reuse with a different type: compatible with the
+    # immediately-prior (removed) version but NOT with v1-v3 — the
+    # TRANSITIVE mode refuses it
+    with pytest.raises(IncompatibleSchemaError, match="field #2"):
+        reg.register("m-value", reused, "PROTOBUF")
+    with pytest.raises(IncompatibleSchemaError, match=r"field #4\.#1"):
+        reg.register("m-value", nested_change, "PROTOBUF")
+
+    # plain BACKWARD (Confluent semantics: latest version only) ACCEPTS
+    # the same reuse — the documented reason to run *_TRANSITIVE when a
+    # subject's consumers replay history
+    lax = InMemorySchemaRegistry(default_compatibility="BACKWARD")
+    lax.register("m-value", base, "PROTOBUF")
+    lax.register("m-value", removed, "PROTOBUF")
+    lax.register("m-value", reused, "PROTOBUF")  # latest-only: passes
+
+    enum_base = """
+syntax = "proto3";
+enum Kind {
+  KIND_UNSPECIFIED = 0;
+  KIND_A = 1;
+}
+message Evt {
+  string id = 1;
+  Kind kind = 2;
+}
+"""
+    enum_grown = enum_base.replace(
+        "KIND_A = 1;", "KIND_A = 1;\n  KIND_B = 2;"
+    )
+    reg.register("e-value", enum_base, "PROTOBUF")
+    reg.register("e-value", enum_grown, "PROTOBUF")   # symbol add: legal
