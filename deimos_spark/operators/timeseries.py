@@ -78,28 +78,27 @@ def resample_ffill(
         .groupBy("_k", "_b")
         .agg(F.max_by("_v", "_tie").alias("_v"))
     )
-    grid = (
-        per_bucket.groupBy("_k")
-        .agg(F.min("_b").alias("_b0"), F.max("_b").alias("_b1"))
-        .select(
-            "_k",
-            F.explode(
-                F.sequence("_b0", "_b1", F.expr(f"interval {interval}"))
-            ).alias("_b"),
-        )
-    )
-    w = (
-        Window.partitionBy("_k")
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        grid.join(per_bucket, ["_k", "_b"], "left")
-        .select(
-            F.col("_k").alias(key_col),
-            F.col("_b").alias("bucket"),
-            F.last("_v", ignorenulls=True).over(w).alias("value_ff"),
-        )
+    # each observed bucket OWNS the gap up to the next observation: one
+    # lead() window + a sequence explode emits its forward-filled range
+    # directly. Same result as the former grid ⋈ per_bucket + running
+    # last() formulation, with one fewer aggregate, no join, and 2
+    # shuffles instead of 3-4 — at 100 TB the join's grid side (every
+    # key × every bucket) never materializes as shuffle input, only as
+    # codegen'd explode output.
+    w = Window.partitionBy("_k").orderBy("_b")
+    step = F.expr(f"interval {interval}")
+    return per_bucket.withColumn(
+        "_nb", F.lead("_b").over(w)
+    ).select(
+        F.col("_k").alias(key_col),
+        F.explode(
+            F.sequence(
+                F.col("_b"),
+                F.coalesce(F.col("_nb") - step, F.col("_b")),
+                step,
+            )
+        ).alias("bucket"),
+        F.col("_v").alias("value_ff"),
     )
 
 
