@@ -80,6 +80,7 @@ AQE_MIN_INPUT_BYTES = int(
 _dir_bytes_cache: dict[str, int] = {}
 _last_autotune: dict[str, tuple] = {}
 _base_shuffle_partitions: dict[str, int] = {}
+_base_max_partition_bytes: dict[str, str] = {}
 
 
 def dir_input_bytes(sf_dir: str) -> int:
@@ -114,6 +115,11 @@ def autotune_for_dir(
       capped at the session's configured base) — a static right-size for
       the small-input regime where AQE is off; at scale the base value +
       AQE coalescing govern, exactly as before.
+    - input-split size (maxPartitionBytes) shrunk for tiny inputs so the
+      SCAN stage still spreads across the executor threads — a 17 MB
+      table at the 128 MB default is ONE task doing all the CPU-heavy
+      per-row work (tokenize/regex/explode); at scale 128 MB already
+      yields thousands of splits and is restored untouched.
 
     Idempotent and cheap: the decision is cached per session so repeated
     builder calls don't pay py4j conf round-trips."""
@@ -129,18 +135,34 @@ def autotune_for_dir(
         except Exception:
             base = 32
         _base_shuffle_partitions[key] = base
+    base_mpb = _base_max_partition_bytes.get(key)
+    if base_mpb is None:
+        try:
+            base_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        except Exception:
+            base_mpb = "134217728b"
+        _base_max_partition_bytes[key] = base_mpb
     if nbytes is None:
-        adaptive, sp = True, base  # unknown size: keep the scale posture
+        adaptive, sp, mpb = True, base, base_mpb  # unknown: scale posture
     else:
         big = nbytes >= AQE_MIN_INPUT_BYTES
         adaptive = big or force_adaptive
         sp = base if big else max(8, min(base, -(-nbytes // (16 << 20))))
-    want = (adaptive, sp)
+        if big:
+            mpb = base_mpb
+        else:
+            try:
+                cores = spark.sparkContext.defaultParallelism
+            except Exception:
+                cores = 32
+            mpb = str(max(2 << 20, nbytes // (2 * max(cores, 1)))) + "b"
+    want = (adaptive, sp, mpb)
     if _last_autotune.get(key) == want:
         return
     try:
         spark.conf.set("spark.sql.adaptive.enabled", str(adaptive).lower())
         spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
         _last_autotune[key] = want
     except Exception:
         pass
