@@ -42,6 +42,15 @@ from pyspark.sql import types as T
 from deimos_spark.schemas.avro_ocf import ocf_read
 
 
+# transform-result Spark type -> Avro type used in manifest partition
+# records and field_summary bound serialization (shared by writer+reader)
+_PARTITION_AVRO = {
+    "int": "int",
+    "bigint": "long",
+    "string": "string",
+}
+
+
 class IcebergProtocolError(Exception):
     """Table uses an Iceberg feature/version this reader doesn't support."""
 
@@ -228,9 +237,27 @@ class IcebergTableReader:
         data: list[tuple[str, str, int, dict, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+        self.last_manifests_skipped = 0
         for mf in manifests:
             mf_seq = mf.get("sequence_number")
             mf_spec = int(mf.get("partition_spec_id") or 0)
+            # manifest-level skipping (the Iceberg scan-planning
+            # contract): the manifest list's field_summary bounds can
+            # prove a DATA manifest holds no matching partition tuple —
+            # at 100 TB this is the difference between opening thousands
+            # of manifest files and opening the few that matter. Delete
+            # manifests are never skipped (their files apply to
+            # surviving data regardless of their own partition tuples).
+            if (
+                partition_filter
+                and (mf.get("content") or 0) == 0
+                and mf.get("partitions")
+                and self._summary_excludes(
+                    mf["partitions"], partition_filter, mf_spec
+                )
+            ):
+                self.last_manifests_skipped += 1
+                continue
             _, entries = ocf_read(self._local(mf["manifest_path"]))
             for e in entries:
                 if e.get("status") == 2:  # DELETED
@@ -378,6 +405,87 @@ class IcebergTableReader:
             out[pf.name] = pf
         cache[spec_id] = out
         return out
+
+    def _summary_excludes(
+        self, summaries: list, partition_filter: dict, spec_id: int
+    ) -> bool:
+        """True when the manifest-list field_summary bounds PROVE no
+        entry in the manifest can match the filter. Conservative in
+        every unknown: missing bounds, unserializable types, or a filter
+        key the spec can't resolve → False (open the manifest)."""
+        from deimos_spark.operators.iceberg_transforms import (
+            TransformError,
+            single_value_deserialize,
+            transform_value,
+            result_spark_type,
+        )
+
+        try:
+            pfs = self._partition_fields(spec_id)
+        except IcebergProtocolError:
+            return False
+        order = list(pfs.values())  # spec order (insertion-ordered)
+        spark_types = {f.name: f.dataType.simpleString() for f in self.schema().fields}
+        by_source: dict[str, list[int]] = {}
+        by_name: dict[str, int] = {}
+        for i, pf in enumerate(order):
+            by_source.setdefault(pf.source, []).append(i)
+            by_name[pf.name] = i
+
+        def _candidates(key, opts):
+            """(field index, transformed candidate values) pairs."""
+            out = []
+            if key in by_source:
+                for i in by_source[key]:
+                    pf = order[i]
+                    try:
+                        out.append((i, [transform_value(pf, o) for o in opts]))
+                    except TransformError:
+                        return None
+            elif key in by_name:
+                out.append((by_name[key], list(opts)))
+            else:
+                return None
+            return out
+
+        for key, want in partition_filter.items():
+            opts = list(want) if isinstance(
+                want, (list, tuple, set)
+            ) else [want]
+            cands = _candidates(key, opts)
+            if cands is None:
+                return False
+            for i, vals in cands:
+                if i >= len(summaries):
+                    continue
+                sm = summaries[i] or {}
+                pf = order[i]
+                src_t = spark_types.get(pf.source)
+                if src_t is None:
+                    continue
+                try:
+                    at = _PARTITION_AVRO.get(
+                        result_spark_type(pf, src_t)
+                    )
+                except TransformError:
+                    continue
+                if at is None:
+                    continue
+                lo = single_value_deserialize(at, sm.get("lower_bound"))
+                hi = single_value_deserialize(at, sm.get("upper_bound"))
+
+                def _inside(v):
+                    if v is None:
+                        return bool(sm.get("contains_null"))
+                    if lo is None or hi is None:
+                        return True  # no bounds: can't exclude
+                    try:
+                        return lo <= v <= hi
+                    except TypeError:
+                        return True
+                if not any(_inside(v) for v in vals):
+                    return True  # every candidate provably outside
+        return False
 
     def _partition_keep(
         self, pvals: dict, partition_filter: dict, spec_id: int | None = None
@@ -658,6 +766,49 @@ _MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        # spec field 507: per-partition-field summaries (ordered by the
+        # manifest's partition spec) — the bounds that let readers skip
+        # whole manifests without opening them
+        {
+            "name": "partitions",
+            "type": [
+                "null",
+                {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {
+                                "name": "contains_null",
+                                "type": "boolean",
+                                "field-id": 509,
+                            },
+                            {
+                                "name": "contains_nan",
+                                "type": ["null", "boolean"],
+                                "default": None,
+                                "field-id": 518,
+                            },
+                            {
+                                "name": "lower_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 510,
+                            },
+                            {
+                                "name": "upper_bound",
+                                "type": ["null", "bytes"],
+                                "default": None,
+                                "field-id": 511,
+                            },
+                        ],
+                    },
+                },
+            ],
+            "default": None,
+            "field-id": 507,
+        },
     ],
 }
 
@@ -691,11 +842,7 @@ class IcebergTableWriter:
     position deletes in `IcebergKeyedTable` below.
     """
 
-    _PARTITION_AVRO = {
-        "int": "int",
-        "bigint": "long",
-        "string": "string",
-    }
+    _PARTITION_AVRO = _PARTITION_AVRO
 
     def __init__(
         self,
@@ -965,7 +1112,7 @@ class IcebergTableWriter:
         ]
         added_rows = sum(r for _, r, _, _ in files)
 
-        def _manifest_row(mpath, content, n_files, n_rows):
+        def _manifest_row(mpath, content, n_files, n_rows, partitions=None):
             return {
                 "manifest_path": f"file://{mpath}",
                 "manifest_length": os.path.getsize(mpath),
@@ -980,13 +1127,55 @@ class IcebergTableWriter:
                 "added_rows_count": n_rows,
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
+                "partitions": partitions,
             }
+
+        def _field_summaries(entries_):
+            """Spec field-507 summaries: per partition field (spec
+            order), null presence + single-value-serialized min/max of
+            the entries' transformed partition tuples. Bounds omitted
+            (None) for unserializable values — skipping disabled, never
+            wrong."""
+            if not self.partition_fields:
+                return None
+            from deimos_spark.operators.iceberg_transforms import (
+                single_value_serialize,
+            )
+
+            out = []
+            for pf in self.partition_fields:
+                at = self._PARTITION_AVRO[
+                    result_spark_type(pf, spark_types[pf.source])
+                ]
+                vals = [
+                    (e["data_file"].get("partition") or {}).get(pf.name)
+                    for e in entries_
+                ]
+                nn = [v for v in vals if v is not None]
+                out.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": None,
+                        "lower_bound": (
+                            single_value_serialize(at, min(nn)) if nn else None
+                        ),
+                        "upper_bound": (
+                            single_value_serialize(at, max(nn)) if nn else None
+                        ),
+                    }
+                )
+            return out
 
         manifests = []
         if entries:
             mpath = os.path.join(self.meta_dir, f"m-{uid}.avro")
             ocf_write(mpath, entry_schema, entries)
-            manifests.append(_manifest_row(mpath, 0, len(files), added_rows))
+            manifests.append(
+                _manifest_row(
+                    mpath, 0, len(files), added_rows,
+                    partitions=_field_summaries(entries),
+                )
+            )
         if delete_files:
             # position-delete files get their OWN manifest: the spec's
             # manifest-list `content` field is data(0) XOR deletes(1)
@@ -1089,6 +1278,7 @@ class IcebergTableWriter:
                     "added_rows_count": 0,
                     "existing_rows_count": 0,
                     "deleted_rows_count": 0,
+                    "partitions": None,
                 }
                 for pm in prev_manifests:
                     pm = dict(pm)

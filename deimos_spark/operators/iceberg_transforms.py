@@ -374,3 +374,50 @@ def transform_column(pf: PartitionField, source_type: str) -> Column:
             + F.hour(col)
         ).cast("int")
     raise TransformError(f"no column form for {pf.kind!r}")
+
+
+# ------------------------------------------------------ single-value codec
+
+# Iceberg spec "Appendix D: Single-value serialization" (binary) for the
+# types partition tuples can carry post-transform in this engine:
+# int (4-byte LE), long (8-byte LE), string (UTF-8 bytes). Used for the
+# manifest-list `field_summary` lower/upper bounds — the metadata that
+# lets a scan skip WHOLE manifests (thousands of files each) before
+# opening them.
+_SV_PACK = {"int": "<i", "long": "<q"}
+
+
+def single_value_serialize(avro_type: str, v) -> bytes | None:
+    """None for unsupported types/None values — callers omit the bound
+    (spec-legal: bounds are optional), which disables skipping but never
+    wrongly skips."""
+    if v is None:
+        return None
+    fmt = _SV_PACK.get(avro_type)
+    if fmt is not None:
+        try:
+            return struct.pack(fmt, int(v))
+        except (struct.error, ValueError, TypeError):
+            return None
+    if avro_type == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+def single_value_deserialize(avro_type: str, b) -> object | None:
+    if b is None:
+        return None
+    b = bytes(b)
+    fmt = _SV_PACK.get(avro_type)
+    if fmt is not None:
+        if len(b) != struct.calcsize(fmt):
+            return None  # foreign width: treat as no bound (never skip)
+        return struct.unpack(fmt, b)[0]
+    if avro_type == "string":
+        try:
+            # UTF-8 byte order == code-point order, so decoded-string
+            # comparison matches the spec's unsigned-byte bound order
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return None

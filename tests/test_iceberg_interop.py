@@ -1374,3 +1374,122 @@ def test_expire_racing_append_conflicts_cleanly_then_retries(spark, tmp_path):
     assert loser_files <= reclaimed
     for p in loser_files:
         assert not os.path.exists(p)
+
+
+def test_manifest_summary_skips_whole_manifests(spark, tmp_path):
+    """Manifest-list field_summary bounds (spec field 507): each append's
+    manifest records per-field lower/upper bounds, and a filtered read
+    skips manifests whose bounds exclude the filter WITHOUT opening
+    them — the Iceberg scan-planning contract at 100 TB (thousands of
+    files per manifest)."""
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    t = str(tmp_path / "icesumm")
+    w = IcebergTableWriter(spark, t, partition_by=("p",))
+    w.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "p int, v string")
+    )
+    w.append(
+        spark.createDataFrame([(50, "c"), (60, "d")], "p int, v string")
+    )
+    w.append(spark.createDataFrame([(100, "e")], "p int, v string"))
+
+    r = IcebergTableReader(spark, t)
+    got = {x.v for x in r.read(partition_filter={"p": 60}).collect()}
+    assert got == {"d"}
+    # the p∈{1,2} and p=100 manifests were excluded by bounds alone
+    assert r.last_manifests_skipped == 2
+
+    # unfiltered read opens everything
+    assert {x.v for x in r.read().collect()} == {"a", "b", "c", "d", "e"}
+    assert r.last_manifests_skipped == 0
+
+    # a filter between bounds of one manifest but matching nothing:
+    # bounds can't exclude (55 ∈ [50,60]) — manifest opens, entry-level
+    # pruning does the rest
+    assert r.read(partition_filter={"p": 55}).count() == 0
+    assert r.last_manifests_skipped == 2
+
+
+def test_manifest_summary_skips_by_source_transform(spark, tmp_path):
+    """Filter keys naming a SOURCE column transform before comparing to
+    bucket bounds, same as entry-level pruning."""
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+    from deimos_spark.operators.iceberg_transforms import (
+        parse_partition_field,
+        transform_value,
+    )
+
+    t = str(tmp_path / "icesummb")
+    w = IcebergTableWriter(spark, t, partition_by=("bucket(8, id)",))
+    w.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(40)],
+                              "id long, v string")
+    )
+    r = IcebergTableReader(spark, t)
+    got = {x.id for x in r.read(partition_filter={"id": 7}).collect()}
+    # partition pruning is FILE-level: the read returns every row of the
+    # surviving bucket's files — 7 present, all rows share 7's bucket
+    pf = parse_partition_field("bucket(8, id)")
+    want_bucket = transform_value(pf, 7)
+    assert 7 in got
+    assert all(transform_value(pf, i) == want_bucket for i in got)
+    assert got != {i for i in range(40)}  # other buckets pruned
+
+    # string identity bounds skip too
+    t2 = str(tmp_path / "icesummc")
+    w2 = IcebergTableWriter(spark, t2, partition_by=("lang",))
+    w2.append(
+        spark.createDataFrame([("de", 1), ("en", 2)], "lang string, id long")
+    )
+    w2.append(
+        spark.createDataFrame([("pt", 3), ("zh", 4)], "lang string, id long")
+    )
+    r2 = IcebergTableReader(spark, t2)
+    assert {x.id for x in r2.read(partition_filter={"lang": "zh"}).collect()} == {4}
+    assert r2.last_manifests_skipped == 1
+
+
+def test_manifest_summary_null_partition_and_foreign_lists(spark, tmp_path):
+    """contains_null gates null-valued filters; manifest lists WITHOUT
+    the partitions field (older/foreign writers) are never skipped."""
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+    from deimos_spark.schemas.avro_ocf import ocf_read, ocf_write
+
+    t = str(tmp_path / "icesummn")
+    w = IcebergTableWriter(spark, t, partition_by=("p",))
+    w.append(
+        spark.createDataFrame(
+            [(None, "n1"), (5, "x")], "p int, v string"
+        )
+    )
+    w.append(spark.createDataFrame([(9, "y")], "p int, v string"))
+    r = IcebergTableReader(spark, t)
+    got = {x.v for x in r.read(partition_filter={"p": None}).collect()}
+    assert got == {"n1"}
+    assert r.last_manifests_skipped == 1  # second manifest: no nulls
+
+    # strip the partitions field from the manifest list -> no skipping,
+    # same answers (forward compatibility with foreign lists)
+    snap = r.snapshot()
+    ml = r._local(snap["manifest-list"])
+    schema, rows = ocf_read(ml)
+    for row in rows:
+        row.pop("partitions", None)
+    schema["fields"] = [
+        f for f in schema["fields"] if f["name"] != "partitions"
+    ]
+    ocf_write(ml, schema, rows)
+    r2 = IcebergTableReader(spark, t)
+    got = {x.v for x in r2.read(partition_filter={"p": None}).collect()}
+    assert got == {"n1"}
+    assert r2.last_manifests_skipped == 0
