@@ -1011,6 +1011,7 @@ class DeltaTableWriter:
                                     ]
                                 ),
                             ),
+                            ("stats", pa.string()),
                         ]
                     ),
                 ),
@@ -1065,6 +1066,16 @@ class DeltaTableWriter:
                         "modificationTime": a.get("modificationTime") or 0,
                         "dataChange": bool(a.get("dataChange", True)),
                         "deletionVector": a.get("deletionVector"),
+                        # carry forward from the JSON commit's add, else
+                        # re-derive from the parquet footer (the reader's
+                        # checkpoint load drops stats driver-side, so a
+                        # re-checkpoint would otherwise lose them)
+                        "stats": a.get("stats")
+                        or (
+                            self._file_stats(full)
+                            if os.path.exists(full)
+                            else None
+                        ),
                     }
                 }
             )
@@ -1173,15 +1184,77 @@ class DeltaTableWriter:
 
     def _add_action(self, rel: str, pvals: dict, _time) -> dict:
         full = os.path.join(self.path, rel)
-        return {
-            "add": {
-                "path": rel.replace(os.sep, "/"),
-                "partitionValues": pvals,
-                "size": os.path.getsize(full),
-                "modificationTime": int(_time.time() * 1000),
-                "dataChange": True,
-            }
+        add = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": pvals,
+            "size": os.path.getsize(full),
+            "modificationTime": int(_time.time() * 1000),
+            "dataChange": True,
         }
+        stats = self._file_stats(full)
+        if stats is not None:
+            add["stats"] = stats
+        return {"add": add}
+
+    @staticmethod
+    def _file_stats(full: str) -> str | None:
+        """Per-file stats JSON (PROTOCOL.md "Per-file Statistics"):
+        numRecords + minValues/maxValues/nullCount for primitive
+        columns, aggregated from the parquet FOOTER (no data read —
+        one metadata fetch per written file). This is what lets any
+        conforming reader data-skip our tables. Conservative by
+        omission: columns whose footer stats are absent, whose types we
+        don't render (nested, binary, timestamps), or whose string
+        bounds exceed 32 chars (naive truncation would produce a WRONG
+        upper bound) simply don't appear — absent stats never mislead."""
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.read_metadata(full)
+        except Exception:
+            return None
+        mins: dict = {}
+        maxs: dict = {}
+        nulls: dict = {}
+        seen_all: set = set()
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:
+                    continue  # nested: out of scope
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    seen_all.discard(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
+                    continue
+                lo, hi = st.min, st.max
+                ok = isinstance(lo, (int, float, str, bool)) and not (
+                    isinstance(lo, str) and (len(lo) > 32 or len(str(hi)) > 32)
+                )
+                if ok and isinstance(lo, float):
+                    ok = lo == lo and hi == hi  # NaN bounds lie
+                if st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                if not ok:
+                    continue
+                if rg == 0:
+                    seen_all.add(name)
+                if name in seen_all:
+                    mins[name] = lo if name not in mins else min(mins[name], lo)
+                    maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        # drop columns missing stats in any row group (partial bounds lie)
+        mins = {k: v for k, v in mins.items() if k in seen_all}
+        maxs = {k: v for k, v in maxs.items() if k in seen_all}
+        out = {"numRecords": md.num_rows}
+        if mins:
+            out["minValues"] = mins
+            out["maxValues"] = maxs
+        if nulls:
+            out["nullCount"] = nulls
+        return json.dumps(out)
 
     @staticmethod
     def _drop_files(path: str, adds: list[dict]) -> None:

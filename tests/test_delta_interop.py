@@ -969,3 +969,66 @@ def test_snapshot_prune_covers_json_tail(spark, tmp_path):
     assert got == {1, 100}
     snap = r.snapshot(partition_filter={"p": "c1"})
     assert {pv["p"] for pv in snap.files.values()} == {"c1"}
+
+
+def test_writer_emits_per_file_stats(spark, tmp_path):
+    """The writer records per-file stats JSON (numRecords + min/max/null
+    counts from the parquet FOOTER — no data read) in both the JSON
+    commit's add and the checkpoint, so conforming readers can data-skip
+    our tables. Conservative by omission: long strings and non-primitive
+    columns don't appear."""
+    import json as _json
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "stats")
+    w = DeltaTableWriter(spark, t, checkpoint_interval=2)
+    w.append(
+        spark.createDataFrame(
+            [(1, "aa", None), (5, "zz", 2.5)],
+            "id long, v string, f double",
+        )
+    )
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
+        adds = [
+            _json.loads(l)["add"]
+            for l in fh
+            if l.strip() and "add" in _json.loads(l)
+        ]
+    assert adds
+    total = 0
+    for a in adds:
+        st = _json.loads(a["stats"])
+        total += st["numRecords"]
+        if st.get("minValues") and "id" in st["minValues"]:
+            assert st["minValues"]["id"] >= 1
+            assert st["maxValues"]["id"] <= 5
+            assert st["minValues"]["v"] >= "aa"
+    assert total == 2
+
+    # checkpoint carries stats (re-derived if the source add lost them)
+    w.append(spark.createDataFrame([(9, "mm", 1.0)], "id long, v string, f double"))
+    w.append(spark.createDataFrame([(3, "bb", 0.0)], "id long, v string, f double"))
+    ckpts = [
+        f
+        for f in os.listdir(os.path.join(t, "_delta_log"))
+        if f.endswith(".checkpoint.parquet")
+    ]
+    assert ckpts
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(t, "_delta_log", sorted(ckpts)[-1])
+    ).to_pylist()
+    add_rows = [r["add"] for r in tbl if r.get("add")]
+    assert add_rows and all(r.get("stats") for r in add_rows)
+    # Spark may emit empty part files (numRecords 0 — honest stats);
+    # the LIVE totals must add up
+    assert sum(_json.loads(r["stats"])["numRecords"] for r in add_rows) == 4
+
+    # our own reader still reads the table (and drops the stats payload
+    # at the driver)
+    assert DeltaTableReader(spark, t).read().count() == 4
