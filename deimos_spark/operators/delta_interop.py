@@ -259,13 +259,14 @@ class DeltaTableReader:
             out[pk] = vals
         return out
 
-    def _collect_add_rows(self, df, cols, snap, prune):
+    def _collect_add_rows(self, df, cols, snap, prune, stats_prune=None):
         """Collect add actions from a checkpoint/sidecar scan with the
-        100-TB driver-memory shape: the partition-prune predicate and the
-        column pruning (drop the per-file `stats` JSON, the dominant
-        payload) are pushed into the DISTRIBUTED scan, so the driver
-        materializes only the surviving files' control fields — not the
-        whole checkpoint. Returns the number of rows collected."""
+        100-TB driver-memory shape: the partition-prune predicate, the
+        stats-based file-skip predicate, and the column pruning (drop the
+        per-file `stats` JSON, the dominant payload) are pushed into the
+        DISTRIBUTED scan, so the driver materializes only the surviving
+        files' control fields — not the whole checkpoint. Returns the
+        number of rows collected."""
         if "add" not in cols:
             return 0
         sel = df.filter(F.col("add").isNotNull())
@@ -284,6 +285,38 @@ class DeltaTableReader:
                 if any(v is None for v in vals):
                     cond = cond | item.isNull()
                 sel = sel.filter(cond)
+        if stats_prune and "__META_ONLY__" in stats_prune:
+            return 0  # schema probe: no add rows wanted
+        if (
+            stats_prune
+            and isinstance(add_type, T.StructType)
+            and "stats" in add_type.names
+        ):
+            # file skipping on data-column stats, evaluated IN the scan:
+            # keep a file unless its [min, max] provably misses the
+            # requested range; files without stats (or without the
+            # column) always survive — absent stats never drop data
+            for col, (lo, hi, numeric) in stats_prune.items():
+                mn = F.get_json_object(
+                    F.col("add.stats"), f"$.minValues.{col}"
+                )
+                mx = F.get_json_object(
+                    F.col("add.stats"), f"$.maxValues.{col}"
+                )
+                if numeric:
+                    mn, mx = mn.cast("double"), mx.cast("double")
+                miss = F.lit(False)
+                if hi is not None:
+                    miss = miss | (mn > F.lit(hi))
+                if lo is not None:
+                    miss = miss | (mx < F.lit(lo))
+                keep = (
+                    F.col("add.stats").isNull()
+                    | mn.isNull()
+                    | mx.isNull()
+                    | ~miss
+                )
+                sel = sel.filter(keep)
         add_col = F.col("add")
         for heavy in ("stats", "stats_parsed", "parsedStats"):
             add_col = add_col.dropFields(heavy)
@@ -296,7 +329,11 @@ class DeltaTableReader:
         return len(rows)
 
     def _load_checkpoint(
-        self, version: int, paths: list[str], prune: dict | None = None
+        self,
+        version: int,
+        paths: list[str],
+        prune: dict | None = None,
+        stats_prune: dict | None = None,
     ) -> DeltaSnapshot | None:
         if not all(os.path.exists(p) for p in paths):
             return None
@@ -328,7 +365,7 @@ class DeltaTableReader:
                     self._apply_action({kind: d[kind]}, snap)
         try:
             # phase 2: file actions, prune + stats-drop pushed to the scan
-            self._collect_add_rows(df, cols, snap, prune)
+            self._collect_add_rows(df, cols, snap, prune, stats_prune)
         except Exception:
             return None
         # remove actions in a checkpoint are tombstones for vacuum
@@ -336,7 +373,11 @@ class DeltaTableReader:
         return snap
 
     def _load_checkpoint_v2(
-        self, version: int, manifest_path: str, prune: dict | None = None
+        self,
+        version: int,
+        manifest_path: str,
+        prune: dict | None = None,
+        stats_prune: dict | None = None,
     ) -> DeltaSnapshot | None:
         """V2 checkpoint (PROTOCOL.md "V2 Checkpoints"): a manifest file
         `{v}.checkpoint.{uuid}.{json|parquet}` holding non-file actions
@@ -411,7 +452,7 @@ class DeltaTableReader:
             try:
                 # same driver-memory shape as classic checkpoints: prune
                 # + stats-drop pushed into the distributed sidecar scan
-                self._collect_add_rows(df, cols, snap, prune)
+                self._collect_add_rows(df, cols, snap, prune, stats_prune)
             except Exception as e:
                 raise DeltaProtocolError(
                     f"sidecar {os.path.basename(sp)} unreadable: {e!r}"
@@ -433,6 +474,8 @@ class DeltaTableReader:
         self,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
+        stats_filter: dict[str, tuple] | None = None,
+        _meta_only: bool = False,
     ) -> DeltaSnapshot:
         """Live file set at `version` (default latest). Fast path follows
         `_last_checkpoint` (honoring its `parts` field for multi-part
@@ -448,7 +491,22 @@ class DeltaTableReader:
         set (millions of files, dominated by per-file stats JSON) must
         never land on the driver. The JSON commit tail (bounded by
         checkpoint interval) is post-filtered driver-side. Pruned
-        snapshots must not seed writes/merges."""
+        snapshots must not seed writes/merges.
+
+        `stats_filter` = {col: (lo, hi)} closed ranges (either side
+        None) — FILE SKIPPING on the writer-recorded per-file stats,
+        also pushed into the checkpoint scan: a file is dropped only
+        when its recorded [min, max] provably misses the range; files
+        without stats always survive. Numeric or string columns only
+        (refuses others loudly)."""
+        sprune = None
+        if stats_filter:
+            sprune = self._normalize_stats_filter(version, stats_filter)
+        if _meta_only:
+            # schema/protocol probe: checkpoint add collection skipped
+            # entirely (the JSON tail still replays — bounded by the
+            # checkpoint interval)
+            sprune = {"__META_ONLY__": (None, None, True)}
         self.last_snapshot_commit_reads = 0
         self.last_snapshot_listed_log = False
         self.last_checkpoint_rows_collected = 0
@@ -486,7 +544,7 @@ class DeltaTableReader:
                 paths = [
                     os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
                 ]
-            snap = self._load_checkpoint(cv, paths, prune)
+            snap = self._load_checkpoint(cv, paths, prune, sprune)
             if snap is not None:
                 v = snap.version + 1
                 while version is None or v <= version:
@@ -497,7 +555,9 @@ class DeltaTableReader:
                     raise DeltaProtocolError(
                         f"version {version} not present (latest {snap.version})"
                     )
-                return self._post_prune(snap, prune)
+                return self._post_stats_prune(
+                    self._post_prune(snap, prune), sprune
+                )
 
         self.last_snapshot_listed_log = True
         names = os.listdir(self.log_dir)
@@ -514,9 +574,9 @@ class DeltaTableReader:
                 continue
             kind, paths = ckpt_sets[cv]
             loaded = (
-                self._load_checkpoint_v2(cv, paths[0], prune)
+                self._load_checkpoint_v2(cv, paths[0], prune, sprune)
                 if kind == "v2"
-                else self._load_checkpoint(cv, paths, prune)
+                else self._load_checkpoint(cv, paths, prune, sprune)
             )
             if loaded is not None:
                 snap = loaded
@@ -531,7 +591,91 @@ class DeltaTableReader:
             raise DeltaProtocolError(
                 f"version {version} not present (latest {snap.version})"
             )
-        return self._post_prune(snap, prune)
+        return self._post_stats_prune(self._post_prune(snap, prune), sprune)
+
+    def _normalize_stats_filter(
+        self, version: int | None, stats_filter: dict
+    ) -> dict:
+        """{col: (lo, hi)} → {col: (lo, hi, numeric)} validated against
+        the table schema. One extra snapshot probe to learn the schema;
+        numeric columns compare as doubles, strings lexicographically,
+        anything else refuses loudly (a silent unsupported-type skip
+        would read as 'no matching files')."""
+        probe = self.snapshot(version, _meta_only=True)
+        if probe.schema is None:
+            raise DeltaProtocolError(
+                f"{self.path}: no metaData action in log"
+            )
+        types = {f.name: f.dataType for f in probe.schema.fields}
+        out = {}
+        for col, rng in stats_filter.items():
+            if col not in types:
+                raise DeltaProtocolError(
+                    f"stats_filter column {col!r} not in table schema"
+                )
+            lo, hi = rng
+            dt = types[col]
+            if isinstance(dt, T.NumericType):
+                out[col] = (lo, hi, True)
+            elif isinstance(dt, T.StringType):
+                out[col] = (lo, hi, False)
+            else:
+                raise DeltaProtocolError(
+                    f"stats_filter on {dt.simpleString()} column {col!r} "
+                    "unsupported (numeric and string only)"
+                )
+        return out
+
+    def _post_stats_prune(
+        self, snap: DeltaSnapshot, sprune: dict | None
+    ) -> DeltaSnapshot:
+        """Driver-side stats filter for the JSON commit tail (adds there
+        still carry their stats string)."""
+        if not sprune or "__META_ONLY__" in sprune:
+            return snap
+
+        def _keep(a: dict) -> bool:
+            st = a.get("stats")
+            if not st:
+                return True
+            try:
+                parsed = json.loads(st) if isinstance(st, str) else st
+            except ValueError:
+                return True
+            mins = parsed.get("minValues") or {}
+            maxs = parsed.get("maxValues") or {}
+            for col, (lo, hi, numeric) in sprune.items():
+                mn, mx = mins.get(col), maxs.get(col)
+                if mn is None or mx is None:
+                    continue
+                try:
+                    if numeric:
+                        mn, mx = float(mn), float(mx)
+                    if hi is not None and mn > hi:
+                        return False
+                    if lo is not None and mx < lo:
+                        return False
+                except (TypeError, ValueError):
+                    continue
+            return True
+
+        kept = {
+            p: pv
+            for p, pv in snap.files.items()
+            if _keep(snap.adds_raw.get(p) or {})
+        }
+        if len(kept) == len(snap.files):
+            return snap
+        return DeltaSnapshot(
+            snap.version,
+            kept,
+            snap.schema,
+            snap.partition_columns,
+            snap.column_mapping,
+            snap.protocol_raw,
+            snap.meta_raw,
+            {p: a for p, a in snap.adds_raw.items() if p in kept},
+        )
 
     def _post_prune(
         self, snap: DeltaSnapshot, prune: dict | None
@@ -635,17 +779,19 @@ class DeltaTableReader:
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
         as_of_ms: int | None = None,
+        stats_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         if as_of_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ms, not both")
             version = self.version_at(as_of_ms)
-        return self._read(version, partition_filter)
+        return self._read(version, partition_filter, stats_filter)
 
     def _read(
         self,
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
+        stats_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """`partition_filter` prunes by the LOG's partitionValues before
         any file is opened — {col: value} or {col: [values...]}; values
@@ -657,7 +803,7 @@ class DeltaTableReader:
         # pruning happens INSIDE snapshot(): pushed into the distributed
         # checkpoint scan, post-filtered for the JSON tail — the driver
         # only ever holds the pruned file set (see snapshot() docstring)
-        snap = self.snapshot(version, partition_filter)
+        snap = self.snapshot(version, partition_filter, stats_filter)
         if snap.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
         mapping = snap.column_mapping in ("name", "id")

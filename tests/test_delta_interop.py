@@ -1032,3 +1032,77 @@ def test_writer_emits_per_file_stats(spark, tmp_path):
     # our own reader still reads the table (and drops the stats payload
     # at the driver)
     assert DeltaTableReader(spark, t).read().count() == 4
+
+
+def test_stats_filter_skips_files(spark, tmp_path):
+    """File skipping on writer-recorded stats: read(stats_filter=
+    {col: (lo, hi)}) drops files whose [min, max] provably miss the
+    range — pushed into the checkpoint scan (driver materializes only
+    survivors, pinned via last_checkpoint_rows_collected) and applied
+    driver-side to the JSON tail. Files without stats always survive."""
+    import json as _json
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "skip")
+    w = DeltaTableWriter(spark, t, checkpoint_interval=3)
+    for lo in (0, 100, 200, 300):  # v0..v3; checkpoint at v3
+        w.append(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i:04d}") for i in range(10)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+    # JSON tail: one more range + one add with its stats stripped
+    w.append(
+        spark.createDataFrame(
+            [(400 + i, f"s{400 + i:04d}") for i in range(10)],
+            "id long, v string",
+        ).coalesce(1)
+    )
+    logp = os.path.join(t, "_delta_log", f"{4:020d}.json")
+    lines = []
+    with open(logp) as fh:
+        for l in fh:
+            a = _json.loads(l)
+            if "add" in a:
+                a["add"].pop("stats", None)
+            lines.append(_json.dumps(a))
+    with open(logp, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    r = DeltaTableReader(spark, t)
+    full = r.snapshot()
+    n_files = len(full.files)
+
+    got = {
+        x.id
+        for x in r.read(stats_filter={"id": (150, 250)}).collect()
+    }
+    # only the [200,209] file overlaps (150,250); [0,9]/[100,109] have
+    # max < lo, [300,309] has min > hi — all provably outside; the
+    # no-stats tail file SURVIVES the skip (absent stats never drop data)
+    assert got == {i for i in range(200, 210)} | {
+        i for i in range(400, 410)
+    }
+    # checkpoint scan collected fewer adds than exist
+    assert r.last_checkpoint_rows_collected < n_files
+
+    # string bounds work too
+    got = {
+        x.id
+        for x in r.read(stats_filter={"v": ("s0300", "s0301")}).collect()
+    }
+    assert got == {i for i in range(300, 310)} | {
+        i for i in range(400, 410)
+    }
+
+    # unknown column / unsupported type refuse loudly
+    import pytest
+
+    with pytest.raises(DeltaProtocolError, match="not in table schema"):
+        r.read(stats_filter={"nope": (1, 2)}).collect()
