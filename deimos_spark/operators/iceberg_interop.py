@@ -196,10 +196,79 @@ class IcebergTableReader:
             )
         return max(eligible, key=lambda s: s["timestamp-ms"])["snapshot-id"]
 
+    def _ice_field_types(self) -> dict:
+        """{name: (field_id, single-value type key)} for the current
+        Iceberg schema's boundable primitive columns."""
+        md = self.metadata
+        if "schemas" in md:
+            sid = md.get("current-schema-id", 0)
+            sch = next(
+                (x for x in md["schemas"] if x.get("schema-id") == sid),
+                md["schemas"][0],
+            )
+        else:
+            sch = md.get("schema") or {}
+        out = {}
+        for f in sch.get("fields") or []:
+            out[f["name"]] = (f["id"], _BOUNDABLE_ICE.get(f.get("type")))
+        return out
+
+    def _normalize_stats_filter(self, stats_filter: dict) -> dict:
+        """{col: (lo, hi)} → {field_id: (lo, hi, type_key)}; unknown
+        columns or unboundable types refuse loudly (a silent skip would
+        read as 'no matching files')."""
+        types = self._ice_field_types()
+        out = {}
+        for col, (lo, hi) in stats_filter.items():
+            if col not in types:
+                raise IcebergProtocolError(
+                    f"stats_filter column {col!r} not in table schema"
+                )
+            fid, tkey = types[col]
+            if tkey is None:
+                raise IcebergProtocolError(
+                    f"stats_filter on column {col!r} unsupported "
+                    "(int/long/string bounds only)"
+                )
+            out[fid] = (lo, hi, tkey)
+        return out
+
+    @staticmethod
+    def _entry_outside_bounds(df_rec: dict, sprune: dict) -> bool:
+        """True when an entry's recorded column bounds PROVE it misses
+        the requested ranges. Missing/undecodable bounds → False."""
+        from deimos_spark.operators.iceberg_transforms import (
+            single_value_deserialize,
+        )
+
+        def _as_map(v):
+            if not v:
+                return {}
+            if isinstance(v, dict):
+                return v
+            return {e["key"]: e["value"] for e in v}
+
+        lows = _as_map(df_rec.get("lower_bounds"))
+        highs = _as_map(df_rec.get("upper_bounds"))
+        for fid, (lo, hi, tkey) in sprune.items():
+            mn = single_value_deserialize(tkey, lows.get(fid))
+            mx = single_value_deserialize(tkey, highs.get(fid))
+            if mn is None or mx is None:
+                continue
+            try:
+                if hi is not None and mn > hi:
+                    return True
+                if lo is not None and mx < lo:
+                    return True
+            except TypeError:
+                continue
+        return False
+
     def _file_sets(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
+        stats_filter: dict | None = None,
     ) -> tuple[
         list[tuple[str, str, int, dict, int]],
         list[str],
@@ -233,6 +302,11 @@ class IcebergTableReader:
         snap = self.snapshot(snapshot_id)
         if not snap:
             return [], [], []
+        sprune = (
+            self._normalize_stats_filter(stats_filter)
+            if stats_filter
+            else None
+        )
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
         data: list[tuple[str, str, int, dict, int]] = []
         pos_deletes: list[str] = []
@@ -280,6 +354,16 @@ class IcebergTableReader:
                         partition_filter,
                         mf_spec,
                     )
+                ):
+                    continue
+                # entry-level column-bounds skipping (spec fields
+                # 125/128): drop data entries whose recorded [min, max]
+                # provably miss the stats_filter ranges — delete entries
+                # are never skipped
+                if (
+                    sprune
+                    and content == 0
+                    and self._entry_outside_bounds(df, sprune)
                 ):
                     continue
                 fmt = str(df.get("file_format", "PARQUET")).upper()
@@ -538,6 +622,7 @@ class IcebergTableReader:
         snapshot_id: int | None = None,
         partition_filter: dict[str, object] | None = None,
         as_of_ms: int | None = None,
+        stats_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """`partition_filter` prunes by each manifest entry's typed
         `partition` record before any file opens — {col: value} or
@@ -553,7 +638,7 @@ class IcebergTableReader:
             snapshot_id = self.snapshot_id_at(as_of_ms)
         schema = self.schema()
         data, pos_deletes, eq_deletes = self._file_sets(
-            snapshot_id, partition_filter
+            snapshot_id, partition_filter, stats_filter
         )
         if not data:
             return self.spark.createDataFrame([], schema)
@@ -743,11 +828,128 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "type": "long",
                         "field-id": 104,
                     },
+                    # spec fields 125/128: per-column bounds keyed by
+                    # field id (Appendix-D single-value bytes) — what
+                    # lets a scan skip ENTRIES without opening files
+                    {
+                        "name": "lower_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k126_v127",
+                                    "fields": [
+                                        {
+                                            "name": "key",
+                                            "type": "int",
+                                            "field-id": 126,
+                                        },
+                                        {
+                                            "name": "value",
+                                            "type": "bytes",
+                                            "field-id": 127,
+                                        },
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 125,
+                    },
+                    {
+                        "name": "upper_bounds",
+                        "type": [
+                            "null",
+                            {
+                                "type": "array",
+                                "items": {
+                                    "type": "record",
+                                    "name": "k129_v130",
+                                    "fields": [
+                                        {
+                                            "name": "key",
+                                            "type": "int",
+                                            "field-id": 129,
+                                        },
+                                        {
+                                            "name": "value",
+                                            "type": "bytes",
+                                            "field-id": 130,
+                                        },
+                                    ],
+                                },
+                            },
+                        ],
+                        "default": None,
+                        "field-id": 128,
+                    },
                 ],
             },
         },
     ],
 }
+
+
+# iceberg primitive type -> the single-value codec's type key (bounds are
+# only recorded for these; others are skipped, which disables skipping
+# for that column but never drops data)
+_BOUNDABLE_ICE = {"int": "int", "long": "long", "string": "string"}
+
+
+def _file_column_bounds(path: str, ice_fields: list[dict]):
+    """(lower_bounds, upper_bounds) as [{key: field_id, value: bytes}]
+    from the parquet FOOTER — same conservative rules as the Delta stats
+    emitter: nested columns, NaN floats, >32-char strings, and columns
+    missing stats in any row group are omitted."""
+    from deimos_spark.operators.iceberg_transforms import (
+        single_value_serialize,
+    )
+
+    try:
+        import pyarrow.parquet as papq
+
+        md = papq.read_metadata(path)
+    except Exception:
+        return None, None
+    by_name = {
+        f["name"]: (f["id"], _BOUNDABLE_ICE.get(f["type"]))
+        for f in ice_fields
+    }
+    mins: dict = {}
+    maxs: dict = {}
+    complete: set = set()
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in by_name or by_name[name][1] is None:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                complete.discard(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, str) and (len(lo) > 32 or len(str(hi)) > 32):
+                complete.discard(name)
+                continue
+            if rg == 0:
+                complete.add(name)
+            if name in complete:
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    lower, upper = [], []
+    for name in sorted(complete):
+        fid, tkey = by_name[name]
+        lb = single_value_serialize(tkey, mins.get(name))
+        ub = single_value_serialize(tkey, maxs.get(name))
+        if lb is None or ub is None:
+            continue
+        lower.append({"key": fid, "value": lb})
+        upper.append({"key": fid, "value": ub})
+    return (lower or None), (upper or None)
 
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
@@ -1093,8 +1295,9 @@ class IcebergTableWriter:
                 },
             )
 
-        entries = [
-            {
+        def _entry(p, rows, size, pvals):
+            lower, upper = _file_column_bounds(p, ice_fields)
+            return {
                 "status": 1,  # ADDED
                 "snapshot_id": snap_id,
                 "sequence_number": seq,
@@ -1106,10 +1309,12 @@ class IcebergTableWriter:
                     "file_format": "PARQUET",
                     "record_count": rows,
                     "file_size_in_bytes": size,
+                    "lower_bounds": lower,
+                    "upper_bounds": upper,
                 },
             }
-            for p, rows, size, pvals in files
-        ]
+
+        entries = [_entry(*f) for f in files]
         added_rows = sum(r for _, r, _, _ in files)
 
         def _manifest_row(mpath, content, n_files, n_rows, partitions=None):

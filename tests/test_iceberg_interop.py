@@ -1493,3 +1493,59 @@ def test_manifest_summary_null_partition_and_foreign_lists(spark, tmp_path):
     got = {x.v for x in r2.read(partition_filter={"p": None}).collect()}
     assert got == {"n1"}
     assert r2.last_manifests_skipped == 0
+
+
+def test_entry_column_bounds_write_and_skip(spark, tmp_path):
+    """Spec-125/128 per-column bounds: the writer records footer-derived
+    single-value bounds per data file; read(stats_filter={col: (lo, hi)})
+    skips entries whose bounds provably miss the range. Files without
+    bounds always survive; unknown columns refuse loudly."""
+    import pytest
+
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergProtocolError,
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+    from deimos_spark.schemas.avro_ocf import ocf_read
+
+    t = str(tmp_path / "icebounds")
+    w = IcebergTableWriter(spark, t)
+    for lo in (0, 100, 200):
+        w.append(
+            spark.createDataFrame(
+                [(lo + i, f"s{lo + i:04d}") for i in range(10)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+    r = IcebergTableReader(spark, t)
+
+    # bounds landed in the manifests, keyed by field id
+    snap = r.snapshot()
+    _, manifests = ocf_read(r._local(snap["manifest-list"]))
+    found = 0
+    for mf in manifests:
+        _, entries = ocf_read(r._local(mf["manifest_path"]))
+        for e in entries:
+            if e.get("status") == 2:
+                continue
+            lb = e["data_file"].get("lower_bounds")
+            if lb:
+                found += 1
+                assert {x["key"] for x in lb} == {1, 2}  # id + v
+    assert found == 3
+
+    got = {x.id for x in r.read(stats_filter={"id": (150, 205)}).collect()}
+    assert got == {i for i in range(200, 210)}  # only [200,209] overlaps
+
+    got = {
+        x.id for x in r.read(stats_filter={"v": ("s0100", "s0101")}).collect()
+    }
+    assert got == {i for i in range(100, 110)}
+
+    with pytest.raises(IcebergProtocolError, match="not in table schema"):
+        r.read(stats_filter={"nope": (1, 2)}).collect()
+
+    # composes with a keyed-table history: bounds survive merges
+    got = {x.id for x in r.read(stats_filter={"id": (None, 5)}).collect()}
+    assert got == {i for i in range(0, 10)}
