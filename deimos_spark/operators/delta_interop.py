@@ -1031,12 +1031,18 @@ class DeltaTableWriter:
         partition_by: tuple[str, ...] = (),
         max_commit_retries: int = 5,
         checkpoint_interval: int = 20,
+        checkpoint_format: str = "classic",
     ):
+        if checkpoint_format not in ("classic", "v2"):
+            raise ValueError(
+                f"checkpoint_format {checkpoint_format!r}: classic or v2"
+            )
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
         self.max_commit_retries = max_commit_retries
         self.checkpoint_interval = checkpoint_interval
+        self.checkpoint_format = checkpoint_format
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         self.schema = schema
@@ -1090,6 +1096,136 @@ class DeltaTableWriter:
             pass
 
     def _write_checkpoint(self, version: int) -> None:
+        if self.checkpoint_format == "v2":
+            return self._write_checkpoint_v2(version)
+        return self._write_checkpoint_classic(version)
+
+    def _write_checkpoint_v2(self, version: int) -> None:
+        """V2 checkpoint (PROTOCOL.md "V2 Checkpoints"): the write twin
+        of _load_checkpoint_v2 — a `{v}.checkpoint.{uuid}.json` manifest
+        holding checkpointMetadata + protocol + metaData + one `sidecar`
+        action, with the add-file state in a parquet sidecar under
+        `_delta_log/_sidecars/`. Readers without the v2Checkpoint
+        feature must not read the table at all, which is why
+        checkpoint_format="v2" declares the feature in the FIRST
+        commit's protocol; attaching to a table whose protocol lacks it
+        refuses here rather than emit a checkpoint real readers would
+        mis-handle."""
+        import time as _time
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        snap = DeltaTableReader(self.spark, self.path).snapshot(version)
+        if snap.meta_raw is None:
+            return
+        feats = (snap.protocol_raw or {}).get("writerFeatures") or []
+        if "v2Checkpoint" not in feats:
+            raise DeltaProtocolError(
+                "v2 checkpoint requested but the table's protocol does "
+                "not declare the v2Checkpoint feature"
+            )
+        mapss = pa.map_(pa.string(), pa.string())
+        add_schema = pa.schema(
+            [
+                (
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("partitionValues", mapss),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
+                            ("stats", pa.string()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+        rows = []
+        for p in sorted(snap.files):
+            a = snap.adds_raw.get(p) or {}
+            full = os.path.join(self.path, p)
+            rows.append(
+                {
+                    "add": {
+                        "path": p,
+                        "partitionValues": snap.files[p],
+                        "size": a.get("size")
+                        or (
+                            os.path.getsize(full)
+                            if os.path.exists(full)
+                            else 0
+                        ),
+                        "modificationTime": a.get("modificationTime") or 0,
+                        "dataChange": bool(a.get("dataChange", True)),
+                        "deletionVector": a.get("deletionVector"),
+                        "stats": a.get("stats")
+                        or (
+                            self._file_stats(full)
+                            if os.path.exists(full)
+                            else None
+                        ),
+                    }
+                }
+            )
+        sdir = os.path.join(self.log_dir, "_sidecars")
+        os.makedirs(sdir, exist_ok=True)
+        sc_name = f"{uuid.uuid4()}.parquet"
+        tmp = os.path.join(sdir, f".sc_{uuid.uuid4().hex}.parquet")
+        papq.write_table(
+            pa.Table.from_pylist(rows, schema=add_schema), tmp
+        )
+        os.replace(tmp, os.path.join(sdir, sc_name))
+        manifest = [
+            {"checkpointMetadata": {"version": version}},
+            {"protocol": snap.protocol_raw},
+            {"metaData": snap.meta_raw},
+            {
+                "sidecar": {
+                    "path": sc_name,
+                    "sizeInBytes": os.path.getsize(
+                        os.path.join(sdir, sc_name)
+                    ),
+                    "modificationTime": int(_time.time() * 1000),
+                }
+            },
+        ]
+        mtmp = os.path.join(self.log_dir, f".m_{uuid.uuid4().hex}.json")
+        with open(mtmp, "w") as fh:
+            for a in manifest:
+                fh.write(json.dumps(a) + "\n")
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(
+            mtmp,
+            os.path.join(
+                self.log_dir,
+                f"{version:020d}.checkpoint.{uuid.uuid4()}.json",
+            ),
+        )
+        lc_tmp = os.path.join(self.log_dir, f".lc_{uuid.uuid4().hex}.json")
+        with open(lc_tmp, "w") as fh:
+            json.dump({"version": version, "size": len(manifest)}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def _write_checkpoint_classic(self, version: int) -> None:
         import uuid
 
         import pyarrow as pa
@@ -1243,8 +1379,24 @@ class DeltaTableWriter:
         import time as _time
         import uuid
 
+        if self.checkpoint_format == "v2":
+            # V2 checkpoints are a TABLE FEATURE: readers must opt in,
+            # so the protocol declares it from the first commit
+            # (PROTOCOL.md "V2 Checkpoints" + "Table Features")
+            proto = {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["v2Checkpoint"],
+                    "writerFeatures": ["v2Checkpoint"],
+                }
+            }
+        else:
+            proto = {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}
+            }
         return [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            proto,
             {
                 "metaData": {
                     "id": str(uuid.uuid4()),

@@ -1106,3 +1106,77 @@ def test_stats_filter_skips_files(spark, tmp_path):
 
     with pytest.raises(DeltaProtocolError, match="not in table schema"):
         r.read(stats_filter={"nope": (1, 2)}).collect()
+
+
+def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
+    """checkpoint_format='v2': the writer emits the V2 manifest
+    ({v}.checkpoint.{uuid}.json with checkpointMetadata/protocol/
+    metaData/sidecar) + a parquet sidecar under _delta_log/_sidecars/,
+    declares the v2Checkpoint table feature from the first commit, and
+    the reader replays it (falling back from the classic-name fast path
+    to the listing that discovers the v2 set)."""
+    import json as _json
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "v2w")
+    w = DeltaTableWriter(
+        spark, t, checkpoint_interval=2, checkpoint_format="v2"
+    )
+    for i in range(3):  # versions 0..2 -> v2 checkpoint at v2
+        w.append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+        )
+    ld = os.path.join(t, "_delta_log")
+    manifests = [
+        f for f in os.listdir(ld) if ".checkpoint." in f and f.endswith(".json")
+    ]
+    assert len(manifests) == 1
+    with open(os.path.join(ld, manifests[0])) as fh:
+        actions = [_json.loads(l) for l in fh if l.strip()]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds == ["checkpointMetadata", "protocol", "metaData", "sidecar"]
+    assert actions[1]["protocol"]["readerFeatures"] == ["v2Checkpoint"]
+    sc = actions[3]["sidecar"]["path"]
+    assert os.path.exists(os.path.join(ld, "_sidecars", sc))
+
+    # tail after the checkpoint; reader replays v2 + tail
+    w.append(spark.createDataFrame([(9, "z")], "id long, v string"))
+    r = DeltaTableReader(spark, t)
+    got = {(x.id, x.v) for x in r.read().collect()}
+    assert got == {(0, "v0"), (1, "v1"), (2, "v2"), (9, "z")}
+    # sidecar adds carry stats
+    snap = r.snapshot()
+    assert snap.version == 3
+
+    # partition_filter pushdown works through the v2 sidecar scan too
+    t2 = str(tmp_path / "v2p")
+    w2 = DeltaTableWriter(
+        spark, t2, partition_by=("p",), checkpoint_interval=2,
+        checkpoint_format="v2",
+    )
+    for i in range(3):
+        w2.append(
+            spark.createDataFrame(
+                [(f"p{i}", i)], "p string, id long"
+            )
+        )
+    r2 = DeltaTableReader(spark, t2)
+    got = {x.id for x in r2.read(partition_filter={"p": "p1"}).collect()}
+    assert got == {1}
+
+    # a v2 checkpoint on a table whose protocol lacks the feature refuses
+    t3 = str(tmp_path / "v2bad")
+    plain = DeltaTableWriter(spark, t3)  # classic protocol (1, 2)
+    plain.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    sneaky = DeltaTableWriter(
+        spark, t3, checkpoint_interval=1, checkpoint_format="v2"
+    )
+    import pytest
+
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+        sneaky._write_checkpoint_v2(0)
