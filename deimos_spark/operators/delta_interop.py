@@ -1873,21 +1873,27 @@ class DeltaKeyedTable:
                     continue
 
             reader = DeltaTableReader(self.spark, self.path)
-            snap = reader.snapshot()
-            if snap.column_mapping not in (None, "", "none"):
+            # meta-only probe first: partition columns + mapping mode
+            # WITHOUT materializing the add set — the full file list
+            # only lands on the driver when pruning can't apply
+            meta = reader.snapshot(_meta_only=True)
+            if meta.column_mapping not in (None, "", "none"):
                 raise DeltaProtocolError(
                     "DV merge over column-mapped tables not supported"
                 )
-            pcols = list(snap.partition_columns)
+            pcols = list(meta.partition_columns)
 
             # partition-pruned probe (the txlog MERGE gating, DV flavor):
             # when a partition column is part of the key, only files whose
             # partitionValues appear in the batch can hold hits. The
             # batch's distinct partition values are a bounded control read
             # (capped — a wider batch just skips pruning, never wrong).
-            probe_files = dict(snap.files)
+            # The prune is handed to snapshot() itself, which pushes it
+            # into the distributed checkpoint scan — at millions of files
+            # the driver holds only the batch's partitions' adds.
             prune_cols = [c for c in pcols if c in self.key_cols]
-            if prune_cols and probe_files:
+            part_filter = None
+            if prune_cols:
                 # cast to string SPARK-side: Spark's string cast is the
                 # same rendering it used for the hive partition dir names
                 # that became the log's partitionValues ('true' not
@@ -1903,14 +1909,18 @@ class DeltaKeyedTable:
                     .collect()
                 )
                 if len(vals) <= 1024:
-                    want = {
-                        tuple(r[c] for c in prune_cols) for r in vals
+                    # per-column value sets (a superset of the exact
+                    # tuple set for multi-column keys — pruning may keep
+                    # a few extra files, never drop a needed one)
+                    part_filter = {
+                        c: sorted(
+                            {r[c] for r in vals},
+                            key=lambda v: (v is not None, v or ""),
+                        )
+                        for c in prune_cols
                     }
-                    probe_files = {
-                        p: pv
-                        for p, pv in probe_files.items()
-                        if tuple(pv.get(c) for c in prune_cols) in want
-                    }
+            snap = reader.snapshot(partition_filter=part_filter)
+            probe_files = dict(snap.files)
 
             removes, dv_adds, dv_paths = [], [], []
             if probe_files and snap.schema is not None:
