@@ -1501,10 +1501,14 @@ class DeltaTableWriter:
         columns, aggregated from the parquet FOOTER (no data read —
         one metadata fetch per written file). This is what lets any
         conforming reader data-skip our tables. Conservative by
-        omission: columns whose footer stats are absent, whose types we
-        don't render (nested, binary, timestamps), or whose string
-        bounds exceed 32 chars (naive truncation would produce a WRONG
-        upper bound) simply don't appear — absent stats never mislead."""
+        omission: columns whose footer stats are absent or rejected in
+        ANY row group, whose types we don't render (nested, binary,
+        timestamps, float/double — footers exclude NaN from min/max, so
+        float bounds can provably-wrong-skip under NaN-largest
+        ordering), or whose string bounds exceed 32 chars (naive
+        truncation would produce a WRONG upper bound) simply don't
+        appear — absent stats never mislead. nullCount only appears for
+        columns where EVERY row group reported a null_count."""
         try:
             import pyarrow.parquet as pq
 
@@ -1514,6 +1518,7 @@ class DeltaTableWriter:
         mins: dict = {}
         maxs: dict = {}
         nulls: dict = {}
+        nulls_partial: set = set()  # some row group lacked a null_count
         seen_all: set = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
@@ -1523,20 +1528,38 @@ class DeltaTableWriter:
                 if "." in name:
                     continue  # nested: out of scope
                 st = col.statistics
+                # nullCount accumulates BEFORE any min/max gating — an
+                # all-null row group has no bounds but definitely has
+                # nulls; a partial sum would let readers wrongly skip
+                # IS NULL predicates, so any gap poisons the column.
+                if st is not None and st.null_count is not None:
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                else:
+                    nulls_partial.add(name)
                 if st is None or not st.has_min_max:
                     seen_all.discard(name)
                     mins.pop(name, None)
                     maxs.pop(name, None)
                     continue
                 lo, hi = st.min, st.max
-                ok = isinstance(lo, (int, float, str, bool)) and not (
+                # floats are NOT boundable from footers: parquet writers
+                # (parquet-format recommendation) exclude NaN from
+                # min/max, so a footer max can read 0.5 on a file whose
+                # data contains NaN — under the Delta/Spark NaN-largest
+                # ordering a conforming reader would provably-wrong-skip
+                # `f > 10`. The footer cannot reveal NaN presence, so
+                # float/double columns get no bounds at all (same rule
+                # as the Iceberg _BOUNDABLE_ICE twin).
+                ok = isinstance(lo, (int, str, bool)) and not (
                     isinstance(lo, str) and (len(lo) > 32 or len(str(hi)) > 32)
                 )
-                if ok and isinstance(lo, float):
-                    ok = lo == lo and hi == hi  # NaN bounds lie
-                if st.null_count is not None:
-                    nulls[name] = nulls.get(name, 0) + st.null_count
                 if not ok:
+                    # rejected bounds poison the whole column: partial
+                    # min/max covering only earlier row groups would let
+                    # conforming readers skip files that DO match
+                    seen_all.discard(name)
+                    mins.pop(name, None)
+                    maxs.pop(name, None)
                     continue
                 if rg == 0:
                     seen_all.add(name)
@@ -1546,6 +1569,7 @@ class DeltaTableWriter:
         # drop columns missing stats in any row group (partial bounds lie)
         mins = {k: v for k, v in mins.items() if k in seen_all}
         maxs = {k: v for k, v in maxs.items() if k in seen_all}
+        nulls = {k: v for k, v in nulls.items() if k not in nulls_partial}
         out = {"numRecords": md.num_rows}
         if mins:
             out["minValues"] = mins

@@ -60,6 +60,12 @@ def resample_ffill(
 
     Returns (key, bucket TIMESTAMP, value_ff) — value_ff is never NULL
     because every key's grid starts at a bucket with an observation.
+
+    A bucket whose aggregated value is NULL counts as MISSING, not as an
+    observation: the previous non-null observation fills across it (the
+    `last(_v, ignorenulls=True)` semantics of the classic grid-join
+    formulation). A key's leading all-NULL buckets contribute no grid
+    rows — the grid starts at the first non-null observation.
     """
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     bucket = F.date_trunc("day" if interval == "1 day" else "hour", ts)
@@ -77,6 +83,10 @@ def resample_ffill(
         )
         .groupBy("_k", "_b")
         .agg(F.max_by("_v", "_tie").alias("_v"))
+        # NULL bucket values are missing observations, not fill sources:
+        # dropping them BEFORE the lead() extends the previous non-null
+        # observation's range across the gap they'd otherwise truncate
+        .where(F.col("_v").isNotNull())
     )
     # each observed bucket OWNS the gap up to the next observation: one
     # lead() window + a sequence explode emits its forward-filled range
@@ -94,7 +104,15 @@ def resample_ffill(
         F.explode(
             F.sequence(
                 F.col("_b"),
-                F.coalesce(F.col("_nb") - step, F.col("_b")),
+                # greatest() clamp: when `interval` exceeds the distance
+                # to the next observed bucket (e.g. '2 hours' buckets on
+                # an hour-truncated grid), _nb - step precedes _b and an
+                # unclamped sequence() would raise; the clamp emits just
+                # the observed bucket instead
+                F.greatest(
+                    F.col("_b"),
+                    F.coalesce(F.col("_nb") - step, F.col("_b")),
+                ),
                 step,
             )
         ).alias("bucket"),

@@ -83,3 +83,49 @@ def test_sessionize_gap_semantics(spark):
     )
     out2 = sessionize(df2, "user_id", "ts", gap=200)
     assert {r.event_id: r.session_seq for r in out2.collect()} == {1: 1, 2: 1}
+
+
+def test_resample_ffill_null_buckets_and_clamped_interval(spark):
+    """ADVICE r7 medium: (1) a bucket whose aggregated value is NULL is a
+    MISSING observation — the previous non-null value fills across it
+    (classic last(ignorenulls) semantics), it neither emits NULL for its
+    gap range nor truncates the previous observation's fill; leading
+    all-NULL buckets contribute no grid rows. (2) an `interval` larger
+    than the gap between observed buckets (e.g. '2 hours' on an
+    hour-truncated grid) must not make sequence() raise — the clamp
+    emits just the observed bucket."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from deimos_spark.operators.timeseries import resample_ffill
+
+    def t(day, hour=0):
+        return dt.datetime(2024, 1, day, hour)
+
+    df = spark.createDataFrame(
+        [
+            # key a: leading NULL day 1, obs day 2, NULL day 3 (gap),
+            # obs day 5 → fill must carry 2.0 over days 3 AND 4
+            Row(k="a", ts=t(1), v=None),
+            Row(k="a", ts=t(2), v=2.0),
+            Row(k="a", ts=t(3), v=None),
+            Row(k="a", ts=t(5), v=5.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.bucket.day): r.value_ff
+        for r in resample_ffill(df, "k", "ts", "v", interval="1 day").collect()
+    }
+    # day 1 (leading NULL): no row; days 2-4 carry 2.0; day 5 is 5.0
+    assert out == {("a", 2): 2.0, ("a", 3): 2.0, ("a", 4): 2.0, ("a", 5): 5.0}
+
+    # adjacent hour buckets with a 2-hour interval: _nb - step < _b —
+    # must emit the observed buckets, not raise
+    df2 = spark.createDataFrame(
+        [Row(k="a", ts=t(1, 1), v=1.0), Row(k="a", ts=t(1, 2), v=2.0)],
+        "k string, ts timestamp, v double",
+    )
+    rows = resample_ffill(df2, "k", "ts", "v", interval="2 hours").collect()
+    assert {(r.bucket.hour, r.value_ff) for r in rows} == {(1, 1.0), (2, 2.0)}

@@ -1180,3 +1180,73 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
 
     with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         sneaky._write_checkpoint_v2(0)
+
+
+def test_file_stats_reject_poisons_whole_column(tmp_path):
+    """A row group whose footer bounds are REJECTED after row group 0
+    accepted (string >32 chars, NaN float) must drop the column from
+    minValues/maxValues entirely — partial bounds covering only earlier
+    row groups would let a conforming reader provably-miss-skip files
+    whose later row groups DO contain matching rows (ADVICE r7 high).
+    nullCount must accumulate across ALL row groups, including all-null
+    ones that carry no min/max, and be omitted when any row group lacks
+    a null_count (stats disabled)."""
+    import json as _json
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from deimos_spark.operators.delta_interop import DeltaTableWriter
+
+    p = str(tmp_path / "poison.parquet")
+    long_s = "z" * 40  # >32 chars: bounds rejected
+    # rg0: clean bounds everywhere; rg1: s long-string, f NaN max,
+    # n all-null (no min/max but a real null_count), g stats disabled
+    t0 = pa.table(
+        {
+            "i": pa.array([1, 2], pa.int64()),
+            "s": pa.array(["aa", "bb"]),
+            "f": pa.array([1.0, 2.0], pa.float64()),
+            "n": pa.array([7, None], pa.int64()),
+            "g": pa.array([1, 2], pa.int64()),
+        }
+    )
+    t1 = pa.table(
+        {
+            "i": pa.array([3, 99], pa.int64()),
+            "s": pa.array([long_s, "cc"]),
+            "f": pa.array([0.5, math.nan], pa.float64()),
+            "n": pa.array([None, None], pa.int64()),
+            "g": pa.array([3, 4], pa.int64()),
+        }
+    )
+    w = papq.ParquetWriter(
+        p,
+        t0.schema,
+        write_statistics=["i", "s", "f", "n"],  # g: no stats at all
+    )
+    w.write_table(t0)
+    w.write_table(t1)
+    w.close()
+    md = papq.read_metadata(p)
+    assert md.num_row_groups == 2  # the scenario needs 2 row groups
+
+    st = _json.loads(DeltaTableWriter._file_stats(p))
+    assert st["numRecords"] == 4
+    mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+    # i survives across both row groups with true bounds
+    assert mins["i"] == 1 and maxs["i"] == 99
+    # s (long string in rg1) must be ABSENT, not partial rg0-only bounds
+    assert "s" not in mins and "s" not in maxs
+    # f: floats are never bounded from footers — parquet stats exclude
+    # NaN (rg1's footer claims max=0.5 despite the NaN), so any float
+    # bound could wrong-skip under NaN-largest ordering
+    assert "f" not in mins and "f" not in maxs
+    # n: all-null rg1 kills the bounds but its nulls still count
+    assert "n" not in mins
+    nulls = st["nullCount"]
+    assert nulls["n"] == 3
+    assert nulls["i"] == 0 and nulls["s"] == 0
+    # g: a row group without null_count → column omitted from nullCount
+    assert "g" not in nulls
