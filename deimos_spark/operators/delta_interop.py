@@ -297,11 +297,13 @@ class DeltaTableReader:
             # requested range; files without stats (or without the
             # column) always survive — absent stats never drop data
             for col, (lo, hi, numeric) in stats_prune.items():
+                # bracket-quoted path: `col` may be a physicalName
+                # (column-mapped tables) with dashes/dots in it
                 mn = F.get_json_object(
-                    F.col("add.stats"), f"$.minValues.{col}"
+                    F.col("add.stats"), f"$['minValues']['{col}']"
                 )
                 mx = F.get_json_object(
-                    F.col("add.stats"), f"$.maxValues.{col}"
+                    F.col("add.stats"), f"$['maxValues']['{col}']"
                 )
                 if numeric:
                     mn, mx = mn.cast("double"), mx.cast("double")
@@ -545,6 +547,22 @@ class DeltaTableReader:
                     os.path.join(self.log_dir, f"{cv:020d}.checkpoint.parquet")
                 ]
             snap = self._load_checkpoint(cv, paths, prune, sprune)
+            if snap is None:
+                # classic names absent: a v2 checkpoint's UUID manifest
+                # name can't be constructed, but our writer records it
+                # in the pointer — probing it keeps the no-LIST fast
+                # path alive across v2 checkpoints
+                mname = lc.get("v2Manifest")
+                if (
+                    isinstance(mname, str)
+                    and os.sep not in mname
+                    and mname.startswith(f"{cv:020d}.checkpoint.")
+                ):
+                    mp = os.path.join(self.log_dir, mname)
+                    if os.path.exists(mp):
+                        snap = self._load_checkpoint_v2(
+                            cv, mp, prune, sprune
+                        )
             if snap is not None:
                 v = snap.version + 1
                 while version is None or v <= version:
@@ -596,29 +614,46 @@ class DeltaTableReader:
     def _normalize_stats_filter(
         self, version: int | None, stats_filter: dict
     ) -> dict:
-        """{col: (lo, hi)} → {col: (lo, hi, numeric)} validated against
-        the table schema. One extra snapshot probe to learn the schema;
-        numeric columns compare as doubles, strings lexicographically,
-        anything else refuses loudly (a silent unsupported-type skip
-        would read as 'no matching files')."""
+        """{col: (lo, hi)} → {stats_key: (lo, hi, numeric)} validated
+        against the table schema. One extra snapshot probe to learn the
+        schema; numeric columns compare as doubles, strings
+        lexicographically, anything else refuses loudly (a silent
+        unsupported-type skip would read as 'no matching files').
+
+        On column-mapped tables (name/id modes) the stats JSON keys on
+        delta.columnMapping.physicalName, not the logical name — the
+        returned dict is keyed by the PHYSICAL name so both the pushed
+        get_json_object lookup and the JSON-tail post-prune hit."""
         probe = self.snapshot(version, _meta_only=True)
         if probe.schema is None:
             raise DeltaProtocolError(
                 f"{self.path}: no metaData action in log"
             )
-        types = {f.name: f.dataType for f in probe.schema.fields}
+        mapped = probe.column_mapping in ("name", "id")
+        fields = {f.name: f for f in probe.schema.fields}
         out = {}
         for col, rng in stats_filter.items():
-            if col not in types:
+            if col not in fields:
                 raise DeltaProtocolError(
                     f"stats_filter column {col!r} not in table schema"
                 )
             lo, hi = rng
-            dt = types[col]
+            fld = fields[col]
+            dt = fld.dataType
+            key = col
+            if mapped:
+                key = (fld.metadata or {}).get(
+                    "delta.columnMapping.physicalName", col
+                )
+            if "'" in key:
+                raise DeltaProtocolError(
+                    f"stats_filter column {col!r}: physical name {key!r} "
+                    "not addressable in a JSON path"
+                )
             if isinstance(dt, T.NumericType):
-                out[col] = (lo, hi, True)
+                out[key] = (lo, hi, True)
             elif isinstance(dt, T.StringType):
-                out[col] = (lo, hi, False)
+                out[key] = (lo, hi, False)
             else:
                 raise DeltaProtocolError(
                     f"stats_filter on {dt.simpleString()} column {col!r} "
@@ -1211,16 +1246,23 @@ class DeltaTableWriter:
                 fh.write(json.dumps(a) + "\n")
             fh.flush()
             os.fsync(fh.fileno())
-        os.replace(
-            mtmp,
-            os.path.join(
-                self.log_dir,
-                f"{version:020d}.checkpoint.{uuid.uuid4()}.json",
-            ),
-        )
+        mname = f"{version:020d}.checkpoint.{uuid.uuid4()}.json"
+        os.replace(mtmp, os.path.join(self.log_dir, mname))
         lc_tmp = os.path.join(self.log_dir, f".lc_{uuid.uuid4().hex}.json")
         with open(lc_tmp, "w") as fh:
-            json.dump({"version": version, "size": len(manifest)}, fh)
+            # v2Manifest is an extra advisory key (readers ignore unknown
+            # _last_checkpoint fields): the UUID manifest name is not
+            # constructible from the version alone, so without it every
+            # snapshot after a v2 checkpoint would pay the listing slow
+            # path the fast path exists to avoid
+            json.dump(
+                {
+                    "version": version,
+                    "size": len(manifest),
+                    "v2Manifest": mname,
+                },
+                fh,
+            )
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))

@@ -1113,8 +1113,11 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     ({v}.checkpoint.{uuid}.json with checkpointMetadata/protocol/
     metaData/sidecar) + a parquet sidecar under _delta_log/_sidecars/,
     declares the v2Checkpoint table feature from the first commit, and
-    the reader replays it (falling back from the classic-name fast path
-    to the listing that discovers the v2 set)."""
+    the reader replays it WITHOUT a directory listing: _last_checkpoint
+    records the UUID manifest name (advisory extra key), and the fast
+    path probes it when the classic names are absent (ADVICE r7 low —
+    before, every snapshot after a v2 checkpoint paid the listing slow
+    path)."""
     import json as _json
 
     from deimos_spark.operators.delta_interop import (
@@ -1144,6 +1147,11 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     sc = actions[3]["sidecar"]["path"]
     assert os.path.exists(os.path.join(ld, "_sidecars", sc))
 
+    # _last_checkpoint carries the manifest name for the no-LIST path
+    with open(os.path.join(ld, "_last_checkpoint")) as fh:
+        lc = _json.load(fh)
+    assert lc["v2Manifest"] == manifests[0]
+
     # tail after the checkpoint; reader replays v2 + tail
     w.append(spark.createDataFrame([(9, "z")], "id long, v string"))
     r = DeltaTableReader(spark, t)
@@ -1152,6 +1160,8 @@ def test_v2_checkpoint_write_roundtrip(spark, tmp_path):
     # sidecar adds carry stats
     snap = r.snapshot()
     assert snap.version == 3
+    # the v2 checkpoint is found via the pointer — no directory LIST
+    assert not r.last_snapshot_listed_log
 
     # partition_filter pushdown works through the v2 sidecar scan too
     t2 = str(tmp_path / "v2p")

@@ -498,3 +498,133 @@ def test_on_file_dv_hand_authored_bytes(spark, tmp_path):
 
     got = {x.id for x in DeltaTableReader(spark, t).read().collect()}
     assert got == {0, 2, 3, 5}
+
+
+def test_stats_filter_on_column_mapped_table(spark, tmp_path):
+    """ADVICE r7 low: on column-mapped tables the per-file stats JSON
+    keys on delta.columnMapping.physicalName — a stats_filter given by
+    LOGICAL name must translate to the physical key (both in the pushed
+    checkpoint-scan lookup and the JSON-tail post-prune) instead of
+    silently never matching (which read as 'skipping works' while
+    skipping nothing)."""
+    t = str(tmp_path / "foreign_mapped_stats")
+    file_schema = pa.schema(
+        [
+            pa.field(
+                "col-8d970cfe", pa.int64(),
+                metadata={b"PARQUET:field_id": b"1"},
+            ),
+            pa.field(
+                "col-02aebcc6", pa.string(),
+                metadata={b"PARQUET:field_id": b"2"},
+            ),
+        ]
+    )
+    _write_parquet(
+        os.path.join(t, "low.parquet"),
+        [{"col-8d970cfe": 1, "col-02aebcc6": "a"},
+         {"col-8d970cfe": 9, "col-02aebcc6": "b"}],
+        schema=file_schema,
+    )
+    _write_parquet(
+        os.path.join(t, "high.parquet"),
+        [{"col-8d970cfe": 100, "col-02aebcc6": "c"},
+         {"col-8d970cfe": 110, "col-02aebcc6": "d"}],
+        schema=file_schema,
+    )
+    schema_str = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "amount",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-8d970cfe",
+                    },
+                },
+                {
+                    "name": "label",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-02aebcc6",
+                    },
+                },
+            ],
+        }
+    )
+    # stats keyed by PHYSICAL name, as every conforming writer emits them
+    def _st(lo, hi):
+        return json.dumps(
+            {
+                "numRecords": 2,
+                "minValues": {"col-8d970cfe": lo},
+                "maxValues": {"col-8d970cfe": hi},
+            }
+        )
+
+    _write_commit(
+        t,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["columnMapping"],
+                    "writerFeatures": ["columnMapping"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": "abc",
+                    "format": {"provider": "parquet"},
+                    "schemaString": schema_str,
+                    "partitionColumns": [],
+                    "configuration": {
+                        "delta.columnMapping.mode": "id",
+                        "delta.columnMapping.maxColumnId": "2",
+                    },
+                }
+            },
+            {
+                "add": {
+                    "path": "low.parquet",
+                    "partitionValues": {},
+                    "size": 500,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": _st(1, 9),
+                }
+            },
+            {
+                "add": {
+                    "path": "high.parquet",
+                    "partitionValues": {},
+                    "size": 500,
+                    "modificationTime": 1700000000000,
+                    "dataChange": True,
+                    "stats": _st(100, 110),
+                }
+            },
+        ],
+    )
+
+    from deimos_spark.operators.delta_interop import DeltaTableReader
+
+    r = DeltaTableReader(spark, t)
+    snap = r.snapshot(stats_filter={"amount": (50, 200)})
+    assert set(snap.files) == {"high.parquet"}  # low.parquet SKIPPED
+    got = {
+        (x.amount, x.label)
+        for x in r.read(stats_filter={"amount": (50, 200)}).collect()
+    }
+    assert got == {(100, "c"), (110, "d")}
+    # and the skip never drops matching data: a range touching both
+    # files keeps both
+    snap2 = r.snapshot(stats_filter={"amount": (5, 105)})
+    assert set(snap2.files) == {"low.parquet", "high.parquet"}
