@@ -663,6 +663,182 @@ class IcebergTableReader:
             scan = self._apply_equality_deletes(scan, data, eq_deletes)
         return scan.select(*cols)
 
+    # ------------------------------------------------------ incremental
+
+    def _lineage(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None
+    ) -> list[dict]:
+        """Snapshots strictly after `from` up to and including `to`,
+        oldest first. Walks `parent-snapshot-id` links when the table
+        records them (the spec's lineage field); tables without parent
+        links (older writers) fall back to `sequence-number` order,
+        which is equivalent on the linear histories such writers
+        produce. Refuses when `from` is not an ancestor of `to` —
+        an incremental scan across divergent branches is meaningless."""
+        snaps = {
+            s["snapshot-id"]: s
+            for s in self.metadata.get("snapshots") or []
+        }
+        to_id = to_snapshot_id
+        if to_id is None:
+            to_id = self.metadata.get("current-snapshot-id")
+            if to_id in (None, -1):
+                return []
+        if to_id not in snaps:
+            raise IcebergProtocolError(f"snapshot {to_id} not found")
+        if from_snapshot_id is not None and from_snapshot_id not in snaps:
+            raise IcebergProtocolError(
+                f"snapshot {from_snapshot_id} not found (expired?)"
+            )
+        if from_snapshot_id == to_id:
+            return []
+        if any("parent-snapshot-id" in s for s in snaps.values()):
+            chain: list[dict] = []
+            cur: int | None = to_id
+            while cur is not None:
+                if cur == from_snapshot_id:
+                    return list(reversed(chain))
+                s = snaps.get(cur)
+                if s is None:
+                    break  # parent expired out of the metadata
+                chain.append(s)
+                cur = s.get("parent-snapshot-id")
+            if from_snapshot_id is not None:
+                raise IcebergProtocolError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    f"{to_id}"
+                )
+            return list(reversed(chain))
+        # no parent links anywhere: order by (sequence-number,
+        # timestamp-ms, metadata list position) — v1 tables have no
+        # sequence numbers, so the later keys break the ties their
+        # linear histories produce
+        keyed = {
+            s["snapshot-id"]: (
+                s.get("sequence-number", 0),
+                s.get("timestamp-ms", 0),
+                i,
+            )
+            for i, s in enumerate(self.metadata.get("snapshots") or [])
+        }
+        lo = (
+            keyed[from_snapshot_id]
+            if from_snapshot_id is not None
+            else (-1, -1, -1)
+        )
+        hi = keyed[to_id]
+        return sorted(
+            (s for s in snaps.values() if lo < keyed[s["snapshot-id"]] <= hi),
+            key=lambda s: keyed[s["snapshot-id"]],
+        )
+
+    def _added_data_files(self, snap: dict) -> list[str]:
+        """Local paths of DATA files ADDED by exactly this snapshot:
+        only manifests the snapshot itself wrote (`added_snapshot_id`
+        matches) can hold its additions, so carried-forward manifests
+        are never opened — the incremental walk touches O(new files)
+        metadata regardless of table size."""
+        sid = snap["snapshot-id"]
+        _, manifests = ocf_read(self._local(snap["manifest-list"]))
+        out: list[str] = []
+        for mf in manifests:
+            if mf.get("added_snapshot_id") is None:
+                # spec field 503 is required; without it additions can't
+                # be attributed to a snapshot — a silent empty result
+                # would read as "nothing new", so refuse loudly
+                raise IcebergProtocolError(
+                    f"manifest {mf.get('manifest_path')!r} lacks "
+                    "added_snapshot_id — incremental attribution "
+                    "impossible on this table"
+                )
+            if mf.get("added_snapshot_id") != sid:
+                continue
+            if (mf.get("content") or 0) != 0:
+                raise IcebergProtocolError(
+                    f"snapshot {sid} ({snap.get('summary', {}).get('operation')}) "
+                    "added delete files — not an append"
+                )
+            _, entries = ocf_read(self._local(mf["manifest_path"]))
+            for e in entries:
+                if e.get("status") != 1:  # only ADDED entries
+                    continue
+                esid = e.get("snapshot_id")
+                if esid is not None and esid != sid:
+                    continue
+                df = e["data_file"]
+                if (df.get("content", 0) or 0) != 0:
+                    raise IcebergProtocolError(
+                        f"snapshot {sid} added delete content — not an append"
+                    )
+                fmt = str(df.get("file_format", "PARQUET")).upper()
+                if fmt != "PARQUET":
+                    raise IcebergProtocolError(
+                        f"file format {fmt!r} unsupported"
+                    )
+                out.append(self._local(df["file_path"]))
+        return out
+
+    def read_incremental(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        snapshot_col: str | None = None,
+    ) -> DataFrame:
+        """Incremental APPEND scan: rows added by snapshots AFTER
+        `from_snapshot_id` (exclusive; None = from table creation) up to
+        `to_snapshot_id` (inclusive; None = current) — the standing
+        ingestion pattern for training-data pipelines: checkpoint the
+        consumed snapshot id, read only what landed since.
+
+        Semantics match Iceberg's incremental append scan: `append`
+        snapshots contribute their added files, `replace` snapshots
+        (compaction — data unchanged) are skipped, and `overwrite`/
+        `delete` snapshots REFUSE loudly — row-level changes cannot be
+        represented as an append stream; re-read the full snapshot or
+        use a CDC view instead.
+
+        `snapshot_col` names an optional output column carrying the
+        snapshot id that added each row — attached via a broadcast
+        (file → snapshot) map against `_metadata.file_path`, one scan
+        over the union of added files (never a per-file union plan).
+
+        Scale: only manifests written BY in-range snapshots are opened
+        (`added_snapshot_id` match), so cost is O(files added in range),
+        not O(table). Requires the range's snapshots to be unexpired."""
+        from pyspark.sql import functions as F
+
+        schema = self.schema()
+        pairs: list[tuple[str, int]] = []
+        for snap in self._lineage(from_snapshot_id, to_snapshot_id):
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                continue  # compaction: logical content unchanged
+            if op != "append":
+                raise IcebergProtocolError(
+                    f"incremental read crosses snapshot "
+                    f"{snap['snapshot-id']} with operation {op!r} — only "
+                    "append/replace histories are incremental-readable"
+                )
+            for p in self._added_data_files(snap):
+                pairs.append((p, snap["snapshot-id"]))
+        if not pairs:
+            out_schema = T.StructType(schema.fields.copy())
+            if snapshot_col:
+                out_schema.add(snapshot_col, T.LongType())
+            return self.spark.createDataFrame([], out_schema)
+        df = self.spark.read.schema(schema).parquet(*[p for p, _ in pairs])
+        if not snapshot_col:
+            return df
+        smap = self.spark.createDataFrame(
+            [("file:" + p, sid) for p, sid in pairs],
+            f"__ice_fp string, {snapshot_col} long",
+        )
+        return (
+            df.select("*", F.col("_metadata.file_path").alias("__ice_fp"))
+            .join(F.broadcast(smap), "__ice_fp")
+            .drop("__ice_fp")
+        )
+
     def _apply_equality_deletes(
         self,
         df: DataFrame,
@@ -1506,6 +1682,9 @@ class IcebergTableWriter:
             },
             "schema-id": 0,
         }
+        if md is not None and md.get("current-snapshot-id") not in (None, -1):
+            # spec optional field; incremental scans walk this lineage
+            snapshot["parent-snapshot-id"] = md["current-snapshot-id"]
         new_md = {
             "format-version": 2,
             "table-uuid": (
