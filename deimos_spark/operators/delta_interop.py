@@ -781,31 +781,43 @@ class DeltaTableReader:
         for n in sorted(os.listdir(self.log_dir)):
             if not (n.endswith(".json") and n[:-5].isdigit()):
                 continue
-            p = os.path.join(self.log_dir, n)
-            ts = os.path.getmtime(p) * 1000.0
-            try:
-                with open(p) as fh:
-                    for line in fh:
-                        if not line.strip():
-                            continue
-                        action = json.loads(line)
-                        ict = (action.get("commitInfo") or {}).get(
-                            "inCommitTimestamp"
-                        )
-                        if ict is not None:
-                            ts = float(ict)
-                        # commitInfo must be first when ICT is enabled;
-                        # one parsed line either way is enough
-                        break
-            except (OSError, ValueError):
-                pass  # unreadable line: fall back to mtime
-            commits.append((int(n[:-5]), ts))
+            commits.append(
+                (
+                    int(n[:-5]),
+                    self._commit_ts(os.path.join(self.log_dir, n)),
+                )
+            )
         eligible = [v for v, ts in commits if ts <= as_of_ms]
         if not eligible:
             raise DeltaProtocolError(
                 f"no commit at or before timestamp {as_of_ms}"
             )
         return max(eligible)
+
+    @staticmethod
+    def _commit_ts(p: str) -> float:
+        """A commit's timestamp in epoch millis: the log file's
+        modification time unless the commit carries
+        `commitInfo.inCommitTimestamp` (the clock-skew-proof writer
+        feature), which wins when present."""
+        ts = os.path.getmtime(p) * 1000.0
+        try:
+            with open(p) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    ict = (action.get("commitInfo") or {}).get(
+                        "inCommitTimestamp"
+                    )
+                    if ict is not None:
+                        ts = float(ict)
+                    # commitInfo must be first when ICT is enabled;
+                    # one parsed line either way is enough
+                    break
+        except (OSError, ValueError):
+            pass  # unreadable line: fall back to mtime
+        return ts
 
     # ---------------------------------------------------------------- read
 
@@ -821,6 +833,169 @@ class DeltaTableReader:
                 raise ValueError("pass version OR as_of_ms, not both")
             version = self.version_at(as_of_ms)
         return self._read(version, partition_filter, stats_filter)
+
+    def read_changes(
+        self,
+        starting_version: int,
+        ending_version: int | None = None,
+    ) -> DataFrame:
+        """Batch change feed between versions (both INCLUSIVE — the
+        delta-spark `table_changes` convention): table columns +
+        `_change_type`, `_commit_version`, `_commit_timestamp`.
+
+        Per the protocol's Change Data Files rules, a commit that
+        carries `cdc` actions is read from THOSE files exclusively (they
+        record the commit's row-level changes, `_change_type` in-file);
+        a commit without them derives `insert` rows from its
+        dataChange=true add actions. Commits that express row-level
+        changes WITHOUT cdc files — remove actions or DV-carrying adds
+        with dataChange=true — refuse loudly: their changes cannot be
+        reconstructed, and guessing would corrupt downstream consumers.
+        dataChange=false adds/removes (OPTIMIZE) contribute nothing, as
+        required.
+
+        Scale: each version's files are read in one grouped scan via the
+        same assembly as read() (partition literals, column mapping);
+        version count in a range is bounded by consume cadence, not
+        table size, and nothing here materializes data driver-side.
+        The batch twin of the `deltastream` streaming source."""
+        probe = self.snapshot(_meta_only=True)
+        if probe.schema is None:
+            raise DeltaProtocolError(f"{self.path}: no metaData action in log")
+        if ending_version is None:
+            ending_version = probe.version
+        if starting_version < 0 or starting_version > ending_version:
+            raise ValueError(
+                f"bad version range [{starting_version}, {ending_version}]"
+            )
+        mapping = probe.column_mapping in ("name", "id")
+        parts: list[DataFrame] = []
+        for v in range(starting_version, ending_version + 1):
+            p = os.path.join(self.log_dir, f"{v:020d}.json")
+            try:
+                with open(p) as fh:
+                    actions = [
+                        json.loads(ln)
+                        for ln in fh.read().splitlines()
+                        if ln.strip()
+                    ]
+            except OSError:
+                raise DeltaProtocolError(
+                    f"commit {v} not available (log cleaned?) — cannot "
+                    "compute changes"
+                ) from None
+            ts = self._commit_ts(p)
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            adds = [
+                a["add"]
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if a.get("remove")
+                and a["remove"].get("dataChange", True)
+            ]
+            if cdc:
+                if mapping:
+                    raise DeltaProtocolError(
+                        "cdc reads on column-mapped tables unsupported"
+                    )
+                df = self._read_cdc_files(cdc, probe)
+            else:
+                if removes or any(a.get("deletionVector") for a in adds):
+                    raise DeltaProtocolError(
+                        f"version {v} contains row-level changes "
+                        "(remove/deletion-vector) without cdc files — "
+                        "changes are not reconstructable"
+                    )
+                if not adds:
+                    continue
+                mini = DeltaSnapshot(
+                    v,
+                    {a["path"]: dict(a.get("partitionValues") or {})
+                     for a in adds},
+                    probe.schema,
+                    probe.partition_columns,
+                    probe.column_mapping,
+                    probe.protocol_raw,
+                    probe.meta_raw,
+                    {a["path"]: a for a in adds},
+                )
+                df = self._assemble(mini).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            parts.append(
+                df.withColumn("_commit_version", F.lit(v).cast("long"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.timestamp_millis(F.lit(int(ts))),
+                )
+            )
+        if not parts:
+            schema = T.StructType(probe.schema.fields.copy())
+            schema.add("_change_type", T.StringType())
+            schema.add("_commit_version", T.LongType())
+            schema.add("_commit_timestamp", T.TimestampType())
+            return self.spark.createDataFrame([], schema)
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
+
+    def _read_cdc_files(
+        self, cdc_actions: list[dict], snap: DeltaSnapshot
+    ) -> DataFrame:
+        """Read a commit's `cdc` actions (PROTOCOL.md Change Data
+        Files): parquet under the table root carrying the data columns
+        plus `_change_type`; partition columns re-attach as typed
+        literals from the action's partitionValues, same as adds."""
+        ptypes = {
+            f.name: f.dataType
+            for f in snap.schema.fields
+            if f.name in snap.partition_columns
+        }
+        data_fields = [
+            f
+            for f in snap.schema.fields
+            if f.name not in snap.partition_columns
+        ]
+        file_schema = T.StructType(
+            [T.StructField(f.name, f.dataType, f.nullable) for f in data_fields]
+            + [T.StructField("_change_type", T.StringType())]
+        )
+        groups: dict[tuple, list[str]] = {}
+        for a in cdc_actions:
+            pv = dict(a.get("partitionValues") or {})
+            key = tuple((c, pv.get(c)) for c in snap.partition_columns)
+            groups.setdefault(key, []).append(
+                os.path.join(self.path, a["path"])
+            )
+        parts = []
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple(
+                (c, v is not None, v or "") for c, v in kv[0]
+            ),
+        ):
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            for col, raw in key:
+                lit = (
+                    F.lit(None).cast(ptypes[col])
+                    if raw is None
+                    else F.lit(raw).cast(ptypes[col])
+                )
+                df = df.withColumn(col, lit)
+            parts.append(
+                df.select(
+                    *[f.name for f in snap.schema.fields], "_change_type"
+                )
+            )
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
+        return out
 
     def _read(
         self,
@@ -839,6 +1014,14 @@ class DeltaTableReader:
         # checkpoint scan, post-filtered for the JSON tail — the driver
         # only ever holds the pruned file set (see snapshot() docstring)
         snap = self.snapshot(version, partition_filter, stats_filter)
+        return self._assemble(snap)
+
+    def _assemble(self, snap: DeltaSnapshot) -> DataFrame:
+        """Materialize a snapshot's file set as one DataFrame: files
+        grouped by partition values (one scan per group, partition
+        columns re-attached as typed literals — Delta keeps them in the
+        log, not the files), column-mapping translation, DV-carrying
+        files routed through the distributed DV anti-join."""
         if snap.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
         mapping = snap.column_mapping in ("name", "id")

@@ -1260,3 +1260,152 @@ def test_file_stats_reject_poisons_whole_column(tmp_path):
     assert nulls["i"] == 0 and nulls["s"] == 0
     # g: a row group without null_count → column omitted from nullCount
     assert "g" not in nulls
+
+
+def test_read_changes_insert_commits(spark, tmp_path):
+    """Batch change feed (the delta-spark table_changes convention, both
+    bounds inclusive): append commits derive `insert` rows from their
+    dataChange adds, with _commit_version/_commit_timestamp attached;
+    OPTIMIZE commits (dataChange=false) contribute nothing."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "cdf")
+    w = DeltaTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    w.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    w.optimize()  # v2: dataChange=false rewrite — no changes
+    w.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+
+    r = DeltaTableReader(spark, t)
+    rows = r.read_changes(0).collect()
+    assert {(x.id, x.v, x._change_type, x._commit_version) for x in rows} == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 1),
+        (4, "d", "insert", 3),
+    }
+    assert all(x._commit_timestamp is not None for x in rows)
+    # sub-range, inclusive both ends
+    assert {x.id for x in r.read_changes(1, 1).collect()} == {3}
+    # empty range on an OPTIMIZE-only window: schema intact
+    empty = r.read_changes(2, 2)
+    assert empty.count() == 0
+    assert empty.columns == [
+        "id", "v", "_change_type", "_commit_version", "_commit_timestamp",
+    ]
+
+    # a partitioned table re-attaches partition literals in change rows
+    t2 = str(tmp_path / "cdfp")
+    w2 = DeltaTableWriter(spark, t2, partition_by=("p",))
+    w2.append(spark.createDataFrame([("x", 1), ("y", 2)], "p string, id long"))
+    got = {
+        (x.p, x.id, x._commit_version)
+        for x in DeltaTableReader(spark, t2).read_changes(0).collect()
+    }
+    assert got == {("x", 1, 0), ("y", 2, 0)}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="bad version range"):
+        r.read_changes(3, 1)
+
+
+def test_read_changes_refuses_unreconstructable(spark, tmp_path):
+    """Row-level changes without cdc files (remove actions from an
+    overwrite, DV-carrying adds) refuse loudly — deriving a change feed
+    from them would silently drop the delete half of the story."""
+    import pytest as _pt
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "cdf_ow")
+    w = DeltaTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    r = DeltaTableReader(spark, t)
+    with _pt.raises(DeltaProtocolError, match="row-level changes"):
+        r.read_changes(0)
+    # the range strictly after the overwrite is clean appends again
+    w.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert {x.id for x in r.read_changes(2).collect()} == {3}
+
+
+def test_read_changes_cdc_actions_win(spark, tmp_path):
+    """A commit carrying cdc actions is read from THOSE files
+    exclusively (PROTOCOL.md Change Data Files): the in-file
+    _change_type is surfaced and the same commit's add/remove actions
+    contribute nothing."""
+    import json as _json
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "cdf_cdc")
+    w = DeltaTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    # hand-author v1: an update rewritten as remove+add WITH a cdc file
+    cdir = os.path.join(t, "_change_data")
+    os.makedirs(cdir, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (2, "b", "update_preimage"),
+            (2, "B2", "update_postimage"),
+        ],
+        "id long, v string, _change_type string",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(t, "__cdc_tmp"))
+    part = next(
+        f for f in os.listdir(os.path.join(t, "__cdc_tmp"))
+        if f.endswith(".parquet")
+    )
+    os.rename(
+        os.path.join(t, "__cdc_tmp", part),
+        os.path.join(cdir, "cdc-0.parquet"),
+    )
+    spark.createDataFrame([(2, "B2")], "id long, v string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(t, "__add_tmp"))
+    apart = next(
+        f for f in os.listdir(os.path.join(t, "__add_tmp"))
+        if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(t, "__add_tmp", apart), os.path.join(t, "f-new.parquet"))
+    snap = DeltaTableReader(spark, t).snapshot()
+    old = next(iter(snap.files))
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json"), "w") as fh:
+        for a in [
+            {"cdc": {
+                "path": "_change_data/cdc-0.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "dataChange": False,
+            }},
+            {"remove": {"path": old, "dataChange": True}},
+            {"add": {
+                "path": "f-new.parquet",
+                "partitionValues": {},
+                "size": 1,
+                "modificationTime": 0,
+                "dataChange": True,
+            }},
+        ]:
+            fh.write(_json.dumps(a) + "\n")
+
+    got = {
+        (x.id, x.v, x._change_type, x._commit_version)
+        for x in DeltaTableReader(spark, t).read_changes(1, 1).collect()
+    }
+    assert got == {
+        (2, "b", "update_preimage", 1),
+        (2, "B2", "update_postimage", 1),
+    }

@@ -1626,3 +1626,31 @@ def test_incremental_refuses_unattributable_manifests(spark, ice_table):
     r = IcebergTableReader(spark, ice_table)
     with _pt.raises(IcebergProtocolError, match="added_snapshot_id"):
         r.read_incremental(from_snapshot_id=1)
+
+
+def test_incremental_opens_only_in_range_manifests(spark, tmp_path, monkeypatch):
+    """The O(files-added-in-range) contract: consuming the latest
+    snapshot of a long table opens its manifest list + ONLY the one
+    manifest that snapshot wrote — never the carried-forward manifests
+    of prior history. At 100 TB this is what makes checkpoint-resume
+    consumption independent of table size."""
+    from deimos_spark.operators import iceberg_interop as ii
+
+    t = str(tmp_path / "ice_incr_cost")
+    w = ii.IcebergTableWriter(spark, t)
+    for i in range(6):
+        w.append(spark.createDataFrame([(i, f"v{i}")], "id long, v string"))
+
+    r = IcebergTableReader(spark, t)
+    calls = []
+    real = ii.ocf_read
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(ii, "ocf_read", counting)
+    assert _rows(r.read_incremental(from_snapshot_id=5)) == {(5, "v5")}
+    # 1 manifest list + 1 manifest (snapshot 6's own) — the other 5
+    # carried-forward manifests were never opened
+    assert len(calls) == 2
