@@ -732,12 +732,18 @@ class IcebergTableReader:
             key=lambda s: keyed[s["snapshot-id"]],
         )
 
-    def _added_data_files(self, snap: dict) -> list[str]:
+    def _added_data_files(
+        self, snap: dict, strict_appends: bool = True
+    ) -> list[str]:
         """Local paths of DATA files ADDED by exactly this snapshot:
         only manifests the snapshot itself wrote (`added_snapshot_id`
         matches) can hold its additions, so carried-forward manifests
         are never opened — the incremental walk touches O(new files)
-        metadata regardless of table size."""
+        metadata regardless of table size.
+
+        `strict_appends=False` (the streaming source's ignoreChanges
+        path) SKIPS delete manifests/entries the snapshot added instead
+        of refusing — callers accept re-delivery semantics there."""
         sid = snap["snapshot-id"]
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
         out: list[str] = []
@@ -754,6 +760,8 @@ class IcebergTableReader:
             if mf.get("added_snapshot_id") != sid:
                 continue
             if (mf.get("content") or 0) != 0:
+                if not strict_appends:
+                    continue
                 raise IcebergProtocolError(
                     f"snapshot {sid} ({snap.get('summary', {}).get('operation')}) "
                     "added delete files — not an append"
@@ -767,6 +775,8 @@ class IcebergTableReader:
                     continue
                 df = e["data_file"]
                 if (df.get("content", 0) or 0) != 0:
+                    if not strict_appends:
+                        continue
                     raise IcebergProtocolError(
                         f"snapshot {sid} added delete content — not an append"
                     )
