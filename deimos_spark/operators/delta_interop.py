@@ -1719,6 +1719,91 @@ class DeltaTableWriter:
             add["stats"] = stats
         return {"add": add}
 
+    def _write_cdc_files(self, df: DataFrame) -> list[dict]:
+        """Write change rows (table columns + `_change_type`) as Change
+        Data Files (PROTOCOL.md): parquet under `_change_data/`,
+        partition columns stripped from the files and recorded in each
+        `cdc` action's partitionValues — the same layout rule as data
+        files, so `read_changes` re-attaches them identically. cdc
+        actions carry dataChange=false: they describe a commit's
+        changes, they are not part of the table's live state."""
+        import shutil
+        import uuid
+
+        uid = uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f".staging_cdc_{uid}")
+        cdir = os.path.join(self.path, "_change_data")
+        os.makedirs(cdir, exist_ok=True)
+        out: list[dict] = []
+
+        def _cdc_action(rel: str, pvals: dict) -> dict:
+            return {
+                "cdc": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(os.path.join(self.path, rel)),
+                    "dataChange": False,
+                }
+            }
+
+        if not self.partition_by:
+            df.write.mode("overwrite").parquet(staging)
+            i = 0
+            for f in sorted(os.listdir(staging)):
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.join("_change_data", f"cdc-{uid}-{i:05d}.parquet")
+                os.rename(os.path.join(staging, f), os.path.join(self.path, rel))
+                out.append(_cdc_action(rel, {}))
+                i += 1
+            shutil.rmtree(staging, ignore_errors=True)
+            return out
+
+        str_pcols = [
+            f.name
+            for f in df.schema.fields
+            if f.name in self.partition_by
+            and isinstance(f.dataType, T.StringType)
+        ]
+        for c in str_pcols:
+            df = df.withColumn(
+                c,
+                F.when(F.col(c) == "", F.lit(_EMPTY_SENTINEL)).otherwise(
+                    F.col(c)
+                ),
+            )
+        df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(
+            staging
+        )
+        i = 0
+        for root, _dirs, files in os.walk(staging):
+            pq = [f for f in files if f.endswith(".parquet")]
+            if not pq:
+                continue
+            reldir = os.path.relpath(root, staging)
+            segs = [s for s in reldir.split(os.sep) if "=" in s]
+            pvals = {}
+            for s in segs:
+                k, v = s.split("=", 1)
+                val = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _unescape(v)
+                )
+                if val == _EMPTY_SENTINEL:
+                    val = ""
+                pvals[k] = val
+            for f in sorted(pq):
+                rel = os.path.join(
+                    "_change_data", f"cdc-{uid}-{i:05d}.parquet"
+                )
+                os.rename(
+                    os.path.join(root, f), os.path.join(self.path, rel)
+                )
+                out.append(_cdc_action(rel, pvals))
+                i += 1
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
     @staticmethod
     def _file_stats(full: str) -> str | None:
         """Per-file stats JSON (PROTOCOL.md "Per-file Statistics"):
@@ -1905,6 +1990,26 @@ class DeltaTableWriter:
                     keep.add(
                         os.path.abspath(_dv_file_path(self.path, desc)[0])
                     )
+            # change data files of kept versions stay readable via
+            # read_changes; older ones age out with retention, the
+            # documented CDF-vacuum trade-off
+            cp = os.path.join(self.log_dir, f"{v:020d}.json")
+            try:
+                with open(cp) as fh:
+                    for line in fh:
+                        if '"cdc"' not in line:
+                            continue
+                        a = json.loads(line)
+                        if a.get("cdc"):
+                            keep.add(
+                                os.path.abspath(
+                                    os.path.join(
+                                        self.path, a["cdc"]["path"]
+                                    )
+                                )
+                            )
+            except (OSError, ValueError):
+                pass
         deleted = []
         cutoff = _time.time() - retention_seconds
         for dirpath, _, names in os.walk(self.path):
@@ -1988,6 +2093,7 @@ class DeltaKeyedTable:
         checkpoint_interval: int = 20,
         use_dvs: bool = False,
         partition_by: tuple[str, ...] = (),
+        enable_cdf: bool = False,
     ):
         self.spark = spark
         self.path = path
@@ -1996,6 +2102,14 @@ class DeltaKeyedTable:
         # of rewriting survivor files — merge cost becomes O(batch), not
         # O(table). Readers need DV support (ours, and any real engine).
         self.use_dvs = use_dvs
+        # enable_cdf: merges write Change Data Files (insert /
+        # update_preimage / update_postimage / delete rows under
+        # _change_data/ + cdc actions), making every commit's row-level
+        # changes reconstructable via read_changes — without them a
+        # MERGE commit's remove/DV actions refuse there. Pure-append
+        # commits still omit cdc files (the protocol lets readers derive
+        # inserts from add actions).
+        self.enable_cdf = enable_cdf
         self.writer = DeltaTableWriter(
             spark,
             path,
@@ -2015,6 +2129,78 @@ class DeltaKeyedTable:
             if self.schema is None:
                 raise
             return self.spark.createDataFrame([], self.schema)
+
+    # ------------------------------------------------------- change feed
+
+    def _cdf_rows(
+        self, pre: DataFrame, upserts: DataFrame | None
+    ) -> DataFrame:
+        """The commit's change rows (table columns + `_change_type`).
+        `pre` holds the CURRENT rows whose keys the batch touches: those
+        re-appearing in `upserts` become update_preimage (old values) +
+        update_postimage (new values) pairs, the rest are deletes;
+        upsert keys with no current row are inserts. All splits are
+        broadcast semi/anti joins on batch-sized key sets — CDF costs
+        O(batch), like the merge itself."""
+        cols = pre.columns
+        out_cols = [*cols, "_change_type"]
+        if upserts is None:
+            return pre.withColumn("_change_type", F.lit("delete"))
+        ukeys = upserts.select(*self.key_cols).distinct()
+        mkeys = pre.select(*self.key_cols).distinct()
+        pre_upd = (
+            pre.join(F.broadcast(ukeys), self.key_cols, "left_semi")
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        pre_del = (
+            pre.join(F.broadcast(ukeys), self.key_cols, "left_anti")
+            .withColumn("_change_type", F.lit("delete"))
+        )
+        post_upd = (
+            upserts.join(F.broadcast(mkeys), self.key_cols, "left_semi")
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        ins = (
+            upserts.join(F.broadcast(mkeys), self.key_cols, "left_anti")
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        out = pre_upd.select(*out_cols)
+        for part in (pre_del, post_upd, ins):
+            out = out.unionByName(part.select(*out_cols))
+        return out
+
+    def _cdf_protocol_action(self, proto: dict | None) -> list[dict]:
+        """Protocol upgrade declaring the changeDataFeed writer feature
+        (spec: writer feature ⇒ minWriterVersion 7, with the previous
+        version's implicit features spelled out); empty when already
+        declared."""
+        proto = proto or {}
+        feats = set(proto.get("writerFeatures") or [])
+        if "changeDataFeed" in feats:
+            return []
+        if not feats and proto.get("minWriterVersion", 2) <= 2:
+            feats = {"appendOnly", "invariants"}
+        feats.add("changeDataFeed")
+        up = {
+            "minReaderVersion": proto.get("minReaderVersion", 1),
+            "minWriterVersion": 7,
+            "writerFeatures": sorted(feats),
+        }
+        if up["minReaderVersion"] >= 3:
+            up["readerFeatures"] = proto.get("readerFeatures") or []
+        return [{"protocol": up}]
+
+    def _meta_actions(self, schema: T.StructType) -> list[dict]:
+        """The writer's protocol+metaData birth actions; with CDF on,
+        the table declares delta.enableChangeDataFeed (the spec's table
+        property) and the changeDataFeed writer feature from creation."""
+        acts = self.writer._meta_actions(schema)
+        if self.enable_cdf:
+            acts[1]["metaData"]["configuration"][
+                "delta.enableChangeDataFeed"
+            ] = "true"
+            acts[0] = self._cdf_protocol_action(acts[0]["protocol"])[0]
+        return acts
 
     def merge(
         self,
@@ -2066,8 +2252,25 @@ class DeltaKeyedTable:
                 if new_state is not None and new_state.head(1)
                 else []
             )
+            cdc_actions: list[dict] = []
+            proto_up: list[dict] = []
+            if self.enable_cdf and removes and current is not None:
+                # a rewrite commit's remove/add actions don't mirror its
+                # logical changes (survivors are rewritten too), so with
+                # CDF on, EVERY remove-carrying commit records cdc files
+                # — including its insert rows, since cdc replaces adds
+                # for change readers
+                pre = current.join(
+                    F.broadcast(affected), self.key_cols, "left_semi"
+                )
+                cdc_actions = w._write_cdc_files(
+                    self._cdf_rows(pre, upserts)
+                )
+                proto_up = self._cdf_protocol_action(snap.protocol_raw)
             actions = (
-                (w._meta_actions(new_state.schema) if v < 0 else [])
+                (self._meta_actions(new_state.schema) if v < 0 else [])
+                + proto_up
+                + cdc_actions
                 + removes
                 + adds
             )
@@ -2078,9 +2281,17 @@ class DeltaKeyedTable:
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, adds)
+                self._drop_cdc(cdc_actions)
         raise DeltaCommitConflict(
             f"could not commit after {w.max_commit_retries} tries"
         )
+
+    def _drop_cdc(self, cdc_actions: list[dict]) -> None:
+        for a in cdc_actions:
+            try:
+                os.unlink(os.path.join(self.path, a["cdc"]["path"]))
+            except OSError:
+                pass
 
     _DV_PROTOCOL = {
         "protocol": {
@@ -2115,7 +2326,7 @@ class DeltaKeyedTable:
                     return
                 adds = w._write_files(upserts)
                 try:
-                    w._commit(0, w._meta_actions(upserts.schema) + adds)
+                    w._commit(0, self._meta_actions(upserts.schema) + adds)
                     return
                 except DeltaCommitConflict:
                     DeltaTableWriter._drop_files(self.path, adds)
@@ -2172,6 +2383,7 @@ class DeltaKeyedTable:
             probe_files = dict(snap.files)
 
             removes, dv_adds, dv_paths = [], [], []
+            scan = None
             if probe_files and snap.schema is not None:
                 data_fields = [
                     f for f in snap.schema.fields if f.name not in pcols
@@ -2267,8 +2479,26 @@ class DeltaKeyedTable:
             needs_upgrade = dv_adds and "deletionVectors" not in (
                 proto.get("readerFeatures") or []
             )
+            if needs_upgrade:
+                proto = self._DV_PROTOCOL["protocol"]
+            proto_actions = [{"protocol": proto}] if needs_upgrade else []
+            cdc_actions: list[dict] = []
+            if self.enable_cdf and removes and scan is not None:
+                # DV-update commits express row-level changes the adds
+                # can't describe — record them as cdc files (inserts
+                # included: cdc replaces adds for change readers)
+                pre = scan.join(
+                    affected, self.key_cols, "left_semi"
+                ).drop("__f", "__ri")
+                cdc_actions = w._write_cdc_files(
+                    self._cdf_rows(pre, upserts)
+                )
+                up = self._cdf_protocol_action(proto)
+                if up:
+                    proto_actions = up  # one action carrying DV + CDF
             actions = (
-                ([self._DV_PROTOCOL] if needs_upgrade else [])
+                proto_actions
+                + cdc_actions
                 + removes
                 + dv_adds
                 + new_file_adds
@@ -2278,6 +2508,7 @@ class DeltaKeyedTable:
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, new_file_adds)
+                self._drop_cdc(cdc_actions)
                 for p in dv_paths:
                     try:
                         os.unlink(p)

@@ -1409,3 +1409,154 @@ def test_read_changes_cdc_actions_win(spark, tmp_path):
         (2, "b", "update_preimage", 1),
         (2, "B2", "update_postimage", 1),
     }
+
+
+def test_cdf_merge_roundtrip_rewrite_mode(spark, tmp_path):
+    """enable_cdf: a MERGE commit writes Change Data Files (insert /
+    update_preimage / update_postimage / delete) under _change_data/ +
+    cdc actions, so read_changes reconstructs exactly the row-level
+    changes the commit's remove/add actions can't express; the table's
+    protocol declares the changeDataFeed writer feature and metaData
+    carries delta.enableChangeDataFeed."""
+    import json as _json
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "cdf_kt")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string", enable_cdf=True
+    )
+    kt.upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    # v1: update id=1, insert id=9; delete id=2 — one merge
+    kt.merge(
+        upserts=spark.createDataFrame(
+            [(1, "A1"), (9, "z")], "id long, v string"
+        ),
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+    )
+
+    r = DeltaTableReader(spark, t)
+    assert {(x.id, x.v) for x in r.read().collect()} == {(1, "A1"), (9, "z")}
+
+    rows = r.read_changes(0, 1).collect()
+    got = {(x.id, x.v, x._change_type, x._commit_version) for x in rows}
+    assert got == {
+        (1, "a", "insert", 0),  # v0: pure insert, derived from adds
+        (2, "b", "insert", 0),
+        (1, "a", "update_preimage", 1),
+        (1, "A1", "update_postimage", 1),
+        (2, "b", "delete", 1),
+        (9, "z", "insert", 1),
+    }
+
+    # spec surface: cdc actions (dataChange false, _change_data/ paths),
+    # protocol writer feature, metaData property
+    with open(os.path.join(t, "_delta_log", f"{1:020d}.json")) as fh:
+        actions = [_json.loads(l) for l in fh if l.strip()]
+    cdcs = [a["cdc"] for a in actions if a.get("cdc")]
+    assert cdcs and all(
+        a["path"].startswith("_change_data/") and a["dataChange"] is False
+        for a in cdcs
+    )
+    snap = r.snapshot()
+    assert "changeDataFeed" in (snap.protocol_raw.get("writerFeatures") or [])
+    assert (
+        snap.meta_raw["configuration"]["delta.enableChangeDataFeed"]
+        == "true"
+    )
+
+
+def test_cdf_merge_roundtrip_dv_mode(spark, tmp_path):
+    """CDF composes with DV merges: the DV-update commit carries cdc
+    files AND the widened deletion vectors; one protocol action declares
+    deletionVectors + changeDataFeed together."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "cdf_dv")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string",
+        use_dvs=True, enable_cdf=True,
+    )
+    kt.upsert(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        )
+    )
+    kt.merge(
+        upserts=spark.createDataFrame([(2, "B2")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(3,)], "id long"),
+    )
+
+    r = DeltaTableReader(spark, t)
+    assert {(x.id, x.v) for x in r.read().collect()} == {
+        (1, "a"), (2, "B2"),
+    }
+    got = {
+        (x.id, x.v, x._change_type)
+        for x in r.read_changes(1, 1).collect()
+    }
+    assert got == {
+        (2, "b", "update_preimage"),
+        (2, "B2", "update_postimage"),
+        (3, "c", "delete"),
+    }
+    proto = r.snapshot().protocol_raw
+    assert "deletionVectors" in (proto.get("readerFeatures") or [])
+    assert "changeDataFeed" in (proto.get("writerFeatures") or [])
+
+
+def test_cdf_partitioned_and_vacuum_protection(spark, tmp_path):
+    """Partitioned CDF: cdc files strip partition columns (recorded in
+    the action's partitionValues, re-attached on read); vacuum keeps the
+    cdc files of kept versions readable."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "cdf_part")
+    kt = DeltaKeyedTable(
+        spark, t, ["p", "id"], schema="p string, id long, v string",
+        partition_by=("p",), enable_cdf=True,
+    )
+    kt.upsert(
+        spark.createDataFrame(
+            [("x", 1, "a"), ("y", 2, "b")], "p string, id long, v string"
+        )
+    )
+    kt.merge(
+        upserts=spark.createDataFrame(
+            [("x", 1, "A1")], "p string, id long, v string"
+        )
+    )
+    r = DeltaTableReader(spark, t)
+    got = {
+        (x.p, x.id, x.v, x._change_type)
+        for x in r.read_changes(1, 1).collect()
+    }
+    assert got == {
+        ("x", 1, "a", "update_preimage"),
+        ("x", 1, "A1", "update_postimage"),
+    }
+    # cdc parquet itself must NOT contain the partition column
+    import pyarrow.parquet as papq
+
+    cdir = os.path.join(t, "_change_data")
+    f = next(f for f in os.listdir(cdir) if f.endswith(".parquet"))
+    assert "p" not in papq.read_schema(os.path.join(cdir, f)).names
+
+    # vacuum with retention 0 must keep kept-version cdc files
+    kt.writer.vacuum(retention_seconds=0.0)
+    got2 = {
+        (x.p, x.id, x.v, x._change_type)
+        for x in r.read_changes(1, 1).collect()
+    }
+    assert got2 == got
