@@ -794,26 +794,40 @@ class DeltaTableReader:
             )
         return max(eligible)
 
+    def _first_version_at_or_after(self, ts_ms: int) -> int:
+        """Smallest commit version whose timestamp is >= `ts_ms` (the
+        CDF startingTimestamp convention). Listing-based, like all
+        timestamp resolution."""
+        for n in sorted(os.listdir(self.log_dir)):
+            if not (n.endswith(".json") and n[:-5].isdigit()):
+                continue
+            if self._commit_ts(os.path.join(self.log_dir, n)) >= ts_ms:
+                return int(n[:-5])
+        raise DeltaProtocolError(
+            f"no commit at or after timestamp {ts_ms}"
+        )
+
     @staticmethod
     def _commit_ts(p: str) -> float:
-        """A commit's timestamp in epoch millis: the log file's
-        modification time unless the commit carries
+        """A commit's timestamp in epoch millis, by reliability:
         `commitInfo.inCommitTimestamp` (the clock-skew-proof writer
-        feature), which wins when present."""
+        feature) > `commitInfo.timestamp` (what writers — ours included
+        — record and history UIs display; integral, so history() /
+        version_at / read_changes timestamp bounds stay mutually
+        consistent) > the log file's modification time (survives
+        writers that record no commitInfo at all)."""
         ts = os.path.getmtime(p) * 1000.0
         try:
             with open(p) as fh:
                 for line in fh:
-                    if not line.strip():
+                    # the spec allows commitInfo anywhere in the commit
+                    if not line.strip() or '"commitInfo"' not in line:
                         continue
-                    action = json.loads(line)
-                    ict = (action.get("commitInfo") or {}).get(
-                        "inCommitTimestamp"
-                    )
-                    if ict is not None:
-                        ts = float(ict)
-                    # commitInfo must be first when ICT is enabled;
-                    # one parsed line either way is enough
+                    ci = json.loads(line).get("commitInfo") or {}
+                    if ci.get("inCommitTimestamp") is not None:
+                        ts = float(ci["inCommitTimestamp"])
+                    elif ci.get("timestamp") is not None:
+                        ts = float(ci["timestamp"])
                     break
         except (OSError, ValueError):
             pass  # unreadable line: fall back to mtime
@@ -834,14 +848,53 @@ class DeltaTableReader:
             version = self.version_at(as_of_ms)
         return self._read(version, partition_filter, stats_filter)
 
+    def history(self, limit: int | None = None) -> list[dict]:
+        """DESCRIBE HISTORY parity: one dict per commit, NEWEST first —
+        version, timestamp (epoch ms, inCommitTimestamp-aware), and the
+        commit's commitInfo payload when present (operation, metrics —
+        whatever the writer recorded; ours and foreign ones differ).
+        A driver-side metadata listing, like every history API."""
+        out = []
+        for n in sorted(os.listdir(self.log_dir), reverse=True):
+            if not (n.endswith(".json") and n[:-5].isdigit()):
+                continue
+            p = os.path.join(self.log_dir, n)
+            info = {}
+            try:
+                with open(p) as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        a = json.loads(line)
+                        if a.get("commitInfo"):
+                            info = a["commitInfo"]
+                            break
+            except (OSError, ValueError):
+                pass
+            out.append(
+                {
+                    "version": int(n[:-5]),
+                    "timestamp": int(self._commit_ts(p)),
+                    "commitInfo": info,
+                }
+            )
+            if limit is not None and len(out) >= limit:
+                break
+        return out
+
     def read_changes(
         self,
-        starting_version: int,
+        starting_version: int | None = None,
         ending_version: int | None = None,
+        starting_ts_ms: int | None = None,
+        ending_ts_ms: int | None = None,
     ) -> DataFrame:
         """Batch change feed between versions (both INCLUSIVE — the
         delta-spark `table_changes` convention): table columns +
         `_change_type`, `_commit_version`, `_commit_timestamp`.
+        Timestamp bounds (`starting_ts_ms`/`ending_ts_ms`, exclusive
+        with their version twins) resolve per the CDF convention: start
+        at the first commit at-or-after, end at the last at-or-before.
 
         Per the protocol's Change Data Files rules, a commit that
         carries `cdc` actions is read from THOSE files exclusively (they
@@ -859,6 +912,22 @@ class DeltaTableReader:
         version count in a range is bounded by consume cadence, not
         table size, and nothing here materializes data driver-side.
         The batch twin of the `deltastream` streaming source."""
+        if starting_version is not None and starting_ts_ms is not None:
+            raise ValueError("pass starting_version OR starting_ts_ms")
+        if ending_version is not None and ending_ts_ms is not None:
+            raise ValueError("pass ending_version OR ending_ts_ms")
+        if starting_ts_ms is not None:
+            # CDF timestamp convention: start at the first commit AT OR
+            # AFTER the bound, end at the last commit at or before it
+            starting_version = self._first_version_at_or_after(
+                starting_ts_ms
+            )
+        if ending_ts_ms is not None:
+            ending_version = self.version_at(ending_ts_ms)
+        if starting_version is None:
+            raise ValueError(
+                "read_changes needs starting_version or starting_ts_ms"
+            )
         probe = self.snapshot(_meta_only=True)
         if probe.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
@@ -1277,9 +1346,24 @@ class DeltaTableWriter:
         ]
         return max(vs, default=-1)
 
-    def _commit(self, version: int, actions: list[dict]) -> None:
+    def _commit(
+        self, version: int, actions: list[dict], op: str = "WRITE"
+    ) -> None:
+        import time as _time
         import uuid
 
+        if not any("commitInfo" in a for a in actions):
+            # informational, first line by convention: gives history()
+            # (ours and real engines') an operation label + timestamp
+            actions = [
+                {
+                    "commitInfo": {
+                        "timestamp": int(_time.time() * 1000),
+                        "operation": op,
+                        "engineInfo": "deimos-spark",
+                    }
+                }
+            ] + actions
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -1942,7 +2026,7 @@ class DeltaTableWriter:
             for a in adds:
                 a["add"]["dataChange"] = False
             try:
-                self._commit(v + 1, removes + adds)
+                self._commit(v + 1, removes + adds, op="OPTIMIZE")
                 return
             except DeltaCommitConflict:
                 self._drop_files(self.path, adds)
@@ -2049,7 +2133,7 @@ class DeltaTableWriter:
                 + adds
             )
             try:
-                self._commit(v + 1, actions)
+                self._commit(v + 1, actions, op="WRITE")
                 return
             except DeltaCommitConflict:
                 self._drop_files(self.path, adds)
@@ -2277,7 +2361,7 @@ class DeltaKeyedTable:
             if not actions:
                 return
             try:
-                w._commit(v + 1, actions)
+                w._commit(v + 1, actions, op="MERGE")
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, adds)
@@ -2326,7 +2410,7 @@ class DeltaKeyedTable:
                     return
                 adds = w._write_files(upserts)
                 try:
-                    w._commit(0, self._meta_actions(upserts.schema) + adds)
+                    w._commit(0, self._meta_actions(upserts.schema) + adds, op="MERGE")
                     return
                 except DeltaCommitConflict:
                     DeltaTableWriter._drop_files(self.path, adds)
@@ -2504,7 +2588,7 @@ class DeltaKeyedTable:
                 + new_file_adds
             )
             try:
-                w._commit(v + 1, actions)
+                w._commit(v + 1, actions, op="MERGE")
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, new_file_adds)

@@ -182,6 +182,33 @@ class IcebergTableReader:
                 return s
         raise IcebergProtocolError(f"snapshot {snapshot_id} not found")
 
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Table history parity (`SELECT * FROM t.history` /
+        DESCRIBE HISTORY shape): one dict per snapshot, NEWEST first —
+        snapshot-id, timestamp-ms, parent-snapshot-id (None for roots
+        or tables that don't record lineage), sequence-number, and the
+        spec's summary map (operation + whatever the writer recorded).
+        Pure metadata, no file opens."""
+        snaps = sorted(
+            self.metadata.get("snapshots") or [],
+            key=lambda s: (
+                s.get("sequence-number", 0),
+                s.get("timestamp-ms", 0),
+            ),
+            reverse=True,
+        )
+        out = [
+            {
+                "snapshot_id": s.get("snapshot-id"),
+                "timestamp_ms": s.get("timestamp-ms"),
+                "parent_snapshot_id": s.get("parent-snapshot-id"),
+                "sequence_number": s.get("sequence-number"),
+                "summary": dict(s.get("summary") or {}),
+            }
+            for s in snaps
+        ]
+        return out[:limit] if limit is not None else out
+
     def snapshot_id_at(self, as_of_ms: int) -> int:
         """Timestamp time travel: the snapshot current AS OF `as_of_ms`
         (epoch millis) — the latest snapshot whose `timestamp-ms` is

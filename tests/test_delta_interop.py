@@ -290,13 +290,18 @@ def test_writer_log_is_protocol_shaped(spark, tmp_path):
     with open(os.path.join(t, "_delta_log", f"{0:020d}.json")) as fh:
         actions = [json.loads(x) for x in fh.read().splitlines() if x.strip()]
     kinds = [next(iter(a)) for a in actions]
-    assert kinds[0] == "protocol" and kinds[1] == "metaData"
-    proto = actions[0]["protocol"]
+    # commitInfo first (the delta-spark convention), then protocol and
+    # metaData before any file action
+    assert kinds[0] == "commitInfo"
+    ci = actions[0]["commitInfo"]
+    assert ci["operation"] == "WRITE" and ci["timestamp"] > 0
+    assert kinds[1] == "protocol" and kinds[2] == "metaData"
+    proto = actions[1]["protocol"]
     assert proto["minReaderVersion"] == 1 and "minWriterVersion" in proto
-    md = actions[1]["metaData"]
+    md = actions[2]["metaData"]
     assert md["format"]["provider"] == "parquet"
     json.loads(md["schemaString"])  # valid Spark StructType JSON
-    for a in actions[2:]:
+    for a in actions[3:]:
         add = a["add"]
         assert set(add) >= {
             "path", "partitionValues", "size", "modificationTime", "dataChange",
@@ -1560,3 +1565,51 @@ def test_cdf_partitioned_and_vacuum_protection(spark, tmp_path):
         for x in r.read_changes(1, 1).collect()
     }
     assert got2 == got
+
+
+def test_history_and_timestamp_change_bounds(spark, tmp_path):
+    """history(): newest-first commit list with operation labels (the
+    writer now records commitInfo) and inCommitTimestamp-aware
+    timestamps; read_changes timestamp bounds resolve per the CDF
+    convention (start at-or-after, end at-or-before)."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaProtocolError,
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "hist")
+    w = DeltaTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    w.optimize()
+
+    r = DeltaTableReader(spark, t)
+    h = r.history()
+    assert [x["version"] for x in h] == [2, 1, 0]
+    assert h[0]["commitInfo"]["operation"] == "OPTIMIZE"
+    assert h[1]["commitInfo"]["operation"] == "WRITE"
+    assert all(x["timestamp"] > 0 for x in h)
+    assert [x["version"] for x in r.history(limit=1)] == [2]
+
+    # timestamp bounds: v1's commit timestamp splits the range
+    ts1 = next(x["timestamp"] for x in h if x["version"] == 1)
+    got = {
+        (x.id, x._commit_version)
+        for x in r.read_changes(
+            starting_ts_ms=ts1, ending_version=1
+        ).collect()
+    }
+    assert got == {(2, 1)}
+    # ending_ts_ms: everything at or before v1's timestamp
+    got = {
+        x._commit_version
+        for x in r.read_changes(0, ending_ts_ms=ts1).collect()
+    }
+    assert got == {0, 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="starting_version OR starting_ts_ms"):
+        r.read_changes(0, starting_ts_ms=ts1)
+    with _pt.raises(DeltaProtocolError, match="at or after"):
+        r.read_changes(starting_ts_ms=ts1 + 10**9)

@@ -1654,3 +1654,24 @@ def test_incremental_opens_only_in_range_manifests(spark, tmp_path, monkeypatch)
     # 1 manifest list + 1 manifest (snapshot 6's own) — the other 5
     # carried-forward manifests were never opened
     assert len(calls) == 2
+
+
+def test_iceberg_history(spark, tmp_path):
+    """history(): newest-first snapshot list with lineage + operation
+    summaries, pure metadata."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    t = str(tmp_path / "ice_hist")
+    w = IcebergTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    w.overwrite(spark.createDataFrame([(3, "c")], "id long, v string"))
+
+    h = IcebergTableReader(spark, t).history()
+    assert [x["snapshot_id"] for x in h] == [3, 2, 1]
+    assert [x["summary"]["operation"] for x in h] == [
+        "overwrite", "append", "append",
+    ]
+    assert h[0]["parent_snapshot_id"] == 2
+    assert h[2]["parent_snapshot_id"] is None
+    assert len(IcebergTableReader(spark, t).history(limit=2)) == 2

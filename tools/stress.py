@@ -348,6 +348,24 @@ def _interop_bench(spark, kdir: str) -> dict:
         "sec": round(sorted(runs)[1], 3),
     }
 
+    # incremental consume (round 8): the LAST commit's change rows with
+    # 24 commits of history behind them — read_changes cost tracks the
+    # consumed slice (~1/25 of the table), not the table; the curve's
+    # exponent vs K shows the checkpoint-resume pattern staying viable
+    # as everything scales together
+    DeltaTableReader(spark, dpath).read_changes(24, 24).count()  # warm
+    cruns, crows = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        crows = (
+            DeltaTableReader(spark, dpath).read_changes(24, 24).count()
+        )
+        cruns.append(time.perf_counter() - t0)
+    out["delta_changes_last"] = {
+        "rows": crows,
+        "sec": round(sorted(cruns)[1], 3),
+    }
+
     # ---------------- Iceberg: author v2 metadata over the parquet files
     ipath = f"{kdir}/ice_docs"
     meta_dir = os.path.join(ipath, "metadata")
@@ -466,6 +484,38 @@ def _interop_bench(spark, kdir: str) -> dict:
         "rows": rows,
         "data_files": len(files),
         "sec": round(sorted(runs)[1], 3),
+    }
+
+    # Iceberg incremental consume (round 8): writer-authored 10-snapshot
+    # table, read_incremental of only the newest snapshot — O(files
+    # added by it); only its own manifests open
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    ipath2 = f"{kdir}/ice_docs_incr"
+    iw = IcebergTableWriter(spark, ipath2)
+    for i in range(10):
+        iw.append(
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == i)
+        )
+    last = IcebergTableReader(spark, ipath2).metadata[
+        "current-snapshot-id"
+    ]
+    IcebergTableReader(spark, ipath2).read_incremental(
+        from_snapshot_id=last - 1
+    ).count()  # warm
+    iruns, irows = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        irows = (
+            IcebergTableReader(spark, ipath2)
+            .read_incremental(from_snapshot_id=last - 1)
+            .count()
+        )
+        iruns.append(time.perf_counter() - t0)
+    out["iceberg_incremental_last"] = {
+        "rows": irows,
+        "snapshots": 10,
+        "sec": round(sorted(iruns)[1], 3),
     }
     return out
 
@@ -713,6 +763,7 @@ def main() -> None:
     curve: dict[str, dict] = {name: {} for name in QUERIES}
     interop: dict[str, dict] = {
         "delta": {}, "iceberg": {}, "delta_dv": {}, "iceberg_eq": {},
+        "delta_changes_last": {}, "iceberg_incremental_last": {},
     }
     graph_curve: dict[int, dict] = {}
     interop_detail: dict = {}
