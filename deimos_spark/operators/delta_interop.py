@@ -2570,10 +2570,16 @@ class DeltaKeyedTable:
             if self.enable_cdf and removes and scan is not None:
                 # DV-update commits express row-level changes the adds
                 # can't describe — record them as cdc files (inserts
-                # included: cdc replaces adds for change readers)
-                pre = scan.join(
-                    affected, self.key_cols, "left_semi"
-                ).drop("__f", "__ri")
+                # included: cdc replaces adds for change readers).
+                # Preimages come from the DV-APPLIED read, NOT the raw
+                # probe scan: the scan still yields rows older DVs
+                # already deleted, and treating those as live would
+                # mislabel a re-upsert of a deleted key as an update
+                # instead of an insert (with a resurrected preimage).
+                pre_src = reader.read(partition_filter=part_filter)
+                pre = pre_src.join(
+                    F.broadcast(affected), self.key_cols, "left_semi"
+                )
                 cdc_actions = w._write_cdc_files(
                     self._cdf_rows(pre, upserts)
                 )

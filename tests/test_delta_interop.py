@@ -1613,3 +1613,38 @@ def test_history_and_timestamp_change_bounds(spark, tmp_path):
         r.read_changes(0, starting_ts_ms=ts1)
     with _pt.raises(DeltaProtocolError, match="at or after"):
         r.read_changes(starting_ts_ms=ts1 + 10**9)
+
+
+def test_cdf_dv_reupsert_of_deleted_key_is_insert(spark, tmp_path):
+    """A key deleted by an earlier DV and upserted again later is an
+    INSERT in that commit's change feed — the raw probe scan still
+    yields the DV-masked old row, and sourcing preimages from it would
+    resurrect a bogus update_preimage (caught in round-8 self-review:
+    preimages must come from the DV-applied read)."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "cdf_dv_re")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string",
+        use_dvs=True, enable_cdf=True,
+    )
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.delete(spark.createDataFrame([(1,)], "id long"))          # v1
+    kt.upsert(spark.createDataFrame([(1, "a2")], "id long, v string"))  # v2
+
+    r = DeltaTableReader(spark, t)
+    assert {(x.id, x.v) for x in r.read().collect()} == {(1, "a2"), (2, "b")}
+    # v1: a pure delete
+    got1 = {
+        (x.id, x.v, x._change_type) for x in r.read_changes(1, 1).collect()
+    }
+    assert got1 == {(1, "a", "delete")}
+    # v2: the re-upsert touches no LIVE row -> insert, no resurrected
+    # update_preimage from the DV-masked old row
+    got2 = {
+        (x.id, x.v, x._change_type) for x in r.read_changes(2, 2).collect()
+    }
+    assert got2 == {(1, "a2", "insert")}
