@@ -650,6 +650,7 @@ class IcebergTableReader:
         partition_filter: dict[str, object] | None = None,
         as_of_ms: int | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        _keep_meta: bool = False,
     ) -> DataFrame:
         """`partition_filter` prunes by each manifest entry's typed
         `partition` record before any file opens — {col: value} or
@@ -667,12 +668,17 @@ class IcebergTableReader:
         data, pos_deletes, eq_deletes = self._file_sets(
             snapshot_id, partition_filter, stats_filter
         )
+        meta_cols = ["__ice_fp", "__ice_pos"] if _keep_meta else []
         if not data:
-            return self.spark.createDataFrame([], schema)
+            out_schema = T.StructType(schema.fields.copy())
+            if _keep_meta:
+                out_schema.add("__ice_fp", T.StringType())
+                out_schema.add("__ice_pos", T.LongType())
+            return self.spark.createDataFrame([], out_schema)
         df = self.spark.read.schema(schema).parquet(
             *[p for _, p, _, _, _ in data]
         )
-        if not pos_deletes and not eq_deletes:
+        if not pos_deletes and not eq_deletes and not _keep_meta:
             return df
         from pyspark.sql import functions as F
 
@@ -688,7 +694,7 @@ class IcebergTableReader:
             scan = self._apply_position_deletes(scan, data, pos_deletes)
         if eq_deletes:
             scan = self._apply_equality_deletes(scan, data, eq_deletes)
-        return scan.select(*cols)
+        return scan.select(*cols, *meta_cols)
 
     # ------------------------------------------------------ incremental
 
@@ -854,7 +860,8 @@ class IcebergTableReader:
                 raise IcebergProtocolError(
                     f"incremental read crosses snapshot "
                     f"{snap['snapshot-id']} with operation {op!r} — only "
-                    "append/replace histories are incremental-readable"
+                    "append/replace histories are incremental-readable; "
+                    "use read_changelog for row-level changes"
                 )
             for p in self._added_data_files(snap):
                 pairs.append((p, snap["snapshot-id"]))
@@ -875,6 +882,203 @@ class IcebergTableReader:
             .join(F.broadcast(smap), "__ice_fp")
             .drop("__ice_fp")
         )
+
+    def _added_files_split(self, snap: dict):
+        """(data_paths, pos_delete_paths, eq_deletes) ADDED by exactly
+        this snapshot — the content-split sibling of _added_data_files,
+        same attribution rules (only manifests with matching
+        added_snapshot_id open; entry snapshot_id inheritance; refusal
+        on unattributable manifests). eq_deletes entries are
+        (local_path, equality_ids)."""
+        sid = snap["snapshot-id"]
+        _, manifests = ocf_read(self._local(snap["manifest-list"]))
+        data: list[str] = []
+        pos: list[str] = []
+        eq: list[tuple[str, tuple[int, ...]]] = []
+        for mf in manifests:
+            if mf.get("added_snapshot_id") is None:
+                raise IcebergProtocolError(
+                    f"manifest {mf.get('manifest_path')!r} lacks "
+                    "added_snapshot_id — changelog attribution "
+                    "impossible on this table"
+                )
+            if mf.get("added_snapshot_id") != sid:
+                continue
+            _, entries = ocf_read(self._local(mf["manifest_path"]))
+            for e in entries:
+                if e.get("status") != 1:
+                    continue
+                esid = e.get("snapshot_id")
+                if esid is not None and esid != sid:
+                    continue
+                df = e["data_file"]
+                fmt = str(df.get("file_format", "PARQUET")).upper()
+                if fmt != "PARQUET":
+                    raise IcebergProtocolError(
+                        f"file format {fmt!r} unsupported"
+                    )
+                content = df.get("content", 0) or 0
+                p = self._local(df["file_path"])
+                if content == 0:
+                    data.append(p)
+                elif content == 1:
+                    pos.append(p)
+                elif content == 2:
+                    ids = tuple(df.get("equality_ids") or ())
+                    if not ids:
+                        raise IcebergProtocolError(
+                            "equality-delete file without equality_ids"
+                        )
+                    eq.append((p, ids))
+                else:
+                    raise IcebergProtocolError(
+                        f"delete content={content} unsupported"
+                    )
+        return data, pos, eq
+
+    def read_changelog(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        type_col: str = "_change_type",
+        snapshot_col: str = "_snapshot_id",
+    ) -> DataFrame:
+        """Incremental CHANGELOG scan — the row-level superset of
+        read_incremental, Iceberg's incremental-changelog semantics:
+        for each snapshot after `from` (exclusive) through `to`
+        (inclusive), emit its row-level changes as `insert` / `delete`
+        rows (an upsert is a delete+insert pair, the merge-on-read
+        shape) with the snapshot id attached.
+
+        Per snapshot: added DATA files emit inserts; added position-
+        delete files emit the TARGETED rows (fetched from the parent
+        snapshot's live view, so rows already dead stay silent); added
+        equality-delete files emit the parent-live rows matching their
+        key values (the parent view ends before this snapshot, so the
+        spec's strictly-smaller-sequence gate holds by construction);
+        a wholesale overwrite emits deletes for every parent-live row
+        whose file the new snapshot dropped. `replace` (compaction)
+        snapshots emit nothing.
+
+        Scale: inserts stay O(files added). Delete reconstruction plans
+        one parent-snapshot read per CHANGED snapshot, filtered by
+        broadcast semi-joins on the delete sets — the consume-window
+        cost profile (few snapshots per call), not O(history)."""
+        from pyspark.sql import functions as F
+
+        schema = self.schema()
+        names = [f.name for f in schema.fields]
+        out_cols = [*names, type_col, snapshot_col]
+        by_id = self._field_names_by_id()
+        chain = self._lineage(from_snapshot_id, to_snapshot_id)
+        parts: list[DataFrame] = []
+        prev: int | None = from_snapshot_id
+        for snap in chain:
+            sid = snap["snapshot-id"]
+            op = (snap.get("summary") or {}).get("operation", "append")
+            if op == "replace":
+                prev = sid
+                continue
+            data, pos, eq = self._added_files_split(snap)
+            if data:
+                parts.append(
+                    self.spark.read.schema(schema)
+                    .parquet(*data)
+                    .select(
+                        *names,
+                        F.lit("insert").alias(type_col),
+                        F.lit(sid).cast("long").alias(snapshot_col),
+                    )
+                )
+            dropped: list[str] = []
+            parent_data = None
+            if op not in ("append",) and prev is not None:
+                parent_data = self._file_sets(prev)[0]
+                prev_files = {rec for rec, *_ in parent_data}
+                cur_files = {
+                    rec for rec, *_ in self._file_sets(sid)[0]
+                }
+                dropped = sorted(prev_files - cur_files)
+            if (pos or eq or dropped) and prev is not None:
+                if parent_data is None:
+                    parent_data = self._file_sets(prev)[0]
+                base = self.read(snapshot_id=prev, _keep_meta=True)
+                dels: list[DataFrame] = []
+                if pos:
+                    # (recorded path, pos) → the parent-live rows they
+                    # target; recorded→scanned URI via the parent file
+                    # mapping, broadcast (delete sets are batch-sized)
+                    mapping = self.spark.createDataFrame(
+                        [
+                            ("file:" + local, rec)
+                            for rec, local, *_ in parent_data
+                        ],
+                        "__ice_fp string, __del_fp string",
+                    )
+                    pd = (
+                        self.spark.read.parquet(*pos)
+                        .select(
+                            F.col("file_path").alias("__del_fp"),
+                            F.col("pos").cast("long").alias("__ice_pos"),
+                        )
+                        .join(F.broadcast(mapping), "__del_fp")
+                        .select("__ice_fp", "__ice_pos")
+                    )
+                    dels.append(
+                        base.join(
+                            F.broadcast(pd),
+                            ["__ice_fp", "__ice_pos"],
+                            "left_semi",
+                        )
+                    )
+                for p, ids in eq:
+                    try:
+                        keys = [by_id[i] for i in ids]
+                    except KeyError as e:
+                        raise IcebergProtocolError(
+                            f"equality_ids reference unknown field id {e}"
+                        ) from None
+                    ed = (
+                        self.spark.read.parquet(p)
+                        .select(*keys)
+                        .distinct()
+                    )
+                    cond = F.lit(True)
+                    for n in keys:
+                        cond = cond & base[n].eqNullSafe(ed[n])
+                    dels.append(base.join(ed, cond, "left_semi"))
+                if dropped:
+                    dmap = self.spark.createDataFrame(
+                        [("file:" + self._local(rec),) for rec in dropped],
+                        "__ice_fp string",
+                    )
+                    dels.append(
+                        base.join(
+                            F.broadcast(dmap), "__ice_fp", "left_semi"
+                        )
+                    )
+                if dels:
+                    merged = dels[0]
+                    for d in dels[1:]:
+                        merged = merged.unionByName(d)
+                    parts.append(
+                        merged.dropDuplicates(["__ice_fp", "__ice_pos"])
+                        .select(
+                            *names,
+                            F.lit("delete").alias(type_col),
+                            F.lit(sid).cast("long").alias(snapshot_col),
+                        )
+                    )
+            prev = sid
+        if not parts:
+            out_schema = T.StructType(schema.fields.copy())
+            out_schema.add(type_col, T.StringType())
+            out_schema.add(snapshot_col, T.LongType())
+            return self.spark.createDataFrame([], out_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*out_cols)
 
     def _apply_equality_deletes(
         self,

@@ -1675,3 +1675,103 @@ def test_iceberg_history(spark, tmp_path):
     assert h[0]["parent_snapshot_id"] == 2
     assert h[2]["parent_snapshot_id"] is None
     assert len(IcebergTableReader(spark, t).history(limit=2)) == 2
+
+
+def test_changelog_scan_appends_and_merge(spark, tmp_path):
+    """read_changelog: appends emit inserts; a position-delete MERGE
+    emits delete(old)+insert(new) pairs; a wholesale overwrite emits
+    deletes for every dropped file's live rows — the row-level superset
+    of read_incremental."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "ice_cl")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.merge(
+        upserts=spark.createDataFrame([(2, "B2")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(1,)], "id long"),
+    )
+
+    r = IcebergTableReader(spark, t)
+    rows = r.read_changelog().collect()
+    got = {(x.id, x.v, x._change_type, x._snapshot_id) for x in rows}
+    assert got == {
+        (1, "a", "insert", 1),
+        (2, "b", "insert", 1),
+        (1, "a", "delete", 2),
+        (2, "b", "delete", 2),
+        (2, "B2", "insert", 2),
+    }
+    # consuming only the merge window
+    got2 = {
+        (x.id, x.v, x._change_type)
+        for x in r.read_changelog(from_snapshot_id=1).collect()
+    }
+    assert got2 == {
+        (1, "a", "delete"), (2, "b", "delete"), (2, "B2", "insert"),
+    }
+
+    # wholesale overwrite: drops every previous file
+    kt.writer.overwrite(
+        spark.createDataFrame([(9, "z")], "id long, v string")
+    )
+    r2 = IcebergTableReader(spark, t)
+    got3 = {
+        (x.id, x.v, x._change_type)
+        for x in r2.read_changelog(from_snapshot_id=2).collect()
+    }
+    assert got3 == {(2, "B2", "delete"), (9, "z", "insert")}
+
+
+def test_changelog_equality_mode_dead_rows_silent(spark, tmp_path):
+    """Equality-delete merges changelog correctly, and a delete
+    targeting an ALREADY-DEAD key emits nothing — targeted rows are
+    fetched from the parent snapshot's LIVE view, not raw files."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "ice_cl_eq")
+    kt = IcebergKeyedTable(spark, t, ["id"], delete_mode="equality")
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.delete(spark.createDataFrame([(1,)], "id long"))   # snap 2
+    kt.delete(spark.createDataFrame([(1,)], "id long"))   # snap 3: dead key
+
+    r = IcebergTableReader(spark, t)
+    assert {(x.id, x.v) for x in r.read().collect()} == {(2, "b")}
+    rows = r.read_changelog(from_snapshot_id=1).collect()
+    got = {(x.id, x.v, x._change_type, x._snapshot_id) for x in rows}
+    # exactly ONE delete, at snapshot 2; snapshot 3 contributes nothing
+    assert got == {(1, "a", "delete", 2)}
+
+
+def test_changelog_replace_snapshots_silent(spark, tmp_path):
+    """optimize() (a replace-shaped rewrite via overwrite of live rows)
+    keeps logical content — but writer.overwrite labels it 'overwrite',
+    so the changelog emits symmetric delete+insert of identical rows;
+    an explicit replace-labeled snapshot emits nothing."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    t = str(tmp_path / "ice_cl_rep")
+    w = IcebergTableWriter(spark, t)
+    w.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    w.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+
+    # hand-flip snapshot 2's operation to 'replace' (the compaction
+    # label): the changelog must skip it entirely
+    r = IcebergTableReader(spark, t)
+    md = r.metadata
+    for s in md["snapshots"]:
+        if s["snapshot-id"] == 2:
+            s["summary"]["operation"] = "replace"
+    import json as _json
+
+    vdir = os.path.join(t, "metadata")
+    with open(os.path.join(vdir, "version-hint.text")) as fh:
+        v = fh.read().strip()
+    with open(os.path.join(vdir, f"v{v}.metadata.json"), "w") as fh:
+        _json.dump(md, fh)
+
+    got = {
+        (x.id, x.v, x._change_type)
+        for x in IcebergTableReader(spark, t).read_changelog().collect()
+    }
+    assert got == {(1, "a", "insert")}
