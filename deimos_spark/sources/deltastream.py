@@ -105,15 +105,55 @@ def _cast_pval(raw: str | None, dt: T.DataType):
 
 
 class _DeltaFilePartition(InputPartition):
-    def __init__(self, table: str, rel: str, pvals: dict, version: int):
+    def __init__(
+        self,
+        table: str,
+        rel: str,
+        pvals: dict,
+        version: int,
+        change_type: str | None = None,
+        commit_ts: int | None = None,
+        is_cdc: bool = False,
+    ):
         self.table = table
         self.rel = rel
         self.pvals = pvals
         self.version = version
+        # change-feed mode: 'insert' for add-derived files, None for
+        # cdc files (their _change_type column is IN the file)
+        self.change_type = change_type
+        self.commit_ts = commit_ts
+        self.is_cdc = is_cdc
+
+
+def _commit_ts_ms(path: str) -> int:
+    """commitInfo.inCommitTimestamp > commitInfo.timestamp > mtime —
+    the same resolution chain as the batch reader's _commit_ts."""
+    ts = os.path.getmtime(path) * 1000.0
+    try:
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip() or '"commitInfo"' not in line:
+                    continue
+                ci = json.loads(line).get("commitInfo") or {}
+                if ci.get("inCommitTimestamp") is not None:
+                    ts = float(ci["inCommitTimestamp"])
+                elif ci.get("timestamp") is not None:
+                    ts = float(ci["timestamp"])
+                break
+    except (OSError, ValueError):
+        pass
+    return int(ts)
 
 
 class _DeltaStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, starting: str, ignore_changes: bool):
+    def __init__(
+        self,
+        path: str,
+        starting: str,
+        ignore_changes: bool,
+        read_change_feed: bool = False,
+    ):
         if starting not in ("earliest", "latest"):
             raise ValueError(
                 f"startingVersion must be 'earliest' or 'latest', got {starting!r}"
@@ -121,6 +161,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
         self.path = path
         self.starting = starting
         self.ignore_changes = ignore_changes
+        self.read_change_feed = read_change_feed
         self.schema, self.pcols = _table_schema(path)
 
     def initialOffset(self) -> dict:
@@ -141,6 +182,9 @@ class _DeltaStreamReader(DataSourceStreamReader):
             except OSError:
                 continue  # expired commit — nothing to emit for it
             actions = [json.loads(ln) for ln in lines]
+            if self.read_change_feed:
+                out.extend(self._cdf_partitions(v, p, actions))
+                continue
             if any("remove" in a for a in actions) and not self.ignore_changes:
                 raise ValueError(
                     f"deltastream: commit {v} of {self.path} contains remove "
@@ -160,14 +204,67 @@ class _DeltaStreamReader(DataSourceStreamReader):
                     )
         return out
 
+    def _cdf_partitions(self, v: int, commit_path: str, actions: list[dict]):
+        """Change-feed planning for one commit, the streaming twin of the
+        batch reader's read_changes: cdc actions win exclusively; add-only
+        commits derive inserts; row-level changes without cdc files fail
+        the stream loudly."""
+        ts = _commit_ts_ms(commit_path)
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        if cdc:
+            return [
+                _DeltaFilePartition(
+                    self.path,
+                    c["path"],
+                    dict(c.get("partitionValues") or {}),
+                    v,
+                    commit_ts=ts,
+                    is_cdc=True,
+                )
+                for c in cdc
+            ]
+        adds = [
+            a["add"]
+            for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        removes = [
+            a["remove"]
+            for a in actions
+            if a.get("remove") and a["remove"].get("dataChange", True)
+        ]
+        if removes or any(a.get("deletionVector") for a in adds):
+            raise ValueError(
+                f"deltastream: commit {v} of {self.path} contains "
+                "row-level changes (remove/deletion-vector) without cdc "
+                "files — the change feed is not reconstructable. Enable "
+                "CDF on the writer (DeltaKeyedTable enable_cdf=True)."
+            )
+        return [
+            _DeltaFilePartition(
+                self.path,
+                a["path"],
+                dict(a.get("partitionValues") or {}),
+                v,
+                change_type="insert",
+                commit_ts=ts,
+            )
+            for a in adds
+        ]
+
     def read(self, partition: _DeltaFilePartition):
         import pyarrow.parquet as papq
 
         schema, pcols = self.schema, self.pcols
         data_fields = [f for f in schema.fields if f.name not in pcols]
+        names = [f.name for f in data_fields]
+        cdf = self.read_change_feed
+        if partition.is_cdc:
+            # cdc files carry their own _change_type column
+            names = names + ["_change_type"]
         tbl = papq.read_table(
             os.path.join(partition.table, partition.rel),
-            columns=[f.name for f in data_fields],
+            columns=names,
         )
         pvals = {
             f.name: _cast_pval(partition.pvals.get(f.name), f.dataType)
@@ -177,12 +274,27 @@ class _DeltaStreamReader(DataSourceStreamReader):
         cols = {name: col.to_pylist() for name, col in zip(
             tbl.column_names, (tbl.column(i) for i in range(tbl.num_columns))
         )}
+        cts = (
+            _dt.datetime.fromtimestamp(
+                (partition.commit_ts or 0) / 1000.0, _dt.timezone.utc
+            ).replace(tzinfo=None)
+            if cdf
+            else None
+        )
         n = tbl.num_rows
         for i in range(n):
-            yield tuple(
+            row = tuple(
                 pvals[f.name] if f.name in pcols else cols[f.name][i]
                 for f in schema.fields
             )
+            if cdf:
+                ct = (
+                    cols["_change_type"][i]
+                    if partition.is_cdc
+                    else partition.change_type
+                )
+                row = row + (ct, partition.version, cts)
+            yield row
 
     def commit(self, end: dict) -> None:
         pass  # Spark's checkpoint is the source of truth
@@ -191,17 +303,34 @@ class _DeltaStreamReader(DataSourceStreamReader):
 class DeltaStreamDataSource(DataSource):
     """`format("deltastream")` — options: path (Delta table dir),
     startingVersion ('earliest' default | 'latest'),
-    ignoreChanges ('true' to tolerate non-append commits)."""
+    ignoreChanges ('true' to tolerate non-append commits),
+    readChangeFeed ('true' to stream the CHANGE FEED instead of raw
+    appends: rows gain _change_type/_commit_version/_commit_timestamp;
+    commits with cdc actions stream those files exclusively — the
+    streaming twin of DeltaTableReader.read_changes — and row-level
+    changes without cdc files fail the stream loudly)."""
 
     @classmethod
     def name(cls) -> str:
         return "deltastream"
 
+    def _cdf(self) -> bool:
+        return (
+            str(self.options.get("readChangeFeed", "false")).lower()
+            == "true"
+        )
+
     def schema(self):
         path = self.options.get("path")
         if not path:
             raise ValueError("deltastream needs a 'path' option")
-        return _table_schema(path)[0]
+        schema = _table_schema(path)[0]
+        if self._cdf():
+            schema = T.StructType(schema.fields.copy())
+            schema.add("_change_type", T.StringType())
+            schema.add("_commit_version", T.LongType())
+            schema.add("_commit_timestamp", T.TimestampType())
+        return schema
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         path = self.options.get("path")
@@ -211,4 +340,5 @@ class DeltaStreamDataSource(DataSource):
             path,
             self.options.get("startingVersion", "earliest"),
             str(self.options.get("ignoreChanges", "false")).lower() == "true",
+            read_change_feed=self._cdf(),
         )

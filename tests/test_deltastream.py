@@ -99,3 +99,62 @@ def test_partition_values_reattached_from_log(spark, tmp_path):
     batches = _drain(spark, t, str(tmp_path / "ckpt"))
     got = {(r["k"], r["id"]) for rows in batches for r in rows}
     assert got == {("x", 1), ("y", 2), (None, 3)}
+
+
+def test_read_change_feed_streams_cdc(spark, tmp_path):
+    """readChangeFeed=true: the stream emits change rows — insert rows
+    derived from append commits, cdc-file rows (update/delete images)
+    for CDF merge commits — with _change_type/_commit_version/
+    _commit_timestamp; a row-level change WITHOUT cdc files fails the
+    stream loudly."""
+    t = str(tmp_path / "cdfstream")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string", enable_cdf=True
+    )
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.merge(
+        upserts=spark.createDataFrame([(1, "A1")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+    )
+
+    batches = _drain(
+        spark, t, str(tmp_path / "ckpt"), readChangeFeed="true"
+    )
+    rows = [r for b in batches for r in b]
+    got = {
+        (r["id"], r["v"], r["_change_type"], r["_commit_version"])
+        for r in rows
+    }
+    assert got == {
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+        (1, "a", "update_preimage", 1),
+        (1, "A1", "update_postimage", 1),
+        (2, "b", "delete", 1),
+    }
+    assert all(r["_commit_timestamp"] is not None for r in rows)
+
+    # resume: one more CDF merge -> only its change rows
+    kt.merge(
+        upserts=spark.createDataFrame([(3, "c")], "id long, v string")
+    )
+    batches = _drain(
+        spark, t, str(tmp_path / "ckpt"), readChangeFeed="true"
+    )
+    got2 = {
+        (r["id"], r["v"], r["_change_type"])
+        for b in batches
+        for r in b
+    }
+    assert got2 == {(3, "c", "insert")}
+
+    # a non-CDF table's merge commit (removes, no cdc) fails the stream
+    t2 = str(tmp_path / "nocdf")
+    kt2 = DeltaKeyedTable(spark, t2, ["id"], schema="id long, v string")
+    kt2.upsert(spark.createDataFrame([(1, "a")], "id long, v string"))
+    kt2.merge(upserts=spark.createDataFrame([(1, "A")], "id long, v string"))
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises((StreamingQueryException, Py4JJavaError)):
+        _drain(spark, t2, str(tmp_path / "c2"), readChangeFeed="true")
