@@ -82,3 +82,74 @@ def emit_changes(
     producer's tombstone detection fire)."""
     changes = snapshot_diff(old, new, key_cols, watched_cols).drop("_op")
     return producer.publish(changes, backend=backend, **kw)
+
+
+def delta_feed_to_ops(feed: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Delta change-feed rows (read_changes / deltastream
+    readChangeFeed) → the snapshot_diff contract: `_op` ∈
+    {'create','update','delete'}, deletes as key-only tombstones
+    (payload NULLed), update_preimage rows dropped (the emit contract
+    publishes new payloads only). Replaces the full-outer-join snapshot
+    diff with the table's NATIVE feed — O(changed rows), no second
+    snapshot scan, exactly-once per commit range."""
+    payload_cols = [
+        c
+        for c in feed.columns
+        if c not in key_cols
+        and c not in ("_change_type", "_commit_version", "_commit_timestamp")
+    ]
+    op = (
+        F.when(F.col("_change_type") == "insert", F.lit("create"))
+        .when(F.col("_change_type") == "update_postimage", F.lit("update"))
+        .when(F.col("_change_type") == "delete", F.lit("delete"))
+    )
+    out = feed.filter(
+        F.col("_change_type") != "update_preimage"
+    ).withColumn("_op", op)
+    for c in payload_cols:
+        out = out.withColumn(
+            c, F.when(F.col("_op") == "delete", F.lit(None)).otherwise(F.col(c))
+        )
+    return out.select(*key_cols, *payload_cols, "_op")
+
+
+def iceberg_changelog_to_ops(
+    changes: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Iceberg changelog rows (read_changelog) → the snapshot_diff
+    contract. The changelog expresses an upsert as a delete+insert pair
+    within one snapshot; per (key, snapshot): both sides present →
+    'update' (new payload), insert only → 'create', delete only →
+    'delete' (key-only tombstone). Pairing is a per-key aggregation on
+    the already-small change set — no table scan."""
+    grp = [*key_cols, "_snapshot_id"]
+    payload_cols = [
+        c
+        for c in changes.columns
+        if c not in key_cols and c not in ("_change_type", "_snapshot_id")
+    ]
+    agg = changes.groupBy(*grp).agg(
+        F.max(F.when(F.col("_change_type") == "insert", 1).otherwise(0)).alias(
+            "_has_ins"
+        ),
+        F.max(F.when(F.col("_change_type") == "delete", 1).otherwise(0)).alias(
+            "_has_del"
+        ),
+        *[
+            F.max_by(
+                F.col(c), F.when(F.col("_change_type") == "insert", 1)
+            ).alias(c)
+            for c in payload_cols
+        ],
+    )
+    op = (
+        F.when((F.col("_has_ins") == 1) & (F.col("_has_del") == 1), "update")
+        .when(F.col("_has_ins") == 1, F.lit("create"))
+        .otherwise(F.lit("delete"))
+    )
+    out = agg.withColumn("_op", op)
+    for c in payload_cols:
+        out = out.withColumn(
+            c, F.when(F.col("_op") == "delete", F.lit(None)).otherwise(F.col(c))
+        )
+    return out.select(*key_cols, *payload_cols, "_op")

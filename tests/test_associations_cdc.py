@@ -218,3 +218,63 @@ def test_schema_class_codegen_roundtrip():
         Color.validate("green")
     # deterministic output (golden property)
     assert src == generate_schema_class(schema)
+
+
+def test_delta_feed_to_ops(spark, tmp_path):
+    """Native Delta change feed → the snapshot_diff op contract:
+    insert→create, update_postimage→update (preimage dropped),
+    delete→key-only tombstone."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+    from deimos_spark.sources.table_cdc import delta_feed_to_ops
+
+    t = str(tmp_path / "feedops")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string", enable_cdf=True
+    )
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.merge(
+        upserts=spark.createDataFrame([(1, "A1"), (3, "c")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+    )
+    feed = DeltaTableReader(spark, t).read_changes(1, 1)
+    got = {
+        (r["id"], r["v"], r["_op"])
+        for r in delta_feed_to_ops(feed, ["id"]).collect()
+    }
+    assert got == {
+        (1, "A1", "update"),
+        (3, "c", "create"),
+        (2, None, "delete"),  # tombstone: payload NULLed
+    }
+
+
+def test_iceberg_changelog_to_ops(spark, tmp_path):
+    """Iceberg changelog (delete+insert pairs) → op contract: paired
+    rows collapse to 'update' with the NEW payload; lone inserts are
+    creates; lone deletes are key-only tombstones."""
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergKeyedTable,
+        IcebergTableReader,
+    )
+    from deimos_spark.sources.table_cdc import iceberg_changelog_to_ops
+
+    t = str(tmp_path / "icefeedops")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    kt.merge(
+        upserts=spark.createDataFrame([(1, "A1"), (3, "c")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+    )
+    changes = IcebergTableReader(spark, t).read_changelog(from_snapshot_id=1)
+    got = {
+        (r["id"], r["v"], r["_op"])
+        for r in iceberg_changelog_to_ops(changes, ["id"]).collect()
+    }
+    assert got == {
+        (1, "A1", "update"),
+        (3, "c", "create"),
+        (2, None, "delete"),
+    }
