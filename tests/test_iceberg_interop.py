@@ -1775,3 +1775,29 @@ def test_changelog_replace_snapshots_silent(spark, tmp_path):
         for x in IcebergTableReader(spark, t).read_changelog().collect()
     }
     assert got == {(1, "a", "insert")}
+
+
+def test_changelog_plan_broadcasts_delete_sets(spark, tmp_path):
+    """Plan gate: changelog delete reconstruction joins the batch-sized
+    delete sets as BROADCAST semi-joins against the parent scan — no
+    shuffle of the parent table, no cartesian product."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / "ice_cl_plan")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id long, v string"
+        )
+    )
+    kt.delete(spark.createDataFrame([(7,), (9,)], "id long"))
+
+    plan = (
+        IcebergTableReader(spark, t)
+        .read_changelog(from_snapshot_id=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
