@@ -854,6 +854,8 @@ class DeltaTableReader:
         commit's commitInfo payload when present (operation, metrics —
         whatever the writer recorded; ours and foreign ones differ).
         A driver-side metadata listing, like every history API."""
+        import math
+
         out = []
         for n in sorted(os.listdir(self.log_dir), reverse=True):
             if not (n.endswith(".json") and n[:-5].isdigit()):
@@ -874,7 +876,10 @@ class DeltaTableReader:
             out.append(
                 {
                     "version": int(n[:-5]),
-                    "timestamp": int(self._commit_ts(p)),
+                    # ceil: a floor-truncated float mtime would make
+                    # read_changes(ending_ts_ms=<this>) exclude the very
+                    # commit it came from
+                    "timestamp": math.ceil(self._commit_ts(p)),
                     "commitInfo": info,
                 }
             )
