@@ -211,3 +211,107 @@ class StateBasedPoller:
             if n < self.batch_size:
                 break
         return total
+
+
+class ChangelogPoller:
+    """Checkpoint-and-consume over a lakehouse table's NATIVE change
+    feed — the round-8 closing of the db_poller family: where
+    TimeBasedPoller re-queries with a cursor predicate and
+    StateBasedPoller flips a state column, this poller's cursor is the
+    table's own snapshot/version log, so each cycle reads EXACTLY the
+    rows that changed (Iceberg `read_changelog` / Delta `read_changes`)
+    with no scan predicate at all.
+
+    `run_once()` fetch → publish → commit-cursor-AFTER-publish: a crash
+    between publish and save re-delivers the window (at-least-once, the
+    C1 shape). `key_cols` routes the feed through the
+    feed→op adapters first, so the published rows carry the
+    write-through CDC contract (`_op` create/update/delete, key-only
+    tombstones) ready for the produce pipeline.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        publish: Callable[[DataFrame], None],
+        cursor_path: str,
+        fmt: str = "iceberg",
+        key_cols: list | None = None,
+        tracer=None,
+    ):
+        if fmt not in ("iceberg", "delta"):
+            raise ValueError(f"fmt must be iceberg|delta, got {fmt!r}")
+        self.spark = spark
+        self.path = path
+        self.publish = publish
+        self.cursor_path = cursor_path
+        self.fmt = fmt
+        self.key_cols = list(key_cols) if key_cols else None
+        self.tracer = tracer
+
+    def _load_cursor(self):
+        if os.path.exists(self.cursor_path):
+            with open(self.cursor_path) as fh:
+                return json.load(fh).get("pos")
+        return None
+
+    def _save_cursor(self, pos) -> None:
+        tmp = self.cursor_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"pos": pos}, fh)
+        os.replace(tmp, self.cursor_path)
+
+    def run_once(self) -> int:
+        if self.tracer is None:
+            return self._run_once()
+        span = self.tracer.start(
+            "deimos-db-poller", resource=type(self).__name__
+        )
+        try:
+            return self._run_once()
+        except BaseException as e:
+            self.tracer.set_error(span, e)
+            raise
+        finally:
+            self.tracer.finish(span)
+
+    def _run_once(self) -> int:
+        cursor = self._load_cursor()
+        if self.fmt == "iceberg":
+            from deimos_spark.operators.iceberg_interop import (
+                IcebergTableReader,
+            )
+            from deimos_spark.sources.table_cdc import (
+                iceberg_changelog_to_ops,
+            )
+
+            r = IcebergTableReader(self.spark, self.path)
+            head = r.metadata.get("current-snapshot-id")
+            if head in (None, -1) or head == cursor:
+                return 0
+            changes = r.read_changelog(
+                from_snapshot_id=cursor, to_snapshot_id=head
+            )
+            if self.key_cols:
+                changes = iceberg_changelog_to_ops(changes, self.key_cols)
+        else:
+            from deimos_spark.operators.delta_interop import (
+                DeltaTableReader,
+            )
+            from deimos_spark.sources.table_cdc import delta_feed_to_ops
+
+            r = DeltaTableReader(self.spark, self.path)
+            head = r.snapshot(_meta_only=True).version
+            if cursor is not None and head <= cursor:
+                return 0
+            changes = r.read_changes(
+                0 if cursor is None else cursor + 1, head
+            )
+            if self.key_cols:
+                changes = delta_feed_to_ops(changes, self.key_cols)
+        n = changes.count()
+        if n:
+            self.publish(changes)
+        self._save_cursor(head)  # commit AFTER publish
+        return n

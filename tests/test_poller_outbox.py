@@ -176,3 +176,74 @@ def test_relay_batch_limit_loops_until_drained(spark, tmp_path):
     n = relay.run_once()
     assert n == 7 and len(produced) == 7
     assert ob.pending_count() == 0
+
+
+def test_changelog_poller_iceberg_and_delta(spark, tmp_path):
+    """ChangelogPoller: the table's own snapshot/version log is the
+    cursor — each run_once publishes exactly the rows that changed
+    since the last committed position (as _op rows via the feed
+    adapters), commits the cursor AFTER publish, and a failed publish
+    re-delivers the window (at-least-once)."""
+    from deimos_spark.operators.delta_interop import DeltaKeyedTable
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+    from deimos_spark.sources.poller import ChangelogPoller
+
+    # ---------------- Iceberg
+    t = str(tmp_path / "clp_ice")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+
+    seen: list[tuple] = []
+    fail = {"on": False}
+
+    def sink(df):
+        if fail["on"]:
+            raise RuntimeError("publish down")
+        seen.extend(
+            (r["id"], r["v"], r["_op"]) for r in df.collect()
+        )
+
+    p = ChangelogPoller(
+        spark, t, sink, str(tmp_path / "ice.cursor"),
+        fmt="iceberg", key_cols=["id"],
+    )
+    assert p.run_once() == 2
+    assert set(seen) == {(1, "a", "create"), (2, "b", "create")}
+    assert p.run_once() == 0  # drained: cursor committed
+
+    kt.merge(
+        upserts=spark.createDataFrame([(1, "A1")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+    )
+    # crash window: publish fails -> cursor NOT advanced -> retry resends
+    seen.clear()
+    fail["on"] = True
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError):
+        p.run_once()
+    fail["on"] = False
+    assert p.run_once() == 2
+    assert set(seen) == {(1, "A1", "update"), (2, None, "delete")}
+
+    # ---------------- Delta (CDF table)
+    t2 = str(tmp_path / "clp_delta")
+    dkt = DeltaKeyedTable(
+        spark, t2, ["id"], schema="id long, v string", enable_cdf=True
+    )
+    dkt.upsert(spark.createDataFrame([(5, "e")], "id long, v string"))
+    seen2: list[tuple] = []
+    p2 = ChangelogPoller(
+        spark, t2,
+        lambda df: seen2.extend(
+            (r["id"], r["v"], r["_op"]) for r in df.collect()
+        ),
+        str(tmp_path / "delta.cursor"), fmt="delta", key_cols=["id"],
+    )
+    assert p2.run_once() == 1
+    assert seen2 == [(5, "e", "create")]
+    dkt.merge(upserts=spark.createDataFrame([(5, "E5")], "id long, v string"))
+    seen2.clear()
+    assert p2.run_once() == 1
+    assert seen2 == [(5, "E5", "update")]
+    assert p2.run_once() == 0
