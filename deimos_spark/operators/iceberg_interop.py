@@ -942,6 +942,7 @@ class IcebergTableReader:
         to_snapshot_id: int | None = None,
         type_col: str = "_change_type",
         snapshot_col: str = "_snapshot_id",
+        ordinal_col: str = "_change_ordinal",
     ) -> DataFrame:
         """Incremental CHANGELOG scan — the row-level superset of
         read_incremental, Iceberg's incremental-changelog semantics:
@@ -960,6 +961,11 @@ class IcebergTableReader:
         whose file the new snapshot dropped. `replace` (compaction)
         snapshots emit nothing.
 
+        Each row also carries `_change_ordinal` — the snapshot's
+        1-based position in the consumed window (snapshot IDs are
+        unordered; the ordinal is what downstream keep-last compaction
+        orders by — see table_cdc.iceberg_changelog_to_ops).
+
         Scale: inserts stay O(files added). Delete reconstruction plans
         one parent-snapshot read per CHANGED snapshot, filtered by
         broadcast semi-joins on the delete sets — the consume-window
@@ -968,12 +974,12 @@ class IcebergTableReader:
 
         schema = self.schema()
         names = [f.name for f in schema.fields]
-        out_cols = [*names, type_col, snapshot_col]
+        out_cols = [*names, type_col, snapshot_col, ordinal_col]
         by_id = self._field_names_by_id()
         chain = self._lineage(from_snapshot_id, to_snapshot_id)
         parts: list[DataFrame] = []
         prev: int | None = from_snapshot_id
-        for snap in chain:
+        for ordinal, snap in enumerate(chain, start=1):
             sid = snap["snapshot-id"]
             op = (snap.get("summary") or {}).get("operation", "append")
             if op == "replace":
@@ -988,6 +994,7 @@ class IcebergTableReader:
                         *names,
                         F.lit("insert").alias(type_col),
                         F.lit(sid).cast("long").alias(snapshot_col),
+                        F.lit(ordinal).cast("long").alias(ordinal_col),
                     )
                 )
             dropped: list[str] = []
@@ -1067,6 +1074,7 @@ class IcebergTableReader:
                             *names,
                             F.lit("delete").alias(type_col),
                             F.lit(sid).cast("long").alias(snapshot_col),
+                            F.lit(ordinal).cast("long").alias(ordinal_col),
                         )
                     )
             prev = sid
@@ -1074,6 +1082,7 @@ class IcebergTableReader:
             out_schema = T.StructType(schema.fields.copy())
             out_schema.add(type_col, T.StringType())
             out_schema.add(snapshot_col, T.LongType())
+            out_schema.add(ordinal_col, T.LongType())
             return self.spark.createDataFrame([], out_schema)
         out = parts[0]
         for p in parts[1:]:

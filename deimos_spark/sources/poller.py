@@ -227,7 +227,10 @@ class ChangelogPoller:
     C1 shape). `key_cols` routes the feed through the
     feed→op adapters first, so the published rows carry the
     write-through CDC contract (`_op` create/update/delete, key-only
-    tombstones) ready for the produce pipeline.
+    tombstones) ready for the produce pipeline — plus `_ord` (commit
+    version / snapshot ordinal), the order key downstream keep-last
+    compaction MUST use: a redelivered window spans several commits,
+    so the same key can appear with a create AND its later delete.
     """
 
     def __init__(
@@ -310,8 +313,16 @@ class ChangelogPoller:
             )
             if self.key_cols:
                 changes = delta_feed_to_ops(changes, self.key_cols)
-        n = changes.count()
-        if n:
-            self.publish(changes)
+        # ONE changelog assembly per cycle: persist before counting so
+        # the publish pass reads the cached result instead of re-running
+        # the feed (for Iceberg that would be a second parent-snapshot
+        # read + delete-set join every poll).
+        changes = changes.persist()
+        try:
+            n = changes.count()
+            if n:
+                self.publish(changes)
+        finally:
+            changes.unpersist()
         self._save_cursor(head)  # commit AFTER publish
         return n

@@ -91,7 +91,15 @@ def delta_feed_to_ops(feed: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     (payload NULLed), update_preimage rows dropped (the emit contract
     publishes new payloads only). Replaces the full-outer-join snapshot
     diff with the table's NATIVE feed — O(changed rows), no second
-    snapshot scan, exactly-once per commit range."""
+    snapshot scan, exactly-once per commit range.
+
+    Output carries `_ord` (= `_commit_version`): the INTRA-WINDOW order
+    key. A feed window spanning several commits (the normal shape after
+    a crash-redelivery) can hold multiple ops for the SAME key;
+    downstream keep-last compaction (the reference's
+    batch_consumption.rb:121-125 "keep LAST per key" contract) must
+    order by `_ord` — without it a resurrected create could win over
+    its own later delete."""
     payload_cols = [
         c
         for c in feed.columns
@@ -110,7 +118,12 @@ def delta_feed_to_ops(feed: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         out = out.withColumn(
             c, F.when(F.col("_op") == "delete", F.lit(None)).otherwise(F.col(c))
         )
-    return out.select(*key_cols, *payload_cols, "_op")
+    return out.select(
+        *key_cols,
+        *payload_cols,
+        "_op",
+        F.col("_commit_version").cast("long").alias("_ord"),
+    )
 
 
 def iceberg_changelog_to_ops(
@@ -121,12 +134,25 @@ def iceberg_changelog_to_ops(
     within one snapshot; per (key, snapshot): both sides present →
     'update' (new payload), insert only → 'create', delete only →
     'delete' (key-only tombstone). Pairing is a per-key aggregation on
-    the already-small change set — no table scan."""
+    the already-small change set — no table scan.
+
+    Output carries `_ord` (= `_change_ordinal`, the snapshot's 1-based
+    position in the consumed lineage window): a multi-snapshot window
+    emits one op row per (key, snapshot), and downstream keep-last
+    compaction must order by `_ord` so a key's LAST op in the window
+    wins (batch_consumption.rb:121-125 contract). Snapshot IDs are not
+    ordered, which is why the changelog attaches the ordinal."""
     grp = [*key_cols, "_snapshot_id"]
+    ord_src = (
+        "_change_ordinal"
+        if "_change_ordinal" in changes.columns
+        else "_snapshot_id"  # hand-built feeds without ordinals
+    )
     payload_cols = [
         c
         for c in changes.columns
-        if c not in key_cols and c not in ("_change_type", "_snapshot_id")
+        if c not in key_cols
+        and c not in ("_change_type", "_snapshot_id", "_change_ordinal")
     ]
     agg = changes.groupBy(*grp).agg(
         F.max(F.when(F.col("_change_type") == "insert", 1).otherwise(0)).alias(
@@ -141,6 +167,7 @@ def iceberg_changelog_to_ops(
             ).alias(c)
             for c in payload_cols
         ],
+        F.max(F.col(ord_src)).cast("long").alias("_ord"),
     )
     op = (
         F.when((F.col("_has_ins") == 1) & (F.col("_has_del") == 1), "update")
@@ -152,4 +179,4 @@ def iceberg_changelog_to_ops(
         out = out.withColumn(
             c, F.when(F.col("_op") == "delete", F.lit(None)).otherwise(F.col(c))
         )
-    return out.select(*key_cols, *payload_cols, "_op")
+    return out.select(*key_cols, *payload_cols, "_op", "_ord")

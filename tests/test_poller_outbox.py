@@ -247,3 +247,88 @@ def test_changelog_poller_iceberg_and_delta(spark, tmp_path):
     assert p2.run_once() == 1
     assert seen2 == [(5, "E5", "update")]
     assert p2.run_once() == 0
+
+
+def test_changelog_poller_multi_commit_window_ordering(spark, tmp_path):
+    """A redelivered window spanning several commits can carry a create
+    AND its later delete for the SAME key; the published ops carry
+    `_ord` (commit version / snapshot ordinal) so keep-last compaction
+    (batch_consumption.rb:121-125 contract) resolves to the LAST op —
+    here the delete must survive, never the resurrected payload."""
+    from deimos_spark.operators.compaction import compact_keep_last
+    from deimos_spark.operators.delta_interop import DeltaKeyedTable
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+    from deimos_spark.sources.poller import ChangelogPoller
+
+    # ---------------- Delta: upsert then delete land in ONE poll window
+    t = str(tmp_path / "ord_delta")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string", enable_cdf=True
+    )
+    final: list[tuple] = []
+
+    def sink(df):
+        last = compact_keep_last(df, ["id"], ["_ord"])
+        final.extend((r["id"], r["v"], r["_op"]) for r in last.collect())
+
+    p = ChangelogPoller(
+        spark, t, sink, str(tmp_path / "d.cursor"), fmt="delta",
+        key_cols=["id"],
+    )
+    kt.upsert(spark.createDataFrame([(7, "alive")], "id long, v string"))
+    kt.delete(spark.createDataFrame([(7,)], "id long"))
+    kt.upsert(spark.createDataFrame([(8, "other")], "id long, v string"))
+    assert p.run_once() == 3
+    assert sorted(final) == [(7, None, "delete"), (8, "other", "create")]
+
+    # ---------------- Iceberg: same window shape over snapshot ordinals
+    t2 = str(tmp_path / "ord_ice")
+    ikt = IcebergKeyedTable(spark, t2, ["id"])
+    final.clear()
+    p2 = ChangelogPoller(
+        spark, t2, sink, str(tmp_path / "i.cursor"), fmt="iceberg",
+        key_cols=["id"],
+    )
+    ikt.upsert(spark.createDataFrame([(7, "alive")], "id long, v string"))
+    ikt.delete(spark.createDataFrame([(7,)], "id long"))
+    ikt.upsert(spark.createDataFrame([(8, "other")], "id long, v string"))
+    assert p2.run_once() == 3
+    assert sorted(final) == [(7, None, "delete"), (8, "other", "create")]
+
+
+def test_changelog_poller_single_assembly(spark, tmp_path, monkeypatch):
+    """One changelog assembly per cycle: the poller persists the feed
+    before counting, so the publish pass reads the cached result
+    instead of recomputing the whole changelog (for Iceberg that would
+    be a second parent-snapshot read + delete-set join per poll)."""
+    from deimos_spark.operators import delta_interop as di
+    from deimos_spark.operators.delta_interop import DeltaKeyedTable
+    from deimos_spark.sources.poller import ChangelogPoller
+
+    t = str(tmp_path / "single_delta")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema="id long, v string", enable_cdf=True
+    )
+    kt.upsert(spark.createDataFrame([(1, "a")], "id long, v string"))
+
+    calls = []
+    real = di.DeltaTableReader.read_changes
+
+    def counting(self, *a, **kw):
+        calls.append(a)
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(di.DeltaTableReader, "read_changes", counting)
+    seen_persisted = []
+
+    def sink(df):
+        seen_persisted.append(df.storageLevel.useMemory)
+        df.collect()
+
+    p = ChangelogPoller(
+        spark, t, sink, str(tmp_path / "s.cursor"), fmt="delta",
+        key_cols=["id"],
+    )
+    assert p.run_once() == 1
+    assert len(calls) == 1          # feed assembled once per cycle
+    assert seen_persisted == [True]  # publish reads the cached feed
