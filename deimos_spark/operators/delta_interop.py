@@ -97,6 +97,155 @@ class DeltaCommitConflict(Exception):
     """Another writer claimed this log version first."""
 
 
+# ------------------------------------------------------------ writer gate
+
+# Writer features this engine implements end-to-end (PROTOCOL.md "Table
+# Features", writer column). Committing into a table that declares
+# anything else (rowTracking, icebergCompat*, domainMetadata, ...) would
+# silently break that feature's invariants for every other engine — the
+# spec requires writers to refuse such tables, mirroring the reader gate.
+SUPPORTED_WRITER_FEATURES = {
+    "appendOnly",
+    "changeDataFeed",
+    "deletionVectors",
+    "v2Checkpoint",
+    "timestampNtz",
+}
+
+# Features we may coexist with ONLY while the table provably does not
+# use them: their semantics are enforced at write time (we don't), so a
+# declared-but-inert feature is safe and an active one is not. Activity
+# is detected from the table metadata itself (see check_writer_protocol)
+# — and detected unconditionally, so a table carrying e.g. CHECK
+# constraints without declaring the feature still refuses.
+_GATED_IF_ACTIVE = {
+    "invariants",
+    "checkConstraints",
+    "generatedColumns",
+    "identityColumns",
+    "columnMapping",
+}
+
+# minWriterVersion → implicitly-required feature set (PROTOCOL.md legacy
+# protocol table); version 7 reads the explicit writerFeatures list.
+_LEGACY_WRITER_FEATURES = {
+    1: frozenset(),
+    2: frozenset({"appendOnly", "invariants"}),
+    3: frozenset({"appendOnly", "invariants", "checkConstraints"}),
+    4: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+        }
+    ),
+    5: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+        }
+    ),
+    6: frozenset(
+        {
+            "appendOnly",
+            "invariants",
+            "checkConstraints",
+            "changeDataFeed",
+            "generatedColumns",
+            "columnMapping",
+            "identityColumns",
+        }
+    ),
+}
+
+
+def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
+    """Refuse to commit into a table whose writer protocol this engine
+    does not implement — the spec-required mirror of the reader gate
+    (PROTOCOL.md: "a writer must not write to a table whose
+    minWriterVersion/writerFeatures it does not support").
+
+    `operation` ∈ {"append", "overwrite", "merge", "optimize"} — needed
+    for `delta.appendOnly`: the spec allows dataChange=false removes
+    (OPTIMIZE) on append-only tables but forbids logical deletes, so
+    overwrite/merge refuse while append/optimize pass.
+
+    Checks, in order:
+    - minWriterVersion ≤ 7; v7 writerFeatures ⊆ supported ∪ inert-able.
+    - ACTIVE use of enforce-at-write features we don't implement refuses
+      regardless of protocol declaration: CHECK constraints
+      (`delta.constraints.*` config keys), column invariants
+      (`delta.invariants` field metadata), generated columns
+      (`delta.generationExpression`), identity columns
+      (`delta.identity.*`).
+    - Column mapping mode ≠ none refuses all writes: our data files
+      carry logical names without field ids, which a mapped table's
+      readers would not resolve.
+    - `delta.appendOnly=true` refuses overwrite/merge.
+    """
+    proto = snap.protocol_raw or {}
+    mwv = proto.get("minWriterVersion", 1)
+    if mwv > 7:
+        raise DeltaProtocolError(
+            f"minWriterVersion {mwv} > 7 unsupported — refusing to write"
+        )
+    if mwv >= 7:
+        feats = set(proto.get("writerFeatures") or [])
+    else:
+        feats = set(_LEGACY_WRITER_FEATURES[mwv])
+    unknown = feats - SUPPORTED_WRITER_FEATURES - _GATED_IF_ACTIVE
+    if unknown:
+        raise DeltaProtocolError(
+            f"writer features {sorted(unknown)} unsupported — writing "
+            "would break their invariants for other engines"
+        )
+
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    checks = [k for k in conf if k.startswith("delta.constraints.")]
+    if checks:
+        raise DeltaProtocolError(
+            f"table declares CHECK constraints {sorted(checks)} — this "
+            "writer does not enforce them, refusing to write"
+        )
+    for f in snap.schema.fields if snap.schema is not None else []:
+        md = f.metadata or {}
+        if "delta.invariants" in md:
+            raise DeltaProtocolError(
+                f"column {f.name!r} declares an invariant — this writer "
+                "does not enforce it, refusing to write"
+            )
+        if "delta.generationExpression" in md:
+            raise DeltaProtocolError(
+                f"column {f.name!r} is a generated column — this writer "
+                "does not compute it, refusing to write"
+            )
+        if any(k.startswith("delta.identity.") for k in md):
+            raise DeltaProtocolError(
+                f"column {f.name!r} is an identity column — this writer "
+                "does not allocate its values, refusing to write"
+            )
+    if (snap.column_mapping or "none") != "none":
+        raise DeltaProtocolError(
+            f"column mapping mode {snap.column_mapping!r}: this writer "
+            "emits logical-name files without field ids, refusing to write"
+        )
+    if conf.get("delta.appendOnly") == "true" and operation in (
+        "overwrite",
+        "merge",
+    ):
+        raise DeltaProtocolError(
+            f"delta.appendOnly table refuses {operation} (logical "
+            "deletes are forbidden; only append and dataChange=false "
+            "OPTIMIZE are allowed)"
+        )
+
+
 class DeltaTableReader:
     """Read a Delta table directory: `read()` → DataFrame (latest or
     time-travel version), `snapshot()` → live file set."""
@@ -1993,6 +2142,14 @@ class DeltaTableWriter:
     def append(self, df: DataFrame) -> None:
         for _ in range(self.max_commit_retries):
             v = self._latest_version()
+            if v >= 0:
+                # spec-required writer gate: a meta-only probe (no add
+                # materialization) — refuse foreign tables whose writer
+                # protocol/active features we don't implement, BEFORE
+                # paying for the data-file write
+                check_writer_protocol(
+                    self._reader().snapshot(_meta_only=True), "append"
+                )
             adds = self._write_files(df)
             actions = adds
             if v < 0:
@@ -2020,6 +2177,7 @@ class DeltaTableWriter:
             if v < 0:
                 return
             snap = reader.snapshot()
+            check_writer_protocol(snap, "optimize")
             if not snap.files:
                 return
             current = reader.read()
@@ -2127,6 +2285,18 @@ class DeltaTableWriter:
             removes = []
             if v >= 0:
                 snap = self._reader().snapshot()
+                check_writer_protocol(snap, "overwrite")
+                if (
+                    (snap.meta_raw or {}).get("configuration") or {}
+                ).get("delta.enableChangeDataFeed") == "true":
+                    # CDF tables require cdc files on every remove-
+                    # carrying commit; this plain writer doesn't emit
+                    # them (DeltaKeyedTable does) — refusing beats
+                    # breaking the table's change readers
+                    raise DeltaProtocolError(
+                        "overwrite of a changeDataFeed-enabled table "
+                        "needs CDC files — use DeltaKeyedTable"
+                    )
                 removes = [
                     {"remove": {"path": p, "dataChange": True}}
                     for p in sorted(snap.files)
@@ -2308,10 +2478,20 @@ class DeltaKeyedTable:
             return
 
         w = self.writer
+        cdf = self.enable_cdf
         for _ in range(w.max_commit_retries):
             v = w._latest_version()
             if v >= 0:
                 snap = DeltaTableReader(self.spark, self.path).snapshot()
+                check_writer_protocol(snap, "merge")
+                # spec: once a table declares delta.enableChangeDataFeed,
+                # EVERY writer must emit cdc files on remove-carrying
+                # commits — honor it even when this instance was built
+                # with enable_cdf=False (we implement CDF, so honoring
+                # beats refusing)
+                cdf = self.enable_cdf or (
+                    (snap.meta_raw or {}).get("configuration") or {}
+                ).get("delta.enableChangeDataFeed") == "true"
                 current = (
                     DeltaTableReader(self.spark, self.path).read()
                     if snap.files
@@ -2343,7 +2523,7 @@ class DeltaKeyedTable:
             )
             cdc_actions: list[dict] = []
             proto_up: list[dict] = []
-            if self.enable_cdf and removes and current is not None:
+            if cdf and removes and current is not None:
                 # a rewrite commit's remove/add actions don't mirror its
                 # logical changes (survivors are rewritten too), so with
                 # CDF on, EVERY remove-carrying commit records cdc files
@@ -2426,10 +2606,10 @@ class DeltaKeyedTable:
             # WITHOUT materializing the add set — the full file list
             # only lands on the driver when pruning can't apply
             meta = reader.snapshot(_meta_only=True)
-            if meta.column_mapping not in (None, "", "none"):
-                raise DeltaProtocolError(
-                    "DV merge over column-mapped tables not supported"
-                )
+            check_writer_protocol(meta, "merge")
+            cdf = self.enable_cdf or (
+                (meta.meta_raw or {}).get("configuration") or {}
+            ).get("delta.enableChangeDataFeed") == "true"
             pcols = list(meta.partition_columns)
 
             # partition-pruned probe (the txlog MERGE gating, DV flavor):
@@ -2572,7 +2752,7 @@ class DeltaKeyedTable:
                 proto = self._DV_PROTOCOL["protocol"]
             proto_actions = [{"protocol": proto}] if needs_upgrade else []
             cdc_actions: list[dict] = []
-            if self.enable_cdf and removes and scan is not None:
+            if cdf and removes and scan is not None:
                 # DV-update commits express row-level changes the adds
                 # can't describe — record them as cdc files (inserts
                 # included: cdc replaces adds for change readers).
