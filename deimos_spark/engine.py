@@ -42,6 +42,55 @@ class Engine:
         self.registry = registry
         self._topics: dict[str, TopicConfig] = {}
         self._outboxes: dict[str, OutboxTable] = {}
+        # view name → zero-arg DataFrame factory. Factories (not frozen
+        # DataFrames) because a keyed table's content changes between
+        # sql() calls; each sql() re-binds every view to a fresh plan.
+        self._views: dict[str, Any] = {}
+
+    # ---------------------------------------------------------- SQL entry
+
+    def attach_catalog(self, sf_dir: str, tables=None) -> "Engine":
+        """Register the standard parquet tables (catalog.TABLES) under
+        `sf_dir` as queryable views for `sql()`. Returns self for
+        chaining: `Engine(spark).attach_catalog(d).sql("SELECT ...")`."""
+        from deimos_spark.catalog import TABLES, load_table
+
+        for name in tables if tables is not None else TABLES:
+            self._views[name] = (
+                lambda n=name: load_table(self.spark, sf_dir, n)
+            )
+        return self
+
+    def register_view(self, name: str, source: Any) -> None:
+        """Expose `source` to sql() as view `name`. Accepts a DataFrame
+        (fixed plan), a zero-arg callable returning one, or any object
+        with a .read() method (KeyedParquetTable, Delta/Iceberg
+        readers) — re-read at every sql() call so views track table
+        state."""
+        from pyspark.sql import DataFrame as _DF
+
+        if isinstance(source, _DF):
+            self._views[name] = lambda df=source: df
+        elif callable(source):
+            self._views[name] = source
+        elif hasattr(source, "read"):
+            self._views[name] = source.read
+        else:
+            raise TypeError(
+                f"register_view({name!r}): need DataFrame, callable, or "
+                f".read()-bearing table, got {type(source).__name__}"
+            )
+
+    def sql(self, query: str) -> "Any":
+        """Run a SQL string against every registered view (catalog
+        tables, topic tables, ad-hoc views) and return the DataFrame.
+
+        The user-facing analogue of the reference's query entry point;
+        plans are fully declarative so Catalyst applies pushdown /
+        pruning through the views exactly as through load_table."""
+        for name, factory in self._views.items():
+            factory().createOrReplaceTempView(name)
+        return self.spark.sql(query)
 
     # ------------------------------------------------------------- topics
 
@@ -100,9 +149,15 @@ class Engine:
         keys = key_cols or ([cfg.key_field] if cfg.key_field else None)
         if not keys:
             raise ValueError(f"topic {topic!r} has no key config; pass key_cols")
-        return KeyedParquetTable(
+        tbl = KeyedParquetTable(
             self.spark, path, keys, schema=cfg.schema.struct, **kw
         )
+        # topic tables are sql()-queryable by topic name; empty schema-
+        # typed view until the first write so catalog queries never fail
+        self._views[topic] = lambda t=tbl, s=cfg.schema.struct: (
+            t.read() if t.exists() else self.spark.createDataFrame([], s)
+        )
+        return tbl
 
     def consumer(
         self,

@@ -878,6 +878,33 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SURVEY §7 Phase 0 `run_sql`: the SQL-string entry point. ONE ANSI
+# statement, used verbatim as BOTH the Spark query (through
+# Engine.attach_catalog().sql()) and the DuckDB oracle — the strongest
+# possible proof the path works end-to-end: same text, two engines,
+# hash-identical results.
+SQL_ENTRY_STATEMENT = (
+    "SELECT n_name, "
+    "CAST(count(*) AS BIGINT) AS customers, "
+    "round(sum(c_acctbal), 2) AS total_acctbal "
+    "FROM customer "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "GROUP BY n_name "
+    "HAVING count(*) > 2 "
+    "ORDER BY n_name"
+)
+
+
+def q_sql_string_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-string entry (Engine.sql): register catalog views, run the
+    raw ANSI string. Declarative end-to-end — Catalyst sees the same
+    logical plan it would from the DataFrame API, so pushdown/pruning/
+    broadcast all still apply through the views."""
+    from deimos_spark.engine import Engine
+
+    return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_STATEMENT)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL helpers (shared expression fragments, DuckDB dialect)
 # --------------------------------------------------------------------------
@@ -1672,6 +1699,10 @@ def all_queries() -> dict[str, QuerySpec]:
             "CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) "
             "FROM sa ORDER BY method",
             note="train/test leakage audit: id-keyed vs content-keyed split",
+        ),
+        QuerySpec(
+            "s01_sql_string", q_sql_string_entry, SQL_ENTRY_STATEMENT,
+            note="Engine.sql() entry point: identical SQL text both sides",
         ),
     ]
     specs += _tpch_specs()

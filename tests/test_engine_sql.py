@@ -1,0 +1,119 @@
+"""Engine.sql() — the SQL-string entry point (SURVEY §7 Phase 0
+`run_sql`; VERDICT r8 gap #2). A user's first query is a SQL string;
+these tests prove the whole b-series relational surface is reachable
+that way, that views track mutable topic-table state, and that the
+registry's s01 entry returns hash-identical results to DuckDB running
+the SAME text.
+
+Reference parity: the reference exposes queries through its DSL and
+raw SQL alike (behavior only); here Engine.sql registers catalog +
+topic views and delegates to spark.sql so Catalyst optimizes the
+string exactly like the DataFrame API.
+"""
+
+import duckdb
+import pytest
+
+from deimos_spark.engine import Engine
+from deimos_spark.queries import SQL_ENTRY_STATEMENT, all_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# b-series oracle strings that are DuckDB-dialect, not ANSI-portable to
+# Spark. Everything else must run through Engine.sql verbatim.
+_DUCK_ONLY: dict[str, str] = {
+    "b25b_string_gauntlet": "CAST(x AS VARCHAR) — Spark requires a length or STRING",
+    "b26b_date_gauntlet": "DuckDB interval/date_part spellings",
+    "b28_json_funcs": "json_extract_string vs Spark get_json_object",
+    "b29_array_funcs": "DuckDB len()/list_* vs Spark size()/array_*",
+    "b33_simsearch_topk": "DuckDB list_dot_product vs Spark aggregate() over arrays",
+}
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    return Engine(spark).attach_catalog(SF_DIR)
+
+
+def _rows(df_rows):
+    rows = [
+        tuple(round(v, 4) if isinstance(v, float) else v for v in r)
+        for r in df_rows
+    ]
+    return sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+
+
+def test_s01_same_text_both_engines(engine):
+    got = _rows([tuple(r) for r in engine.sql(SQL_ENTRY_STATEMENT).collect()])
+    con = duckdb.connect()
+    for t in ("customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    want = _rows(con.execute(SQL_ENTRY_STATEMENT).fetchall())
+    assert got == want and len(got) > 0
+
+
+def test_s01_registered_with_oracle():
+    spec = all_queries()["s01_sql_string"]
+    assert spec.oracle == SQL_ENTRY_STATEMENT
+
+
+def test_b_series_runs_through_sql(engine, spark):
+    """Every ANSI-portable b-series oracle string is runnable as a SQL
+    string via Engine.sql and agrees with its DataFrame builder."""
+    checked = 0
+    for name, spec in all_queries().items():
+        if not name.startswith("b") or spec.oracle is None:
+            continue
+        if name in _DUCK_ONLY:
+            continue
+        try:
+            via_sql = engine.sql(spec.oracle)
+        except Exception as e:  # new dialect gap → make it an explicit skip
+            pytest.fail(f"{name}: oracle SQL not Spark-parsable: {e}")
+        got = _rows([tuple(r) for r in via_sql.collect()])
+        want = _rows([tuple(r) for r in spec.builder(spark, SF_DIR).collect()])
+        assert got == want, f"{name}: SQL-string path diverges from builder"
+        checked += 1
+    assert checked >= 25  # the b-series surface, minus the dialect skips
+
+
+def test_topic_table_view_tracks_state(engine, spark, tmp_path):
+    schema = {
+        "type": "record",
+        "name": "Widget",
+        "fields": [
+            {"name": "test_id", "type": "string"},
+            {"name": "some_int", "type": "int"},
+        ],
+    }
+    engine.register_topic("widgets", schema, key_field="test_id")
+    tbl = engine.table(str(tmp_path / "widgets"), "widgets")
+
+    # before any write: view exists, is empty, has the topic schema
+    empty = engine.sql("SELECT * FROM widgets")
+    assert empty.count() == 0
+    assert set(empty.columns) == {"test_id", "some_int"}
+
+    tbl.upsert(
+        spark.createDataFrame(
+            [("a", 1), ("b", 2)], "test_id string, some_int int"
+        )
+    )
+    assert engine.sql("SELECT count(*) AS c FROM widgets").first().c == 2
+
+    tbl.upsert(
+        spark.createDataFrame([("a", 9)], "test_id string, some_int int")
+    )
+    got = {
+        r.test_id: r.some_int
+        for r in engine.sql("SELECT * FROM widgets").collect()
+    }
+    assert got == {"a": 9, "b": 2}  # view re-read, not a frozen plan
+
+
+def test_register_view_rejects_junk(engine):
+    with pytest.raises(TypeError):
+        engine.register_view("nope", 42)
