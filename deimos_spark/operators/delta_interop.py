@@ -91,6 +91,10 @@ class DeltaSnapshot:
     protocol_raw: dict | None = None
     meta_raw: dict | None = None
     adds_raw: dict[str, dict] = field(default_factory=dict)
+    # setTransaction state (PROTOCOL.md "Transaction Identifiers"):
+    # appId → latest committed txn version, the idempotent-write
+    # watermark streaming sinks use to skip replayed micro-batches
+    txns: dict[str, int] = field(default_factory=dict)
 
 
 class DeltaCommitConflict(Exception):
@@ -246,6 +250,29 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
         )
 
 
+# ----------------------------------------------------- txn identifiers
+
+def _txn_action(txn: tuple[str, int]) -> dict:
+    import time as _time
+
+    app_id, version = txn
+    return {
+        "txn": {
+            "appId": str(app_id),
+            "version": int(version),
+            "lastUpdated": int(_time.time() * 1000),
+        }
+    }
+
+
+def _txn_already_applied(snap: DeltaSnapshot, txn: tuple[str, int]) -> bool:
+    """Spec rule: a writer claiming (appId, version) must skip the write
+    when the table already records a txn for appId at >= version — the
+    batch landed in a previous (crashed-after-commit) attempt."""
+    app_id, version = txn
+    return snap.txns.get(str(app_id), -1) >= int(version)
+
+
 class DeltaTableReader:
     """Read a Delta table directory: `read()` → DataFrame (latest or
     time-travel version), `snapshot()` → live file set."""
@@ -309,7 +336,14 @@ class DeltaTableReader:
                     "v2Checkpoint",
                 ):
                     raise DeltaProtocolError(f"reader feature {feat!r} unsupported")
-        # commitInfo / txn / cdc: no effect on the live file set
+        elif "txn" in action:
+            # transaction identifier: replayed in commit order, so the
+            # latest action per appId wins (the spec's rule)
+            t = action["txn"] or {}
+            app = t.get("appId")
+            if app is not None and t.get("version") is not None:
+                snap.txns[str(app)] = int(t["version"])
+        # commitInfo / cdc: no effect on the live file set
 
     def _replay_json_commit(self, version: int, snap: DeltaSnapshot) -> bool:
         p = os.path.join(self.log_dir, f"{version:020d}.json")
@@ -492,11 +526,14 @@ class DeltaTableReader:
         try:
             df = self.spark.read.parquet(*paths)
             cols = set(df.columns)
-            # phase 1: the handful of non-file actions (protocol/metaData)
-            # — a column-pruned scan collecting O(1) rows; the metaData
-            # row is needed BEFORE the add scan so mapping-mode prune
-            # columns can be translated to physical names
-            meta_cols = [c for c in ("protocol", "metaData") if c in cols]
+            # phase 1: the handful of non-file actions (protocol/
+            # metaData/txn) — a column-pruned scan collecting O(1)+
+            # O(#appIds) rows; the metaData row is needed BEFORE the add
+            # scan so mapping-mode prune columns can be translated to
+            # physical names
+            meta_cols = [
+                c for c in ("protocol", "metaData", "txn") if c in cols
+            ]
             if meta_cols:
                 mrows = (
                     df.select(*meta_cols)
@@ -511,8 +548,8 @@ class DeltaTableReader:
             return None  # unreadable/corrupt checkpoint → caller falls back
         for row in mrows:
             d = row.asDict(recursive=True)
-            for kind in ("protocol", "metaData"):
-                if d.get(kind) is not None:
+            for kind in ("protocol", "metaData", "txn"):
+                if kind in d and d.get(kind) is not None:
                     self._apply_action({kind: d[kind]}, snap)
         try:
             # phase 2: file actions, prune + stats-drop pushed to the scan
@@ -553,7 +590,7 @@ class DeltaTableReader:
                 for row in df.collect():
                     d = row.asDict(recursive=True)
                     for kind in (
-                        "protocol", "metaData", "add", "sidecar",
+                        "protocol", "metaData", "txn", "add", "sidecar",
                         "checkpointMetadata",
                     ):
                         if kind in cols and d.get(kind) is not None:
@@ -584,7 +621,7 @@ class DeltaTableReader:
                     os.path.join(self.log_dir, "_sidecars", p)
                 )
                 continue
-            for kind in ("protocol", "metaData", "add"):
+            for kind in ("protocol", "metaData", "txn", "add"):
                 if kind in action and action[kind] is not None:
                     self._apply_action({kind: action[kind]}, snap)
         if not saw_meta:
@@ -859,6 +896,7 @@ class DeltaTableReader:
             snap.protocol_raw,
             snap.meta_raw,
             {p: a for p, a in snap.adds_raw.items() if p in kept},
+            txns=dict(snap.txns),
         )
 
     def _post_prune(
@@ -916,7 +954,15 @@ class DeltaTableReader:
             snap.protocol_raw,
             snap.meta_raw,
             {p: a for p, a in snap.adds_raw.items() if p in kept},
+            txns=dict(snap.txns),
         )
+
+    def txn_version(self, app_id: str) -> int | None:
+        """Latest committed transaction version for `app_id` (the
+        setTransaction watermark; PROTOCOL.md "Transaction
+        Identifiers"), or None if the app never wrote. Meta-only probe:
+        no add materialization."""
+        return self.snapshot(_meta_only=True).txns.get(str(app_id))
 
     def version_at(self, as_of_ms: int) -> int:
         """Timestamp time travel: the latest version whose commit
@@ -1493,12 +1539,18 @@ class DeltaTableWriter:
     # -------------------------------------------------------------- commit
 
     def _latest_version(self) -> int:
-        vs = [
-            int(n[:-5])
-            for n in os.listdir(self.log_dir)
-            if n.endswith(".json") and n[:-5].isdigit()
-        ]
-        return max(vs, default=-1)
+        # checkpoint files count: legal log cleanup deletes JSON commits
+        # covered by a checkpoint (including the checkpoint version's
+        # own), and a writer that only saw JSON would re-claim version 0
+        # and fork the table — every checkpoint name (classic, multi-
+        # part, v2 manifest) starts with the 20-digit version
+        latest = -1
+        for n in os.listdir(self.log_dir):
+            if n.endswith(".json") and n[:-5].isdigit():
+                latest = max(latest, int(n[:-5]))
+            elif ".checkpoint" in n and n[:20].isdigit():
+                latest = max(latest, int(n[:20]))
+        return latest
 
     def _commit(
         self, version: int, actions: list[dict], op: str = "WRITE"
@@ -1651,6 +1703,19 @@ class DeltaTableWriter:
             {"checkpointMetadata": {"version": version}},
             {"protocol": snap.protocol_raw},
             {"metaData": snap.meta_raw},
+            # latest txn per appId lives in the manifest (non-file
+            # actions) — spec-required so idempotency survives log
+            # truncation at the checkpoint
+            *(
+                {
+                    "txn": {
+                        "appId": a,
+                        "version": snap.txns[a],
+                        "lastUpdated": None,
+                    }
+                }
+                for a in sorted(snap.txns)
+            ),
             {
                 "sidecar": {
                     "path": sc_name,
@@ -1732,6 +1797,19 @@ class DeltaTableWriter:
                         ]
                     ),
                 ),
+                # spec: a checkpoint must carry the latest txn action
+                # per appId — dropping them would reset every streaming
+                # sink's idempotency watermark at the next checkpoint
+                (
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                            ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                ),
                 (
                     "add",
                     pa.struct(
@@ -1794,6 +1872,16 @@ class DeltaTableWriter:
                 }
             },
         ]
+        for app_id in sorted(snap.txns):
+            rows.append(
+                {
+                    "txn": {
+                        "appId": app_id,
+                        "version": snap.txns[app_id],
+                        "lastUpdated": None,
+                    }
+                }
+            )
         for p in sorted(snap.files):
             a = snap.adds_raw.get(p) or {}
             full = os.path.join(self.path, p)
@@ -2139,7 +2227,15 @@ class DeltaTableWriter:
     def _reader(self) -> DeltaTableReader:
         return DeltaTableReader(self.spark, self.path)
 
-    def append(self, df: DataFrame) -> None:
+    def append(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
+        """`txn=(app_id, version)` makes the append IDEMPOTENT via the
+        protocol's transaction identifier (PROTOCOL.md "Transaction
+        Identifiers"): the commit records a `txn` action, and a replay
+        of an (app_id, version) at or below the table's recorded
+        watermark is a silent no-op — exactly-once sink semantics for
+        foreachBatch micro-batches whose batch id is the version."""
         for _ in range(self.max_commit_retries):
             v = self._latest_version()
             if v >= 0:
@@ -2147,13 +2243,16 @@ class DeltaTableWriter:
                 # materialization) — refuse foreign tables whose writer
                 # protocol/active features we don't implement, BEFORE
                 # paying for the data-file write
-                check_writer_protocol(
-                    self._reader().snapshot(_meta_only=True), "append"
-                )
+                probe = self._reader().snapshot(_meta_only=True)
+                check_writer_protocol(probe, "append")
+                if txn is not None and _txn_already_applied(probe, txn):
+                    return
             adds = self._write_files(df)
             actions = adds
             if v < 0:
                 actions = self._meta_actions(df.schema) + adds
+            if txn is not None:
+                actions = [_txn_action(txn)] + actions
             try:
                 self._commit(v + 1, actions)
                 return
@@ -2465,7 +2564,14 @@ class DeltaKeyedTable:
         self,
         upserts: DataFrame | None = None,
         delete_keys: DataFrame | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
+        """`txn=(app_id, version)` makes the merge IDEMPOTENT: the
+        commit carries the protocol's `txn` action and a replayed
+        (app_id, version) at or below the recorded watermark is a
+        silent no-op — the exactly-once half of streaming foreachBatch
+        MERGE (pass the micro-batch id as version). Works in both
+        rewrite and DV modes; the watermark survives checkpoints."""
         affected = None
         for src in (upserts, delete_keys):
             if src is not None:
@@ -2474,7 +2580,7 @@ class DeltaKeyedTable:
         if affected is None:
             return
         if self.use_dvs:
-            self._merge_dv(upserts, affected)
+            self._merge_dv(upserts, affected, txn)
             return
 
         w = self.writer
@@ -2484,6 +2590,8 @@ class DeltaKeyedTable:
             if v >= 0:
                 snap = DeltaTableReader(self.spark, self.path).snapshot()
                 check_writer_protocol(snap, "merge")
+                if txn is not None and _txn_already_applied(snap, txn):
+                    return
                 # spec: once a table declares delta.enableChangeDataFeed,
                 # EVERY writer must emit cdc files on remove-carrying
                 # commits — honor it even when this instance was built
@@ -2543,8 +2651,15 @@ class DeltaKeyedTable:
                 + removes
                 + adds
             )
-            if not actions:
+            if not actions and (txn is None or v < 0):
+                # (a txn-only first commit would violate the protocol —
+                # no table exists to record the watermark in)
                 return
+            if txn is not None:
+                # committed even when the data delta is empty: the
+                # watermark must advance or the NEXT batch's replay
+                # check would re-apply this one
+                actions = [_txn_action(txn)] + actions
             try:
                 w._commit(v + 1, actions, op="MERGE")
                 return
@@ -2571,7 +2686,12 @@ class DeltaKeyedTable:
         }
     }
 
-    def _merge_dv(self, upserts: DataFrame | None, affected: DataFrame) -> None:
+    def _merge_dv(
+        self,
+        upserts: DataFrame | None,
+        affected: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> None:
         """MERGE without rewriting survivors: rows whose keys are in
         `affected` get their file-local row indexes folded into each
         file's deletion vector (remove + re-add of the SAME data file
@@ -2594,8 +2714,11 @@ class DeltaKeyedTable:
                 if upserts is None or not upserts.head(1):
                     return
                 adds = w._write_files(upserts)
+                birth = self._meta_actions(upserts.schema)
+                if txn is not None:
+                    birth = birth + [_txn_action(txn)]
                 try:
-                    w._commit(0, self._meta_actions(upserts.schema) + adds, op="MERGE")
+                    w._commit(0, birth + adds, op="MERGE")
                     return
                 except DeltaCommitConflict:
                     DeltaTableWriter._drop_files(self.path, adds)
@@ -2607,6 +2730,8 @@ class DeltaKeyedTable:
             # only lands on the driver when pruning can't apply
             meta = reader.snapshot(_meta_only=True)
             check_writer_protocol(meta, "merge")
+            if txn is not None and _txn_already_applied(meta, txn):
+                return
             cdf = self.enable_cdf or (
                 (meta.meta_raw or {}).get("configuration") or {}
             ).get("delta.enableChangeDataFeed") == "true"
@@ -2742,7 +2867,7 @@ class DeltaKeyedTable:
                 if upserts is not None and upserts.head(1)
                 else []
             )
-            if not removes and not new_file_adds:
+            if not removes and not new_file_adds and txn is None:
                 return
             proto = snap.protocol_raw or {}
             needs_upgrade = dv_adds and "deletionVectors" not in (
@@ -2778,6 +2903,10 @@ class DeltaKeyedTable:
                 + dv_adds
                 + new_file_adds
             )
+            if txn is not None:
+                # empty data delta still advances the watermark (see
+                # the rewrite-mode comment)
+                actions = [_txn_action(txn)] + actions
             try:
                 w._commit(v + 1, actions, op="MERGE")
                 return
