@@ -125,8 +125,31 @@ class IcebergTableReader:
             )
         self.metadata = self._load_metadata()
         fv = self.metadata.get("format-version", 1)
-        if fv not in (1, 2):
+        if fv not in (1, 2, 3):
             raise IcebergProtocolError(f"format-version {fv} unsupported")
+        if fv >= 3:
+            self._check_v3_features()
+
+    def _check_v3_features(self) -> None:
+        """v3 support is deletion vectors (Puffin-framed roaring
+        bitmaps, handled in _file_sets/read); every OTHER v3-only
+        feature refuses loudly rather than silently misreading:
+        column default values would make us surface NULL where the
+        table declares a default, and row-lineage fields are only
+        advisory for a reader (ignored)."""
+        for sch in self.metadata.get("schemas") or (
+            [self.metadata["schema"]] if self.metadata.get("schema") else []
+        ):
+            for f in sch.get("fields") or []:
+                if (
+                    f.get("initial-default") is not None
+                    or f.get("write-default") is not None
+                ):
+                    raise IcebergProtocolError(
+                        f"v3 column default on field {f.get('name')!r} "
+                        "unsupported — reads would surface NULL where "
+                        "the table declares a default"
+                    )
 
     # ------------------------------------------------------- metadata file
 
@@ -300,9 +323,17 @@ class IcebergTableReader:
         list[tuple[str, str, int, dict, int]],
         list[str],
         list[tuple[str, int, tuple[int, ...]]],
+        list[tuple[str, str, int, int]],
     ]:
         """Walk the manifest chain → (data, position_deletes,
-        equality_deletes).
+        equality_deletes, deletion_vectors).
+
+        deletion_vectors (v3): (referenced data file path as recorded,
+        local Puffin path, content_offset, content_size_in_bytes) —
+        content=1 entries whose file_format is PUFFIN; the spec allows
+        at most one live DV per data file per snapshot, so they apply
+        unconditionally to their referenced file (a DV supersedes all
+        earlier position deletes for that file).
 
         data: (file_path as recorded in the manifest, local path,
         data sequence number, partition tuple, partition_spec_id) — the
@@ -328,7 +359,7 @@ class IcebergTableReader:
         """
         snap = self.snapshot(snapshot_id)
         if not snap:
-            return [], [], []
+            return [], [], [], []
         sprune = (
             self._normalize_stats_filter(stats_filter)
             if stats_filter
@@ -338,6 +369,7 @@ class IcebergTableReader:
         data: list[tuple[str, str, int, dict, int]] = []
         pos_deletes: list[str] = []
         eq_deletes: list[tuple[str, int, tuple[int, ...]]] = []
+        dvs: list[tuple[str, str, int, int]] = []
         self.last_manifests_skipped = 0
         for mf in manifests:
             mf_seq = mf.get("sequence_number")
@@ -409,11 +441,33 @@ class IcebergTableReader:
                         )
                     )
                 elif content == 1:  # position deletes
-                    if fmt != "PARQUET":
+                    if fmt == "PUFFIN":
+                        # v3 deletion vector: one roaring bitmap per
+                        # referenced data file, addressed by exact
+                        # (offset, size) inside the Puffin container
+                        ref = df.get("referenced_data_file")
+                        off = df.get("content_offset")
+                        size = df.get("content_size_in_bytes")
+                        if ref is None or off is None or size is None:
+                            raise IcebergProtocolError(
+                                "PUFFIN delete entry missing "
+                                "referenced_data_file/content_offset/"
+                                "content_size_in_bytes"
+                            )
+                        dvs.append(
+                            (
+                                ref,
+                                self._local(df["file_path"]),
+                                int(off),
+                                int(size),
+                            )
+                        )
+                    elif fmt != "PARQUET":
                         raise IcebergProtocolError(
                             "non-parquet position-delete files unsupported"
                         )
-                    pos_deletes.append(self._local(df["file_path"]))
+                    else:
+                        pos_deletes.append(self._local(df["file_path"]))
                 elif content == 2:  # equality deletes
                     if fmt != "PARQUET":
                         raise IcebergProtocolError(
@@ -431,7 +485,7 @@ class IcebergTableReader:
                     raise IcebergProtocolError(
                         f"delete content={content} unsupported"
                     )
-        return data, pos_deletes, eq_deletes
+        return data, pos_deletes, eq_deletes, dvs
 
     def data_files(
         self,
@@ -665,7 +719,7 @@ class IcebergTableReader:
                 raise ValueError("pass snapshot_id OR as_of_ms, not both")
             snapshot_id = self.snapshot_id_at(as_of_ms)
         schema = self.schema()
-        data, pos_deletes, eq_deletes = self._file_sets(
+        data, pos_deletes, eq_deletes, dvs = self._file_sets(
             snapshot_id, partition_filter, stats_filter
         )
         meta_cols = ["__ice_fp", "__ice_pos"] if _keep_meta else []
@@ -678,13 +732,13 @@ class IcebergTableReader:
         df = self.spark.read.schema(schema).parquet(
             *[p for _, p, _, _, _ in data]
         )
-        if not pos_deletes and not eq_deletes and not _keep_meta:
+        if not pos_deletes and not eq_deletes and not dvs and not _keep_meta:
             return df
         from pyspark.sql import functions as F
 
         cols = df.columns
         # hidden _metadata resolves only on the scan relation — project it
-        # once; both delete passes key off the projected columns
+        # once; all delete passes key off the projected columns
         scan = df.select(
             "*",
             F.col("_metadata.file_path").alias("__ice_fp"),
@@ -692,6 +746,8 @@ class IcebergTableReader:
         )
         if pos_deletes:
             scan = self._apply_position_deletes(scan, data, pos_deletes)
+        if dvs:
+            scan = self._apply_deletion_vectors(scan, data, dvs)
         if eq_deletes:
             scan = self._apply_equality_deletes(scan, data, eq_deletes)
         return scan.select(*cols, *meta_cols)
@@ -1166,6 +1222,54 @@ class IcebergTableReader:
             .select("__ice_fp", "__ice_pos")
         )
         return scan.join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
+
+    def _apply_deletion_vectors(
+        self,
+        df: DataFrame,
+        data: list[tuple[str, str, int, dict, int]],
+        dvs: list[tuple[str, str, int, int]],
+    ) -> DataFrame:
+        """v3 deletion vectors: one Puffin-framed roaring bitmap per
+        referenced data file → the same (file, position) anti-join as
+        parquet position deletes. Scale shape: the DESCRIPTORS (one row
+        per deleted file) form the driver-side relation; the bitmaps
+        decode on executors inside mapInPandas, so a billion deleted
+        positions never land on the driver — each descriptor row
+        explodes to its positions in the task that owns it."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from deimos_spark.operators.puffin import read_dv_blob
+
+        desc = self.spark.createDataFrame(
+            [(ref, local, off, size) for ref, local, off, size in dvs],
+            "__del_fp string, __puffin string, __off long, __size long",
+        )
+
+        def _decode(batches):
+            for pdf in batches:
+                for ref, puf, off, size in zip(
+                    pdf["__del_fp"], pdf["__puffin"],
+                    pdf["__off"], pdf["__size"],
+                ):
+                    idx = read_dv_blob(puf, int(off), int(size))
+                    yield pd.DataFrame(
+                        {"__del_fp": ref, "__ice_pos": idx}
+                    )
+
+        dels = (
+            desc.repartition(max(len(dvs) // 4, 1))
+            .mapInPandas(_decode, "__del_fp string, __ice_pos long")
+        )
+        # recorded manifest path -> the URI _metadata.file_path reports
+        mapping = self.spark.createDataFrame(
+            [("file:" + local, rec) for rec, local, _, _, _ in data],
+            "__ice_fp string, __del_fp string",
+        )
+        dels = dels.join(F.broadcast(mapping), "__del_fp").select(
+            "__ice_fp", "__ice_pos"
+        )
+        return df.join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
 
 
 # ----------------------------------------------------------------- writer
@@ -2196,7 +2300,7 @@ class IcebergKeyedTable:
                     continue
 
             reader = IcebergTableReader(self.spark, self.path)
-            data, _, _ = reader._file_sets(None)
+            data = reader._file_sets(None)[0]
             schema = reader.schema()
             pairs = []
             if data:

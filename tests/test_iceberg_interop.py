@@ -259,7 +259,9 @@ def test_v2_metadata_and_empty_table(spark, tmp_path):
 
 def test_unsupported_versions_and_types_refused(spark, tmp_path):
     t = str(tmp_path / "icebad")
-    _metadata(t, 1, [], current=None, fmt_version=3)
+    # v3 is now supported (DV-only; see test_iceberg_v3_dv.py) — the
+    # loud refusal starts at v4
+    _metadata(t, 1, [], current=None, fmt_version=4)
     with pytest.raises(IcebergProtocolError, match="format-version"):
         IcebergTableReader(spark, t)
     with pytest.raises(IcebergProtocolError, match="unsupported Iceberg type"):
@@ -1030,7 +1032,7 @@ def test_iceberg_keyed_merge_soft_deletes_and_optimize(spark, tmp_path):
     r = IcebergTableReader(spark, t)
     # no data file was rewritten — the delete is metadata + a delete file
     assert set(r.data_files()) == files_before
-    _, pos_dels, _ = r._file_sets(None)
+    _, pos_dels, _, _ = r._file_sets(None)
     assert pos_dels
     assert sorted(x.id for x in r.read().collect()) == [0, 1, 2, 4, 5, 6, 8, 9]
 
@@ -1044,7 +1046,7 @@ def test_iceberg_keyed_merge_soft_deletes_and_optimize(spark, tmp_path):
 
     kt.optimize()
     r = IcebergTableReader(spark, t)
-    _, pos_dels2, _ = r._file_sets(None)
+    _, pos_dels2, _, _ = r._file_sets(None)
     assert pos_dels2 == []  # compaction: fresh file set, no delete files
     got2 = {(x.id, x.v) for x in r.read().collect()}
     assert got2 == got
@@ -1124,7 +1126,7 @@ def test_iceberg_keyed_merge_equality_mode(spark, tmp_path):
     r = IcebergTableReader(spark, t)
     # original data files untouched (no rewrite, no position probe)
     assert files_before <= set(r.data_files())
-    _, pos_dels, eq_dels = r._file_sets(None)
+    _, pos_dels, eq_dels, _ = r._file_sets(None)
     assert pos_dels == [] and eq_dels
     got = {(x.id, x.v) for x in r.read().collect()}
     assert (3, "V3") in got and (42, "new") in got and (3, "v3") not in got
@@ -1143,7 +1145,7 @@ def test_iceberg_keyed_merge_equality_mode(spark, tmp_path):
     # optimize compacts the delete history away
     kt.optimize()
     r = IcebergTableReader(spark, t)
-    _, pos2, eq2 = r._file_sets(None)
+    _, pos2, eq2, _ = r._file_sets(None)
     assert eq2 == [] and pos2 == []
     assert {(x.id, x.v) for x in r.read().collect()} == got
 
@@ -1219,7 +1221,7 @@ def test_iceberg_keyed_merge_partitioned_position(spark, tmp_path):
     )
     kt.delete(spark.createDataFrame([(1,)], "id long"))
     r = IcebergTableReader(spark, t)
-    _, pos_dels, _ = r._file_sets(None)
+    _, pos_dels, _, _ = r._file_sets(None)
     assert pos_dels
     assert {(x.id, x.p) for x in r.read().collect()} == {(2, "y")}
 

@@ -1,0 +1,302 @@
+"""Iceberg v3 deletion vectors (VERDICT r8 item #4): format-version 3
+tables whose only new feature is DVs — Puffin-framed 64-bit roaring
+bitmaps (table spec "Position Delete Vectors" + the Puffin spec) —
+read via the existing position-delete anti-join; v3 features beyond
+DVs (column defaults) refuse loudly.
+
+Fixtures are hand-authored per spec: a v2 table written by our writer
+is upgraded BY THE TEST to v3 with a new snapshot whose delete
+manifest carries PUFFIN entries (fields 143/144/145:
+referenced_data_file / content_offset / content_size_in_bytes) — the
+reader never sees output of its own DV path.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from deimos_spark.operators.iceberg_interop import (
+    _MANIFEST_ENTRY_SCHEMA,
+    IcebergProtocolError,
+    IcebergTableReader,
+    IcebergTableWriter,
+)
+from deimos_spark.operators.puffin import (
+    PuffinError,
+    read_dv_blob,
+    read_footer,
+    write_puffin_dvs,
+)
+from deimos_spark.schemas.avro_ocf import ocf_read, ocf_write
+
+SCHEMA = "id bigint, v string"
+
+
+# --------------------------------------------------------------- puffin
+
+def test_puffin_roundtrip(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    dvs = {
+        "file:///data/a.parquet": np.array([0, 3, 5, (7 << 32) | 2]),
+        "file:///data/b.parquet": np.arange(1000, 2000, 3),
+    }
+    metas = write_puffin_dvs(p, dvs, snapshot_id=9, sequence_number=4)
+    footer = read_footer(p)
+    assert len(footer["blobs"]) == 2
+    for blob in footer["blobs"]:
+        assert blob["type"] == "deletion-vector-v1"
+        ref = blob["properties"]["referenced-data-file"]
+        off, size, card = metas[ref]
+        assert (blob["offset"], blob["length"]) == (off, size)
+        got = read_dv_blob(p, off, size)
+        want = np.unique(np.asarray(dvs[ref], dtype=np.int64))
+        assert np.array_equal(got, want)
+        assert int(blob["properties"]["cardinality"]) == card == len(want)
+
+
+def test_puffin_crc_and_framing_guards(tmp_path):
+    p = str(tmp_path / "dv.puffin")
+    metas = write_puffin_dvs(p, {"f": np.array([1, 2, 3])})
+    off, size, _ = metas["f"]
+    raw = bytearray(open(p, "rb").read())
+    raw[off + 9] ^= 0xFF  # flip a vector byte → CRC must catch it
+    open(p, "wb").write(bytes(raw))
+    with pytest.raises(PuffinError, match="CRC"):
+        read_dv_blob(p, off, size)
+
+
+def test_footer_rejects_non_puffin(tmp_path):
+    p = str(tmp_path / "junk")
+    open(p, "wb").write(b"not a puffin file at all....")
+    with pytest.raises(PuffinError, match="not a Puffin"):
+        read_footer(p)
+
+
+# ------------------------------------------------------------- fixtures
+
+# data_file record extended with the v3 DV fields (spec ids 143-145)
+_DV_ENTRY_SCHEMA = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+_DV_ENTRY_SCHEMA["fields"][-1]["type"]["fields"] += [
+    {
+        "name": "referenced_data_file",
+        "type": ["null", "string"],
+        "default": None,
+        "field-id": 143,
+    },
+    {
+        "name": "content_offset",
+        "type": ["null", "long"],
+        "default": None,
+        "field-id": 144,
+    },
+    {
+        "name": "content_size_in_bytes",
+        "type": ["null", "long"],
+        "default": None,
+        "field-id": 145,
+    },
+]
+
+_MANIFEST_FILE_SCHEMA = None  # resolved lazily from the module
+
+
+def _manifest_file_schema():
+    global _MANIFEST_FILE_SCHEMA
+    if _MANIFEST_FILE_SCHEMA is None:
+        from deimos_spark.operators import iceberg_interop as m
+
+        _MANIFEST_FILE_SCHEMA = m._MANIFEST_FILE_SCHEMA
+    return _MANIFEST_FILE_SCHEMA
+
+
+def _v2_table(spark, path):
+    w = IcebergTableWriter(spark, path)
+    w.append(spark.createDataFrame([(i, f"r{i}") for i in range(5)], SCHEMA))
+    w.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(5, 10)], SCHEMA)
+    )
+    return IcebergTableReader(spark, path)
+
+
+def _upgrade_to_v3_with_dv(spark, path, delete_ids):
+    """Hand-author the v3 upgrade: puffin DV file + PUFFIN delete
+    manifest + new manifest list + v3 metadata. `delete_ids` names row
+    ids to delete; positions are derived from each data file's actual
+    row order (what a real engine's DV writer records)."""
+    r = IcebergTableReader(spark, path)
+    data, _, _, _ = r._file_sets(None)
+
+    # learn (file, position) for each id via the recorded row order
+    import pyarrow.parquet as pq
+
+    dvs: dict[str, np.ndarray] = {}
+    for rec, local, _, _, _ in data:
+        ids = pq.read_table(local, columns=["id"])["id"].to_pylist()
+        pos = [i for i, rid in enumerate(ids) if rid in delete_ids]
+        if pos:
+            dvs[rec] = np.asarray(pos, dtype=np.int64)
+
+    meta_dir = os.path.join(path, "metadata")
+    puffin = os.path.join(path, "data", "dv-0001.puffin")
+    blob_meta = write_puffin_dvs(puffin, dvs, snapshot_id=99)
+
+    md = r.metadata
+    seq = md["last-sequence-number"] + 1
+    snap_id = 99
+    entries = [
+        {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": seq,
+            "file_sequence_number": seq,
+            "data_file": {
+                "content": 1,
+                "file_path": f"file://{puffin}",
+                "file_format": "PUFFIN",
+                "record_count": card,
+                "file_size_in_bytes": os.path.getsize(puffin),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "referenced_data_file": ref,
+                "content_offset": off,
+                "content_size_in_bytes": size,
+            },
+        }
+        for ref, (off, size, card) in sorted(blob_meta.items())
+    ]
+    mpath = os.path.join(meta_dir, "m-dv0001.avro")
+    ocf_write(mpath, _DV_ENTRY_SCHEMA, entries)
+
+    # new manifest list: previous snapshot's manifests + the DV manifest
+    cur = next(
+        s for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    _, prev_manifests = ocf_read(
+        cur["manifest-list"][len("file://"):]
+    )
+    dv_row = {
+        "manifest_path": f"file://{mpath}",
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0,
+        "content": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
+        "added_snapshot_id": snap_id,
+        "added_files_count": len(entries),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": sum(e["data_file"]["record_count"] for e in entries),
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+    mlpath = os.path.join(meta_dir, f"snap-{snap_id}-dv.avro")
+    ocf_write(mlpath, _manifest_file_schema(), prev_manifests + [dv_row])
+
+    snapshot = {
+        "snapshot-id": snap_id,
+        "parent-snapshot-id": md["current-snapshot-id"],
+        "sequence-number": seq,
+        "timestamp-ms": cur["timestamp-ms"] + 1000,
+        "manifest-list": f"file://{mlpath}",
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    }
+    new_md = dict(md)
+    new_md["format-version"] = 3
+    new_md["last-sequence-number"] = seq
+    new_md["snapshots"] = md["snapshots"] + [snapshot]
+    new_md["current-snapshot-id"] = snap_id
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    v = hint + 1
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json"), "w") as fh:
+        json.dump(new_md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(v))
+
+
+def test_v3_dv_read(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    _upgrade_to_v3_with_dv(spark, path, delete_ids={1, 3, 7})
+    r = IcebergTableReader(spark, path)
+    assert r.metadata["format-version"] == 3
+    got = sorted(row.id for row in r.read().collect())
+    assert got == [0, 2, 4, 5, 6, 8, 9]
+    # time travel to the pre-DV snapshot still sees everything
+    pre = md_current = r.metadata["snapshots"][-2]["snapshot-id"]
+    assert sorted(row.id for row in r.read(snapshot_id=pre).collect()) == list(range(10))
+    assert md_current is not None
+
+
+def test_v3_dv_with_partition_filterless_scan_counts(spark, tmp_path):
+    """record_count bookkeeping: DV cardinality rows removed exactly."""
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    _upgrade_to_v3_with_dv(spark, path, delete_ids=set(range(5)))
+    r = IcebergTableReader(spark, path)
+    assert r.read().count() == 5
+
+
+def test_v3_plain_table_reads(spark, tmp_path):
+    """format-version 3 without any v3-only features: just reads."""
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    meta_dir = os.path.join(path, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
+    md["format-version"] = 3
+    with open(os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(hint + 1))
+    assert IcebergTableReader(spark, path).read().count() == 10
+
+
+def test_v3_column_defaults_refuse(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    meta_dir = os.path.join(path, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
+    md["format-version"] = 3
+    md["schemas"][0]["fields"][1]["initial-default"] = "dflt"
+    with open(os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(hint + 1))
+    with pytest.raises(IcebergProtocolError, match="default"):
+        IcebergTableReader(spark, path)
+
+
+def test_v4_still_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    meta_dir = os.path.join(path, "metadata")
+    hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
+    md = json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
+    md["format-version"] = 4
+    with open(os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(hint + 1))
+    with pytest.raises(IcebergProtocolError, match="format-version"):
+        IcebergTableReader(spark, path)
+
+
+def test_puffin_entry_missing_fields_refuses(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    _upgrade_to_v3_with_dv(spark, path, delete_ids={1})
+    # corrupt the DV manifest: drop referenced_data_file
+    mpath = os.path.join(path, "metadata", "m-dv0001.avro")
+    _, entries = ocf_read(mpath)
+    for e in entries:
+        e["data_file"]["referenced_data_file"] = None
+    ocf_write(mpath, _DV_ENTRY_SCHEMA, entries)
+    r = IcebergTableReader(spark, path)
+    with pytest.raises(IcebergProtocolError, match="PUFFIN"):
+        r.read()
