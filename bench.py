@@ -111,6 +111,8 @@ HEADLINE = [
     "x11_resample_ffill",
     "x12_ohlc_daily",
     "x13_sessionize",
+    # round 9: trained-BPE tokenizer (train + tokenize-once-per-word)
+    "t10b_bpe_real",
 ]
 
 

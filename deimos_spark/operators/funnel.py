@@ -74,17 +74,25 @@ def funnel_conversion(
 ) -> DataFrame:
     """funnel_reach + conversion rate vs the previous step."""
     reach = funnel_reach(events, steps, user_col, type_col, ts_col)
-    from pyspark.sql import Window
-
-    # constant partition key: the frame is `len(steps)` rows, but an empty
-    # partition spec makes Spark log a single-partition warning on every run
-    w = Window.partitionBy(F.lit(0)).orderBy("step_idx")
-    prev = F.lag("users", 1).over(w)
-    return reach.select(
+    # prev-step lookup as a broadcast self-join on step_idx-1, NOT an
+    # unpartitioned lag window: the relation is only len(steps) rows,
+    # but an empty window partition spec survives into the plan even
+    # when partitionBy(lit(...)) is used (Catalyst constant-folds the
+    # key away) and Spark logs the single-partition scale warning on
+    # every execution — the join is warning-free and equally bounded
+    prev = reach.select(
+        (F.col("step_idx") + 1).alias("step_idx"),
+        F.col("users").alias("_prev_users"),
+    )
+    joined = reach.join(F.broadcast(prev), "step_idx", "left")
+    return joined.select(
         "step_idx",
         "step",
         "users",
         F.round(
-            F.when(prev.isNull(), 1.0).otherwise(F.col("users") / prev), 4
+            F.when(F.col("_prev_users").isNull(), 1.0).otherwise(
+                F.col("users") / F.col("_prev_users")
+            ),
+            4,
         ).alias("conv_rate"),
-    )
+    ).orderBy("step_idx")

@@ -878,6 +878,26 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED BPE tokenizer stats (t10b): real merges learned from the
+    corpus (operators/bpe.py — one word-count aggregate + driver-side
+    merge loop over a ≤4096-word table), applied once per DISTINCT word
+    via an Arrow-batched pandas UDF and joined back. Deterministic
+    (ties by lexicographic pair; vocabulary by count desc, word asc),
+    so rows-only driver checks are stable; exact-equality gating vs a
+    pure-Python reference lives in tests/test_bpe.py."""
+    from deimos_spark.operators import bpe
+
+    d = _docs(spark, sf_dir)
+    # merge budget sized to the corpus: the synthetic documents table
+    # draws from a ~31-word pool, so a GPT-style 10k-merge budget would
+    # fully merge every word (constant 1 piece/word — a degenerate
+    # model); 25 merges keeps frequent words whole and rare words split,
+    # which is the behavior the stats are meant to surface
+    merges = bpe.train_bpe(d, "text", num_merges=25, vocab_words=4096)
+    return bpe.bpe_token_stats(d, merges, "text", "lang").orderBy("lang")
+
+
 # SURVEY §7 Phase 0 `run_sql`: the SQL-string entry point. ONE ANSI
 # statement, used verbatim as BOTH the Spark query (through
 # Engine.attach_catalog().sql()) and the DuckDB oracle — the strongest
@@ -1331,6 +1351,12 @@ def all_queries() -> dict[str, QuerySpec]:
             "round(avg(len(regexp_extract_all(text, "
             "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))), 2) AS avg_pieces "
             "FROM documents GROUP BY lang",
+        ),
+        QuerySpec(
+            "t10b_bpe_real", q_bpe_real, None,
+            note="trained-BPE tokenizer (merge learning + subword "
+            "segmentation) — no SQL form; exact-gated vs a pure-Python "
+            "reference in tests/test_bpe.py",
         ),
         QuerySpec(
             "x06_funnel", q_funnel,
