@@ -165,10 +165,12 @@ class BatchConsumer:
 
     # -------------------------------------------------------------- apply
 
-    def consume_batch(self, raw: DataFrame) -> None:
+    def consume_batch(
+        self, raw: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
         cfg = self.config
         if cfg.tracer is None:
-            self._consume_batch(raw)
+            self._consume_batch(raw, txn)
             return
         # reference consumer.rb _with_span: one 'deimos-consumer' span
         # per batch, resource = consumer class, topic tagged on the
@@ -179,14 +181,16 @@ class BatchConsumer:
         if cfg.topic:
             cfg.tracer.set_tag("topic", cfg.topic, span)
         try:
-            self._consume_batch(raw)
+            self._consume_batch(raw, txn)
         except BaseException as e:
             cfg.tracer.set_error(span, e)
             raise
         finally:
             cfg.tracer.finish(span)
 
-    def _consume_batch(self, raw: DataFrame) -> None:
+    def _consume_batch(
+        self, raw: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
         cfg = self.config
         df = self.decode(raw)
         if cfg.filter_predicate is not None:
@@ -194,30 +198,61 @@ class BatchConsumer:
 
         if cfg.compacted:
             df = compact_keep_last(df, cfg.key_cols, cfg.order_cols)
-            self._apply(df)
+            self._apply(df, txn)
         else:
+            if txn is not None:
+                # each slice is its own merge; they'd all claim the same
+                # (app, version), so slice 2+ would be skipped as replays
+                raise ValueError(
+                    "txn (exactly-once) requires compacted=True — "
+                    "sliced mode runs several merges per batch"
+                )
             # order-preserving mode: slices applied sequentially, each slice
             # has distinct keys (reference BatchSlicer)
             for sl in slice_batch(df, cfg.key_cols, cfg.order_cols):
                 self._apply(sl)
 
-    def _apply(self, df: DataFrame) -> None:
+    def _apply(
+        self, df: DataFrame, txn: tuple[str, int] | None = None
+    ) -> None:
         cfg = self.config
         payload_cols = [f.name for f in cfg.schema.struct.fields]
         upserts = df.filter(~F.col("_tombstone")).select(*payload_cols)
         deletes = df.filter(F.col("_tombstone")).select(*cfg.key_cols)
         if cfg.record_transform is not None:
             upserts = cfg.record_transform(upserts)
-        self.table.merge(upserts=upserts, delete_keys=deletes)
+        if txn is not None:
+            # sinks that speak transaction identifiers (DeltaKeyedTable)
+            # get exactly-once; anything else refuses rather than
+            # silently degrading to at-least-once
+            self.table.merge(upserts=upserts, delete_keys=deletes, txn=txn)
+        else:
+            self.table.merge(upserts=upserts, delete_keys=deletes)
 
     # ---------------------------------------------------------- streaming
 
-    def attach(self, stream_df: DataFrame, checkpoint: str, **options):
+    def attach(
+        self,
+        stream_df: DataFrame,
+        checkpoint: str,
+        txn_app_id: str | None = None,
+        **options,
+    ):
         """Wire into Structured Streaming: each micro-batch runs the same
-        consume pipeline inside foreachBatch (per-batch atomicity = C2)."""
+        consume pipeline inside foreachBatch (per-batch atomicity = C2).
+
+        `txn_app_id` upgrades the sink from at-least-once to
+        EXACTLY-ONCE when the table speaks transaction identifiers
+        (DeltaKeyedTable): each micro-batch merge carries
+        (txn_app_id, batch_id) as the protocol txn action, so a batch
+        Spark replays after a crash-between-commit-and-checkpoint is a
+        silent no-op. Requires compacted=True (one merge per batch)."""
         return (
             stream_df.writeStream.foreachBatch(
-                lambda batch, _id: self.consume_batch(batch)
+                lambda batch, bid: self.consume_batch(
+                    batch,
+                    txn=(txn_app_id, bid) if txn_app_id is not None else None,
+                )
             )
             .option("checkpointLocation", checkpoint)
             .options(**options)
