@@ -1481,6 +1481,33 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
         upper.append({"key": fid, "value": ub})
     return (lower or None), (upper or None)
 
+# v3 deletion-vector manifest entries: data_file extended with the DV
+# address fields (spec ids 143-145); built lazily from the base schema
+def _dv_manifest_entry_schema() -> dict:
+    sch = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+    sch["fields"][-1]["type"]["fields"] += [
+        {
+            "name": "referenced_data_file",
+            "type": ["null", "string"],
+            "default": None,
+            "field-id": 143,
+        },
+        {
+            "name": "content_offset",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 144,
+        },
+        {
+            "name": "content_size_in_bytes",
+            "type": ["null", "long"],
+            "default": None,
+            "field-id": 145,
+        },
+    ]
+    return sch
+
+
 _MANIFEST_FILE_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
@@ -1582,13 +1609,24 @@ class IcebergTableWriter:
         path: str,
         max_commit_retries: int = 5,
         partition_by: tuple[str, ...] = (),
+        format_version: int = 2,
     ):
         from deimos_spark.operators.iceberg_transforms import (
             parse_partition_field,
         )
 
+        if format_version not in (2, 3):
+            raise IcebergProtocolError(
+                f"writer format_version {format_version}: 2 or 3"
+            )
         self.spark = spark
         self.path = path
+        # v3 adds REQUIRED row lineage (spec: writers must assign row
+        # ids): table metadata carries next-row-id, each snapshot its
+        # first-row-id, each added data file an explicit first_row_id.
+        # An existing v3 table is never downgraded regardless of this
+        # flag (see _snapshot_commit).
+        self.format_version = format_version
         self.partition_fields = [
             parse_partition_field(s) for s in partition_by
         ]
@@ -1743,6 +1781,8 @@ class IcebergTableWriter:
         schema_override: T.StructType | None = None,
         eq_delete_files: list[tuple[str, int, int, dict]] | None = None,
         eq_key_cols: list[str] | None = None,
+        dv_entries: list[dict] | None = None,
+        drop_dv_for: set[str] | None = None,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
@@ -1753,7 +1793,16 @@ class IcebergTableWriter:
         `equality_ids` resolved from the schema — they share the new
         snapshot's sequence number, so per the spec's strictly-smaller
         rule they erase prior data while same-commit adds survive (the
-        Flink CDC upsert shape)."""
+        Flink CDC upsert shape).
+
+        v3 extensions: `dv_entries` = deletion-vector descriptors
+        ({referenced_data_file, puffin_path, offset, size,
+        cardinality}) recorded as a content=1 manifest of PUFFIN
+        entries; `drop_dv_for` = recorded data-file paths whose PRIOR
+        DVs this commit supersedes — the spec allows at most one live
+        DV per data file, so carried-forward delete manifests are
+        rewritten without those entries (dropped entirely when empty).
+        Both require format-version 3."""
         import time as _time
         import uuid
 
@@ -1761,6 +1810,15 @@ class IcebergTableWriter:
 
         mv, md = self._current()
         delete_files = delete_files or []
+        # never downgrade an existing v3 table; upgrade v2→3 when asked
+        fv = max(
+            self.format_version,
+            (md or {}).get("format-version", 2),
+        )
+        if (dv_entries or drop_dv_for) and fv < 3:
+            raise IcebergProtocolError(
+                "deletion vectors require format-version 3"
+            )
         seq = (md.get("last-sequence-number", 0) if md else 0) + 1
         snap_id = seq  # sequential ids: deterministic and spec-legal
         now = int(_time.time() * 1000)
@@ -1796,8 +1854,20 @@ class IcebergTableWriter:
         uid = uuid.uuid4().hex[:12]
 
         entry_schema = _MANIFEST_ENTRY_SCHEMA
-        if self.partition_fields:
+        if fv >= 3:
+            # v3 row lineage: every added data file carries an explicit
+            # first_row_id (spec field 142)
             entry_schema = json.loads(json.dumps(_MANIFEST_ENTRY_SCHEMA))
+            entry_schema["fields"][-1]["type"]["fields"].append(
+                {
+                    "name": "first_row_id",
+                    "type": ["null", "long"],
+                    "default": None,
+                    "field-id": 142,
+                }
+            )
+        if self.partition_fields:
+            entry_schema = json.loads(json.dumps(entry_schema))
             pfields = [
                 {
                     "name": pf.name,
@@ -1825,9 +1895,14 @@ class IcebergTableWriter:
                 },
             )
 
+        # v3 row lineage: files claim contiguous row-id ranges starting
+        # at the table's next-row-id; the metadata advances past them
+        row_cursor = (md or {}).get("next-row-id", 0) if fv >= 3 else None
+
         def _entry(p, rows, size, pvals):
+            nonlocal row_cursor
             lower, upper = _file_column_bounds(p, ice_fields)
-            return {
+            e = {
                 "status": 1,  # ADDED
                 "snapshot_id": snap_id,
                 "sequence_number": seq,
@@ -1843,6 +1918,10 @@ class IcebergTableWriter:
                     "upper_bounds": upper,
                 },
             }
+            if row_cursor is not None:
+                e["data_file"]["first_row_id"] = row_cursor
+                row_cursor += rows
+            return e
 
         entries = [_entry(*f) for f in files]
         added_rows = sum(r for _, r, _, _ in files)
@@ -1987,6 +2066,44 @@ class IcebergTableWriter:
                     sum(r for _, r, _, _ in eq_delete_files),
                 )
             )
+        if dv_entries:
+            dv_manifest_entries = [
+                {
+                    "status": 1,
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": 1,
+                        "file_path": d["puffin_path"]
+                        if d["puffin_path"].startswith("file://")
+                        else f"file://{d['puffin_path']}",
+                        "file_format": "PUFFIN",
+                        "record_count": d["cardinality"],
+                        "file_size_in_bytes": os.path.getsize(
+                            self._local_path(d["puffin_path"])
+                        ),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "referenced_data_file": d["referenced_data_file"],
+                        "content_offset": d["offset"],
+                        "content_size_in_bytes": d["size"],
+                    },
+                }
+                for d in dv_entries
+            ]
+            dpath = os.path.join(self.meta_dir, f"dv-{uid}.avro")
+            ocf_write(
+                dpath, _dv_manifest_entry_schema(), dv_manifest_entries
+            )
+            manifests.append(
+                _manifest_row(
+                    dpath,
+                    1,
+                    len(dv_manifest_entries),
+                    sum(d["cardinality"] for d in dv_entries),
+                )
+            )
         if not overwrite and md is not None:
             # append: carry the previous snapshot's manifests forward
             prev = next(
@@ -2001,6 +2118,10 @@ class IcebergTableWriter:
                 _, prev_manifests = ocf_read(
                     self._local_path(prev["manifest-list"])
                 )
+                if drop_dv_for:
+                    prev_manifests = self._rewrite_superseded_dvs(
+                        prev_manifests, drop_dv_for, uid
+                    )
                 defaults = {
                     "partition_spec_id": 0,
                     "content": 0,
@@ -2031,16 +2152,18 @@ class IcebergTableWriter:
             "manifest-list": f"file://{mlpath}",
             "summary": {
                 "operation": "overwrite"
-                if (overwrite or delete_files or eq_delete_files)
+                if (overwrite or delete_files or eq_delete_files or dv_entries)
                 else "append"
             },
             "schema-id": 0,
         }
+        if fv >= 3:
+            snapshot["first-row-id"] = (md or {}).get("next-row-id", 0)
         if md is not None and md.get("current-snapshot-id") not in (None, -1):
             # spec optional field; incremental scans walk this lineage
             snapshot["parent-snapshot-id"] = md["current-snapshot-id"]
         new_md = {
-            "format-version": 2,
+            "format-version": fv,
             "table-uuid": (
                 md.get("table-uuid")
                 if md
@@ -2078,7 +2201,58 @@ class IcebergTableWriter:
             + [{"snapshot-id": snap_id, "timestamp-ms": now}],
             "metadata-log": [],
         }
+        if fv >= 3:
+            new_md["next-row-id"] = (
+                row_cursor
+                if row_cursor is not None
+                else (md or {}).get("next-row-id", 0)
+            )
         self._commit(mv + 1, new_md)
+
+    def _rewrite_superseded_dvs(
+        self, prev_manifests: list[dict], drop_dv_for: set[str], uid: str
+    ) -> list[dict]:
+        """Carry-forward filter for the one-live-DV-per-file rule:
+        delete manifests holding PUFFIN entries whose
+        referenced_data_file is being re-DV'd this commit are rewritten
+        without them (dropped entirely when nothing survives). Opens
+        only content=1 manifests — at scale that is the bounded delete-
+        manifest set, and optimize() resets it."""
+        from deimos_spark.schemas.avro_ocf import ocf_read, ocf_write
+
+        out: list[dict] = []
+        for i, pm in enumerate(prev_manifests):
+            if (pm.get("content") or 0) != 1:
+                out.append(pm)
+                continue
+            mpath = self._local_path(pm["manifest_path"])
+            _, entries = ocf_read(mpath)
+            survivors = [
+                e
+                for e in entries
+                if not (
+                    str(e["data_file"].get("file_format", "")).upper()
+                    == "PUFFIN"
+                    and e["data_file"].get("referenced_data_file")
+                    in drop_dv_for
+                )
+            ]
+            if len(survivors) == len(entries):
+                out.append(pm)
+                continue
+            if not survivors:
+                continue  # every entry superseded: drop the manifest
+            rpath = os.path.join(self.meta_dir, f"dvr-{uid}-{i}.avro")
+            ocf_write(rpath, _dv_manifest_entry_schema(), survivors)
+            npm = dict(pm)
+            npm["manifest_path"] = f"file://{rpath}"
+            npm["manifest_length"] = os.path.getsize(rpath)
+            npm["added_files_count"] = len(survivors)
+            npm["added_rows_count"] = sum(
+                e["data_file"].get("record_count") or 0 for e in survivors
+            )
+            out.append(npm)
+        return out
 
     def _local_path(self, uri: str) -> str:
         return uri[len("file://"):] if uri.startswith("file://") else uri
@@ -2197,9 +2371,9 @@ class IcebergKeyedTable:
         delete_mode: str = "position",
         partition_by: tuple[str, ...] = (),
     ):
-        if delete_mode not in ("position", "equality"):
+        if delete_mode not in ("position", "equality", "dv"):
             raise ValueError(
-                f"delete_mode must be position|equality, got {delete_mode!r}"
+                f"delete_mode must be position|equality|dv, got {delete_mode!r}"
             )
         self.spark = spark
         self.path = path
@@ -2214,14 +2388,23 @@ class IcebergKeyedTable:
         # optimize() compacts. At 100 TB with frequent keyed batches,
         # equality mode is the only merge whose cost is independent of
         # table size.
+        # "dv" (v3): like position mode, but the (file, pos) hits land
+        # as Puffin deletion vectors — one roaring bitmap per touched
+        # data file, superseding that file's previous DV (the spec's
+        # one-live-DV-per-file rule), so read-side delete state stays
+        # O(deleted files), never O(merge count); the table is written
+        # as format-version 3 with row lineage.
         self.delete_mode = delete_mode
-        # partitioned keyed tables work in BOTH delete modes: Iceberg
+        # partitioned keyed tables work in ALL delete modes: Iceberg
         # data files keep their source columns (unlike Delta), so the
         # position-mode probe scan and the equality-mode anti-join see
         # partition columns like any other; only the upsert WRITE path
         # needs the partition spec
         self.writer = IcebergTableWriter(
-            spark, path, partition_by=partition_by
+            spark,
+            path,
+            partition_by=partition_by,
+            format_version=3 if delete_mode == "dv" else 2,
         )
         # delete files (position pairs / equality keys) are never
         # partitioned data files — they write through a plain writer
@@ -2325,6 +2508,74 @@ class IcebergKeyedTable:
                     if r["__fp"] in rec_by_fp
                 )
 
+            has_upserts = upserts is not None and bool(upserts.head(1))
+            if not pairs and not has_upserts:
+                return
+
+            if self.delete_mode == "dv":
+                import uuid as _uuid
+
+                import numpy as np
+
+                from deimos_spark.operators.puffin import (
+                    read_dv_blob,
+                    write_puffin_dvs,
+                )
+
+                # fold new hits into each touched file's EXISTING live
+                # DV (the spec's one-DV-per-file rule: the replacement
+                # must carry the union, since it supersedes)
+                live_dvs = {
+                    ref: (local, off, size)
+                    for ref, local, off, size in reader._file_sets(None)[3]
+                }
+                by_file: dict[str, list[int]] = {}
+                for rec, pos in pairs:
+                    by_file.setdefault(rec, []).append(pos)
+                dvs: dict[str, np.ndarray] = {}
+                for rec, poss in by_file.items():
+                    idx = np.asarray(sorted(poss), dtype=np.int64)
+                    if rec in live_dvs:
+                        lp, off, size = live_dvs[rec]
+                        idx = np.union1d(idx, read_dv_blob(lp, off, size))
+                    dvs[rec] = idx
+                dv_entries, puffin, superseded = [], None, set()
+                if dvs:
+                    puffin = os.path.join(
+                        self.writer.data_dir,
+                        f"dv-{_uuid.uuid4().hex[:12]}.puffin",
+                    )
+                    blob_meta = write_puffin_dvs(puffin, dvs)
+                    dv_entries = [
+                        {
+                            "referenced_data_file": rec,
+                            "puffin_path": puffin,
+                            "offset": off,
+                            "size": size,
+                            "cardinality": card,
+                        }
+                        for rec, (off, size, card) in sorted(
+                            blob_meta.items()
+                        )
+                    ]
+                    superseded = set(dvs) & set(live_dvs)
+                try:
+                    self.writer._snapshot_commit(
+                        upserts if has_upserts else None,
+                        overwrite=False,
+                        schema_override=schema,
+                        dv_entries=dv_entries,
+                        drop_dv_for=superseded or None,
+                    )
+                    return
+                except IcebergCommitConflict:
+                    if puffin is not None:
+                        try:
+                            os.unlink(puffin)
+                        except OSError:
+                            pass
+                    continue
+
             delete_files = []
             if pairs:
                 # spec orders delete rows by (file_path, pos) for
@@ -2336,9 +2587,6 @@ class IcebergKeyedTable:
                     pairs_df
                 )
 
-            has_upserts = upserts is not None and bool(upserts.head(1))
-            if not pairs and not has_upserts:
-                return
             try:
                 self.writer._snapshot_commit(
                     upserts if has_upserts else None,

@@ -1153,8 +1153,11 @@ def test_iceberg_keyed_merge_equality_mode(spark, tmp_path):
 def test_iceberg_keyed_table_rejects_bad_delete_mode(spark, tmp_path):
     from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
 
+    # "dv" became a real mode in round 9 (test_iceberg_v3_dv.py)
     with pytest.raises(ValueError, match="delete_mode"):
-        IcebergKeyedTable(spark, str(tmp_path / "x"), ["id"], delete_mode="dv")
+        IcebergKeyedTable(
+            spark, str(tmp_path / "x"), ["id"], delete_mode="bogus"
+        )
 
 
 def test_iceberg_timestamp_time_travel(spark, ice_table):

@@ -300,3 +300,130 @@ def test_puffin_entry_missing_fields_refuses(spark, tmp_path):
     r = IcebergTableReader(spark, path)
     with pytest.raises(IcebergProtocolError, match="PUFFIN"):
         r.read()
+
+
+# ------------------------------------------------------- v3 DV WRITES
+
+def _keyed(spark, path):
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    return IcebergKeyedTable(spark, path, ["id"], delete_mode="dv")
+
+
+def _state(spark, path):
+    return {
+        r.id: r.v
+        for r in IcebergTableReader(spark, path).read().collect()
+    }
+
+
+def test_dv_merge_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(6)], SCHEMA))
+    t.merge(
+        upserts=spark.createDataFrame([(1, "one"), (3, "three")], SCHEMA),
+        delete_keys=spark.createDataFrame([(5, "x")], SCHEMA).select("id"),
+    )
+    assert _state(spark, path) == {
+        0: "v0", 1: "one", 2: "v2", 3: "three", 4: "v4",
+    }
+    r = IcebergTableReader(spark, path)
+    assert r.metadata["format-version"] == 3
+    # deletes landed as DVs, not parquet position deletes
+    _, pos, eq, dvs = r._file_sets(None)
+    assert pos == [] and eq == [] and len(dvs) >= 1
+
+
+def test_dv_supersession_one_live_dv_per_file(spark, tmp_path):
+    """Repeated merges touching the same data file REPLACE its DV
+    (union of positions), never stack a second one."""
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], SCHEMA
+        ).coalesce(1)
+    )
+    for batch in ([1], [2], [3, 4]):
+        t.delete(
+            spark.createDataFrame([(b, "") for b in batch], SCHEMA).select(
+                "id"
+            )
+        )
+    assert set(_state(spark, path)) == {0, 5, 6, 7}
+    r = IcebergTableReader(spark, path)
+    _, _, _, dvs = r._file_sets(None)
+    refs = [ref for ref, _, _, _ in dvs]
+    assert len(refs) == len(set(refs)), "stacked DVs for one data file"
+    # the surviving DV carries the UNION of all three delete batches
+    from deimos_spark.operators.puffin import read_dv_blob
+
+    total = sum(len(read_dv_blob(lp, off, sz)) for _, lp, off, sz in dvs)
+    assert total == 4
+
+
+def test_dv_mode_row_lineage_bookkeeping(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(spark.createDataFrame([(i, "a") for i in range(5)], SCHEMA))
+    t.upsert(spark.createDataFrame([(i, "b") for i in range(5, 9)], SCHEMA))
+    md = IcebergTableReader(spark, path).metadata
+    assert md["next-row-id"] == 9
+    snaps = md["snapshots"]
+    assert snaps[0]["first-row-id"] == 0
+    assert snaps[1]["first-row-id"] == 5
+    # upsert #2 rewrote keys? no overlap — but the MERGE DV commit after
+    # an overlapping upsert must also advance correctly
+    t.upsert(spark.createDataFrame([(0, "c"), (99, "c")], SCHEMA))
+    md = IcebergTableReader(spark, path).metadata
+    assert md["next-row-id"] == 11
+    assert _state(spark, path)[0] == "c"
+
+
+def test_dv_optimize_compacts_away(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(spark.createDataFrame([(i, f"v{i}") for i in range(6)], SCHEMA))
+    t.delete(spark.createDataFrame([(0, ""), (1, "")], SCHEMA).select("id"))
+    t.optimize()
+    r = IcebergTableReader(spark, path)
+    assert r.metadata["format-version"] == 3  # never downgraded
+    _, pos, eq, dvs = r._file_sets(None)
+    assert dvs == [] and pos == [] and eq == []
+    assert set(_state(spark, path)) == {2, 3, 4, 5}
+
+
+def test_dv_requires_v3(spark, tmp_path):
+    """dv_entries through a v2 writer refuse loudly."""
+    from deimos_spark.operators.iceberg_interop import IcebergTableWriter
+
+    w = IcebergTableWriter(spark, str(tmp_path / "t"))
+    w.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        w._snapshot_commit(
+            None,
+            overwrite=False,
+            schema_override=spark.createDataFrame([(1, "a")], SCHEMA).schema,
+            dv_entries=[
+                {
+                    "referenced_data_file": "f",
+                    "puffin_path": __file__,
+                    "offset": 0,
+                    "size": 1,
+                    "cardinality": 1,
+                }
+            ],
+        )
+
+
+def test_v2_writer_output_unchanged(spark, tmp_path):
+    """format_version defaults keep v2 metadata byte-compatible: no
+    row-lineage keys leak into v2 tables."""
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(spark, path)
+    w.append(spark.createDataFrame([(1, "a")], SCHEMA))
+    md = IcebergTableReader(spark, path).metadata
+    assert md["format-version"] == 2
+    assert "next-row-id" not in md
+    assert "first-row-id" not in md["snapshots"][0]
