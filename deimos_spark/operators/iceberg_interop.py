@@ -940,17 +940,20 @@ class IcebergTableReader:
         )
 
     def _added_files_split(self, snap: dict):
-        """(data_paths, pos_delete_paths, eq_deletes) ADDED by exactly
-        this snapshot — the content-split sibling of _added_data_files,
-        same attribution rules (only manifests with matching
-        added_snapshot_id open; entry snapshot_id inheritance; refusal
-        on unattributable manifests). eq_deletes entries are
-        (local_path, equality_ids)."""
+        """(data_paths, pos_delete_paths, eq_deletes, dv_adds) ADDED by
+        exactly this snapshot — the content-split sibling of
+        _added_data_files, same attribution rules (only manifests with
+        matching added_snapshot_id open; entry snapshot_id inheritance;
+        refusal on unattributable manifests). eq_deletes entries are
+        (local_path, equality_ids); dv_adds are v3 deletion-vector
+        descriptors (referenced recorded path, local puffin, offset,
+        size)."""
         sid = snap["snapshot-id"]
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
         data: list[str] = []
         pos: list[str] = []
         eq: list[tuple[str, tuple[int, ...]]] = []
+        dvs: list[tuple[str, str, int, int]] = []
         for mf in manifests:
             if mf.get("added_snapshot_id") is None:
                 raise IcebergProtocolError(
@@ -969,11 +972,33 @@ class IcebergTableReader:
                     continue
                 df = e["data_file"]
                 fmt = str(df.get("file_format", "PARQUET")).upper()
+                content = df.get("content", 0) or 0
+                if fmt == "PUFFIN" and content == 1:
+                    # v3 DV add: positions NEW to this snapshot emit as
+                    # deletes (already-dead rows are silenced by the
+                    # parent-live semi-join, so the superseded DV's
+                    # positions need no explicit subtraction)
+                    ref = df.get("referenced_data_file")
+                    off = df.get("content_offset")
+                    size = df.get("content_size_in_bytes")
+                    if ref is None or off is None or size is None:
+                        raise IcebergProtocolError(
+                            "PUFFIN delete entry missing referenced_data"
+                            "_file/content_offset/content_size_in_bytes"
+                        )
+                    dvs.append(
+                        (
+                            ref,
+                            self._local(df["file_path"]),
+                            int(off),
+                            int(size),
+                        )
+                    )
+                    continue
                 if fmt != "PARQUET":
                     raise IcebergProtocolError(
                         f"file format {fmt!r} unsupported"
                     )
-                content = df.get("content", 0) or 0
                 p = self._local(df["file_path"])
                 if content == 0:
                     data.append(p)
@@ -990,7 +1015,7 @@ class IcebergTableReader:
                     raise IcebergProtocolError(
                         f"delete content={content} unsupported"
                     )
-        return data, pos, eq
+        return data, pos, eq, dvs
 
     def read_changelog(
         self,
@@ -1041,7 +1066,7 @@ class IcebergTableReader:
             if op == "replace":
                 prev = sid
                 continue
-            data, pos, eq = self._added_files_split(snap)
+            data, pos, eq, dv_adds = self._added_files_split(snap)
             if data:
                 parts.append(
                     self.spark.read.schema(schema)
@@ -1062,7 +1087,7 @@ class IcebergTableReader:
                     rec for rec, *_ in self._file_sets(sid)[0]
                 }
                 dropped = sorted(prev_files - cur_files)
-            if (pos or eq or dropped) and prev is not None:
+            if (pos or eq or dv_adds or dropped) and prev is not None:
                 if parent_data is None:
                     parent_data = self._file_sets(prev)[0]
                 base = self.read(snapshot_id=prev, _keep_meta=True)
@@ -1090,6 +1115,29 @@ class IcebergTableReader:
                     dels.append(
                         base.join(
                             F.broadcast(pd),
+                            ["__ice_fp", "__ice_pos"],
+                            "left_semi",
+                        )
+                    )
+                if dv_adds:
+                    # v3 DV adds: the DV's positions, semi-joined to the
+                    # PARENT-live view — already-dead rows (incl. the
+                    # superseded DV's positions) drop out structurally
+                    mapping = self.spark.createDataFrame(
+                        [
+                            ("file:" + local, rec)
+                            for rec, local, *_ in parent_data
+                        ],
+                        "__ice_fp string, __del_fp string",
+                    )
+                    dd = (
+                        self._dv_positions(dv_adds)
+                        .join(F.broadcast(mapping), "__del_fp")
+                        .select("__ice_fp", "__ice_pos")
+                    )
+                    dels.append(
+                        base.join(
+                            F.broadcast(dd),
                             ["__ice_fp", "__ice_pos"],
                             "left_semi",
                         )
@@ -1236,8 +1284,28 @@ class IcebergTableReader:
         decode on executors inside mapInPandas, so a billion deleted
         positions never land on the driver — each descriptor row
         explodes to its positions in the task that owns it."""
-        import pandas as pd
         from pyspark.sql import functions as F
+
+        dels = self._dv_positions(dvs)
+        # recorded manifest path -> the URI _metadata.file_path reports
+        mapping = self.spark.createDataFrame(
+            [("file:" + local, rec) for rec, local, _, _, _ in data],
+            "__ice_fp string, __del_fp string",
+        )
+        dels = dels.join(F.broadcast(mapping), "__del_fp").select(
+            "__ice_fp", "__ice_pos"
+        )
+        return df.join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
+
+    def _dv_positions(
+        self, dvs: list[tuple[str, str, int, int]]
+    ) -> DataFrame:
+        """DV descriptors → a (__del_fp = recorded data-file path,
+        __ice_pos) relation, bitmap decode on EXECUTORS (mapInPandas
+        over the descriptor rows) so positions never collect on the
+        driver. Shared by read()'s anti-join and the changelog's
+        semi-join."""
+        import pandas as pd
 
         from deimos_spark.operators.puffin import read_dv_blob
 
@@ -1257,19 +1325,9 @@ class IcebergTableReader:
                         {"__del_fp": ref, "__ice_pos": idx}
                     )
 
-        dels = (
-            desc.repartition(max(len(dvs) // 4, 1))
-            .mapInPandas(_decode, "__del_fp string, __ice_pos long")
+        return desc.repartition(max(len(dvs) // 4, 1)).mapInPandas(
+            _decode, "__del_fp string, __ice_pos long"
         )
-        # recorded manifest path -> the URI _metadata.file_path reports
-        mapping = self.spark.createDataFrame(
-            [("file:" + local, rec) for rec, local, _, _, _ in data],
-            "__ice_fp string, __del_fp string",
-        )
-        dels = dels.join(F.broadcast(mapping), "__del_fp").select(
-            "__ice_fp", "__ice_pos"
-        )
-        return df.join(dels, ["__ice_fp", "__ice_pos"], "left_anti")
 
 
 # ----------------------------------------------------------------- writer

@@ -427,3 +427,69 @@ def test_v2_writer_output_unchanged(spark, tmp_path):
     assert md["format-version"] == 2
     assert "next-row-id" not in md
     assert "first-row-id" not in md["snapshots"][0]
+
+
+# --------------------------------------------------- v3 DV changelog
+
+def test_changelog_over_dv_table(spark, tmp_path):
+    """read_changelog on a DV-mode table: upserts appear as
+    delete+insert pairs, DV deletes as deletes of the parent-live rows;
+    the superseded DV's old positions stay silent."""
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], SCHEMA
+        ).coalesce(1)
+    )
+    t.delete(spark.createDataFrame([(5, "")], SCHEMA).select("id"))
+    # second DV on the SAME file supersedes (union 5,4) — the changelog
+    # for this snapshot must emit ONLY id=4
+    t.merge(
+        upserts=spark.createDataFrame([(1, "one")], SCHEMA),
+        delete_keys=spark.createDataFrame([(4, "")], SCHEMA).select("id"),
+    )
+    r = IcebergTableReader(spark, path)
+    snaps = [s["snapshot-id"] for s in r.metadata["snapshots"]]
+    rows = r.read_changelog(from_snapshot_id=snaps[0]).collect()
+    by_snap = {}
+    for row in rows:
+        by_snap.setdefault(row._snapshot_id, []).append(
+            (row._change_type, row.id, row.v)
+        )
+    assert sorted(by_snap[snaps[1]]) == [("delete", 5, "v5")]
+    assert sorted(by_snap[snaps[2]]) == [
+        ("delete", 1, "v1"),   # upsert = delete+insert pair
+        ("delete", 4, "v4"),   # NOT id=5 again (superseded positions)
+        ("insert", 1, "one"),
+    ]
+
+
+def test_changelog_poller_over_dv_table(spark, tmp_path):
+    """ChangelogPoller end-to-end on a v3 DV table: feed→op adapters
+    produce create/update/delete ops with _ord ordering."""
+    from deimos_spark.sources.poller import ChangelogPoller
+
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    got: list = []
+    p = ChangelogPoller(
+        spark,
+        path,
+        fmt="iceberg",
+        publish=lambda df: got.extend(df.collect()),
+        cursor_path=str(tmp_path / "cur"),
+        key_cols=["id"],
+    )
+    assert p.run_once() > 0
+    ops = {(r.id): r._op for r in got}
+    assert ops == {1: "create", 2: "create"}
+    got.clear()
+    t.merge(
+        upserts=spark.createDataFrame([(1, "a2")], SCHEMA),
+        delete_keys=spark.createDataFrame([(2, "")], SCHEMA).select("id"),
+    )
+    assert p.run_once() > 0
+    ops = {(r.id): r._op for r in got}
+    assert ops == {1: "update", 2: "delete"}

@@ -88,7 +88,10 @@ def test_no_rowwise_python_udfs_in_any_declared_query(spark):
         plan = _plan(spec.builder(spark, SF))
         assert "BatchEvalPython" not in plan, f"python UDF leaked into {name}"
         assert "CartesianProduct" not in plan, f"cartesian product in {name}"
-        if name != "b33c_simsearch_ivf":
+        # sanctioned Arrow kernels: IVF cell assignment (BLAS matmul)
+        # and BPE segmentation (runs once per DISTINCT word, not per
+        # token — the tokenize-once-join-back shape)
+        if name not in ("b33c_simsearch_ivf", "t10b_bpe_real"):
             assert "ArrowEvalPython" not in plan, f"pandas UDF leaked into {name}"
 
 
