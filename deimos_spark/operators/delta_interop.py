@@ -2378,6 +2378,77 @@ class DeltaTableWriter:
                     pass
         return deleted
 
+    def cleanup_log(self, retention_seconds: float = 3600.0) -> list[str]:
+        """Metadata retention (the log half of vacuum; delta-spark's
+        metadata cleanup): delete JSON commits and SUPERSEDED checkpoint
+        sets at versions ≤ the newest checkpoint, keeping the newest
+        checkpoint itself — readers reconstruct every retained state
+        from it, and `_latest_version` counts checkpoint names, so
+        writers keep claiming correct versions (the fork-at-v0 bug the
+        truncation regression test pins). Files younger than
+        `retention_seconds` survive (same racing-writer rationale as
+        vacuum). Returns deleted paths.
+
+        Trade-offs are the documented Delta ones: time travel, history()
+        and read_changes below the checkpoint version stop working.
+        v2-checkpoint sidecars referenced by the KEPT manifest survive;
+        older sidecar files age out with their manifests."""
+        import time as _time
+
+        lc = self._reader()._load_last_checkpoint()
+        cv = (lc or {}).get("version")
+        if not isinstance(cv, int):
+            return []  # no checkpoint: every commit is load-bearing
+        cutoff = _time.time() - retention_seconds
+        deleted: list[str] = []
+
+        def _rm(name: str) -> None:
+            p = os.path.join(self.log_dir, name)
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    return
+                os.unlink(p)
+                deleted.append(p)
+            except OSError:
+                pass
+
+        for n in sorted(os.listdir(self.log_dir)):
+            if n.endswith(".json") and n[:-5].isdigit():
+                if int(n[:-5]) <= cv:
+                    _rm(n)
+            elif ".checkpoint" in n and n[:20].isdigit():
+                # superseded checkpoint sets only — never the newest
+                if int(n[:20]) < cv:
+                    _rm(n)
+        # sidecars referenced by ANY surviving v2 manifest stay —
+        # including manifests newer than the pointer (a pointer-update
+        # race must not orphan a valid checkpoint's add state)
+        keep_sidecars: set[str] = set()
+        for n in os.listdir(self.log_dir):
+            if ".checkpoint." not in n or not n.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(self.log_dir, n)) as fh:
+                    for line in fh:
+                        if '"sidecar"' in line:
+                            a = json.loads(line)
+                            if a.get("sidecar", {}).get("path"):
+                                keep_sidecars.add(a["sidecar"]["path"])
+            except (OSError, ValueError):
+                return deleted  # unreadable manifest: keep all sidecars
+        sdir = os.path.join(self.log_dir, "_sidecars")
+        if os.path.isdir(sdir):
+            for n in sorted(os.listdir(sdir)):
+                if n not in keep_sidecars and n.endswith(".parquet"):
+                    p = os.path.join(sdir, n)
+                    try:
+                        if os.path.getmtime(p) <= cutoff:
+                            os.unlink(p)
+                            deleted.append(p)
+                    except OSError:
+                        pass
+        return deleted
+
     def overwrite(self, df: DataFrame) -> None:
         for _ in range(self.max_commit_retries):
             v = self._latest_version()
