@@ -250,6 +250,86 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
         )
 
 
+# ------------------------------------------------- schema enforcement
+
+def _schema_drift(
+    table_schema: T.StructType, batch_schema: T.StructType
+) -> tuple[list[T.StructField], list[str]]:
+    """(new top-level fields in the batch, incompatibility errors).
+    Missing table columns in the batch are FINE (the protocol reads
+    absent parquet columns as null); same-name different-type is an
+    error (no implicit casts — a silently cast file is how two engines
+    end up disagreeing about a table's contents)."""
+    tbl = {f.name: f for f in table_schema.fields}
+    extra: list[T.StructField] = []
+    errors: list[str] = []
+    for f in batch_schema.fields:
+        t = tbl.get(f.name)
+        if t is None:
+            extra.append(f)
+        elif t.dataType != f.dataType:
+            errors.append(
+                f"column {f.name!r}: table has "
+                f"{t.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()}"
+            )
+    return extra, errors
+
+
+def check_write_schema(
+    snap: DeltaSnapshot,
+    batch_schema: T.StructType,
+    merge_schema: bool = False,
+) -> list[dict]:
+    """Delta schema enforcement on write: refuse type conflicts always;
+    refuse NEW columns unless `merge_schema` (the protocol's schema
+    evolution — returns the updated metaData action to commit, new
+    fields appended nullable). Missing nullable table columns are
+    allowed (files simply lack them). Evolution on column-mapped tables
+    refuses: new fields would need physical names + field ids assigned
+    under delta.columnMapping.maxColumnId, which this writer does not
+    manage."""
+    if snap.schema is None:
+        return []
+    extra, errors = _schema_drift(snap.schema, batch_schema)
+    if errors:
+        raise DeltaProtocolError(
+            "schema enforcement: incompatible batch schema — "
+            + "; ".join(errors)
+        )
+    missing_required = [
+        f.name
+        for f in snap.schema.fields
+        if f.name not in {g.name for g in batch_schema.fields}
+        and not f.nullable
+    ]
+    if missing_required:
+        raise DeltaProtocolError(
+            f"schema enforcement: batch lacks non-nullable table "
+            f"columns {missing_required}"
+        )
+    if not extra:
+        return []
+    if not merge_schema:
+        raise DeltaProtocolError(
+            f"schema enforcement: batch adds columns "
+            f"{[f.name for f in extra]} — pass merge_schema=True to "
+            "evolve the table schema"
+        )
+    if (snap.column_mapping or "none") != "none":
+        raise DeltaProtocolError(
+            "schema evolution on a column-mapped table needs physical "
+            "names + field ids assigned — unsupported, refusing"
+        )
+    new_schema = T.StructType(
+        list(snap.schema.fields)
+        + [T.StructField(f.name, f.dataType, True) for f in extra]
+    )
+    meta = dict(snap.meta_raw or {})
+    meta["schemaString"] = json.dumps(new_schema.jsonValue())
+    return [{"metaData": meta}]
+
+
 # ----------------------------------------------------- txn identifiers
 
 def _txn_action(txn: tuple[str, int]) -> dict:
@@ -2228,16 +2308,25 @@ class DeltaTableWriter:
         return DeltaTableReader(self.spark, self.path)
 
     def append(
-        self, df: DataFrame, txn: tuple[str, int] | None = None
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """`txn=(app_id, version)` makes the append IDEMPOTENT via the
         protocol's transaction identifier (PROTOCOL.md "Transaction
         Identifiers"): the commit records a `txn` action, and a replay
         of an (app_id, version) at or below the table's recorded
         watermark is a silent no-op — exactly-once sink semantics for
-        foreachBatch micro-batches whose batch id is the version."""
+        foreachBatch micro-batches whose batch id is the version.
+
+        Schema enforcement (the protocol's write contract): type
+        conflicts and new columns refuse; `merge_schema=True` evolves
+        the table instead (new fields appended nullable, committed as
+        an updated metaData action)."""
         for _ in range(self.max_commit_retries):
             v = self._latest_version()
+            meta_update: list[dict] = []
             if v >= 0:
                 # spec-required writer gate: a meta-only probe (no add
                 # materialization) — refuse foreign tables whose writer
@@ -2247,8 +2336,11 @@ class DeltaTableWriter:
                 check_writer_protocol(probe, "append")
                 if txn is not None and _txn_already_applied(probe, txn):
                     return
+                meta_update = check_write_schema(
+                    probe, df.schema, merge_schema
+                )
             adds = self._write_files(df)
-            actions = adds
+            actions = meta_update + adds
             if v < 0:
                 actions = self._meta_actions(df.schema) + adds
             if txn is not None:
@@ -2449,10 +2541,17 @@ class DeltaTableWriter:
                         pass
         return deleted
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(
+        self, df: DataFrame, overwrite_schema: bool = False
+    ) -> None:
+        """Schema enforcement applies here too: a drifted overwrite
+        refuses unless `overwrite_schema=True` commits the replacement
+        schema as an updated metaData action (legal on overwrite — the
+        old files are all removed in the same commit)."""
         for _ in range(self.max_commit_retries):
             v = self._latest_version()
             removes = []
+            meta_update: list[dict] = []
             if v >= 0:
                 snap = self._reader().snapshot()
                 check_writer_protocol(snap, "overwrite")
@@ -2467,6 +2566,24 @@ class DeltaTableWriter:
                         "overwrite of a changeDataFeed-enabled table "
                         "needs CDC files — use DeltaKeyedTable"
                     )
+                if overwrite_schema:
+                    if snap.schema is not None and (
+                        snap.schema != df.schema
+                    ):
+                        if (snap.column_mapping or "none") != "none":
+                            raise DeltaProtocolError(
+                                "schema replacement on a column-mapped "
+                                "table unsupported, refusing"
+                            )
+                        meta = dict(snap.meta_raw or {})
+                        meta["schemaString"] = json.dumps(
+                            df.schema.jsonValue()
+                        )
+                        meta_update = [{"metaData": meta}]
+                else:
+                    meta_update = check_write_schema(
+                        snap, df.schema, merge_schema=False
+                    )
                 removes = [
                     {"remove": {"path": p, "dataChange": True}}
                     for p in sorted(snap.files)
@@ -2474,6 +2591,7 @@ class DeltaTableWriter:
             adds = self._write_files(df)
             actions = (
                 (self._meta_actions(df.schema) if v < 0 else [])
+                + meta_update
                 + removes
                 + adds
             )
@@ -2663,6 +2781,9 @@ class DeltaKeyedTable:
                 check_writer_protocol(snap, "merge")
                 if txn is not None and _txn_already_applied(snap, txn):
                     return
+                if upserts is not None:
+                    # enforcement only — merge never evolves the schema
+                    check_write_schema(snap, upserts.schema)
                 # spec: once a table declares delta.enableChangeDataFeed,
                 # EVERY writer must emit cdc files on remove-carrying
                 # commits — honor it even when this instance was built
@@ -2803,6 +2924,9 @@ class DeltaKeyedTable:
             check_writer_protocol(meta, "merge")
             if txn is not None and _txn_already_applied(meta, txn):
                 return
+            if upserts is not None:
+                # enforcement only — merge never evolves the schema
+                check_write_schema(meta, upserts.schema)
             cdf = self.enable_cdf or (
                 (meta.meta_raw or {}).get("configuration") or {}
             ).get("delta.enableChangeDataFeed") == "true"

@@ -1367,6 +1367,88 @@ def spark_schema_to_iceberg(schema: T.StructType) -> list[dict]:
     return fields
 
 
+def _ice_type_of(f: T.StructField) -> str:
+    s = f.dataType.simpleString()
+    m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+    if m:
+        return f"decimal({m.group(1)}, {m.group(2)})"
+    if s in _SPARK_TO_ICE:
+        return _SPARK_TO_ICE[s]
+    raise IcebergProtocolError(
+        f"column {f.name!r}: type {s!r} not writable as Iceberg"
+    )
+
+
+def evolve_iceberg_schema(
+    existing: dict,
+    batch: T.StructType,
+    last_column_id: int,
+    merge_schema: bool,
+) -> tuple[list[dict], int, bool]:
+    """Schema enforcement + opt-in evolution against an EXISTING table
+    schema → (merged field list with ids preserved, new last-column-id,
+    changed?).
+
+    Field ids are the spec's identity for bounds/equality-ids/partition
+    sources — they must NEVER be re-derived from a batch's column
+    order: a narrower batch would silently reassign ids and corrupt
+    every prior manifest's column-bounds semantics. Batch columns must
+    match the table's types (no implicit casts); missing optional table
+    columns are fine (absent parquet columns read null); missing
+    REQUIRED columns refuse; new columns refuse unless `merge_schema`,
+    which appends them as optional with fresh ids past last-column-id.
+    """
+    by_name = {f["name"]: f for f in existing.get("fields") or []}
+    errors: list[str] = []
+    extra: list[T.StructField] = []
+    seen = set()
+    for f in batch.fields:
+        seen.add(f.name)
+        ice = _ice_type_of(f)
+        ex = by_name.get(f.name)
+        if ex is None:
+            extra.append(f)
+        elif ex["type"] != ice:
+            errors.append(
+                f"column {f.name!r}: table has {ex['type']!r}, "
+                f"batch has {ice!r}"
+            )
+    if errors:
+        raise IcebergProtocolError(
+            "schema enforcement: incompatible batch schema — "
+            + "; ".join(errors)
+        )
+    missing_required = [
+        f["name"]
+        for f in existing.get("fields") or []
+        if f["name"] not in seen and f.get("required")
+    ]
+    if missing_required:
+        raise IcebergProtocolError(
+            f"schema enforcement: batch lacks required table columns "
+            f"{missing_required}"
+        )
+    if extra and not merge_schema:
+        raise IcebergProtocolError(
+            f"schema enforcement: batch adds columns "
+            f"{[f.name for f in extra]} — pass merge_schema=True to "
+            "evolve the table schema"
+        )
+    fields = [dict(f) for f in existing.get("fields") or []]
+    nid = last_column_id
+    for f in extra:
+        nid += 1
+        fields.append(
+            {
+                "id": nid,
+                "name": f.name,
+                "required": False,
+                "type": _ice_type_of(f),
+            }
+        )
+    return fields, nid, bool(extra)
+
+
 class IcebergCommitConflict(Exception):
     """Another writer claimed this metadata version first."""
 
@@ -1841,6 +1923,7 @@ class IcebergTableWriter:
         eq_key_cols: list[str] | None = None,
         dv_entries: list[dict] | None = None,
         drop_dv_for: set[str] | None = None,
+        merge_schema: bool = False,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
@@ -1881,9 +1964,60 @@ class IcebergTableWriter:
         snap_id = seq  # sequential ids: deterministic and spec-legal
         now = int(_time.time() * 1000)
 
-        ice_fields = spark_schema_to_iceberg(
-            df.schema if df is not None else schema_override
-        )
+        batch_struct = df.schema if df is not None else schema_override
+        existing_schema = None
+        if md is not None:
+            known = md.get("schemas") or []
+            cur_sid = md.get("current-schema-id", 0)
+            existing_schema = next(
+                (s for s in known if s.get("schema-id") == cur_sid),
+                known[0] if known else None,
+            )
+        if existing_schema is None:
+            ice_fields = spark_schema_to_iceberg(batch_struct)
+            last_col_id = len(ice_fields)
+            schema_id = 0
+            all_schemas = [
+                {"type": "struct", "schema-id": 0, "fields": ice_fields}
+            ]
+        else:
+            # schema enforcement against the TABLE schema — field ids
+            # are never re-derived from batch column order (a narrower
+            # batch would reassign ids and corrupt every prior
+            # manifest's bounds/equality-ids semantics)
+            ice_fields, last_col_id, changed = evolve_iceberg_schema(
+                existing_schema,
+                batch_struct,
+                md.get(
+                    "last-column-id",
+                    len(existing_schema.get("fields") or []),
+                ),
+                merge_schema,
+            )
+            if changed:
+                schema_id = (
+                    max(
+                        s.get("schema-id", 0)
+                        for s in md.get("schemas") or [{}]
+                    )
+                    + 1
+                )
+                all_schemas = (md.get("schemas") or []) + [
+                    {
+                        "type": "struct",
+                        "schema-id": schema_id,
+                        "fields": ice_fields,
+                    }
+                ]
+            else:
+                schema_id = md.get("current-schema-id", 0)
+                all_schemas = md.get("schemas") or [
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": ice_fields,
+                    }
+                ]
         id_by_name = {f["name"]: f["id"] for f in ice_fields}
         spark_types = {
             f.name: f.dataType.simpleString()
@@ -2213,7 +2347,7 @@ class IcebergTableWriter:
                 if (overwrite or delete_files or eq_delete_files or dv_entries)
                 else "append"
             },
-            "schema-id": 0,
+            "schema-id": schema_id,
         }
         if fv >= 3:
             snapshot["first-row-id"] = (md or {}).get("next-row-id", 0)
@@ -2230,11 +2364,9 @@ class IcebergTableWriter:
             "location": f"file://{self.path}",
             "last-sequence-number": seq,
             "last-updated-ms": now,
-            "last-column-id": len(ice_fields),
-            "schemas": [
-                {"type": "struct", "schema-id": 0, "fields": ice_fields}
-            ],
-            "current-schema-id": 0,
+            "last-column-id": last_col_id,
+            "schemas": all_schemas,
+            "current-schema-id": schema_id,
             "partition-specs": [
                 {
                     "spec-id": 0,
@@ -2315,11 +2447,19 @@ class IcebergTableWriter:
     def _local_path(self, uri: str) -> str:
         return uri[len("file://"):] if uri.startswith("file://") else uri
 
-    def append(self, df: DataFrame) -> None:
-        self._snapshot_commit(df, overwrite=False)
+    def append(self, df: DataFrame, merge_schema: bool = False) -> None:
+        """Schema-enforced (type conflicts and new columns refuse);
+        `merge_schema=True` evolves: new columns appended as OPTIONAL
+        fields with fresh ids past last-column-id, committed as a new
+        schema-id — prior snapshots keep referencing theirs."""
+        self._snapshot_commit(df, overwrite=False, merge_schema=merge_schema)
 
-    def overwrite(self, df: DataFrame) -> None:
-        self._snapshot_commit(df, overwrite=True)
+    def overwrite(self, df: DataFrame, merge_schema: bool = False) -> None:
+        """Same enforcement as append — an overwrite replaces DATA, not
+        identity: field ids are forever (the spec forbids reuse), so a
+        wholesale schema replacement is refused rather than risked;
+        additive evolution via merge_schema is the supported path."""
+        self._snapshot_commit(df, overwrite=True, merge_schema=merge_schema)
 
     def expire_snapshots(
         self,
@@ -2386,8 +2526,14 @@ class IcebergTableWriter:
         for root in roots:
             for dirpath, _, names in os.walk(root):
                 for n in names:
+                    # .puffin: superseded deletion-vector containers
+                    # become orphans once every manifest entry that
+                    # referenced them is rewritten away — live ones are
+                    # in the keep set via their entries' file_path
                     if not (
-                        n.endswith(".parquet") or n.endswith(".avro")
+                        n.endswith(".parquet")
+                        or n.endswith(".avro")
+                        or n.endswith(".puffin")
                     ):
                         continue
                     ap = os.path.abspath(os.path.join(dirpath, n))

@@ -493,3 +493,27 @@ def test_changelog_poller_over_dv_table(spark, tmp_path):
     assert p.run_once() > 0
     ops = {(r.id): r._op for r in got}
     assert ops == {1: "update", 2: "delete"}
+
+
+def test_expire_snapshots_collects_orphaned_puffins(spark, tmp_path):
+    """Superseded DV containers become orphans once their entries are
+    rewritten away; expire_snapshots must collect them while keeping
+    the live puffin."""
+    path = str(tmp_path / "t")
+    t = _keyed(spark, path)
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(6)], SCHEMA
+        ).coalesce(1)
+    )
+    t.delete(spark.createDataFrame([(1, "")], SCHEMA).select("id"))
+    t.delete(spark.createDataFrame([(2, "")], SCHEMA).select("id"))
+    data_dir = os.path.join(path, "data")
+    puffins = [n for n in os.listdir(data_dir) if n.endswith(".puffin")]
+    assert len(puffins) == 2  # the superseded one still on disk
+
+    deleted = t.writer.expire_snapshots(keep_last=1, retention_seconds=0.0)
+    left = [n for n in os.listdir(data_dir) if n.endswith(".puffin")]
+    assert len(left) == 1  # orphan collected, live DV kept
+    assert any(p.endswith(".puffin") for p in deleted)
+    assert set(_state(spark, path)) == {0, 3, 4, 5}  # reads intact
