@@ -143,20 +143,58 @@ class Engine:
     # -------------------------------------------------------- consume side
 
     def table(
-        self, path: str, topic: str, key_cols: list[str] | None = None, **kw
-    ) -> KeyedParquetTable:
+        self,
+        path: str,
+        topic: str,
+        key_cols: list[str] | None = None,
+        table_format: str = "parquet",
+        **kw,
+    ):
+        """Keyed sink table for a topic. `table_format`:
+        - "parquet" (default): KeyedParquetTable — plain files + txlog.
+        - "delta": DeltaKeyedTable — real Delta layout (any engine can
+          read it); kw passes through (use_dvs, enable_cdf, ...); merge
+          supports txn=(app, version) for exactly-once consumers.
+        - "iceberg": IcebergKeyedTable — real Iceberg layout; kw passes
+          through (delete_mode="position"|"equality"|"dv").
+        All formats register the topic name as a sql() view."""
         cfg = self.topic(topic)
         keys = key_cols or ([cfg.key_field] if cfg.key_field else None)
         if not keys:
             raise ValueError(f"topic {topic!r} has no key config; pass key_cols")
-        tbl = KeyedParquetTable(
-            self.spark, path, keys, schema=cfg.schema.struct, **kw
-        )
+        if table_format == "parquet":
+            tbl = KeyedParquetTable(
+                self.spark, path, keys, schema=cfg.schema.struct, **kw
+            )
+        elif table_format == "delta":
+            from deimos_spark.operators.delta_interop import DeltaKeyedTable
+
+            tbl = DeltaKeyedTable(
+                self.spark, path, keys, schema=cfg.schema.struct, **kw
+            )
+        elif table_format == "iceberg":
+            from deimos_spark.operators.iceberg_interop import (
+                IcebergKeyedTable,
+            )
+
+            tbl = IcebergKeyedTable(self.spark, path, keys, **kw)
+        else:
+            raise ValueError(
+                f"table_format {table_format!r}: parquet|delta|iceberg"
+            )
         # topic tables are sql()-queryable by topic name; empty schema-
-        # typed view until the first write so catalog queries never fail
-        self._views[topic] = lambda t=tbl, s=cfg.schema.struct: (
-            t.read() if t.exists() else self.spark.createDataFrame([], s)
-        )
+        # typed view until the first write so catalog queries never
+        # fail. Only not-born-yet signals map to empty — real read
+        # errors (corruption, protocol refusals) must surface.
+        def _view(t=tbl, s=cfg.schema.struct):
+            if hasattr(t, "exists") and not t.exists():
+                return self.spark.createDataFrame([], s)
+            try:
+                return t.read()
+            except FileNotFoundError:  # iceberg before first commit
+                return self.spark.createDataFrame([], s)
+
+        self._views[topic] = _view
         return tbl
 
     def consumer(
@@ -165,10 +203,23 @@ class Engine:
         table_path: str,
         key_cols: list[str] | None = None,
         compacted: bool = True,
+        table_format: str = "parquet",
+        table_kw: dict | None = None,
         **consumer_kw,
     ) -> BatchConsumer:
+        """`table_format="delta"` gives the consumer a real Delta sink
+        — combine with `attach(txn_app_id=...)` for exactly-once;
+        "iceberg" likewise (at-least-once; Iceberg has no txn action).
+        `table_kw` passes through to the keyed table (use_dvs,
+        enable_cdf, delete_mode, ...)."""
         cfg = self.topic(topic)
-        tbl = self.table(table_path, topic, key_cols)
+        tbl = self.table(
+            table_path,
+            topic,
+            key_cols,
+            table_format=table_format,
+            **(table_kw or {}),
+        )
         if cfg.registry is not None:
             consumer_kw.setdefault("registry", cfg.registry)
             consumer_kw.setdefault("subject", cfg.value_subject)
