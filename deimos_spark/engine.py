@@ -207,11 +207,12 @@ class Engine:
         table_kw: dict | None = None,
         **consumer_kw,
     ) -> BatchConsumer:
-        """`table_format="delta"` gives the consumer a real Delta sink
-        — combine with `attach(txn_app_id=...)` for exactly-once;
-        "iceberg" likewise (at-least-once; Iceberg has no txn action).
-        `table_kw` passes through to the keyed table (use_dvs,
-        enable_cdf, delete_mode, ...)."""
+        """`table_format="delta"`/"iceberg" gives the consumer a real
+        lakehouse sink — combine with `attach(txn_app_id=...)` for
+        exactly-once (Delta: the protocol txn action; Iceberg: the
+        snapshot-summary watermark, Flink-style). `table_kw` passes
+        through to the keyed table (use_dvs, enable_cdf,
+        delete_mode, ...)."""
         cfg = self.topic(topic)
         tbl = self.table(
             table_path,

@@ -1924,6 +1924,7 @@ class IcebergTableWriter:
         dv_entries: list[dict] | None = None,
         drop_dv_for: set[str] | None = None,
         merge_schema: bool = False,
+        summary_extra: dict[str, str] | None = None,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
@@ -2345,7 +2346,8 @@ class IcebergTableWriter:
             "summary": {
                 "operation": "overwrite"
                 if (overwrite or delete_files or eq_delete_files or dv_entries)
-                else "append"
+                else "append",
+                **(summary_extra or {}),
             },
             "schema-id": schema_id,
         }
@@ -2631,13 +2633,44 @@ class IcebergKeyedTable:
         reader = IcebergTableReader(self.spark, self.path)
         self.writer.overwrite(reader.read())
 
+    # snapshot-summary keys for idempotent merges (the Flink-Iceberg
+    # pattern: Iceberg has no txn action, so the app's watermark rides
+    # in each committed snapshot's summary)
+    _TXN_APP_KEY = "deimos.txn.app-id"
+    _TXN_VER_KEY = "deimos.txn.version"
+
+    def _txn_watermark(self, md: dict | None, app_id: str) -> int:
+        wm = -1
+        for s in (md or {}).get("snapshots") or []:
+            summ = s.get("summary") or {}
+            if summ.get(self._TXN_APP_KEY) == app_id:
+                try:
+                    wm = max(wm, int(summ.get(self._TXN_VER_KEY, -1)))
+                except (TypeError, ValueError):
+                    pass
+        return wm
+
     def merge(
         self,
         upserts: DataFrame | None = None,
         delete_keys: DataFrame | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> None:
+        """`txn=(app_id, version)` makes the merge IDEMPOTENT — the
+        Iceberg flavor of Delta's txn action: the watermark rides in
+        each committed snapshot's summary (the public Flink-Iceberg
+        sink pattern) and a replayed (app_id, version) at or below the
+        recorded maximum is a silent no-op. Caveat (same as Flink's):
+        expire_snapshots retention must exceed the replay window, or an
+        app whose last commit expired can be replayed."""
         from pyspark.sql import functions as F
 
+        summary_extra = None
+        if txn is not None:
+            summary_extra = {
+                self._TXN_APP_KEY: str(txn[0]),
+                self._TXN_VER_KEY: str(int(txn[1])),
+            }
         affected = None
         for src in (upserts, delete_keys):
             if src is not None:
@@ -2650,11 +2683,19 @@ class IcebergKeyedTable:
 
         for _ in range(self.max_commit_retries):
             _, md = self.writer._current()
+            if txn is not None and self._txn_watermark(
+                md, str(txn[0])
+            ) >= int(txn[1]):
+                return
             if md is None or not md.get("snapshots"):
                 if upserts is None or not upserts.head(1):
                     return
                 try:
-                    self.writer._snapshot_commit(upserts, overwrite=False)
+                    self.writer._snapshot_commit(
+                        upserts,
+                        overwrite=False,
+                        summary_extra=summary_extra,
+                    )
                     return
                 except IcebergCommitConflict:
                     continue
@@ -2676,6 +2717,7 @@ class IcebergKeyedTable:
                         schema_override=schema,
                         eq_delete_files=eq_files,
                         eq_key_cols=self.key_cols,
+                        summary_extra=summary_extra,
                     )
                     return
                 except IcebergCommitConflict:
@@ -2770,6 +2812,7 @@ class IcebergKeyedTable:
                         schema_override=schema,
                         dv_entries=dv_entries,
                         drop_dv_for=superseded or None,
+                        summary_extra=summary_extra,
                     )
                     return
                 except IcebergCommitConflict:
@@ -2797,6 +2840,7 @@ class IcebergKeyedTable:
                     overwrite=False,
                     delete_files=delete_files,
                     schema_override=schema,
+                    summary_extra=summary_extra,
                 )
                 return
             except IcebergCommitConflict:

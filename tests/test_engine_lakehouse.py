@@ -92,6 +92,22 @@ def test_iceberg_dv_mode_through_engine(spark, tmp_path, engine):
     }
 
 
+def test_iceberg_consumer_exactly_once_through_engine(
+    spark, tmp_path, engine
+):
+    c = engine.consumer(
+        "widgets", str(tmp_path / "t"), table_format="iceberg"
+    )
+    b0 = _batch(spark, engine, [Row(test_id="a", some_int=1)])
+    c.consume_batch(b0, txn=("app", 0))
+    c.consume_batch(b0, txn=("app", 0))  # replay → no-op
+    from deimos_spark.operators.iceberg_interop import IcebergTableReader
+
+    r = IcebergTableReader(spark, str(tmp_path / "t"))
+    assert len(r.metadata["snapshots"]) == 1
+    assert {x.test_id for x in r.read().collect()} == {"a"}
+
+
 def test_bad_format_refuses(spark, tmp_path, engine):
     with pytest.raises(ValueError, match="table_format"):
         engine.table(str(tmp_path / "t"), "widgets", table_format="orc")

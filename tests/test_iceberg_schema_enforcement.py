@@ -105,3 +105,50 @@ def test_keyed_merge_enforced_through_writer(spark, tmp_path):
     t.upsert(spark.createDataFrame([(1, "a")], SCHEMA))
     with pytest.raises(IcebergProtocolError, match="incompatible"):
         t.upsert(spark.createDataFrame([(1, 2)], "id bigint, v bigint"))
+
+
+# --------------------------------------------- idempotent merge (txn)
+
+def test_iceberg_merge_txn_idempotent(spark, tmp_path):
+    """Replayed (app, version) merges are no-ops in every delete mode —
+    the snapshot-summary watermark (Flink-Iceberg pattern)."""
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergKeyedTable,
+        IcebergTableReader,
+    )
+
+    for mode in ("position", "equality", "dv"):
+        path = str(tmp_path / f"t_{mode}")
+        t = IcebergKeyedTable(spark, path, ["id"], delete_mode=mode)
+        b0 = spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA)
+        t.merge(upserts=b0, txn=("job", 0))
+        t.merge(upserts=b0, txn=("job", 0))  # replay
+        t.merge(
+            upserts=spark.createDataFrame([(1, "POISON")], SCHEMA),
+            txn=("job", 0),
+        )  # different payload, same version: still skipped
+        r = IcebergTableReader(spark, path)
+        assert len(r.metadata["snapshots"]) == 1, mode
+        t.merge(
+            upserts=spark.createDataFrame([(2, "b2")], SCHEMA),
+            txn=("job", 1),
+        )
+        t.merge(
+            upserts=spark.createDataFrame([(2, "XX")], SCHEMA),
+            txn=("job", 1),
+        )  # replay of batch 1
+        got = {
+            x.id: x.v
+            for x in IcebergTableReader(spark, path).read().collect()
+        }
+        assert got == {1: "a", 2: "b2"}, mode
+        # apps are independent
+        t.merge(
+            upserts=spark.createDataFrame([(3, "c")], SCHEMA),
+            txn=("other", 0),
+        )
+        got = {
+            x.id: x.v
+            for x in IcebergTableReader(spark, path).read().collect()
+        }
+        assert got == {1: "a", 2: "b2", 3: "c"}, mode
