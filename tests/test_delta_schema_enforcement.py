@@ -102,3 +102,36 @@ def test_keyed_merge_enforces(spark, tmp_path, use_dvs):
         for x in DeltaTableReader(spark, path).read().collect()
     }
     assert got == {1: "a"}
+
+
+def test_evolution_interplay_with_change_feed_and_time_travel(
+    spark, tmp_path
+):
+    """After merge_schema evolution: read_changes spans the evolution
+    commit (old versions surface null for the new column under the
+    latest schema), while time travel to a pre-evolution version reads
+    the OLD schema — the metaData action is versioned state like any
+    other."""
+    path = str(tmp_path / "t")
+    w = _w(spark, path)  # v0: (1, "a")
+    w.append(
+        spark.createDataFrame(
+            [(2, "b", 1.5)], "id bigint, v string, score double"
+        ),
+        merge_schema=True,
+    )  # v1 evolves
+
+    r = DeltaTableReader(spark, path)
+    feed = r.read_changes(0).collect()
+    by_ver = {}
+    for row in feed:
+        by_ver.setdefault(row._commit_version, []).append(
+            (row._change_type, row.id, row.v, row.score)
+        )
+    assert by_ver[0] == [("insert", 1, "a", None)]
+    assert by_ver[1] == [("insert", 2, "b", 1.5)]
+
+    # pre-evolution time travel: old schema, no score column
+    old = r.read(0)
+    assert old.columns == ["id", "v"]
+    assert [(x.id, x.v) for x in old.collect()] == [(1, "a")]
