@@ -925,6 +925,24 @@ def q_sql_string_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_STATEMENT)
 
 
+# second same-text proof, documents family: window function + filter
+# through the SQL entry (exercises a different plan shape than s01's
+# join+agg — rank window, subquery, string length)
+SQL_ENTRY_DOCS = (
+    "SELECT lang, doc_id, text_len FROM ("
+    "SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS text_len, "
+    "row_number() OVER (PARTITION BY lang ORDER BY length(text) DESC, "
+    "doc_id) AS rn FROM documents) t "
+    "WHERE rn <= 3 ORDER BY lang, text_len DESC, doc_id"
+)
+
+
+def q_sql_string_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deimos_spark.engine import Engine
+
+    return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_DOCS)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL helpers (shared expression fragments, DuckDB dialect)
 # --------------------------------------------------------------------------
@@ -1729,6 +1747,10 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "s01_sql_string", q_sql_string_entry, SQL_ENTRY_STATEMENT,
             note="Engine.sql() entry point: identical SQL text both sides",
+        ),
+        QuerySpec(
+            "s02_sql_docs_topk", q_sql_string_docs, SQL_ENTRY_DOCS,
+            note="Engine.sql() windowed top-k: identical SQL text both sides",
         ),
     ]
     specs += _tpch_specs()
