@@ -517,3 +517,37 @@ def test_expire_snapshots_collects_orphaned_puffins(spark, tmp_path):
     assert len(left) == 1  # orphan collected, live DV kept
     assert any(p.endswith(".puffin") for p in deleted)
     assert set(_state(spark, path)) == {0, 3, 4, 5}  # reads intact
+
+
+def test_dv_mode_partitioned_table(spark, tmp_path):
+    """DV merge over a PARTITIONED layout: Iceberg data files keep
+    their source columns, so the probe scan and per-file DVs work
+    unchanged; each touched partition's file gets its own DV."""
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    path = str(tmp_path / "t")
+    t = IcebergKeyedTable(
+        spark, path, ["id"], delete_mode="dv", partition_by=("cat",)
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}", "a" if i % 2 else "b") for i in range(8)],
+            "id bigint, v string, cat string",
+        )
+    )
+    t.merge(
+        upserts=spark.createDataFrame(
+            [(1, "one", "a")], "id bigint, v string, cat string"
+        ),
+        delete_keys=spark.createDataFrame([(2,)], "id bigint"),
+    )
+    r = IcebergTableReader(spark, path)
+    got = {x.id: x.v for x in r.read().collect()}
+    assert got == {
+        0: "v0", 1: "one", 3: "v3", 4: "v4", 5: "v5", 6: "v6", 7: "v7",
+    }
+    _, pos, eq, dvs = r._file_sets(None)
+    assert pos == [] and eq == [] and len(dvs) >= 1
+    # partition pruning still applies over the v3 table
+    a_only = r.read(partition_filter={"cat": "a"})
+    assert {x.id for x in a_only.collect()} == {1, 3, 5, 7}
