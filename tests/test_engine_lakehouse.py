@@ -111,3 +111,30 @@ def test_iceberg_consumer_exactly_once_through_engine(
 def test_bad_format_refuses(spark, tmp_path, engine):
     with pytest.raises(ValueError, match="table_format"):
         engine.table(str(tmp_path / "t"), "widgets", table_format="orc")
+
+
+def test_register_view_over_lakehouse_readers(spark, tmp_path, engine):
+    """Any .read()-bearing reader registers as a sql() view — Delta and
+    Iceberg table paths become queryable relations."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    dpath, ipath = str(tmp_path / "d"), str(tmp_path / "i")
+    DeltaTableWriter(spark, dpath, schema="id bigint, v string").append(
+        spark.createDataFrame([(1, "a")], "id bigint, v string")
+    )
+    IcebergTableWriter(spark, ipath).append(
+        spark.createDataFrame([(2, "b")], "id bigint, v string")
+    )
+    engine.register_view("d_tbl", DeltaTableReader(spark, dpath))
+    engine.register_view("i_tbl", IcebergTableReader(spark, ipath))
+    got = engine.sql(
+        "SELECT * FROM d_tbl UNION ALL SELECT * FROM i_tbl ORDER BY id"
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [(1, "a"), (2, "b")]
