@@ -109,6 +109,61 @@ def iceberg_type_to_spark(t) -> T.DataType:
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
 
 
+def single_value_from_json(t, v):
+    """Iceberg JSON single-value serialization → Python value (spec
+    §Appendix C 'Single-value serialization', JSON column). Used for
+    v3 column defaults (`initial-default`/`write-default`). Primitive
+    types only — a nested-type default refuses loudly rather than
+    guessing at the struct/list/map JSON forms we have no fixture
+    for."""
+    import base64
+    import datetime as _dt
+    import decimal as _dec
+
+    if v is None:
+        raise IcebergProtocolError("null is not a legal default value")
+    if not isinstance(t, str):
+        raise IcebergProtocolError(
+            f"default on nested type {t.get('type')!r} unsupported"
+        )
+    if t == "boolean":
+        if not isinstance(v, bool):
+            raise IcebergProtocolError(f"boolean default {v!r}")
+        return v
+    if t in ("int", "long"):
+        if not isinstance(v, int) or isinstance(v, bool):
+            raise IcebergProtocolError(f"{t} default {v!r}")
+        return v
+    if t in ("float", "double"):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise IcebergProtocolError(f"{t} default {v!r}")
+        return float(v)
+    if t in ("string", "uuid"):
+        if not isinstance(v, str):
+            raise IcebergProtocolError(f"{t} default {v!r}")
+        return v
+    if t == "date":
+        return _dt.date.fromisoformat(v)
+    if t == "timestamp":
+        return _dt.datetime.fromisoformat(v)
+    if t == "timestamptz":
+        dt = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            raise IcebergProtocolError(
+                f"timestamptz default {v!r} lacks an offset"
+            )
+        return dt
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+    if m:
+        return _dec.Decimal(str(v))
+    if t == "binary" or re.fullmatch(r"fixed\[\d+\]", t):
+        # spec: binary single-values serialize as base16 (hex) strings
+        if not isinstance(v, str):
+            raise IcebergProtocolError(f"{t} default {v!r}")
+        return base64.b16decode(v.upper())
+    raise IcebergProtocolError(f"default on Iceberg type {t!r} unsupported")
+
+
 # ----------------------------------------------------------------- reader
 
 class IcebergTableReader:
@@ -132,24 +187,27 @@ class IcebergTableReader:
 
     def _check_v3_features(self) -> None:
         """v3 support is deletion vectors (Puffin-framed roaring
-        bitmaps, handled in _file_sets/read); every OTHER v3-only
-        feature refuses loudly rather than silently misreading:
-        column default values would make us surface NULL where the
-        table declares a default, and row-lineage fields are only
-        advisory for a reader (ignored)."""
+        bitmaps, handled in _file_sets/read), row lineage (advisory
+        for a reader — ignored), and primitive column defaults
+        (`initial-default` patched into reads for files written
+        before the column existed; `write-default` is a writer-side
+        concern and does not affect reads). A default we cannot PARSE
+        (nested type, unknown serialization) refuses loudly at open —
+        silently surfacing NULL where the table declares a default is
+        the failure mode this gate exists to prevent."""
         for sch in self.metadata.get("schemas") or (
             [self.metadata["schema"]] if self.metadata.get("schema") else []
         ):
             for f in sch.get("fields") or []:
-                if (
-                    f.get("initial-default") is not None
-                    or f.get("write-default") is not None
-                ):
-                    raise IcebergProtocolError(
-                        f"v3 column default on field {f.get('name')!r} "
-                        "unsupported — reads would surface NULL where "
-                        "the table declares a default"
-                    )
+                for key in ("initial-default", "write-default"):
+                    if f.get(key) is not None:
+                        try:
+                            single_value_from_json(f["type"], f[key])
+                        except IcebergProtocolError as e:
+                            raise IcebergProtocolError(
+                                f"v3 {key} on field {f.get('name')!r} "
+                                f"unreadable: {e}"
+                            ) from e
 
     # ------------------------------------------------------- metadata file
 
@@ -497,9 +555,11 @@ class IcebergTableReader:
 
     # ---------------------------------------------------------------- read
 
-    def schema(self) -> T.StructType:
+    def schema_fields(self) -> list[dict]:
+        """Raw field dicts of the CURRENT schema (v1's inline `schema`
+        or the v2+ `schemas` list resolved by current-schema-id)."""
         md = self.metadata
-        if "schemas" in md:  # v2
+        if "schemas" in md:  # v2+
             sid = md.get("current-schema-id", 0)
             ice = next(
                 (s for s in md["schemas"] if s.get("schema-id") == sid),
@@ -507,22 +567,18 @@ class IcebergTableReader:
             )
         else:  # v1
             ice = md["schema"]
-        out = iceberg_type_to_spark({"type": "struct", "fields": ice["fields"]})
+        return ice["fields"]
+
+    def schema(self) -> T.StructType:
+        out = iceberg_type_to_spark(
+            {"type": "struct", "fields": self.schema_fields()}
+        )
         assert isinstance(out, T.StructType)
         return out
 
     def _field_names_by_id(self) -> dict[int, str]:
-        md = self.metadata
-        if "schemas" in md:
-            sid = md.get("current-schema-id", 0)
-            ice = next(
-                (s for s in md["schemas"] if s.get("schema-id") == sid),
-                md["schemas"][0],
-            )
-        else:
-            ice = md["schema"]
         return {
-            f["id"]: f["name"] for f in ice["fields"] if "id" in f
+            f["id"]: f["name"] for f in self.schema_fields() if "id" in f
         }
 
     def _partition_fields(self, spec_id: int | None = None):
@@ -732,7 +788,14 @@ class IcebergTableReader:
         df = self.spark.read.schema(schema).parquet(
             *[p for _, p, _, _, _ in data]
         )
-        if not pos_deletes and not eq_deletes and not dvs and not _keep_meta:
+        defaults = self._initial_defaults()
+        if (
+            not pos_deletes
+            and not eq_deletes
+            and not dvs
+            and not _keep_meta
+            and not defaults
+        ):
             return df
         from pyspark.sql import functions as F
 
@@ -744,6 +807,12 @@ class IcebergTableReader:
             F.col("_metadata.file_path").alias("__ice_fp"),
             F.col("_metadata.row_index").alias("__ice_pos"),
         )
+        if defaults:
+            # before EQUALITY deletes: delete keys must compare against
+            # the defaulted values, not the NULL a pre-add file stores
+            scan = self._patch_initial_defaults(
+                scan, [p for _, p, _, _, _ in data], defaults
+            )
         if pos_deletes:
             scan = self._apply_position_deletes(scan, data, pos_deletes)
         if dvs:
@@ -927,17 +996,23 @@ class IcebergTableReader:
                 out_schema.add(snapshot_col, T.LongType())
             return self.spark.createDataFrame([], out_schema)
         df = self.spark.read.schema(schema).parquet(*[p for p, _ in pairs])
-        if not snapshot_col:
+        defaults = self._initial_defaults()
+        if not snapshot_col and not defaults:
             return df
-        smap = self.spark.createDataFrame(
-            [("file:" + p, sid) for p, sid in pairs],
-            f"__ice_fp string, {snapshot_col} long",
+        scan = df.select(
+            "*", F.col("_metadata.file_path").alias("__ice_fp")
         )
-        return (
-            df.select("*", F.col("_metadata.file_path").alias("__ice_fp"))
-            .join(F.broadcast(smap), "__ice_fp")
-            .drop("__ice_fp")
-        )
+        if defaults:
+            scan = self._patch_initial_defaults(
+                scan, [p for p, _ in pairs], defaults
+            )
+        if snapshot_col:
+            smap = self.spark.createDataFrame(
+                [("file:" + p, sid) for p, sid in pairs],
+                f"__ice_fp string, {snapshot_col} long",
+            )
+            scan = scan.join(F.broadcast(smap), "__ice_fp")
+        return scan.drop("__ice_fp")
 
     def _added_files_split(self, snap: dict):
         """(data_paths, pos_delete_paths, eq_deletes, dv_adds) ADDED by
@@ -1057,6 +1132,7 @@ class IcebergTableReader:
         names = [f.name for f in schema.fields]
         out_cols = [*names, type_col, snapshot_col, ordinal_col]
         by_id = self._field_names_by_id()
+        defaults = self._initial_defaults()
         chain = self._lineage(from_snapshot_id, to_snapshot_id)
         parts: list[DataFrame] = []
         prev: int | None = from_snapshot_id
@@ -1068,10 +1144,20 @@ class IcebergTableReader:
                 continue
             data, pos, eq, dv_adds = self._added_files_split(snap)
             if data:
+                ins = self.spark.read.schema(schema).parquet(*data)
+                if defaults:
+                    # inserts from snapshots older than a column add
+                    # surface the default, same as read() would
+                    ins = self._patch_initial_defaults(
+                        ins.select(
+                            "*",
+                            F.col("_metadata.file_path").alias("__ice_fp"),
+                        ),
+                        data,
+                        defaults,
+                    )
                 parts.append(
-                    self.spark.read.schema(schema)
-                    .parquet(*data)
-                    .select(
+                    ins.select(
                         *names,
                         F.lit("insert").alias(type_col),
                         F.lit(sid).cast("long").alias(snapshot_col),
@@ -1329,6 +1415,85 @@ class IcebergTableReader:
             _decode, "__del_fp string, __ice_pos long"
         )
 
+    # ---------------------------------------------------- column defaults
+
+    def _initial_defaults(self) -> list[tuple[str, object, T.DataType]]:
+        """Current-schema fields declaring a v3 `initial-default`,
+        parsed → [(name, python value, spark type)]. Empty for the
+        overwhelming majority of tables — the read path pays nothing
+        unless a default actually exists."""
+        out = []
+        for f in (self.schema_fields() or []):
+            dv = f.get("initial-default")
+            if dv is not None:
+                out.append(
+                    (
+                        f["name"],
+                        single_value_from_json(f["type"], dv),
+                        iceberg_type_to_spark(f["type"]),
+                    )
+                )
+        return out
+
+    def _patch_initial_defaults(
+        self,
+        scan: DataFrame,
+        local_paths: list[str],
+        defaults: list[tuple[str, object, T.DataType]],
+    ) -> DataFrame:
+        """v3 `initial-default` semantics (spec: 'the value for rows
+        written before the field was added'): a data file that does
+        NOT CONTAIN the field surfaces the default; a file that has
+        the column keeps its stored values — including genuine NULLs,
+        which is why a blanket `coalesce` would be wrong.
+
+        Scale shape: field presence comes from parquet FOOTERS, read
+        on executors (mapInPandas over the file list — one footer
+        each, no data pages), and joins back as a broadcast
+        (file → has-field) relation keyed on `_metadata.file_path`,
+        so a million-file table never funnels footers through the
+        driver. `scan` arrives with `__ice_fp` projected."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        names = [n for n, _, _ in defaults]
+        paths = self.spark.createDataFrame(
+            [("file:" + p, p) for p in local_paths],
+            "__ice_fp string, __local string",
+        )
+
+        def _probe(batches):
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                rows = []
+                for fp, local in zip(pdf["__ice_fp"], pdf["__local"]):
+                    cols = set(pq.read_schema(local).names)
+                    rows.append([fp] + [n in cols for n in names])
+                yield pd.DataFrame(
+                    rows,
+                    columns=["__ice_fp"]
+                    + [f"__has_{i}" for i in range(len(names))],
+                )
+
+        probe_schema = ", ".join(
+            ["__ice_fp string"]
+            + [f"__has_{i} boolean" for i in range(len(names))]
+        )
+        has = paths.repartition(
+            max(len(local_paths) // 64, 1)
+        ).mapInPandas(_probe, probe_schema)
+        scan = scan.join(F.broadcast(has), "__ice_fp", "left")
+        for i, (name, value, stype) in enumerate(defaults):
+            scan = scan.withColumn(
+                name,
+                F.when(
+                    F.coalesce(F.col(f"__has_{i}"), F.lit(True)),
+                    F.col(name),
+                ).otherwise(F.lit(value).cast(stype)),
+            )
+        return scan.drop(*[f"__has_{i}" for i in range(len(names))])
+
 
 # ----------------------------------------------------------------- writer
 
@@ -1421,7 +1586,11 @@ def evolve_iceberg_schema(
     missing_required = [
         f["name"]
         for f in existing.get("fields") or []
-        if f["name"] not in seen and f.get("required")
+        if f["name"] not in seen
+        and f.get("required")
+        # a required column with a write-default is fillable by the
+        # writer (v3 semantics) — absence from the batch is legal
+        and f.get("write-default") is None
     ]
     if missing_required:
         raise IcebergProtocolError(
@@ -2042,6 +2211,24 @@ class IcebergTableWriter:
                     f"column {pf.source!r} unsupported (accepts: "
                     f"{WRITABLE_SOURCES.get(pf.kind, ())})"
                 )
+
+        if df is not None:
+            # v3 `write-default`: the spec requires WRITERS to
+            # materialize the default into new data — a file written
+            # without the column would wrongly surface initial-default
+            # (or NULL) to readers instead
+            from pyspark.sql import functions as F
+
+            have = set(df.columns)
+            for f in ice_fields:
+                wd = f.get("write-default")
+                if wd is not None and f["name"] not in have:
+                    df = df.withColumn(
+                        f["name"],
+                        F.lit(
+                            single_value_from_json(f["type"], wd)
+                        ).cast(iceberg_type_to_spark(f["type"])),
+                    )
 
         files = self._write_data_files(df) if df is not None else []
         uid = uuid.uuid4().hex[:12]

@@ -256,14 +256,18 @@ def test_v3_plain_table_reads(spark, tmp_path):
     assert IcebergTableReader(spark, path).read().count() == 10
 
 
-def test_v3_column_defaults_refuse(spark, tmp_path):
+def test_v3_unparseable_column_default_refuses(spark, tmp_path):
+    """Primitive defaults are supported (tests/test_iceberg_v3_defaults
+    .py); a default whose single-value JSON we cannot PARSE still
+    refuses at open rather than silently surfacing NULL."""
     path = str(tmp_path / "t")
     _v2_table(spark, path)
     meta_dir = os.path.join(path, "metadata")
     hint = int(open(os.path.join(meta_dir, "version-hint.text")).read())
     md = json.load(open(os.path.join(meta_dir, f"v{hint}.metadata.json")))
     md["format-version"] = 3
-    md["schemas"][0]["fields"][1]["initial-default"] = "dflt"
+    # field 1 is a string column: an int-typed default is malformed
+    md["schemas"][0]["fields"][1]["initial-default"] = 42
     with open(os.path.join(meta_dir, f"v{hint + 1}.metadata.json"), "w") as fh:
         json.dump(md, fh)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
