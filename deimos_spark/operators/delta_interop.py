@@ -95,6 +95,11 @@ class DeltaSnapshot:
     # appId → latest committed txn version, the idempotent-write
     # watermark streaming sinks use to skip replayed micro-batches
     txns: dict[str, int] = field(default_factory=dict)
+    # domainMetadata state (PROTOCOL.md "Domain Metadata"): domain →
+    # latest action (removed tombstones KEPT — checkpoints must carry
+    # them). delta.rowTracking's configuration holds the row-id high
+    # watermark the writer advances.
+    domains: dict[str, dict] = field(default_factory=dict)
 
 
 class DeltaCommitConflict(Exception):
@@ -105,15 +110,24 @@ class DeltaCommitConflict(Exception):
 
 # Writer features this engine implements end-to-end (PROTOCOL.md "Table
 # Features", writer column). Committing into a table that declares
-# anything else (rowTracking, icebergCompat*, domainMetadata, ...) would
-# silently break that feature's invariants for every other engine — the
-# spec requires writers to refuse such tables, mirroring the reader gate.
+# anything else (icebergCompat*, ...) would silently break that
+# feature's invariants for every other engine — the spec requires
+# writers to refuse such tables, mirroring the reader gate.
+# domainMetadata: domains replay latest-per-domain and re-materialize
+# into both checkpoint formats (unknown domains preserved verbatim).
+# rowTracking: fresh baseRowId ranges above the delta.rowTracking
+# high watermark + defaultRowCommitVersion on every add (see
+# DeltaTableWriter._row_tracking_patch); operations that would need
+# row-id PRESERVATION across rewrites are gated separately on
+# delta.enableRowTracking in check_writer_protocol.
 SUPPORTED_WRITER_FEATURES = {
     "appendOnly",
     "changeDataFeed",
     "deletionVectors",
     "v2Checkpoint",
     "timestampNtz",
+    "domainMetadata",
+    "rowTracking",
 }
 
 # Features we may coexist with ONLY while the table provably does not
@@ -247,6 +261,23 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
             f"delta.appendOnly table refuses {operation} (logical "
             "deletes are forbidden; only append and dataChange=false "
             "OPTIMIZE are allowed)"
+        )
+    if conf.get("delta.enableRowTracking") == "true" and operation in (
+        "merge",
+        "optimize",
+    ):
+        # supported-but-not-enabled tables get every operation with
+        # FRESH row ids (legal — readers can't rely on stability yet);
+        # an ENABLED table promises stable row ids across rewrites,
+        # which requires materialized row-id columns this writer does
+        # not produce. Appends/overwrites create logically NEW rows
+        # (fresh ids are correct); merge/optimize COPY surviving rows
+        # into new files and must preserve — refuse.
+        raise DeltaProtocolError(
+            f"delta.enableRowTracking table refuses {operation}: "
+            "copied rows would need materialized row-id preservation "
+            "this writer does not implement (append/overwrite remain "
+            "available)"
         )
 
 
@@ -423,6 +454,12 @@ class DeltaTableReader:
             app = t.get("appId")
             if app is not None and t.get("version") is not None:
                 snap.txns[str(app)] = int(t["version"])
+        elif "domainMetadata" in action:
+            # latest action per domain wins; removed=true stays as a
+            # tombstone (the spec's checkpoint reconciliation keeps it)
+            dm = action["domainMetadata"] or {}
+            if dm.get("domain") is not None:
+                snap.domains[str(dm["domain"])] = dm
         # commitInfo / cdc: no effect on the live file set
 
     def _replay_json_commit(self, version: int, snap: DeltaSnapshot) -> bool:
@@ -612,7 +649,9 @@ class DeltaTableReader:
             # scan so mapping-mode prune columns can be translated to
             # physical names
             meta_cols = [
-                c for c in ("protocol", "metaData", "txn") if c in cols
+                c
+                for c in ("protocol", "metaData", "txn", "domainMetadata")
+                if c in cols
             ]
             if meta_cols:
                 mrows = (
@@ -628,7 +667,7 @@ class DeltaTableReader:
             return None  # unreadable/corrupt checkpoint → caller falls back
         for row in mrows:
             d = row.asDict(recursive=True)
-            for kind in ("protocol", "metaData", "txn"):
+            for kind in ("protocol", "metaData", "txn", "domainMetadata"):
                 if kind in d and d.get(kind) is not None:
                     self._apply_action({kind: d[kind]}, snap)
         try:
@@ -670,8 +709,8 @@ class DeltaTableReader:
                 for row in df.collect():
                     d = row.asDict(recursive=True)
                     for kind in (
-                        "protocol", "metaData", "txn", "add", "sidecar",
-                        "checkpointMetadata",
+                        "protocol", "metaData", "txn", "domainMetadata",
+                        "add", "sidecar", "checkpointMetadata",
                     ):
                         if kind in cols and d.get(kind) is not None:
                             actions.append({kind: d[kind]})
@@ -701,7 +740,8 @@ class DeltaTableReader:
                     os.path.join(self.log_dir, "_sidecars", p)
                 )
                 continue
-            for kind in ("protocol", "metaData", "txn", "add"):
+            for kind in ("protocol", "metaData", "txn", "domainMetadata",
+                         "add"):
                 if kind in action and action[kind] is not None:
                     self._apply_action({kind: action[kind]}, snap)
         if not saw_meta:
@@ -1632,12 +1672,87 @@ class DeltaTableWriter:
                 latest = max(latest, int(n[:20]))
         return latest
 
+    def _add_num_records(self, a: dict) -> int:
+        """numRecords for an add action: from its stats JSON, else one
+        parquet footer read (no data pages)."""
+        s = a.get("stats")
+        if s:
+            try:
+                n = json.loads(s).get("numRecords")
+                if n is not None:
+                    return int(n)
+            except (ValueError, TypeError):
+                pass
+        import pyarrow.parquet as papq
+
+        return papq.ParquetFile(
+            os.path.join(self.path, a["path"])
+        ).metadata.num_rows
+
+    def _row_tracking_patch(
+        self, snap: DeltaSnapshot | None, actions: list[dict], version: int
+    ) -> list[dict]:
+        """PROTOCOL.md "Row Tracking": when the table's protocol
+        declares the rowTracking writer feature, every commit must
+        assign row ids — each new `add` gets a fresh `baseRowId` range
+        strictly above the `delta.rowTracking` domain's
+        rowIdHighWaterMark plus `defaultRowCommitVersion` = this
+        commit's version, `remove` actions carry the removed add's
+        fields, and the domain's watermark advances past every
+        assigned id. Adds that already carry a baseRowId (the DV
+        merge's same-file re-adds) keep it — that IS the spec's
+        preservation rule for unrewritten files."""
+        proto = (snap.protocol_raw if snap else None) or {}
+        if "rowTracking" not in (proto.get("writerFeatures") or []):
+            return actions
+        dm = snap.domains.get("delta.rowTracking") or {}
+        hwm = -1
+        try:
+            cfg = json.loads(dm.get("configuration") or "{}")
+            hwm = int(cfg.get("rowIdHighWaterMark", -1))
+        except (ValueError, TypeError):
+            pass
+        assigned = False
+        for act in actions:
+            if "add" in act:
+                a = act["add"]
+                if a.get("defaultRowCommitVersion") is None:
+                    a["defaultRowCommitVersion"] = version
+                if a.get("baseRowId") is None:
+                    a["baseRowId"] = hwm + 1
+                    hwm += self._add_num_records(a)
+                    assigned = True
+            elif "remove" in act:
+                r = act["remove"]
+                prior = snap.adds_raw.get(r.get("path")) or {}
+                for k in ("baseRowId", "defaultRowCommitVersion"):
+                    if r.get(k) is None and prior.get(k) is not None:
+                        r[k] = prior[k]
+        if not assigned:
+            return actions
+        return actions + [
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        ]
+
     def _commit(
-        self, version: int, actions: list[dict], op: str = "WRITE"
+        self,
+        version: int,
+        actions: list[dict],
+        op: str = "WRITE",
+        snap: DeltaSnapshot | None = None,
     ) -> None:
         import time as _time
         import uuid
 
+        actions = self._row_tracking_patch(snap, actions, version)
         if not any("commitInfo" in a for a in actions):
             # informational, first line by convention: gives history()
             # (ours and real engines') an operation label + timestamp
@@ -1738,6 +1853,11 @@ class DeltaTableWriter:
                                     ]
                                 ),
                             ),
+                            # row tracking (nullable): dropping these
+                            # from a checkpoint would reset every row id
+                            # on the next log truncation
+                            ("baseRowId", pa.int64()),
+                            ("defaultRowCommitVersion", pa.int64()),
                             ("stats", pa.string()),
                         ]
                     ),
@@ -1762,6 +1882,10 @@ class DeltaTableWriter:
                         "modificationTime": a.get("modificationTime") or 0,
                         "dataChange": bool(a.get("dataChange", True)),
                         "deletionVector": a.get("deletionVector"),
+                        "baseRowId": a.get("baseRowId"),
+                        "defaultRowCommitVersion": a.get(
+                            "defaultRowCommitVersion"
+                        ),
                         "stats": a.get("stats")
                         or (
                             self._file_stats(full)
@@ -1795,6 +1919,13 @@ class DeltaTableWriter:
                     }
                 }
                 for a in sorted(snap.txns)
+            ),
+            # latest domainMetadata per domain, removed tombstones
+            # included (spec checkpoint reconciliation) — dropping
+            # delta.rowTracking here would reset the row-id watermark
+            *(
+                {"domainMetadata": snap.domains[d]}
+                for d in sorted(snap.domains)
             ),
             {
                 "sidecar": {
@@ -1890,6 +2021,20 @@ class DeltaTableWriter:
                         ]
                     ),
                 ),
+                # spec "Domain Metadata": a checkpoint carries the
+                # latest action per domain (removed tombstones too) —
+                # dropping delta.rowTracking would reset the row-id
+                # high watermark at the next log truncation
+                (
+                    "domainMetadata",
+                    pa.struct(
+                        [
+                            ("domain", pa.string()),
+                            ("configuration", pa.string()),
+                            ("removed", pa.bool_()),
+                        ]
+                    ),
+                ),
                 (
                     "add",
                     pa.struct(
@@ -1914,6 +2059,10 @@ class DeltaTableWriter:
                                     ]
                                 ),
                             ),
+                            # row tracking (nullable on non-tracking
+                            # tables)
+                            ("baseRowId", pa.int64()),
+                            ("defaultRowCommitVersion", pa.int64()),
                             ("stats", pa.string()),
                         ]
                     ),
@@ -1979,6 +2128,10 @@ class DeltaTableWriter:
                         "modificationTime": a.get("modificationTime") or 0,
                         "dataChange": bool(a.get("dataChange", True)),
                         "deletionVector": a.get("deletionVector"),
+                        "baseRowId": a.get("baseRowId"),
+                        "defaultRowCommitVersion": a.get(
+                            "defaultRowCommitVersion"
+                        ),
                         # carry forward from the JSON commit's add, else
                         # re-derive from the parquet footer (the reader's
                         # checkpoint load drops stats driver-side, so a
@@ -1989,6 +2142,17 @@ class DeltaTableWriter:
                             if os.path.exists(full)
                             else None
                         ),
+                    }
+                }
+            )
+        for d in sorted(snap.domains):
+            dm = snap.domains[d]
+            rows.append(
+                {
+                    "domainMetadata": {
+                        "domain": dm.get("domain"),
+                        "configuration": dm.get("configuration"),
+                        "removed": bool(dm.get("removed", False)),
                     }
                 }
             )
@@ -2327,6 +2491,7 @@ class DeltaTableWriter:
         for _ in range(self.max_commit_retries):
             v = self._latest_version()
             meta_update: list[dict] = []
+            probe = None
             if v >= 0:
                 # spec-required writer gate: a meta-only probe (no add
                 # materialization) — refuse foreign tables whose writer
@@ -2346,7 +2511,7 @@ class DeltaTableWriter:
             if txn is not None:
                 actions = [_txn_action(txn)] + actions
             try:
-                self._commit(v + 1, actions)
+                self._commit(v + 1, actions, snap=probe)
                 return
             except DeltaCommitConflict:
                 self._drop_files(self.path, adds)
@@ -2380,7 +2545,7 @@ class DeltaTableWriter:
             for a in adds:
                 a["add"]["dataChange"] = False
             try:
-                self._commit(v + 1, removes + adds, op="OPTIMIZE")
+                self._commit(v + 1, removes + adds, op="OPTIMIZE", snap=snap)
                 return
             except DeltaCommitConflict:
                 self._drop_files(self.path, adds)
@@ -2552,6 +2717,7 @@ class DeltaTableWriter:
             v = self._latest_version()
             removes = []
             meta_update: list[dict] = []
+            snap = None
             if v >= 0:
                 snap = self._reader().snapshot()
                 check_writer_protocol(snap, "overwrite")
@@ -2596,7 +2762,7 @@ class DeltaTableWriter:
                 + adds
             )
             try:
-                self._commit(v + 1, actions, op="WRITE")
+                self._commit(v + 1, actions, op="WRITE", snap=snap)
                 return
             except DeltaCommitConflict:
                 self._drop_files(self.path, adds)
@@ -2802,7 +2968,7 @@ class DeltaKeyedTable:
                     for p in sorted(snap.files)
                 ]
             else:
-                current, removes = None, []
+                current, removes, snap = None, [], None
             survivors = (
                 current.join(F.broadcast(affected), self.key_cols, "left_anti")
                 if current is not None
@@ -2853,7 +3019,7 @@ class DeltaKeyedTable:
                 # check would re-apply this one
                 actions = [_txn_action(txn)] + actions
             try:
-                w._commit(v + 1, actions, op="MERGE")
+                w._commit(v + 1, actions, op="MERGE", snap=snap)
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, adds)
@@ -3103,7 +3269,7 @@ class DeltaKeyedTable:
                 # the rewrite-mode comment)
                 actions = [_txn_action(txn)] + actions
             try:
-                w._commit(v + 1, actions, op="MERGE")
+                w._commit(v + 1, actions, op="MERGE", snap=snap)
                 return
             except DeltaCommitConflict:
                 DeltaTableWriter._drop_files(self.path, new_file_adds)

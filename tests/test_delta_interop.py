@@ -364,11 +364,11 @@ def test_concurrent_writer_conflict_retries(spark, tmp_path):
     real_commit = w2._commit
     raced = {"done": False}
 
-    def racing_commit(version, actions):
+    def racing_commit(version, actions, **kw):
         if not raced["done"]:
             raced["done"] = True
             w1.append(spark.createDataFrame([(2, "b")], "id long, v string"))
-        real_commit(version, actions)
+        real_commit(version, actions, **kw)
 
     w2._commit = racing_commit
     w2.append(spark.createDataFrame([(3, "c")], "id long, v string"))

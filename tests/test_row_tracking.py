@@ -1,0 +1,357 @@
+"""Delta Row Tracking + Domain Metadata writer support (PROTOCOL.md
+"Row Tracking", "Domain Metadata").
+
+Contract under test:
+- Tables declaring the rowTracking writer feature accept our writes;
+  every committed `add` carries a fresh `baseRowId` range strictly
+  above the `delta.rowTracking` domain's rowIdHighWaterMark and
+  `defaultRowCommitVersion` = the commit's version; the domain action
+  advances the watermark past every assigned id.
+- `remove` actions carry the removed add's row-tracking fields.
+- DV merges re-add the SAME file: its baseRowId is preserved (the
+  spec's rule for unrewritten files).
+- `delta.enableRowTracking=true` tables refuse merge/optimize (copied
+  rows would need materialized-column preservation we don't produce)
+  but keep append/overwrite.
+- Domain metadata — ours and UNKNOWN foreign domains, including
+  removed tombstones — survives checkpoint truncation in BOTH
+  checkpoint formats.
+
+Foreign fixtures are hand-authored (pyarrow data files + spec-exact
+JSON commits) in the style of test_writer_protocol_gate.py.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deimos_spark.operators.delta_interop import (
+    DeltaKeyedTable,
+    DeltaProtocolError,
+    DeltaTableReader,
+    DeltaTableWriter,
+)
+
+PROTOCOL_RT = {
+    "minReaderVersion": 1,
+    "minWriterVersion": 7,
+    "writerFeatures": ["rowTracking", "domainMetadata"],
+}
+
+
+def _schema_json() -> str:
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {},
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {},
+                },
+            ],
+        }
+    )
+
+
+def _foreign_rt_table(
+    table: str,
+    configuration: dict | None = None,
+    hwm: int | None = 9,
+    extra_actions: list | None = None,
+    n_rows: int = 3,
+) -> None:
+    """Commit 0 of a row-tracking table some OTHER engine wrote: one
+    data file whose add carries baseRowId 0..n_rows-1 and (when hwm is
+    not None) the delta.rowTracking domain watermark."""
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    rel = "part-00000-foreign.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"id": i, "v": f"r{i}"} for i in range(n_rows)],
+            schema=pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        ),
+        os.path.join(table, rel),
+    )
+    actions = [
+        {"protocol": PROTOCOL_RT},
+        {
+            "metaData": {
+                "id": "foreign-rt00",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_json(),
+                "partitionColumns": [],
+                "configuration": configuration or {},
+                "createdTime": 1,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(table, rel)),
+                "modificationTime": 1,
+                "dataChange": True,
+                "baseRowId": 0,
+                "defaultRowCommitVersion": 0,
+                "stats": json.dumps({"numRecords": n_rows}),
+            }
+        },
+    ]
+    if hwm is not None:
+        actions.append(
+            {
+                "domainMetadata": {
+                    "domain": "delta.rowTracking",
+                    "configuration": json.dumps(
+                        {"rowIdHighWaterMark": hwm}
+                    ),
+                    "removed": False,
+                }
+            }
+        )
+    actions.extend(extra_actions or [])
+    with open(
+        os.path.join(table, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _commit_actions(table: str, version: int) -> list[dict]:
+    with open(
+        os.path.join(table, "_delta_log", f"{version:020d}.json")
+    ) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def _hwm(actions: list[dict]) -> int | None:
+    for a in actions:
+        dm = a.get("domainMetadata")
+        if dm and dm.get("domain") == "delta.rowTracking":
+            return json.loads(dm["configuration"])["rowIdHighWaterMark"]
+    return None
+
+
+def _df(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"n{i}") for i in ids], "id long, v string"
+    )
+
+
+# ---------------------------------------------------------------- append
+
+def test_append_assigns_fresh_ids_above_watermark(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, hwm=9)
+    DeltaTableWriter(spark, t).append(_df(spark, [100, 101]))
+    acts = _commit_actions(t, 1)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds, "append committed no add"
+    total = 0
+    for a in adds:
+        assert a["baseRowId"] >= 10, "fresh ids must clear the watermark"
+        assert a["defaultRowCommitVersion"] == 1
+        total += json.loads(a["stats"])["numRecords"]
+    # watermark advanced past every assigned id
+    assert _hwm(acts) == 9 + total
+    # rows all present
+    assert DeltaTableReader(spark, t).read().count() == 5
+
+
+def test_append_without_prior_domain_starts_at_zero(spark, tmp_path):
+    """A table that declares rowTracking but has no watermark domain
+    yet (fresh foreign table before its first tracked write)."""
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, hwm=None, n_rows=2)
+    DeltaTableWriter(spark, t).append(_df(spark, [100]))
+    acts = _commit_actions(t, 1)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert min(a["baseRowId"] for a in adds) == 0
+    assert _hwm(acts) is not None
+
+
+def test_sequential_appends_never_overlap(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, hwm=9)
+    w = DeltaTableWriter(spark, t)
+    w.append(_df(spark, [100, 101]))
+    w.append(_df(spark, [200, 201, 202]))
+    ranges = []
+    for v in (1, 2):
+        for a in _commit_actions(t, v):
+            if "add" in a:
+                n = json.loads(a["add"]["stats"])["numRecords"]
+                b = a["add"]["baseRowId"]
+                ranges.append((b, b + n - 1))
+    ranges.append((0, 2))  # the foreign file's ids
+    ranges.sort()
+    for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+        assert e1 < s2, f"row id ranges overlap: {ranges}"
+
+
+# ----------------------------------------------------------------- merge
+
+def test_merge_removes_carry_row_tracking_fields(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, hwm=9)
+    kt = DeltaKeyedTable(spark, t, ["id"])
+    kt.merge(upserts=_df(spark, [1]))
+    acts = _commit_actions(t, 1)
+    removes = [a["remove"] for a in acts if "remove" in a]
+    assert removes and removes[0]["baseRowId"] == 0
+    assert removes[0]["defaultRowCommitVersion"] == 0
+    adds = [a["add"] for a in acts if "add" in a]
+    assert all(a["baseRowId"] >= 10 for a in adds)
+    assert _hwm(acts) is not None
+
+
+def test_dv_merge_preserves_base_row_id_of_readded_file(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, hwm=9)
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.merge(delete_keys=spark.createDataFrame([(1,)], "id long"))
+    acts = _commit_actions(t, 1)
+    dv_adds = [
+        a["add"]
+        for a in acts
+        if "add" in a and a["add"].get("deletionVector")
+    ]
+    assert dv_adds, "DV merge should re-add the touched file"
+    # the SAME file keeps its original ids — the spec's preservation
+    # rule for unrewritten files
+    assert dv_adds[0]["baseRowId"] == 0
+    assert dv_adds[0]["defaultRowCommitVersion"] == 0
+    assert DeltaTableReader(spark, t).read().count() == 2
+
+
+# --------------------------------------------------- enableRowTracking
+
+def test_enabled_tables_refuse_merge_and_optimize(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _foreign_rt_table(
+        t, configuration={"delta.enableRowTracking": "true"}, hwm=9
+    )
+    w = DeltaTableWriter(spark, t)
+    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
+        w.optimize()
+    kt = DeltaKeyedTable(spark, t, ["id"])
+    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
+        kt.merge(upserts=_df(spark, [1]))
+    kt_dv = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
+        kt_dv.merge(delete_keys=spark.createDataFrame([(1,)], "id long"))
+    # appends stay available — new rows are genuinely new
+    w.append(_df(spark, [100]))
+    assert DeltaTableReader(spark, t).read().count() == 4
+
+
+# ------------------------------------------------------- checkpointing
+
+@pytest.mark.parametrize("fmt", ["classic", "v2"])
+def test_domains_and_row_ids_survive_checkpoint(spark, tmp_path, fmt):
+    """After a checkpoint + truncated-log replay, the watermark domain,
+    an unknown foreign domain (incl. a removed tombstone), and each
+    add's baseRowId must all survive — losing any of them corrupts a
+    foreign engine's row tracking."""
+    t = str(tmp_path / "t")
+    proto = dict(PROTOCOL_RT)
+    if fmt == "v2":
+        proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": [
+                "rowTracking", "domainMetadata", "v2Checkpoint",
+            ],
+        }
+    _foreign_rt_table(
+        t,
+        hwm=9,
+        extra_actions=[
+            {
+                "domainMetadata": {
+                    "domain": "foreign.engine.domain",
+                    "configuration": json.dumps({"opaque": True}),
+                    "removed": False,
+                }
+            },
+            {
+                "domainMetadata": {
+                    "domain": "foreign.engine.gone",
+                    "configuration": "{}",
+                    "removed": True,
+                }
+            },
+        ],
+    )
+    # patch protocol for the v2 variant
+    if fmt == "v2":
+        p = os.path.join(t, "_delta_log", f"{0:020d}.json")
+        lines = [json.loads(x) for x in open(p) if x.strip()]
+        lines[0] = {"protocol": proto}
+        with open(p, "w") as fh:
+            for a in lines:
+                fh.write(json.dumps(a) + "\n")
+
+    w = DeltaTableWriter(
+        spark, t, checkpoint_interval=2, checkpoint_format=fmt
+    )
+    w.append(_df(spark, [100]))
+    w.append(_df(spark, [101]))  # version 2 → checkpoint fires
+    ckpts = [
+        n
+        for n in os.listdir(os.path.join(t, "_delta_log"))
+        if ".checkpoint." in n or n.endswith(".checkpoint.parquet")
+    ]
+    assert ckpts, "checkpoint did not fire"
+    # simulate log truncation: replay must come from the checkpoint
+    for v in (0, 1, 2):
+        p = os.path.join(t, "_delta_log", f"{v:020d}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+    r = DeltaTableReader(spark, t)
+    snap = r.snapshot()
+    assert "delta.rowTracking" in snap.domains
+    hwm = json.loads(
+        snap.domains["delta.rowTracking"]["configuration"]
+    )["rowIdHighWaterMark"]
+    assert hwm >= 10
+    assert "foreign.engine.domain" in snap.domains
+    gone = snap.domains["foreign.engine.gone"]
+    assert bool(gone.get("removed")) is True
+    base_ids = sorted(
+        a.get("baseRowId")
+        for a in snap.adds_raw.values()
+        if a.get("baseRowId") is not None
+    )
+    assert 0 in base_ids and len(base_ids) == len(snap.adds_raw)
+    # and the NEXT write keeps assigning above the recovered watermark
+    w.append(_df(spark, [102]))
+    acts = _commit_actions(t, 3)
+    adds = [a["add"] for a in acts if "add" in a]
+    assert all(a["baseRowId"] > hwm for a in adds)
+
+
+def test_non_tracking_tables_unaffected(spark, tmp_path):
+    """No rowTracking feature → no row-tracking fields, no domain
+    actions; the patch is a structural no-op."""
+    t = str(tmp_path / "t")
+    w = DeltaTableWriter(spark, t)
+    w.append(_df(spark, [1, 2]))
+    w.append(_df(spark, [3]))
+    for v in (0, 1):
+        for a in _commit_actions(t, v):
+            if "add" in a:
+                assert "baseRowId" not in a["add"]
+            assert "domainMetadata" not in a

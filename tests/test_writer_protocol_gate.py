@@ -104,30 +104,32 @@ def _keys(spark):
 
 
 def test_unknown_writer_feature_refuses_all_writes(spark, tmp_path):
-    """rowTracking is a write-time invariant we don't maintain: every
-    write path must refuse, and the table must be bit-identical after."""
-    t = str(tmp_path / "rowtracking")
+    """icebergCompatV2 is a write-time invariant we don't maintain:
+    every write path must refuse, and the table must be bit-identical
+    after. (rowTracking moved to the supported set in round 9 — see
+    tests/test_row_tracking.py.)"""
+    t = str(tmp_path / "icebergcompat")
     _foreign_table(
         t,
         {
             "minReaderVersion": 1,
             "minWriterVersion": 7,
-            "writerFeatures": ["rowTracking"],
+            "writerFeatures": ["icebergCompatV2"],
         },
     )
     before = open(os.path.join(t, "_delta_log", f"{0:020d}.json")).read()
     w = DeltaTableWriter(spark, t)
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         w.append(_df(spark))
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         w.overwrite(_df(spark))
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         w.optimize()
     kt = DeltaKeyedTable(spark, t, ["id"])
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         kt.merge(upserts=_df(spark))
     kt_dv = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
-    with pytest.raises(DeltaProtocolError, match="rowTracking"):
+    with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         kt_dv.merge(delete_keys=_keys(spark))
     # log untouched, no stray version-1 commit, no orphan data commits
     assert (
