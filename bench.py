@@ -82,6 +82,8 @@ HEADLINE = [
     # round 6: new data-selection / contamination ops
     "t23_unigram_ppl",
     "t24_source_overlap",
+    # round 9: token-window chunking
+    "t25_chunk_plan",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",

@@ -1,0 +1,67 @@
+"""Token-window document chunking — the standing preprocessing step a
+training-data pipeline runs before tokenization/packing: split each
+document into overlapping windows of at most `chunk_size` whitespace
+tokens with `overlap` tokens shared between consecutive chunks (the
+sliding-window shape context-bounded trainers and RAG indexers use).
+
+Scale shape: pure column expressions + ONE generator (posexplode) —
+no shuffle, no UDF, no driver involvement; chunk boundaries are
+per-document, so the operator is embarrassingly parallel and
+whole-stage-codegen'd end to end. At 100 TB this runs at scan speed;
+the only cost multiplier is the output row fan-out itself.
+
+Tokenization is the engine-wide whitespace convention
+(functions.text.tokens: split on trim + \\s+), which keeps every
+chunk boundary reproducible across engines — the DuckDB oracle uses
+string_split_regex(trim(text), '\\s+') and hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from deimos_spark.functions.text import tokens
+
+__all__ = ["chunk_documents"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("id",),
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """(id_cols..., chunk_idx, n_tokens, chunk_text) — one row per
+    sliding window. Windows start at 0, stride `chunk_size - overlap`,
+    and keep starting while tokens remain, so the final chunk may be
+    shorter than `chunk_size` (never empty). Documents containing no
+    non-whitespace character produce no chunks (`rlike '\\S'` — the
+    one input class whose tokenization differs between engines,
+    filtered identically on both sides of the oracle)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_size, got {overlap=} {chunk_size=}"
+        )
+    stride = chunk_size - overlap
+    toks: Column = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    exploded = (
+        df.where(F.col(text_col).rlike(r"\S"))
+        .select(
+            *id_cols,
+            toks.alias("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "__start"),
+        )
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("__start") + 1, chunk_size
+    )
+    return exploded.select(
+        *id_cols,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

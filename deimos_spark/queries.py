@@ -591,6 +591,22 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_plan(_docs(spark, sf_dir), capacity=512, shards=16)
 
 
+def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t25: token-window document chunking — every doc split into
+    sliding windows of ≤64 whitespace tokens with 16-token overlap
+    (the pre-tokenization step context-bounded trainers and RAG
+    indexers run). Pure column exprs + one posexplode: scan-speed at
+    any scale, chunk-exact oracle."""
+    from deimos_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(spark, sf_dir),
+        id_cols=("doc_id",),
+        chunk_size=64,
+        overlap=16,
+    )
+
+
 MIXTURE_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
 
 
@@ -1700,6 +1716,22 @@ def all_queries() -> dict[str, QuerySpec]:
             "FROM per JOIN model USING (b) "
             "GROUP BY doc_id ORDER BY ppl_score, doc_id LIMIT 15",
             note="CCNet-style hashed-unigram LM quality score (target = en)",
+        ),
+        QuerySpec(
+            "t25_chunk_plan", q_chunk_plan,
+            # identical tokenization + window arithmetic: range() is
+            # end-exclusive like sequence(0, n-1) is end-inclusive;
+            # list_slice's inclusive end = slice's length bound
+            "WITH t AS (SELECT doc_id, "
+            r"string_split_regex(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE regexp_matches(text, '\S')), "
+            "s AS (SELECT doc_id, ts, "
+            "unnest(range(0, len(ts), 48)) AS start FROM t) "
+            "SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx, "
+            "CAST(len(list_slice(ts, start + 1, start + 64)) AS INT) "
+            "AS n_tokens, "
+            "array_to_string(list_slice(ts, start + 1, start + 64), ' ') "
+            "AS chunk_text FROM s",
         ),
         QuerySpec(
             "t24_source_overlap", q_source_overlap,

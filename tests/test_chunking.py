@@ -1,0 +1,98 @@
+"""Token-window chunking (operators/chunking.py): boundary semantics
+gated against an independently-written pure-Python reference."""
+
+import re
+
+import pytest
+
+from deimos_spark.operators.chunking import chunk_documents
+
+
+def _engine_tokens(text):
+    """The engine's tokenizer convention exactly: trim strips SPACES
+    only, Java split keeps a leading empty token but drops trailing
+    ones."""
+    import re
+
+    parts = re.split(r"\s+", text.strip(" "))
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def _py_chunks(text, chunk_size, overlap):
+    if not re.search(r"\S", text):
+        return []
+    toks = _engine_tokens(text)
+    out = []
+    stride = chunk_size - overlap
+    start = 0
+    idx = 0
+    while start < len(toks):
+        piece = toks[start : start + chunk_size]
+        out.append((idx, len(piece), " ".join(piece)))
+        idx += 1
+        start += stride
+    return out
+
+
+CASES = [
+    "one two three four five six seven eight nine ten",
+    "single",
+    "  leading and trailing   whitespace\ttabs\nnewlines  ",
+    "exactly four tokens here",
+    "\ttab-led text keeps the leading empty token",
+    " ".join(f"w{i}" for i in range(200)),
+]
+
+
+@pytest.mark.parametrize("chunk_size,overlap", [(4, 0), (4, 1), (8, 3)])
+def test_matches_python_reference(spark, chunk_size, overlap):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "doc_id long, text string"
+    )
+    got = {}
+    rows = chunk_documents(
+        df, id_cols=("doc_id",), chunk_size=chunk_size, overlap=overlap
+    ).collect()
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        )
+    for i, t in enumerate(CASES):
+        want = _py_chunks(t, chunk_size, overlap)
+        assert sorted(got.get(i, [])) == want, f"doc {i}"
+
+
+def test_empty_and_whitespace_docs_produce_no_chunks(spark):
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   \t\n "), (2, "real text")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(
+        df, id_cols=("doc_id",), chunk_size=4, overlap=1
+    ).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+
+
+def test_overlap_is_shared_suffix_prefix(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string"
+    )
+    rows = sorted(
+        chunk_documents(
+            df, id_cols=("doc_id",), chunk_size=4, overlap=2
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    texts = [r["chunk_text"] for r in rows]
+    assert texts == ["a b c d", "c d e f", "e f g h", "g h"]
+    for a, b in zip(texts, texts[1:]):
+        assert a.split()[-2:] == b.split()[:2] or len(b.split()) < 2
+
+
+def test_bad_overlap_refuses():
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(None, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(None, chunk_size=4, overlap=-1)
