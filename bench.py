@@ -84,6 +84,7 @@ HEADLINE = [
     "t24_source_overlap",
     # round 9: token-window chunking
     "t25_chunk_plan",
+    "t26_substr_dedup",
     # TPC-H-derived suite: the multi-join/agg shapes that dominate at scale
     "h01_pricing_summary",
     "h03_shipping_priority",

@@ -607,6 +607,18 @@ def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t26: cross-document exact-substring dedup at 8-token-segment
+    granularity (Lee et al. 2022 shape) — segments shared by ≥2 docs
+    drop everywhere; per-doc counts + cleaned-text md5. Hash-keyed
+    shuffles only; scale-safe."""
+    from deimos_spark.operators.chunking import exact_segment_dedup
+
+    return exact_segment_dedup(
+        _docs(spark, sf_dir), segment_size=8, min_docs=2
+    )
+
+
 MIXTURE_TARGETS = {"en": 0.4, "de": 0.2, "es": 0.2, "fr": 0.1, "zh": 0.1}
 
 
@@ -1732,6 +1744,34 @@ def all_queries() -> dict[str, QuerySpec]:
             "AS n_tokens, "
             "array_to_string(list_slice(ts, start + 1, start + 64), ' ') "
             "AS chunk_text FROM s",
+        ),
+        QuerySpec(
+            "t26_substr_dedup", q_substr_dedup,
+            # same segmentation as t25 with overlap 0; dedup keyed on
+            # md5(segment); all-dropped docs agg to md5('') via the
+            # coalesce (string_agg over no rows is NULL there, Spark's
+            # array_join over an empty array is '')
+            "WITH t AS (SELECT doc_id, "
+            r"string_split_regex(trim(text), '\s+') AS ts "
+            r"FROM documents WHERE regexp_matches(text, '\S')), "
+            "s0 AS (SELECT doc_id, ts, "
+            "unnest(range(0, len(ts), 8)) AS start FROM t), "
+            "s AS (SELECT doc_id, CAST(start // 8 AS INT) AS chunk_idx, "
+            "len(list_slice(ts, start + 1, start + 8)) AS n_tokens, "
+            "array_to_string(list_slice(ts, start + 1, start + 8), ' ') "
+            "AS chunk_text FROM s0), "
+            "s2 AS (SELECT doc_id, chunk_idx, n_tokens, chunk_text, "
+            "md5(chunk_text) AS h FROM s), "
+            "d AS (SELECT h, count(DISTINCT doc_id) AS df FROM s2 "
+            "GROUP BY 1) "
+            "SELECT doc_id, CAST(count(*) AS INT) AS n_segs, "
+            "CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INT) "
+            "AS n_dropped, "
+            "CAST(sum(CASE WHEN df < 2 THEN n_tokens ELSE 0 END) AS INT) "
+            "AS kept_tokens, "
+            "md5(coalesce(string_agg(CASE WHEN df < 2 THEN chunk_text END, "
+            "' ' ORDER BY chunk_idx), '')) AS clean_md5 "
+            "FROM s2 JOIN d USING(h) GROUP BY doc_id",
         ),
         QuerySpec(
             "t24_source_overlap", q_source_overlap,

@@ -96,3 +96,57 @@ def test_bad_overlap_refuses():
         chunk_documents(None, chunk_size=4, overlap=4)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(None, chunk_size=4, overlap=-1)
+
+
+# ------------------------------------------------- exact_segment_dedup
+
+def test_exact_segment_dedup_drops_shared_segments(spark):
+    from hashlib import md5
+
+    from deimos_spark.operators.chunking import exact_segment_dedup
+
+    boiler = "subscribe to our newsletter now"  # 5 tokens
+    docs = [
+        (0, f"{boiler} alpha beta gamma delta epsilon"),
+        (1, f"{boiler} one two three four five"),
+        (2, "totally unique content with no duplication at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exact_segment_dedup(
+            df, segment_size=5, min_docs=2
+        ).collect()
+    }
+    # docs 0 and 1 share their first 5-token segment exactly
+    for i in (0, 1):
+        assert got[i]["n_segs"] == 2
+        assert got[i]["n_dropped"] == 1
+        assert got[i]["kept_tokens"] == 5
+    assert got[2]["n_dropped"] == 0
+    assert got[2]["kept_tokens"] == 8
+    # cleaned text = the surviving segment, verified against plain md5
+    assert got[0]["clean_md5"] == md5(
+        b"alpha beta gamma delta epsilon"
+    ).hexdigest()
+
+
+def test_exact_segment_dedup_all_dropped_doc(spark):
+    from hashlib import md5
+
+    from deimos_spark.operators.chunking import exact_segment_dedup
+
+    same = "exact copy of a tiny doc"
+    df = spark.createDataFrame(
+        [(0, same), (1, same)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in exact_segment_dedup(
+            df, segment_size=8, min_docs=2
+        ).collect()
+    }
+    for i in (0, 1):
+        assert got[i]["n_dropped"] == got[i]["n_segs"] == 1
+        assert got[i]["kept_tokens"] == 0
+        assert got[i]["clean_md5"] == md5(b"").hexdigest()

@@ -57,7 +57,7 @@ QUERIES = [
     "h02_min_cost_supplier", "h11_important_stock",
     "x06_funnel", "t21_dsir_weights",
     "t23_unigram_ppl", "t24_source_overlap", "x13_sessionize",
-    "t10b_bpe_real", "t25_chunk_plan",
+    "t10b_bpe_real", "t25_chunk_plan", "t26_substr_dedup",
 ]
 
 # super-linear flagging thresholds (see module docstring)
