@@ -128,6 +128,12 @@ SUPPORTED_WRITER_FEATURES = {
     "timestampNtz",
     "domainMetadata",
     "rowTracking",
+    # every commit stamps a monotonic commitInfo.inCommitTimestamp
+    # when delta.enableInCommitTimestamps=true (see _commit)
+    "inCommitTimestamp",
+    # vacuum() probes the writer protocol before deleting anything —
+    # exactly the check this feature exists to force
+    "vacuumProtocolCheck",
 }
 
 # Features we may coexist with ONLY while the table provably does not
@@ -189,7 +195,8 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
     (PROTOCOL.md: "a writer must not write to a table whose
     minWriterVersion/writerFeatures it does not support").
 
-    `operation` ∈ {"append", "overwrite", "merge", "optimize"} — needed
+    `operation` ∈ {"append", "overwrite", "merge", "optimize",
+    "vacuum"} — needed
     for `delta.appendOnly`: the spec allows dataChange=false removes
     (OPTIMIZE) on append-only tables but forbids logical deletes, so
     overwrite/merge refuse while append/optimize pass.
@@ -444,7 +451,7 @@ class DeltaTableReader:
                 # v2Checkpoint handled in _load_checkpoint_v2
                 if feat not in (
                     "timestampNtz", "deletionVectors", "columnMapping",
-                    "v2Checkpoint",
+                    "v2Checkpoint", "vacuumProtocolCheck",
                 ):
                     raise DeltaProtocolError(f"reader feature {feat!r} unsupported")
         elif "txn" in action:
@@ -1753,18 +1760,42 @@ class DeltaTableWriter:
         import uuid
 
         actions = self._row_tracking_patch(snap, actions, version)
-        if not any("commitInfo" in a for a in actions):
+        ci = next((a for a in actions if "commitInfo" in a), None)
+        if ci is None:
             # informational, first line by convention: gives history()
             # (ours and real engines') an operation label + timestamp
-            actions = [
-                {
-                    "commitInfo": {
-                        "timestamp": int(_time.time() * 1000),
-                        "operation": op,
-                        "engineInfo": "deimos-spark",
-                    }
+            ci = {
+                "commitInfo": {
+                    "timestamp": int(_time.time() * 1000),
+                    "operation": op,
+                    "engineInfo": "deimos-spark",
                 }
-            ] + actions
+            }
+            actions = [ci] + actions
+        proto = (snap.protocol_raw if snap else None) or {}
+        conf = ((snap.meta_raw if snap else None) or {}).get(
+            "configuration"
+        ) or {}
+        if (
+            "inCommitTimestamp" in (proto.get("writerFeatures") or [])
+            and conf.get("delta.enableInCommitTimestamps") == "true"
+        ):
+            # spec "In-Commit Timestamps": commitInfo MUST be the
+            # first action and carry an inCommitTimestamp STRICTLY
+            # greater than the previous commit's — monotonic even
+            # against wall-clock skew
+            prev = os.path.join(
+                self.log_dir, f"{version - 1:020d}.json"
+            )
+            prev_ict = (
+                int(DeltaTableReader._commit_ts(prev))
+                if os.path.exists(prev)
+                else -1
+            )
+            ci["commitInfo"]["inCommitTimestamp"] = max(
+                int(_time.time() * 1000), prev_ict + 1
+            )
+            actions = [ci] + [a for a in actions if a is not ci]
         payload = "\n".join(json.dumps(a) for a in actions) + "\n"
         tmp = os.path.join(self.log_dir, f".tmp_{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -2577,6 +2608,13 @@ class DeltaTableWriter:
         latest = self._latest_version()
         if latest < 0:
             return []
+        # the vacuumProtocolCheck contract: BEFORE deleting anything,
+        # verify we understand every writer feature that could be
+        # tracking files in ways this vacuum doesn't know about —
+        # refusing beats silently deleting a live file
+        check_writer_protocol(
+            reader.snapshot(_meta_only=True), "vacuum"
+        )
         keep: set[str] = set()
         lo = max(0, latest - keep_versions)
         for v in range(lo, latest + 1):
