@@ -290,6 +290,21 @@ class IcebergTableReader:
         ]
         return out[:limit] if limit is not None else out
 
+    def refs(self) -> dict[str, dict]:
+        """The spec's `refs` map: name → {snapshot-id, type
+        ("branch"|"tag"), retention fields}. Branches/tags are how real
+        tables pin audit states and WAP workflows."""
+        return dict(self.metadata.get("refs") or {})
+
+    def snapshot_id_for_ref(self, name: str) -> int:
+        r = (self.metadata.get("refs") or {}).get(name)
+        if r is None:
+            raise IcebergProtocolError(
+                f"ref {name!r} not found (have: "
+                f"{sorted(self.metadata.get('refs') or {})})"
+            )
+        return int(r["snapshot-id"])
+
     def snapshot_id_at(self, as_of_ms: int) -> int:
         """Timestamp time travel: the snapshot current AS OF `as_of_ms`
         (epoch millis) — the latest snapshot whose `timestamp-ms` is
@@ -760,6 +775,7 @@ class IcebergTableReader:
         partition_filter: dict[str, object] | None = None,
         as_of_ms: int | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        ref: str | None = None,
         _keep_meta: bool = False,
     ) -> DataFrame:
         """`partition_filter` prunes by each manifest entry's typed
@@ -770,10 +786,14 @@ class IcebergTableReader:
         also remain in the data files, so Catalyst still row-group-
         prunes whatever survives.) `as_of_ms` is timestamp time travel
         (the latest snapshot at or before the bound)."""
+        if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
+            raise ValueError(
+                "pass at most one of snapshot_id / as_of_ms / ref"
+            )
         if as_of_ms is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id OR as_of_ms, not both")
             snapshot_id = self.snapshot_id_at(as_of_ms)
+        if ref is not None:
+            snapshot_id = self.snapshot_id_for_ref(ref)
         schema = self.schema()
         data, pos_deletes, eq_deletes, dvs = self._file_sets(
             snapshot_id, partition_filter, stats_filter
@@ -2576,6 +2596,12 @@ class IcebergTableWriter:
             "default-sort-order-id": 0,
             "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],
             "current-snapshot-id": snap_id,
+            # spec `refs`: main tracks the current snapshot; every
+            # other ref (tags, audit branches) is preserved verbatim
+            "refs": {
+                **((md.get("refs") if md else None) or {}),
+                "main": {"snapshot-id": snap_id, "type": "branch"},
+            },
             "snapshot-log": (md.get("snapshot-log", []) if md else [])
             + [{"snapshot-id": snap_id, "timestamp-ms": now}],
             "metadata-log": [],
@@ -2650,6 +2676,53 @@ class IcebergTableWriter:
         additive evolution via merge_schema is the supported path."""
         self._snapshot_commit(df, overwrite=True, merge_schema=merge_schema)
 
+    def set_ref(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        ref_type: str = "tag",
+    ) -> None:
+        """Create or move a ref (spec `refs` map): `ref_type` "tag"
+        pins a snapshot (audit states, WAP publishes), "branch" names a
+        movable head. Default snapshot is the current one. Renaming
+        "main" by hand is refused — the writer owns it."""
+        if ref_type not in ("tag", "branch"):
+            raise ValueError(f"ref_type {ref_type!r}: tag or branch")
+        if name == "main":
+            raise ValueError("'main' is writer-managed")
+        mv, md = self._current()
+        if md is None:
+            raise IcebergProtocolError("no table to tag")
+        sid = (
+            snapshot_id
+            if snapshot_id is not None
+            else md.get("current-snapshot-id")
+        )
+        if sid in (None, -1):
+            raise IcebergProtocolError("table has no snapshot to tag")
+        if not any(
+            s.get("snapshot-id") == sid for s in md.get("snapshots") or []
+        ):
+            raise IcebergProtocolError(f"snapshot {sid} not found")
+        new_md = dict(md)
+        new_md["refs"] = {
+            **(md.get("refs") or {}),
+            name: {"snapshot-id": int(sid), "type": ref_type},
+        }
+        self._commit(mv + 1, new_md)
+
+    def drop_ref(self, name: str) -> None:
+        if name == "main":
+            raise ValueError("'main' is writer-managed")
+        mv, md = self._current()
+        refs = dict((md or {}).get("refs") or {})
+        if name not in refs:
+            raise IcebergProtocolError(f"ref {name!r} not found")
+        del refs[name]
+        new_md = dict(md)
+        new_md["refs"] = refs
+        self._commit(mv + 1, new_md)
+
     def expire_snapshots(
         self,
         keep_last: int = 1,
@@ -2675,7 +2748,21 @@ class IcebergTableWriter:
         snaps = md.get("snapshots") or []
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        retained = snaps[-keep_last:]
+        # spec ref retention: a snapshot targeted by ANY ref (tag or
+        # branch head) never expires — tags exist precisely to pin
+        # audit states past the time-based window
+        ref_ids = {
+            int(r["snapshot-id"])
+            for r in (md.get("refs") or {}).values()
+            if r.get("snapshot-id") is not None
+        }
+        tail = snaps[-keep_last:]
+        tail_ids = {s["snapshot-id"] for s in tail}
+        retained = [
+            s
+            for s in snaps
+            if s["snapshot-id"] in tail_ids or s["snapshot-id"] in ref_ids
+        ]
         if len(retained) == len(snaps):
             kept_all = True
         else:
