@@ -1744,6 +1744,12 @@ _MANIFEST_ENTRY_SCHEMA = {
                         "default": None,
                         "field-id": 128,
                     },
+                    {
+                        "name": "sort_order_id",
+                        "type": ["null", "int"],
+                        "default": None,
+                        "field-id": 140,
+                    },
                 ],
             },
         },
@@ -1939,6 +1945,8 @@ class IcebergTableWriter:
         max_commit_retries: int = 5,
         partition_by: tuple[str, ...] = (),
         format_version: int = 2,
+        sort_by: tuple[str, ...] = (),
+        sort_partitions: int | None = None,
     ):
         from deimos_spark.operators.iceberg_transforms import (
             parse_partition_field,
@@ -1950,6 +1958,18 @@ class IcebergTableWriter:
             )
         self.spark = spark
         self.path = path
+        # spec sort orders (identity asc nulls-first): data range-
+        # clusters on these columns before writing, so per-file
+        # min/max bounds become disjoint and stats_filter/other
+        # engines' scan planning prune files instead of reading them —
+        # the clustering half of the write path. Recorded in table
+        # metadata (sort-orders / default-sort-order-id) and on each
+        # data file (sort_order_id, spec field 140).
+        self.sort_by = tuple(sort_by)
+        # explicit range-partition count (= target file count per
+        # write): AQE coalesces an unpinned range shuffle of small
+        # batches into one file; pinning it sizes output files
+        self.sort_partitions = sort_partitions
         # v3 adds REQUIRED row lineage (spec: writers must assign row
         # ids): table metadata carries next-row-id, each snapshot its
         # first-row-id, each added data file an explicit first_row_id.
@@ -2008,6 +2028,24 @@ class IcebergTableWriter:
         src_types = {
             f.name: f.dataType.simpleString() for f in df.schema.fields
         }
+        if self.sort_by:
+            from pyspark.sql import functions as F
+
+            missing = [c for c in self.sort_by if c not in src_types]
+            if missing:
+                raise IcebergProtocolError(
+                    f"sort_by columns {missing} not in batch schema"
+                )
+            cols = [F.col(c).asc_nulls_first() for c in self.sort_by]
+            # range shuffle + in-partition sort = disjoint per-file
+            # ranges; the shuffle IS the point (clustering), opted
+            # into by declaring sort_by
+            ranged = (
+                df.repartitionByRange(self.sort_partitions, *cols)
+                if self.sort_partitions
+                else df.repartitionByRange(*cols)
+            )
+            df = ranged.sortWithinPartitions(*cols)
         if self.partition_fields:
             tmp_cols = [f"__ice_pv_{pf.name}" for pf in self.partition_fields]
             staged = df
@@ -2299,6 +2337,46 @@ class IcebergTableWriter:
         # at the table's next-row-id; the metadata advances past them
         row_cursor = (md or {}).get("next-row-id", 0) if fv >= 3 else None
 
+        # spec sort orders: PRESERVE whatever the table already
+        # declares (previously clobbered to []); when this writer
+        # sorts, reuse a matching existing order or mint the next
+        # order-id, and stamp it as the default + on each data file
+        prior_sos = (md.get("sort-orders") if md else None) or [
+            {"order-id": 0, "fields": []}
+        ]
+        default_so = (md or {}).get("default-sort-order-id", 0)
+        soid = None
+        if self.sort_by and df is not None:
+            unknown_sort = [
+                c for c in self.sort_by if c not in id_by_name
+            ]
+            if unknown_sort:
+                raise IcebergProtocolError(
+                    f"sort_by columns {unknown_sort} not in table schema"
+                )
+            want = [
+                {
+                    "transform": "identity",
+                    "source-id": id_by_name[c],
+                    "direction": "asc",
+                    "null-order": "nulls-first",
+                }
+                for c in self.sort_by
+            ]
+            hit = next(
+                (s for s in prior_sos if s.get("fields") == want), None
+            )
+            if hit is None:
+                soid = (
+                    max(s.get("order-id", 0) for s in prior_sos) + 1
+                )
+                prior_sos = prior_sos + [
+                    {"order-id": soid, "fields": want}
+                ]
+            else:
+                soid = hit["order-id"]
+            default_so = soid
+
         def _entry(p, rows, size, pvals):
             nonlocal row_cursor
             lower, upper = _file_column_bounds(p, ice_fields)
@@ -2316,6 +2394,7 @@ class IcebergTableWriter:
                     "file_size_in_bytes": size,
                     "lower_bounds": lower,
                     "upper_bounds": upper,
+                    "sort_order_id": soid,
                 },
             }
             if row_cursor is not None:
@@ -2592,8 +2671,8 @@ class IcebergTableWriter:
             ],
             "default-spec-id": 0,
             "last-partition-id": 999 + len(self.partition_fields),
-            "sort-orders": [{"order-id": 0, "fields": []}],
-            "default-sort-order-id": 0,
+            "sort-orders": prior_sos,
+            "default-sort-order-id": default_so,
             "snapshots": (md.get("snapshots", []) if md else []) + [snapshot],
             "current-snapshot-id": snap_id,
             # spec `refs`: main tracks the current snapshot; every

@@ -1170,7 +1170,7 @@ def test_iceberg_timestamp_time_travel(spark, ice_table):
     assert _rows(r.read(as_of_ms=99)) == {(1, "a"), (2, "b"), (3, "c")}
     with pytest.raises(IcebergProtocolError, match="no snapshot"):
         r.snapshot_id_at(-5)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         r.read(snapshot_id=1, as_of_ms=0)
 
 
