@@ -1646,6 +1646,8 @@ class DeltaTableWriter:
         max_commit_retries: int = 5,
         checkpoint_interval: int = 20,
         checkpoint_format: str = "classic",
+        sort_by: tuple[str, ...] = (),
+        sort_partitions: int | None = None,
     ):
         if checkpoint_format not in ("classic", "v2"):
             raise ValueError(
@@ -1657,6 +1659,15 @@ class DeltaTableWriter:
         self.max_commit_retries = max_commit_retries
         self.checkpoint_interval = checkpoint_interval
         self.checkpoint_format = checkpoint_format
+        # write clustering (Delta has no sort-order metadata — the
+        # protocol's data skipping works purely off per-file stats, so
+        # range-clustering on these columns makes each add's
+        # minValues/maxValues disjoint and every conforming reader's
+        # stats pruning effective). sort_partitions pins the range
+        # shuffle width (= output file count); unpinned, AQE coalesces
+        # small batches to one file.
+        self.sort_by = tuple(sort_by)
+        self.sort_partitions = sort_partitions
         if isinstance(schema, str):
             schema = T.StructType.fromDDL(schema)
         self.schema = schema
@@ -2247,6 +2258,21 @@ class DeltaTableWriter:
         uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".staging_{uid}")
         adds: list[dict] = []
+        if self.sort_by:
+            missing = [
+                c for c in self.sort_by if c not in df.columns
+            ]
+            if missing:
+                raise DeltaProtocolError(
+                    f"sort_by columns {missing} not in batch schema"
+                )
+            cols = [F.col(c).asc_nulls_first() for c in self.sort_by]
+            ranged = (
+                df.repartitionByRange(self.sort_partitions, *cols)
+                if self.sort_partitions
+                else df.repartitionByRange(*cols)
+            )
+            df = ranged.sortWithinPartitions(*cols)
         if not self.partition_by:
             df.write.mode("overwrite").parquet(staging)
             i = 0

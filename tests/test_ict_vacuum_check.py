@@ -201,3 +201,32 @@ def test_vacuum_refuses_unknown_writer_feature(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="icebergCompatV2"):
         w.vacuum(retention_seconds=0.0)
     assert set(os.listdir(t)) == files_before
+
+
+# ------------------------------------------------- write clustering
+
+def test_delta_sort_by_clusters_file_stats(spark, tmp_path):
+    """sort_by range-clusters data files so each add's stats
+    minValues/maxValues are disjoint — what makes the protocol's
+    data skipping effective for every conforming reader."""
+    import random
+
+    t = str(tmp_path / "t")
+    rng = random.Random(3)
+    rows = [(i, f"r{i}") for i in range(4000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "id long, v string").repartition(4)
+    w = DeltaTableWriter(spark, t, sort_by=("id",), sort_partitions=4)
+    w.append(df)
+    snap = DeltaTableReader(spark, t).snapshot()
+    assert len(snap.files) > 1
+    ranges = []
+    for a in snap.adds_raw.values():
+        st = json.loads(a["stats"])
+        ranges.append((st["minValues"]["id"], st["maxValues"]["id"]))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, f"file stat ranges overlap: {ranges}"
+    assert DeltaTableReader(spark, t).read().count() == 4000
+    with pytest.raises(DeltaProtocolError, match="sort_by"):
+        DeltaTableWriter(spark, t, sort_by=("ghost",)).append(df)
