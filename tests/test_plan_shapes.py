@@ -193,3 +193,27 @@ def test_source_overlap_content_join_is_hash(spark):
     assert "HashJoin [ck" in plan or "HashJoin [source" in plan or (
         "SortMergeJoin [ck" in plan
     ), plan[:2000]
+
+
+def test_no_declared_query_has_unpartitioned_window(spark):
+    """Registry-wide scale gate: no declared query's physical plan may
+    contain an unpartitioned Window (the single-partition scale-killer
+    WindowExec warns about). Partitioned Window nodes print THREE
+    bracket groups (functions, partition spec, order spec);
+    unpartitioned ones print two. The only unpartitioned windows in
+    the engine are bounded control paths (outbox/jdbc id assignment
+    over one micro-batch of control rows) — never a declared query."""
+    import re
+
+    from deimos_spark.queries import all_queries
+
+    offenders = []
+    for name, spec in sorted(all_queries().items()):
+        df = spec.builder(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if re.search(r"\bWindow \[", line):
+                groups = re.findall(r"\[[^\]]*\]", line)
+                if len(groups) == 2:
+                    offenders.append((name, line[:120]))
+    assert not offenders, offenders
