@@ -134,6 +134,9 @@ SUPPORTED_WRITER_FEATURES = {
     # vacuum() probes the writer protocol before deleting anything —
     # exactly the check this feature exists to force
     "vacuumProtocolCheck",
+    # writes land physical names + field ids (_to_physical); schema
+    # evolution on mapped tables still refuses in check_write_schema
+    "columnMapping",
 }
 
 # Features we may coexist with ONLY while the table provably does not
@@ -147,7 +150,6 @@ _GATED_IF_ACTIVE = {
     "checkConstraints",
     "generatedColumns",
     "identityColumns",
-    "columnMapping",
 }
 
 # minWriterVersion → implicitly-required feature set (PROTOCOL.md legacy
@@ -209,9 +211,8 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
       (`delta.invariants` field metadata), generated columns
       (`delta.generationExpression`), identity columns
       (`delta.identity.*`).
-    - Column mapping mode ≠ none refuses all writes: our data files
-      carry logical names without field ids, which a mapped table's
-      readers would not resolve.
+    - Column mapping (name/id) is writable: files land physical names
+      + field ids; schema evolution on mapped tables still refuses.
     - `delta.appendOnly=true` refuses overwrite/merge.
     """
     proto = snap.protocol_raw or {}
@@ -255,11 +256,12 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
                 f"column {f.name!r} is an identity column — this writer "
                 "does not allocate its values, refusing to write"
             )
-    if (snap.column_mapping or "none") != "none":
-        raise DeltaProtocolError(
-            f"column mapping mode {snap.column_mapping!r}: this writer "
-            "emits logical-name files without field ids, refusing to write"
-        )
+    # column mapping (name/id) is WRITABLE: _write_files lands
+    # physical column names + parquet field ids and keys
+    # partitionValues on physical names (see _column_map/_to_physical);
+    # schema EVOLUTION on mapped tables still refuses in
+    # check_write_schema (new fields would need id/physical-name
+    # assignment consistent with the table's mapping counters).
     if conf.get("delta.appendOnly") == "true" and operation in (
         "overwrite",
         "merge",
@@ -1294,10 +1296,8 @@ class DeltaTableReader:
                 and a["remove"].get("dataChange", True)
             ]
             if cdc:
-                if mapping:
-                    raise DeltaProtocolError(
-                        "cdc reads on column-mapped tables unsupported"
-                    )
+                # mapped tables: _read_cdc_files requests physical
+                # names and aliases back to logical
                 df = self._read_cdc_files(cdc, probe)
             else:
                 if removes or any(a.get("deletionVector") for a in adds):
@@ -1346,25 +1346,44 @@ class DeltaTableReader:
         """Read a commit's `cdc` actions (PROTOCOL.md Change Data
         Files): parquet under the table root carrying the data columns
         plus `_change_type`; partition columns re-attach as typed
-        literals from the action's partitionValues, same as adds."""
+        literals from the action's partitionValues, same as adds.
+        Mapped tables: cdc files carry PHYSICAL names (the data-file
+        rule) — requested physically, aliased back to logical."""
+        mapped = snap.column_mapping in ("name", "id")
+
+        def _phys(f: T.StructField) -> str:
+            return (
+                (f.metadata or {}).get(
+                    "delta.columnMapping.physicalName", f.name
+                )
+                if mapped
+                else f.name
+            )
+
         ptypes = {
             f.name: f.dataType
             for f in snap.schema.fields
             if f.name in snap.partition_columns
         }
+        pv_key = {f.name: _phys(f) for f in snap.schema.fields}
         data_fields = [
             f
             for f in snap.schema.fields
             if f.name not in snap.partition_columns
         ]
         file_schema = T.StructType(
-            [T.StructField(f.name, f.dataType, f.nullable) for f in data_fields]
+            [
+                T.StructField(_phys(f), f.dataType, f.nullable)
+                for f in data_fields
+            ]
             + [T.StructField("_change_type", T.StringType())]
         )
         groups: dict[tuple, list[str]] = {}
         for a in cdc_actions:
             pv = dict(a.get("partitionValues") or {})
-            key = tuple((c, pv.get(c)) for c in snap.partition_columns)
+            key = tuple(
+                (c, pv.get(pv_key[c])) for c in snap.partition_columns
+            )
             groups.setdefault(key, []).append(
                 os.path.join(self.path, a["path"])
             )
@@ -1376,6 +1395,14 @@ class DeltaTableReader:
             ),
         ):
             df = self.spark.read.schema(file_schema).parquet(*paths)
+            if mapped:
+                df = df.select(
+                    *[
+                        F.col(_phys(f)).alias(f.name)
+                        for f in data_fields
+                    ],
+                    "_change_type",
+                )
             for col, raw in key:
                 lit = (
                     F.lit(None).cast(ptypes[col])
@@ -2248,9 +2275,60 @@ class DeltaTableWriter:
 
     # --------------------------------------------------------- data files
 
-    def _write_files(self, df: DataFrame) -> list[dict]:
+    @staticmethod
+    def _column_map(
+        snap: DeltaSnapshot | None,
+    ) -> dict[str, tuple[str, int | None]] | None:
+        """logical name → (physicalName, field id) for column-mapped
+        tables; None when the table has no mapping. What the write
+        path uses to land files other mapped-table readers resolve."""
+        if snap is None or (snap.column_mapping or "none") == "none":
+            return None
+        if snap.schema is None:
+            raise DeltaProtocolError(
+                "column-mapped table without a schema in the log"
+            )
+        out: dict[str, tuple[str, int | None]] = {}
+        for f in snap.schema.fields:
+            md = f.metadata or {}
+            fid = md.get("delta.columnMapping.id")
+            out[f.name] = (
+                md.get("delta.columnMapping.physicalName", f.name),
+                int(fid) if fid is not None else None,
+            )
+        return out
+
+    @staticmethod
+    def _to_physical(df: DataFrame, cmap: dict) -> DataFrame:
+        """Rename logical batch columns to their physical names and
+        attach `parquet.field.id` metadata (PROTOCOL.md Column
+        Mapping: data files carry physical names; id-mode readers
+        resolve by field id). Columns outside the table schema
+        (e.g. `_change_type` in cdc files) pass through untouched."""
+        cols = []
+        for f in df.schema.fields:
+            phys, fid = cmap.get(f.name, (f.name, None))
+            if fid is not None:
+                cols.append(
+                    F.col(f.name).alias(
+                        phys, metadata={"parquet.field.id": fid}
+                    )
+                )
+            else:
+                cols.append(F.col(f.name).alias(phys))
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.fieldId.write.enabled", "true"
+        )
+        return df.select(*cols)
+
+    def _write_files(
+        self, df: DataFrame, cmap: dict | None = None
+    ) -> list[dict]:
         """Write df as parquet file(s), Delta layout: partition columns
-        stripped from the files, recorded per-file in add actions."""
+        stripped from the files, recorded per-file in add actions.
+        `cmap` (column-mapped tables) lands PHYSICAL column names +
+        field ids in the files and keys partitionValues on physical
+        names — both spec requirements for mapped tables."""
         import shutil
         import time as _time
         import uuid
@@ -2259,6 +2337,7 @@ class DeltaTableWriter:
         staging = os.path.join(self.path, f".staging_{uid}")
         adds: list[dict] = []
         if self.sort_by:
+            # sort on LOGICAL names, before any mapping rename
             missing = [
                 c for c in self.sort_by if c not in df.columns
             ]
@@ -2273,7 +2352,11 @@ class DeltaTableWriter:
                 else df.repartitionByRange(*cols)
             )
             df = ranged.sortWithinPartitions(*cols)
-        if not self.partition_by:
+        pcols = list(self.partition_by)
+        if cmap:
+            df = self._to_physical(df, cmap)
+            pcols = [cmap.get(c, (c, None))[0] for c in pcols]
+        if not pcols:
             df.write.mode("overwrite").parquet(staging)
             i = 0
             for f in sorted(os.listdir(staging)):
@@ -2295,7 +2378,7 @@ class DeltaTableWriter:
         str_pcols = [
             f.name
             for f in df.schema.fields
-            if f.name in self.partition_by
+            if f.name in pcols
             and isinstance(f.dataType, T.StringType)
         ]
         for c in str_pcols:
@@ -2305,7 +2388,7 @@ class DeltaTableWriter:
                     F.col(c)
                 ),
             )
-        df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(staging)
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(staging)
         i = 0
         for root, _dirs, files in os.walk(staging):
             pq = [f for f in files if f.endswith(".parquet")]
@@ -2346,20 +2429,28 @@ class DeltaTableWriter:
             add["stats"] = stats
         return {"add": add}
 
-    def _write_cdc_files(self, df: DataFrame) -> list[dict]:
+    def _write_cdc_files(
+        self, df: DataFrame, cmap: dict | None = None
+    ) -> list[dict]:
         """Write change rows (table columns + `_change_type`) as Change
         Data Files (PROTOCOL.md): parquet under `_change_data/`,
         partition columns stripped from the files and recorded in each
         `cdc` action's partitionValues — the same layout rule as data
         files, so `read_changes` re-attaches them identically. cdc
         actions carry dataChange=false: they describe a commit's
-        changes, they are not part of the table's live state."""
+        changes, they are not part of the table's live state. `cmap`
+        (mapped tables): physical names in files and partitionValues,
+        same as data files; `_change_type` passes through untouched."""
         import shutil
         import uuid
 
         uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".staging_cdc_{uid}")
         cdir = os.path.join(self.path, "_change_data")
+        pcols = list(self.partition_by)
+        if cmap:
+            df = self._to_physical(df, cmap)
+            pcols = [cmap.get(c, (c, None))[0] for c in pcols]
         os.makedirs(cdir, exist_ok=True)
         out: list[dict] = []
 
@@ -2373,7 +2464,7 @@ class DeltaTableWriter:
                 }
             }
 
-        if not self.partition_by:
+        if not pcols:
             df.write.mode("overwrite").parquet(staging)
             i = 0
             for f in sorted(os.listdir(staging)):
@@ -2389,7 +2480,7 @@ class DeltaTableWriter:
         str_pcols = [
             f.name
             for f in df.schema.fields
-            if f.name in self.partition_by
+            if f.name in pcols
             and isinstance(f.dataType, T.StringType)
         ]
         for c in str_pcols:
@@ -2399,7 +2490,7 @@ class DeltaTableWriter:
                     F.col(c)
                 ),
             )
-        df.write.mode("overwrite").partitionBy(*self.partition_by).parquet(
+        df.write.mode("overwrite").partitionBy(*pcols).parquet(
             staging
         )
         i = 0
@@ -2561,7 +2652,7 @@ class DeltaTableWriter:
                 meta_update = check_write_schema(
                     probe, df.schema, merge_schema
                 )
-            adds = self._write_files(df)
+            adds = self._write_files(df, self._column_map(probe))
             actions = meta_update + adds
             if v < 0:
                 actions = self._meta_actions(df.schema) + adds
@@ -2598,7 +2689,7 @@ class DeltaTableWriter:
                 {"remove": {"path": p, "dataChange": False}}
                 for p in sorted(snap.files)
             ]
-            adds = self._write_files(current)
+            adds = self._write_files(current, self._column_map(snap))
             for a in adds:
                 a["add"]["dataChange"] = False
             try:
@@ -2818,7 +2909,7 @@ class DeltaTableWriter:
                     {"remove": {"path": p, "dataChange": True}}
                     for p in sorted(snap.files)
                 ]
-            adds = self._write_files(df)
+            adds = self._write_files(df, self._column_map(snap))
             actions = (
                 (self._meta_actions(df.schema) if v < 0 else [])
                 + meta_update
@@ -3046,8 +3137,9 @@ class DeltaKeyedTable:
                 new_state = upserts
             else:
                 new_state = survivors
+            cmap = DeltaTableWriter._column_map(snap)
             adds = (
-                w._write_files(new_state)
+                w._write_files(new_state, cmap)
                 if new_state is not None and new_state.head(1)
                 else []
             )
@@ -3063,7 +3155,7 @@ class DeltaKeyedTable:
                     F.broadcast(affected), self.key_cols, "left_semi"
                 )
                 cdc_actions = w._write_cdc_files(
-                    self._cdf_rows(pre, upserts)
+                    self._cdf_rows(pre, upserts), cmap
                 )
                 proto_up = self._cdf_protocol_action(snap.protocol_raw)
             actions = (
@@ -3204,10 +3296,45 @@ class DeltaKeyedTable:
             removes, dv_adds, dv_paths = [], [], []
             scan = None
             if probe_files and snap.schema is not None:
+                cmap_probe = DeltaTableWriter._column_map(snap)
+                phys_of = {
+                    f.name: (
+                        cmap_probe.get(f.name, (f.name, None))[0]
+                        if cmap_probe
+                        else f.name
+                    )
+                    for f in snap.schema.fields
+                }
                 data_fields = [
                     f for f in snap.schema.fields if f.name not in pcols
                 ]
-                data_schema = T.StructType(data_fields)
+                # mapped tables: files carry PHYSICAL names — request
+                # them (with field ids in id mode) and alias back
+                data_schema = T.StructType(
+                    [
+                        T.StructField(
+                            phys_of[f.name],
+                            f.dataType,
+                            f.nullable,
+                            metadata=(
+                                {
+                                    "parquet.field.id": cmap_probe[
+                                        f.name
+                                    ][1]
+                                }
+                                if cmap_probe
+                                and snap.column_mapping == "id"
+                                and cmap_probe[f.name][1] is not None
+                                else None
+                            ),
+                        )
+                        for f in data_fields
+                    ]
+                )
+                if snap.column_mapping == "id":
+                    self.spark.conf.set(
+                        "spark.sql.parquet.fieldId.read.enabled", "true"
+                    )
                 ptypes = {
                     f.name: f.dataType
                     for f in snap.schema.fields
@@ -3215,10 +3342,11 @@ class DeltaKeyedTable:
                 }
                 # one scan per partition-value group (files lack the
                 # partition columns — re-attach as typed literals so the
-                # key probe can include partition-key columns)
+                # key probe can include partition-key columns); mapped
+                # tables key partitionValues on physical names
                 groups: dict[tuple, list[str]] = {}
                 for p, pv in probe_files.items():
-                    key = tuple((c, pv.get(c)) for c in pcols)
+                    key = tuple((c, pv.get(phys_of[c])) for c in pcols)
                     groups.setdefault(key, []).append(p)
                 scan = None
                 for key, paths in sorted(
@@ -3240,6 +3368,15 @@ class DeltaKeyedTable:
                         )
                         .withColumn("__ri", F.col("_metadata.row_index"))
                     )
+                    if cmap_probe:
+                        g = g.select(
+                            *[
+                                F.col(phys_of[f.name]).alias(f.name)
+                                for f in data_fields
+                            ],
+                            "__f",
+                            "__ri",
+                        )
                     for col, raw in key:
                         lit = (
                             F.lit(None).cast(ptypes[col])
@@ -3288,7 +3425,9 @@ class DeltaKeyedTable:
                     dv_adds.append({"add": new_add})
 
             new_file_adds = (
-                w._write_files(upserts)
+                w._write_files(
+                    upserts, DeltaTableWriter._column_map(snap)
+                )
                 if upserts is not None and upserts.head(1)
                 else []
             )
@@ -3316,7 +3455,8 @@ class DeltaKeyedTable:
                     F.broadcast(affected), self.key_cols, "left_semi"
                 )
                 cdc_actions = w._write_cdc_files(
-                    self._cdf_rows(pre, upserts)
+                    self._cdf_rows(pre, upserts),
+                    DeltaTableWriter._column_map(snap),
                 )
                 up = self._cdf_protocol_action(proto)
                 if up:

@@ -1,0 +1,258 @@
+"""Writes into column-mapped Delta tables (PROTOCOL.md "Column
+Mapping", modes name + id) — previously refused outright; now the
+write path lands what mapped-table readers require:
+
+- data (and cdc) files carry PHYSICAL column names + parquet field
+  ids; partitionValues key on physical names;
+- per-file stats key on physical names (footer-derived, so automatic);
+- merge (rewrite AND DV modes) and CDF round-trip through the mapped
+  layout; schema EVOLUTION on mapped tables still refuses.
+
+Foreign fixtures hand-authored (physical-named pyarrow files +
+spec-exact commits), nothing produced by this repo's writer.
+"""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from deimos_spark.operators.delta_interop import (
+    DeltaKeyedTable,
+    DeltaProtocolError,
+    DeltaTableReader,
+    DeltaTableWriter,
+)
+
+PHYS_ID, PHYS_V, PHYS_P = "col-aaa111", "col-bbb222", "col-ppp333"
+
+
+def _schema_json(with_part=False):
+    fields = [
+        {
+            "name": "id",
+            "type": "long",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 1,
+                "delta.columnMapping.physicalName": PHYS_ID,
+            },
+        },
+        {
+            "name": "v",
+            "type": "string",
+            "nullable": True,
+            "metadata": {
+                "delta.columnMapping.id": 2,
+                "delta.columnMapping.physicalName": PHYS_V,
+            },
+        },
+    ]
+    if with_part:
+        fields.append(
+            {
+                "name": "p",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 3,
+                    "delta.columnMapping.physicalName": PHYS_P,
+                },
+            }
+        )
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _mapped_table(table, mode="name", with_part=False, extra_conf=None):
+    os.makedirs(os.path.join(table, "_delta_log"), exist_ok=True)
+    rel = "part-00000-foreign.parquet"
+    # id-mode tables carry parquet field ids in every data file
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{PHYS_ID: 1, PHYS_V: "a"}],
+            schema=pa.schema(
+                [
+                    pa.field(
+                        PHYS_ID, pa.int64(),
+                        metadata={b"PARQUET:field_id": b"1"},
+                    ),
+                    pa.field(
+                        PHYS_V, pa.string(),
+                        metadata={b"PARQUET:field_id": b"2"},
+                    ),
+                ]
+            ),
+        ),
+        os.path.join(table, rel),
+    )
+    conf = {
+        "delta.columnMapping.mode": mode,
+        "delta.columnMapping.maxColumnId": "3",
+    }
+    conf.update(extra_conf or {})
+    add_pv = {PHYS_P: "x"} if with_part else {}
+    actions = [
+        {
+            "protocol": {
+                "minReaderVersion": 2,
+                "minWriterVersion": 7,
+                "readerFeatures": None,
+                "writerFeatures": ["columnMapping"],
+            }
+            if False
+            else {"minReaderVersion": 2, "minWriterVersion": 5}
+        },
+        {
+            "metaData": {
+                "id": "foreign-map0",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_json(with_part),
+                "partitionColumns": ["p"] if with_part else [],
+                "configuration": conf,
+                "createdTime": 1,
+            }
+        },
+        {
+            "add": {
+                "path": rel,
+                "partitionValues": add_pv,
+                "size": os.path.getsize(os.path.join(table, rel)),
+                "modificationTime": 1,
+                "dataChange": True,
+            }
+        },
+    ]
+    with open(
+        os.path.join(table, "_delta_log", f"{0:020d}.json"), "w"
+    ) as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _df(spark, rows, schema="id long, v string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _new_data_files(table):
+    out = []
+    for n in os.listdir(table):
+        if n.endswith(".parquet") and "foreign" not in n:
+            out.append(os.path.join(table, n))
+    return out
+
+
+def test_append_name_mode_lands_physical_names(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mapped_table(t, "name")
+    DeltaTableWriter(spark, t).append(_df(spark, [(2, "b")]))
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    new = [
+        f for f in _new_data_files(t) if pq.read_metadata(f).num_rows > 0
+    ]
+    assert new
+    names = set(pq.read_schema(new[0]).names)
+    assert names == {PHYS_ID, PHYS_V}
+    # add stats key PHYSICAL names (the spec's stats rule)
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+        if line.strip()
+    ]
+    adds = [a["add"] for a in acts if "add" in a]
+    stats = next(
+        json.loads(a["stats"])
+        for a in adds
+        if json.loads(a["stats"])["numRecords"] > 0
+    )
+    assert PHYS_ID in stats["minValues"]
+    assert "id" not in stats["minValues"]
+
+
+def test_append_id_mode_writes_field_ids(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mapped_table(t, "id")
+    DeltaTableWriter(spark, t).append(_df(spark, [(2, "b")]))
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    nonempty = [
+        f for f in _new_data_files(t) if pq.read_metadata(f).num_rows > 0
+    ]
+    sch = pq.read_schema(nonempty[0])
+    fid = sch.field(PHYS_ID).metadata or {}
+    assert fid.get(b"PARQUET:field_id") == b"1"
+
+
+def test_partitioned_mapped_append_physical_pv_keys(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mapped_table(t, "name", with_part=True)
+    DeltaTableWriter(spark, t, partition_by=("p",)).append(
+        _df(spark, [(2, "b", "y")], "id long, v string, p string")
+    )
+    acts = [
+        json.loads(line)
+        for line in open(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+        if line.strip()
+    ]
+    add = next(a["add"] for a in acts if "add" in a)
+    assert add["partitionValues"] == {PHYS_P: "y"}
+    got = {
+        (r.id, r.v, r.p)
+        for r in DeltaTableReader(spark, t).read().collect()
+    }
+    assert got == {(1, "a", "x"), (2, "b", "y")}
+
+
+@pytest.mark.parametrize("use_dvs", [False, True])
+def test_mapped_merge_both_modes(spark, tmp_path, use_dvs):
+    t = str(tmp_path / "t")
+    _mapped_table(t, "name")
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=use_dvs)
+    kt.merge(upserts=_df(spark, [(1, "A"), (3, "c")]))
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(1, "A"), (3, "c")}
+    kt.merge(delete_keys=spark.createDataFrame([(3,)], "id long"))
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(1, "A")}
+
+
+def test_mapped_cdf_round_trip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mapped_table(
+        t, "name", extra_conf={"delta.enableChangeDataFeed": "true"}
+    )
+    kt = DeltaKeyedTable(spark, t, ["id"])
+    kt.merge(upserts=_df(spark, [(1, "A"), (3, "c")]))
+    ch = DeltaTableReader(spark, t).read_changes(starting_version=1)
+    rows = {(r.id, r.v, r._change_type) for r in ch.collect()}
+    assert ("1", ) != rows  # shape sanity
+    assert ("3", ) != rows
+    assert {x for x in rows} == {
+        (1, "a", "update_preimage"),
+        (1, "A", "update_postimage"),
+        (3, "c", "insert"),
+    }
+    # cdc files themselves carry physical names
+    cdir = os.path.join(t, "_change_data")
+    cdc = [
+        n
+        for n in os.listdir(cdir)
+        if n.endswith(".parquet")
+        and pq.read_metadata(os.path.join(cdir, n)).num_rows > 0
+    ]
+    assert cdc
+    names = set(pq.read_schema(os.path.join(cdir, cdc[0])).names)
+    assert PHYS_ID in names and "id" not in names
+
+
+def test_mapped_schema_evolution_still_refuses(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _mapped_table(t, "name")
+    w = DeltaTableWriter(spark, t)
+    with pytest.raises(DeltaProtocolError, match="column-mapped|mapped"):
+        w.append(
+            _df(spark, [(2, "b", 1.5)], "id long, v string, extra double"),
+            merge_schema=True,
+        )

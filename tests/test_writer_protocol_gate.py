@@ -238,9 +238,17 @@ def test_append_only_allows_append_refuses_deletes(spark, tmp_path):
     ) == [(1, "a"), (9, "z")]
 
 
-def test_column_mapped_table_refuses_writes(spark, tmp_path):
-    """Our data files carry logical names without field ids — writing
-    into a mapped table would produce files its readers can't resolve."""
+def test_column_mapped_table_passes_the_gate(spark, tmp_path):
+    """Mapped tables are WRITABLE since round 9's tail (files land
+    physical names + field ids — full write-path coverage in
+    tests/test_mapped_writes.py); the gate itself must pass for every
+    operation. (This fixture's data file is intentionally NOT read —
+    its columns are logical-named, which a real mapped table never
+    has.)"""
+    from deimos_spark.operators.delta_interop import (
+        check_writer_protocol,
+    )
+
     t = str(tmp_path / "mapped")
     _foreign_table(
         t,
@@ -260,8 +268,9 @@ def test_column_mapped_table_refuses_writes(spark, tmp_path):
             },
         },
     )
-    with pytest.raises(DeltaProtocolError, match="column mapping"):
-        DeltaTableWriter(spark, t).append(_df(spark))
+    snap = DeltaTableReader(spark, t).snapshot(_meta_only=True)
+    for op in ("append", "overwrite", "merge", "optimize", "vacuum"):
+        check_writer_protocol(snap, op)  # must not raise
 
 
 def test_inert_legacy_features_still_write(spark, tmp_path):
