@@ -325,10 +325,11 @@ def check_write_schema(
     refuse NEW columns unless `merge_schema` (the protocol's schema
     evolution — returns the updated metaData action to commit, new
     fields appended nullable). Missing nullable table columns are
-    allowed (files simply lack them). Evolution on column-mapped tables
-    refuses: new fields would need physical names + field ids assigned
-    under delta.columnMapping.maxColumnId, which this writer does not
-    manage."""
+    allowed (files simply lack them). Evolution on column-mapped
+    tables assigns each new field a fresh field id above
+    delta.columnMapping.maxColumnId and a synthetic physicalName
+    (`col-<uuid>`), bumping the counter — the spec's add-column rule
+    for mapped tables."""
     if snap.schema is None:
         return []
     extra, errors = _schema_drift(snap.schema, batch_schema)
@@ -356,16 +357,42 @@ def check_write_schema(
             f"{[f.name for f in extra]} — pass merge_schema=True to "
             "evolve the table schema"
         )
-    if (snap.column_mapping or "none") != "none":
-        raise DeltaProtocolError(
-            "schema evolution on a column-mapped table needs physical "
-            "names + field ids assigned — unsupported, refusing"
-        )
-    new_schema = T.StructType(
-        list(snap.schema.fields)
-        + [T.StructField(f.name, f.dataType, True) for f in extra]
-    )
     meta = dict(snap.meta_raw or {})
+    if (snap.column_mapping or "none") != "none":
+        import uuid
+
+        conf = dict(meta.get("configuration") or {})
+        try:
+            maxid = int(conf.get("delta.columnMapping.maxColumnId", 0))
+        except (TypeError, ValueError):
+            maxid = 0
+        for f in snap.schema.fields:
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is not None:
+                maxid = max(maxid, int(fid))
+        new_fields = []
+        for f in extra:
+            maxid += 1
+            new_fields.append(
+                T.StructField(
+                    f.name,
+                    f.dataType,
+                    True,
+                    metadata={
+                        "delta.columnMapping.id": maxid,
+                        "delta.columnMapping.physicalName": (
+                            f"col-{uuid.uuid4().hex[:16]}"
+                        ),
+                    },
+                )
+            )
+        conf["delta.columnMapping.maxColumnId"] = str(maxid)
+        meta["configuration"] = conf
+    else:
+        new_fields = [
+            T.StructField(f.name, f.dataType, True) for f in extra
+        ]
+    new_schema = T.StructType(list(snap.schema.fields) + new_fields)
     meta["schemaString"] = json.dumps(new_schema.jsonValue())
     return [{"metaData": meta}]
 
@@ -2288,8 +2315,14 @@ class DeltaTableWriter:
             raise DeltaProtocolError(
                 "column-mapped table without a schema in the log"
             )
+        return DeltaTableWriter._column_map_of(snap.schema)
+
+    @staticmethod
+    def _column_map_of(
+        schema: T.StructType,
+    ) -> dict[str, tuple[str, int | None]]:
         out: dict[str, tuple[str, int | None]] = {}
-        for f in snap.schema.fields:
+        for f in schema.fields:
             md = f.metadata or {}
             fid = md.get("delta.columnMapping.id")
             out[f.name] = (
@@ -2652,7 +2685,18 @@ class DeltaTableWriter:
                 meta_update = check_write_schema(
                     probe, df.schema, merge_schema
                 )
-            adds = self._write_files(df, self._column_map(probe))
+            cmap = self._column_map(probe) if v >= 0 else None
+            if cmap is not None and meta_update:
+                # mapped evolution: the NEW fields' physical names live
+                # only in the updated metaData — map from it
+                cmap = self._column_map_of(
+                    T.StructType.fromJson(
+                        json.loads(
+                            meta_update[0]["metaData"]["schemaString"]
+                        )
+                    )
+                )
+            adds = self._write_files(df, cmap)
             actions = meta_update + adds
             if v < 0:
                 actions = self._meta_actions(df.schema) + adds

@@ -247,12 +247,39 @@ def test_mapped_cdf_round_trip(spark, tmp_path):
     assert PHYS_ID in names and "id" not in names
 
 
-def test_mapped_schema_evolution_still_refuses(spark, tmp_path):
+def test_mapped_schema_evolution_assigns_ids_and_physical_names(
+    spark, tmp_path
+):
+    """Evolution on mapped tables: new fields get a fresh field id
+    above delta.columnMapping.maxColumnId and a synthetic col-<uuid>
+    physicalName; the counter bumps; the new column's DATA lands under
+    the physical name and reads back logically (NULL on old rows)."""
     t = str(tmp_path / "t")
     _mapped_table(t, "name")
     w = DeltaTableWriter(spark, t)
-    with pytest.raises(DeltaProtocolError, match="column-mapped|mapped"):
+    with pytest.raises(DeltaProtocolError, match="merge_schema"):
         w.append(
-            _df(spark, [(2, "b", 1.5)], "id long, v string, extra double"),
-            merge_schema=True,
+            _df(spark, [(2, "b", 1.5)], "id long, v string, extra double")
         )
+    w.append(
+        _df(spark, [(2, "b", 1.5)], "id long, v string, extra double"),
+        merge_schema=True,
+    )
+    r = DeltaTableReader(spark, t)
+    snap = r.snapshot(_meta_only=True)
+    f = next(x for x in snap.schema.fields if x.name == "extra")
+    md = f.metadata or {}
+    assert md["delta.columnMapping.id"] == 4  # above maxColumnId=3
+    phys = md["delta.columnMapping.physicalName"]
+    assert phys.startswith("col-") and phys != "extra"
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    assert conf["delta.columnMapping.maxColumnId"] == "4"
+    got = {(r_.id, r_.v, r_.extra) for r_ in r.read().collect()}
+    assert got == {(1, "a", None), (2, "b", 1.5)}
+    # the file itself carries the synthetic physical name
+    new = [
+        f2
+        for f2 in _new_data_files(t)
+        if pq.read_metadata(f2).num_rows > 0
+    ]
+    assert any(phys in pq.read_schema(f2).names for f2 in new)
