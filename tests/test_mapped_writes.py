@@ -6,7 +6,8 @@ write path lands what mapped-table readers require:
   ids; partitionValues key on physical names;
 - per-file stats key on physical names (footer-derived, so automatic);
 - merge (rewrite AND DV modes) and CDF round-trip through the mapped
-  layout; schema EVOLUTION on mapped tables still refuses.
+  layout; schema EVOLUTION assigns fresh field ids + synthetic
+  physical names above delta.columnMapping.maxColumnId.
 
 Foreign fixtures hand-authored (physical-named pyarrow files +
 spec-exact commits), nothing produced by this repo's writer.
@@ -94,16 +95,7 @@ def _mapped_table(table, mode="name", with_part=False, extra_conf=None):
     conf.update(extra_conf or {})
     add_pv = {PHYS_P: "x"} if with_part else {}
     actions = [
-        {
-            "protocol": {
-                "minReaderVersion": 2,
-                "minWriterVersion": 7,
-                "readerFeatures": None,
-                "writerFeatures": ["columnMapping"],
-            }
-            if False
-            else {"minReaderVersion": 2, "minWriterVersion": 5}
-        },
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {
             "metaData": {
                 "id": "foreign-map0",
@@ -283,3 +275,50 @@ def test_mapped_schema_evolution_assigns_ids_and_physical_names(
         if pq.read_metadata(f2).num_rows > 0
     ]
     assert any(phys in pq.read_schema(f2).names for f2 in new)
+
+
+def test_mapped_rowtracking_ict_compose(spark, tmp_path):
+    """The three round-9 writer features on ONE foreign table —
+    column mapping + row tracking + in-commit timestamps — compose:
+    one append produces a commitInfo-first ICT, physical-named files
+    with fresh baseRowId ranges, and the watermark domain; a DV merge
+    then works over the mapped layout."""
+    t = str(tmp_path / "t")
+    _mapped_table(t, "name")
+    p = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = [json.loads(x) for x in open(p) if x.strip()]
+    lines[0] = {
+        "protocol": {
+            "minReaderVersion": 2,
+            "minWriterVersion": 7,
+            "writerFeatures": [
+                "columnMapping",
+                "rowTracking",
+                "domainMetadata",
+                "inCommitTimestamp",
+            ],
+        }
+    }
+    lines[1]["metaData"]["configuration"][
+        "delta.enableInCommitTimestamps"
+    ] = "true"
+    with open(p, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+
+    DeltaTableWriter(spark, t).append(_df(spark, [(2, "b")]))
+    acts = [
+        json.loads(x)
+        for x in open(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+        if x.strip()
+    ]
+    assert "inCommitTimestamp" in acts[0].get("commitInfo", {})
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(a.get("baseRowId") is not None for a in adds)
+    assert any("domainMetadata" in a for a in acts)
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(1, "a"), (2, "b")}
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.merge(delete_keys=spark.createDataFrame([(1,)], "id long"))
+    got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
+    assert got == {(2, "b")}
