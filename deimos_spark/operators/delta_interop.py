@@ -1778,12 +1778,27 @@ class DeltaTableWriter:
         if "rowTracking" not in (proto.get("writerFeatures") or []):
             return actions
         dm = snap.domains.get("delta.rowTracking") or {}
-        hwm = -1
+        hwm = None
         try:
-            cfg = json.loads(dm.get("configuration") or "{}")
-            hwm = int(cfg.get("rowIdHighWaterMark", -1))
-        except (ValueError, TypeError):
+            cfg = json.loads(dm.get("configuration") or "")
+            hwm = int(cfg["rowIdHighWaterMark"])
+        except (ValueError, TypeError, KeyError):
             pass
+        if hwm is None:
+            # missing/corrupt watermark domain (a prior writer's spec
+            # violation, or a table that declared the feature without
+            # ever writing): derive the floor from the add actions'
+            # ASSIGNED ranges — starting at 0 would mint row ids that
+            # collide with existing files'. One full replay, only in
+            # this anomalous case (the probe may have been meta-only).
+            full = DeltaTableReader(self.spark, self.path).snapshot()
+            hwm = -1
+            for a in full.adds_raw.values():
+                b = a.get("baseRowId")
+                if b is not None:
+                    hwm = max(
+                        hwm, int(b) + max(self._add_num_records(a), 1) - 1
+                    )
         assigned = False
         for act in actions:
             if "add" in act:

@@ -169,16 +169,20 @@ def test_append_assigns_fresh_ids_above_watermark(spark, tmp_path):
     assert DeltaTableReader(spark, t).read().count() == 5
 
 
-def test_append_without_prior_domain_starts_at_zero(spark, tmp_path):
-    """A table that declares rowTracking but has no watermark domain
-    yet (fresh foreign table before its first tracked write)."""
+def test_append_without_prior_domain_derives_floor_from_adds(
+    spark, tmp_path
+):
+    """A table that declares rowTracking but carries no watermark
+    domain (a prior writer's spec violation): fresh ids must clear
+    the EXISTING adds' assigned ranges — starting at 0 would collide
+    with the foreign file's rows 0..n-1."""
     t = str(tmp_path / "t")
-    _foreign_rt_table(t, hwm=None, n_rows=2)
+    _foreign_rt_table(t, hwm=None, n_rows=2)  # foreign add: ids 0..1
     DeltaTableWriter(spark, t).append(_df(spark, [100]))
     acts = _commit_actions(t, 1)
     adds = [a["add"] for a in acts if "add" in a]
-    assert min(a["baseRowId"] for a in adds) == 0
-    assert _hwm(acts) is not None
+    assert min(a["baseRowId"] for a in adds) == 2
+    assert _hwm(acts) is not None and _hwm(acts) >= 2
 
 
 def test_sequential_appends_never_overlap(spark, tmp_path):
