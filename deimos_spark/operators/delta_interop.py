@@ -1238,6 +1238,25 @@ class DeltaTableReader:
                 break
         return out
 
+    def history_df(self, limit: int | None = None) -> DataFrame:
+        """history() as a DataFrame (DESCRIBE HISTORY's relational
+        shape) — composes with sql()/joins like the Iceberg inspect
+        tables."""
+        rows = [
+            (
+                h["version"],
+                int(h["timestamp"]),
+                (h.get("commitInfo") or {}).get("operation"),
+                (h.get("commitInfo") or {}).get("engineInfo"),
+            )
+            for h in self.history(limit)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "version long, timestamp long, operation string, "
+            "engine_info string",
+        )
+
     def read_changes(
         self,
         starting_version: int | None = None,

@@ -305,6 +305,112 @@ class IcebergTableReader:
             )
         return int(r["snapshot-id"])
 
+    # --------------------------------------------------- inspect tables
+    # The metadata-table surface real engines expose as
+    # `SELECT * FROM t.snapshots / t.files / t.refs / t.manifests` —
+    # small driver-assembled relations (bounded by snapshot/manifest
+    # counts, exactly like the engines' own implementations), returned
+    # as DataFrames so they compose with sql()/joins.
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (
+                s.get("snapshot-id"),
+                s.get("parent-snapshot-id"),
+                s.get("sequence-number"),
+                s.get("timestamp-ms"),
+                (s.get("summary") or {}).get("operation"),
+                {
+                    k: str(v)
+                    for k, v in (s.get("summary") or {}).items()
+                    if k != "operation"
+                },
+            )
+            for s in self.metadata.get("snapshots") or []
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, sequence_number long, "
+            "committed_at_ms long, operation string, "
+            "summary map<string,string>",
+        )
+
+    def refs_df(self) -> DataFrame:
+        rows = [
+            (name, r.get("type"), r.get("snapshot-id"))
+            for name, r in sorted(self.refs().items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long"
+        )
+
+    def files_df(self, snapshot_id: int | None = None) -> DataFrame:
+        """Live DATA files of a snapshot (content=0), with the
+        recorded path, row/byte counts, typed-as-string partition
+        tuple, and sort_order_id."""
+        _, manifests = ocf_read(
+            self._local(self.snapshot(snapshot_id)["manifest-list"])
+        ) if self.snapshot(snapshot_id) else (None, [])
+        rows = []
+        for mf in manifests:
+            if (mf.get("content") or 0) != 0:
+                continue
+            _, entries = ocf_read(self._local(mf["manifest_path"]))
+            for e in entries:
+                if e.get("status") == 2:  # DELETED
+                    continue
+                d = e["data_file"]
+                if (d.get("content", 0) or 0) != 0:
+                    continue
+                part = {
+                    k: (None if v is None else str(v))
+                    for k, v in (d.get("partition") or {}).items()
+                }
+                rows.append(
+                    (
+                        d.get("file_path"),
+                        str(d.get("file_format", "PARQUET")),
+                        d.get("record_count"),
+                        d.get("file_size_in_bytes"),
+                        part,
+                        d.get("sort_order_id"),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "file_path string, file_format string, record_count long, "
+            "file_size_in_bytes long, partition map<string,string>, "
+            "sort_order_id int",
+        )
+
+    def manifests_df(self, snapshot_id: int | None = None) -> DataFrame:
+        snap = self.snapshot(snapshot_id)
+        manifests = (
+            ocf_read(self._local(snap["manifest-list"]))[1]
+            if snap
+            else []
+        )
+        rows = [
+            (
+                m.get("manifest_path"),
+                m.get("manifest_length"),
+                m.get("content"),
+                m.get("partition_spec_id"),
+                m.get("added_snapshot_id"),
+                m.get("added_files_count"),
+                m.get("existing_files_count"),
+                m.get("deleted_files_count"),
+            )
+            for m in manifests
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, length long, content int, "
+            "partition_spec_id int, added_snapshot_id long, "
+            "added_files_count int, existing_files_count int, "
+            "deleted_files_count int",
+        )
+
     def snapshot_id_at(self, as_of_ms: int) -> int:
         """Timestamp time travel: the snapshot current AS OF `as_of_ms`
         (epoch millis) — the latest snapshot whose `timestamp-ms` is
