@@ -1238,6 +1238,39 @@ class DeltaTableReader:
                 break
         return out
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The live file set as a DataFrame (delta's `t.files` /
+        DESCRIBE DETAIL granularity): recorded path, size, numRecords
+        (from stats when present), partitionValues, DV cardinality,
+        and row-tracking fields."""
+        snap = self.snapshot(version)
+        rows = []
+        for p in sorted(snap.files):
+            a = snap.adds_raw.get(p) or {}
+            n = None
+            try:
+                n = json.loads(a.get("stats") or "").get("numRecords")
+            except (ValueError, TypeError):
+                pass
+            dv = a.get("deletionVector") or {}
+            rows.append(
+                (
+                    p,
+                    a.get("size"),
+                    n,
+                    dict(snap.files[p]),
+                    dv.get("cardinality"),
+                    a.get("baseRowId"),
+                    a.get("defaultRowCommitVersion"),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "path string, size long, num_records long, "
+            "partition_values map<string,string>, dv_cardinality long, "
+            "base_row_id long, default_row_commit_version long",
+        )
+
     def history_df(self, limit: int | None = None) -> DataFrame:
         """history() as a DataFrame (DESCRIBE HISTORY's relational
         shape) — composes with sql()/joins like the Iceberg inspect

@@ -104,3 +104,28 @@ def test_delta_history_df(spark, tmp_path):
     assert [r["version"] for r in rows] == [0, 1]
     assert all(r["operation"] == "WRITE" for r in rows)
     assert all(r["engine_info"] == "deimos-spark" for r in rows)
+
+
+def test_delta_files_df(spark, tmp_path):
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "d2")
+    kt = DeltaKeyedTable(
+        spark, t, ["id"], schema=SCHEMA, use_dvs=True
+    )
+    kt.upsert(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA))
+    kt.delete(spark.createDataFrame([(1,)], "id bigint"))
+    df = DeltaTableReader(spark, t).files_df()
+    rows = df.collect()
+    assert rows and sum(r["num_records"] or 0 for r in rows) == 2
+    assert any((r["dv_cardinality"] or 0) == 1 for r in rows)
+    df.createOrReplaceTempView("_delta_files")
+    assert (
+        spark.sql(
+            "SELECT CAST(count(*) AS INT) c FROM _delta_files"
+        ).collect()[0]["c"]
+        == len(rows)
+    )
