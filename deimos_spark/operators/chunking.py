@@ -35,9 +35,13 @@ def chunk_documents(
 ) -> DataFrame:
     """(id_cols..., chunk_idx, n_tokens, chunk_text) — one row per
     sliding window. Windows start at 0, stride `chunk_size - overlap`,
-    and keep starting while tokens remain, so the final chunk may be
-    shorter than `chunk_size` (never empty). Documents containing no
-    non-whitespace character produce no chunks (`rlike '\\S'` — the
+    and a window is emitted only while it contributes NEW tokens: a
+    start past `n - overlap` would produce a pure suffix-duplicate of
+    the previous chunk's overlap region (standard sliding-window
+    chunkers stop once a window reaches the document end), so those
+    are filtered — the final chunk may still be shorter than
+    `chunk_size`, never empty, never redundant. Documents containing
+    no non-whitespace character produce no chunks (`rlike '\\S'` — the
     one input class whose tokenization differs between engines,
     filtered identically on both sides of the oracle)."""
     if not 0 <= overlap < chunk_size:
@@ -47,7 +51,10 @@ def chunk_documents(
     stride = chunk_size - overlap
     toks: Column = tokens(text_col)
     n = F.size(toks)
-    starts = F.sequence(F.lit(0), n - 1, F.lit(stride))
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == F.lit(0)) | (s + overlap < n),
+    )
     exploded = (
         df.where(F.col(text_col).rlike(r"\S"))
         .select(

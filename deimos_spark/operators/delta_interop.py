@@ -233,29 +233,34 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
         )
 
     conf = (snap.meta_raw or {}).get("configuration") or {}
-    checks = [k for k in conf if k.startswith("delta.constraints.")]
-    if checks:
-        raise DeltaProtocolError(
-            f"table declares CHECK constraints {sorted(checks)} — this "
-            "writer does not enforce them, refusing to write"
-        )
-    for f in snap.schema.fields if snap.schema is not None else []:
-        md = f.metadata or {}
-        if "delta.invariants" in md:
+    if operation != "vacuum":
+        # enforce-at-write features gate DATA writes; vacuum writes no
+        # rows and cannot violate column-level invariants — only the
+        # unknown-feature check above protects it (vacuumProtocolCheck)
+        checks = [k for k in conf if k.startswith("delta.constraints.")]
+        if checks:
             raise DeltaProtocolError(
-                f"column {f.name!r} declares an invariant — this writer "
-                "does not enforce it, refusing to write"
+                f"table declares CHECK constraints {sorted(checks)} — "
+                "this writer does not enforce them, refusing to write"
             )
-        if "delta.generationExpression" in md:
-            raise DeltaProtocolError(
-                f"column {f.name!r} is a generated column — this writer "
-                "does not compute it, refusing to write"
-            )
-        if any(k.startswith("delta.identity.") for k in md):
-            raise DeltaProtocolError(
-                f"column {f.name!r} is an identity column — this writer "
-                "does not allocate its values, refusing to write"
-            )
+        for f in snap.schema.fields if snap.schema is not None else []:
+            md = f.metadata or {}
+            if "delta.invariants" in md:
+                raise DeltaProtocolError(
+                    f"column {f.name!r} declares an invariant — this "
+                    "writer does not enforce it, refusing to write"
+                )
+            if "delta.generationExpression" in md:
+                raise DeltaProtocolError(
+                    f"column {f.name!r} is a generated column — this "
+                    "writer does not compute it, refusing to write"
+                )
+            if any(k.startswith("delta.identity.") for k in md):
+                raise DeltaProtocolError(
+                    f"column {f.name!r} is an identity column — this "
+                    "writer does not allocate its values, refusing to "
+                    "write"
+                )
     # column mapping (name/id) is WRITABLE: _write_files lands
     # physical column names + parquet field ids and keys
     # partitionValues on physical names (see _column_map/_to_physical);
@@ -1249,7 +1254,9 @@ class DeltaTableReader:
             a = snap.adds_raw.get(p) or {}
             n = None
             try:
-                n = json.loads(a.get("stats") or "").get("numRecords")
+                parsed = json.loads(a.get("stats") or "")
+                if isinstance(parsed, dict):
+                    n = parsed.get("numRecords")
             except (ValueError, TypeError):
                 pass
             dv = a.get("deletionVector") or {}
@@ -1450,9 +1457,28 @@ class DeltaTableReader:
             for f in snap.schema.fields
             if f.name not in snap.partition_columns
         ]
+
+        def _fmeta(f: T.StructField) -> dict | None:
+            # id mode resolves by parquet field id, not name — same
+            # rule as _assemble's data scan
+            if snap.column_mapping != "id":
+                return None
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            return (
+                {"parquet.field.id": int(fid)}
+                if fid is not None
+                else None
+            )
+
+        if snap.column_mapping == "id":
+            self.spark.conf.set(
+                "spark.sql.parquet.fieldId.read.enabled", "true"
+            )
         file_schema = T.StructType(
             [
-                T.StructField(_phys(f), f.dataType, f.nullable)
+                T.StructField(
+                    _phys(f), f.dataType, f.nullable, metadata=_fmeta(f)
+                )
                 for f in data_fields
             ]
             + [T.StructField("_change_type", T.StringType())]
@@ -1802,9 +1828,13 @@ class DeltaTableWriter:
         s = a.get("stats")
         if s:
             try:
-                n = json.loads(s).get("numRecords")
-                if n is not None:
-                    return int(n)
+                parsed = json.loads(s)
+                # stats can legally be any JSON; only an object carries
+                # numRecords — 'null'/'123' fall through to the footer
+                if isinstance(parsed, dict):
+                    n = parsed.get("numRecords")
+                    if n is not None:
+                        return int(n)
             except (ValueError, TypeError):
                 pass
         import pyarrow.parquet as papq
@@ -1839,10 +1869,15 @@ class DeltaTableWriter:
         if hwm is None:
             # missing/corrupt watermark domain (a prior writer's spec
             # violation, or a table that declared the feature without
-            # ever writing): derive the floor from the add actions'
-            # ASSIGNED ranges — starting at 0 would mint row ids that
-            # collide with existing files'. One full replay, only in
-            # this anomalous case (the probe may have been meta-only).
+            # ever writing): derive the floor from ASSIGNED ranges —
+            # starting at 0 would mint row ids that collide with
+            # existing files'. Live adds alone are not enough (an
+            # OPTIMIZE may have removed the highest-id files), so every
+            # surviving JSON commit's add/remove row-tracking fields
+            # count too. One full replay + log scan, only in this
+            # anomalous case (the probe may have been meta-only);
+            # residual risk: ranges known only to cleaned-up commits
+            # behind a checkpoint whose files were since removed.
             full = DeltaTableReader(self.spark, self.path).snapshot()
             hwm = -1
             for a in full.adds_raw.values():
@@ -1851,6 +1886,33 @@ class DeltaTableWriter:
                     hwm = max(
                         hwm, int(b) + max(self._add_num_records(a), 1) - 1
                     )
+            for n in os.listdir(self.log_dir):
+                if not (n.endswith(".json") and n[:-5].isdigit()):
+                    continue
+                try:
+                    lines = open(
+                        os.path.join(self.log_dir, n)
+                    ).read().splitlines()
+                except OSError:
+                    continue
+                for line in lines:
+                    if '"baseRowId"' not in line:
+                        continue
+                    try:
+                        act = json.loads(line)
+                        a = act.get("add") or act.get("remove") or {}
+                        b = int(a["baseRowId"])
+                    except (ValueError, TypeError, KeyError):
+                        continue
+                    span = 1
+                    if act.get("add"):
+                        try:
+                            # the file may be vacuumed away by now —
+                            # stats parse still works, footer may not
+                            span = max(self._add_num_records(a), 1)
+                        except Exception:
+                            span = 1
+                    hwm = max(hwm, b + span - 1)
         assigned = False
         for act in actions:
             if "add" in act:

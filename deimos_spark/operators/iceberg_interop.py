@@ -142,25 +142,36 @@ def single_value_from_json(t, v):
         if not isinstance(v, str):
             raise IcebergProtocolError(f"{t} default {v!r}")
         return v
-    if t == "date":
-        return _dt.date.fromisoformat(v)
-    if t == "timestamp":
-        return _dt.datetime.fromisoformat(v)
-    if t == "timestamptz":
-        dt = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
-        if dt.tzinfo is None:
-            raise IcebergProtocolError(
-                f"timestamptz default {v!r} lacks an offset"
-            )
-        return dt
-    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
-    if m:
-        return _dec.Decimal(str(v))
-    if t == "binary" or re.fullmatch(r"fixed\[\d+\]", t):
-        # spec: binary single-values serialize as base16 (hex) strings
-        if not isinstance(v, str):
-            raise IcebergProtocolError(f"{t} default {v!r}")
-        return base64.b16decode(v.upper())
+    # malformed serializations must surface as PROTOCOL errors — the
+    # reader gate catches IcebergProtocolError, not stdlib exceptions
+    try:
+        if t == "date":
+            return _dt.date.fromisoformat(v)
+        if t == "timestamp":
+            return _dt.datetime.fromisoformat(v)
+        if t == "timestamptz":
+            dt = _dt.datetime.fromisoformat(v.replace("Z", "+00:00"))
+            if dt.tzinfo is None:
+                raise IcebergProtocolError(
+                    f"timestamptz default {v!r} lacks an offset"
+                )
+            return dt
+        m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+        if m:
+            return _dec.Decimal(str(v))
+        if t == "binary" or re.fullmatch(r"fixed\[\d+\]", t):
+            # spec: binary single-values serialize as base16 strings
+            if not isinstance(v, str):
+                raise IcebergProtocolError(f"{t} default {v!r}")
+            return base64.b16decode(v.upper())
+    except IcebergProtocolError:
+        raise
+    # ValueError covers binascii.Error, ArithmeticError covers
+    # decimal.InvalidOperation
+    except (ValueError, TypeError, ArithmeticError) as e:
+        raise IcebergProtocolError(
+            f"malformed {t} default {v!r}: {e!r}"
+        ) from None
     raise IcebergProtocolError(f"default on Iceberg type {t!r} unsupported")
 
 

@@ -1733,12 +1733,15 @@ def all_queries() -> dict[str, QuerySpec]:
             "t25_chunk_plan", q_chunk_plan,
             # identical tokenization + window arithmetic: range() is
             # end-exclusive like sequence(0, n-1) is end-inclusive;
-            # list_slice's inclusive end = slice's length bound
+            # list_slice's inclusive end = slice's length bound; the
+            # filter drops pure suffix-duplicate tails (start past
+            # n - overlap), mirroring the operator
             "WITH t AS (SELECT doc_id, "
             r"string_split_regex(trim(text), '\s+') AS ts "
             r"FROM documents WHERE regexp_matches(text, '\S')), "
             "s AS (SELECT doc_id, ts, "
-            "unnest(range(0, len(ts), 48)) AS start FROM t) "
+            "unnest(list_filter(range(0, len(ts), 48), "
+            "s -> s = 0 OR s + 16 < len(ts))) AS start FROM t) "
             "SELECT doc_id, CAST(start // 48 AS INT) AS chunk_idx, "
             "CAST(len(list_slice(ts, start + 1, start + 64)) AS INT) "
             "AS n_tokens, "

@@ -29,6 +29,8 @@ def _py_chunks(text, chunk_size, overlap):
     start = 0
     idx = 0
     while start < len(toks):
+        if start > 0 and start + overlap >= len(toks):
+            break  # pure suffix-duplicate of the previous chunk
         piece = toks[start : start + chunk_size]
         out.append((idx, len(piece), " ".join(piece)))
         idx += 1
@@ -86,7 +88,9 @@ def test_overlap_is_shared_suffix_prefix(spark):
         key=lambda r: r["chunk_idx"],
     )
     texts = [r["chunk_text"] for r in rows]
-    assert texts == ["a b c d", "c d e f", "e f g h", "g h"]
+    # start 6 would yield "g h" — a pure suffix-duplicate of chunk 2's
+    # overlap region — and is filtered
+    assert texts == ["a b c d", "c d e f", "e f g h"]
     for a, b in zip(texts, texts[1:]):
         assert a.split()[-2:] == b.split()[:2] or len(b.split()) < 2
 

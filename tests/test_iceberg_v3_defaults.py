@@ -265,3 +265,21 @@ def test_batch_with_column_keeps_its_values(spark, tmp_path):
     r = IcebergTableReader(spark, path)
     rows = {x["id"]: x["region"] for x in r.read().collect()}
     assert rows[40] == "emea"
+
+
+def test_malformed_defaults_refuse_as_protocol_errors(spark, tmp_path):
+    """Stdlib parse failures (bad ISO date, decimal garbage, odd-length
+    hex, wrong JSON type) must surface as IcebergProtocolError — the
+    gate contract — not ValueError/InvalidOperation/binascii.Error."""
+    for ice_type, bad in [
+        ("date", "2024-13-99"),
+        ("date", 42),
+        ("decimal(9,2)", "abc"),
+        ("binary", "F0F"),  # odd-length hex
+        ("timestamp", "not-a-time"),
+    ]:
+        path = str(tmp_path / f"t_{ice_type.replace('(', '_')}_{bad}")
+        _v2_table(spark, path)
+        _add_default_column(path, "bad_col", ice_type, initial_default=bad)
+        with pytest.raises(IcebergProtocolError):
+            IcebergTableReader(spark, path)

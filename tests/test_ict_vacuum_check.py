@@ -230,3 +230,56 @@ def test_delta_sort_by_clusters_file_stats(spark, tmp_path):
     assert DeltaTableReader(spark, t).read().count() == 4000
     with pytest.raises(DeltaProtocolError, match="sort_by"):
         DeltaTableWriter(spark, t, sort_by=("ghost",)).append(df)
+
+
+def test_vacuum_allowed_on_identity_column_tables(spark, tmp_path):
+    """Vacuum writes no data rows, so active enforce-at-write column
+    features (identity/generated/invariants/CHECK) cannot be violated
+    by it — vacuum proceeds while appends still refuse."""
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "_delta_log"), exist_ok=True)
+    rel = "part-00000-foreign.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"id": 1, "v": "a"}],
+            schema=pa.schema([("id", pa.int64()), ("v", pa.string())]),
+        ),
+        os.path.join(t, rel),
+    )
+    schema_json = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "id",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.identity.start": 1,
+                        "delta.identity.step": 1,
+                        "delta.identity.allowExplicitInsert": False,
+                    },
+                },
+                {"name": "v", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    actions = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 7,
+                      "writerFeatures": ["identityColumns"]}},
+        {"metaData": {"id": "x", "format": {"provider": "parquet",
+                      "options": {}}, "schemaString": schema_json,
+                      "partitionColumns": [], "configuration": {},
+                      "createdTime": 1}},
+        {"add": {"path": rel, "partitionValues": {},
+                 "size": os.path.getsize(os.path.join(t, rel)),
+                 "modificationTime": 1, "dataChange": True}},
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    w = DeltaTableWriter(spark, t)
+    with pytest.raises(DeltaProtocolError, match="identity"):
+        w.append(_df(spark, [2]))
+    assert w.vacuum(retention_seconds=0.0) == []  # proceeds, no orphans
