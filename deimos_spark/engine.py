@@ -82,15 +82,51 @@ class Engine:
             )
 
     def sql(self, query: str) -> "Any":
-        """Run a SQL string against every registered view (catalog
+        """Run a SQL string against the registered views (catalog
         tables, topic tables, ad-hoc views) and return the DataFrame.
 
         The user-facing analogue of the reference's query entry point;
         plans are fully declarative so Catalyst applies pushdown /
-        pruning through the views exactly as through load_table."""
-        for name, factory in self._views.items():
-            factory().createOrReplaceTempView(name)
-        return self.spark.sql(query)
+        pruning through the views exactly as through load_table.
+
+        Binding is LAZY and SCOPED: only views whose name appears in
+        the statement are materialized (a catalog of hundreds of
+        delta/iceberg-backed topic tables would otherwise pay every
+        table's snapshot/log-replay cost on every call — the name
+        probe over-approximates, which costs at most a spurious bind,
+        never a missing one), and the temp views are unbound again
+        after analysis — a pre-existing session temp view with the
+        same name is restored, so two Engines (or user temp views) on
+        one SparkSession don't clobber each other. spark.sql analyzes
+        eagerly, so the returned DataFrame stays valid after unbind."""
+        import re as _re
+
+        needed = [
+            n
+            for n in self._views
+            if _re.search(
+                rf"(?i)(?<![\w.$`]){_re.escape(n)}(?![\w$])", query
+            )
+        ]
+        cat = self.spark.catalog
+        restore: dict[str, Any] = {}
+        for name in needed:
+            try:
+                t = cat.getTable(name)
+                if getattr(t, "tableType", "") == "TEMPORARY":
+                    restore[name] = self.spark.table(name)
+            except Exception:
+                pass  # not bound yet — plain create, plain drop
+            self._views[name]().createOrReplaceTempView(name)
+        try:
+            return self.spark.sql(query)
+        finally:
+            for name in needed:
+                prev = restore.get(name)
+                if prev is not None:
+                    prev.createOrReplaceTempView(name)
+                else:
+                    cat.dropTempView(name)
 
     # ------------------------------------------------------------- topics
 

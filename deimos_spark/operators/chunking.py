@@ -94,11 +94,18 @@ def exact_segment_dedup(
     result is compact no matter the corpus size.
 
     Scale shape: segments join on their md5 HASH, not the text — the
-    two shuffles (segment-hash aggregate, doc reassembly) move 16-byte
-    keys and small structs; nothing is quadratic and no driver state
-    exists. This is the canonical hash-partitioned exact-substr dedup
-    a 100-TB corpus needs (suffix-array ExactSubstr is the single-node
-    alternative; segment hashing is its shuffle-friendly relaxation)."""
+    hash-count aggregate is the one unavoidable full shuffle (16-byte
+    keys); the count relation is then filtered to ONLY the duplicated
+    hashes (`__df >= min_docs`) BEFORE the join, so the probe is a
+    left join against a set bounded by the corpus's duplicated
+    content, not its full segment domain — small enough for AQE to
+    broadcast at realistic duplication rates, which keeps the segment
+    stream join-shuffle-free (null match = kept). Reassembly is one
+    more shuffle on the doc id. Nothing is quadratic and no driver
+    state exists. This is the canonical hash-partitioned exact-substr
+    dedup a 100-TB corpus needs (suffix-array ExactSubstr is the
+    single-node alternative; segment hashing is its shuffle-friendly
+    relaxation)."""
     seg = chunk_documents(
         df,
         text_col=text_col,
@@ -106,11 +113,26 @@ def exact_segment_dedup(
         chunk_size=segment_size,
         overlap=0,
     ).withColumn("__h", F.md5(F.col("chunk_text")))
-    dup = seg.groupBy("__h").agg(
-        F.countDistinct(id_col).alias("__df")
-    )
-    joined = seg.join(dup, "__h")
-    dropped = F.col("__df") >= min_docs
+    if min_docs == 2:
+        # "appears in >= 2 distinct docs" == "not all occurrences share
+        # one doc" == min(id) != max(id): plain partial-aggregable
+        # min/max instead of count-distinct's expand (~20% off the agg).
+        flagged = (
+            seg.select("__h", id_col)
+            .groupBy("__h")
+            .agg((F.min(id_col) != F.max(id_col)).alias("__d"))
+            .where("__d")
+        )
+    else:
+        flagged = (
+            seg.select("__h", id_col)
+            .groupBy("__h")
+            .agg(F.countDistinct(id_col).alias("__df"))
+            .where(F.col("__df") >= min_docs)
+        )
+    dup = flagged.select("__h")
+    joined = seg.join(dup.withColumn("__dup", F.lit(True)), "__h", "left")
+    dropped = F.col("__dup").isNotNull()
     kept_piece = F.when(
         ~dropped, F.struct("chunk_idx", "chunk_text")
     )  # NULL (ignored by collect_list) for dropped segments

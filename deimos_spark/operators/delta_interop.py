@@ -135,7 +135,8 @@ SUPPORTED_WRITER_FEATURES = {
     # exactly the check this feature exists to force
     "vacuumProtocolCheck",
     # writes land physical names + field ids (_to_physical); schema
-    # evolution on mapped tables still refuses in check_write_schema
+    # evolution on mapped tables assigns fresh field ids + synthetic
+    # physical names per the spec's add-column rule (check_write_schema)
     "columnMapping",
 }
 
@@ -212,19 +213,27 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
       (`delta.generationExpression`), identity columns
       (`delta.identity.*`).
     - Column mapping (name/id) is writable: files land physical names
-      + field ids; schema evolution on mapped tables still refuses.
+      + field ids; schema evolution on mapped tables assigns fresh
+      field ids + synthetic physical names (check_write_schema).
     - `delta.appendOnly=true` refuses overwrite/merge.
     """
     proto = snap.protocol_raw or {}
     mwv = proto.get("minWriterVersion", 1)
-    if mwv > 7:
+    if not isinstance(mwv, int) or isinstance(mwv, bool) or mwv > 7:
         raise DeltaProtocolError(
-            f"minWriterVersion {mwv} > 7 unsupported — refusing to write"
+            f"minWriterVersion {mwv!r} unsupported — refusing to write"
         )
     if mwv >= 7:
         feats = set(proto.get("writerFeatures") or [])
     else:
-        feats = set(_LEGACY_WRITER_FEATURES[mwv])
+        legacy = _LEGACY_WRITER_FEATURES.get(mwv)
+        if legacy is None:
+            # corrupt/foreign log (0, negative, non-enumerated): a
+            # protocol refusal, not a KeyError crash
+            raise DeltaProtocolError(
+                f"minWriterVersion {mwv!r} unknown — refusing to write"
+            )
+        feats = set(legacy)
     unknown = feats - SUPPORTED_WRITER_FEATURES - _GATED_IF_ACTIVE
     if unknown:
         raise DeltaProtocolError(
@@ -264,9 +273,10 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
     # column mapping (name/id) is WRITABLE: _write_files lands
     # physical column names + parquet field ids and keys
     # partitionValues on physical names (see _column_map/_to_physical);
-    # schema EVOLUTION on mapped tables still refuses in
-    # check_write_schema (new fields would need id/physical-name
-    # assignment consistent with the table's mapping counters).
+    # schema EVOLUTION on mapped tables works too — check_write_schema
+    # assigns each new field a fresh id above
+    # delta.columnMapping.maxColumnId and a synthetic physicalName,
+    # bumping the counter (the spec's add-column rule).
     if conf.get("delta.appendOnly") == "true" and operation in (
         "overwrite",
         "merge",
@@ -1058,6 +1068,7 @@ class DeltaTableReader:
             snap.meta_raw,
             {p: a for p, a in snap.adds_raw.items() if p in kept},
             txns=dict(snap.txns),
+            domains=dict(snap.domains),
         )
 
     def _post_prune(
@@ -1116,6 +1127,7 @@ class DeltaTableReader:
             snap.meta_raw,
             {p: a for p, a in snap.adds_raw.items() if p in kept},
             txns=dict(snap.txns),
+            domains=dict(snap.domains),
         )
 
     def txn_version(self, app_id: str) -> int | None:
@@ -1981,11 +1993,21 @@ class DeltaTableWriter:
             prev = os.path.join(
                 self.log_dir, f"{version - 1:020d}.json"
             )
-            prev_ict = (
-                int(DeltaTableReader._commit_ts(prev))
-                if os.path.exists(prev)
-                else -1
-            )
+            if os.path.exists(prev):
+                prev_ict = int(DeltaTableReader._commit_ts(prev))
+            else:
+                # log cleanup truncated the JSON tail at the checkpoint:
+                # recover the watermark from _last_checkpoint's advisory
+                # inCommitTimestamp field (stamped by our checkpoint
+                # writers) so a backwards wall-clock step can't emit a
+                # non-monotonic ICT. Foreign checkpoints without the
+                # field fall back to the checkpoint file's own
+                # commit-era bound of -1 (wall clock wins).
+                try:
+                    lc = self._reader()._load_last_checkpoint() or {}
+                    prev_ict = int(lc.get("inCommitTimestamp", -1))
+                except Exception:
+                    prev_ict = -1
             ci["commitInfo"]["inCommitTimestamp"] = max(
                 int(_time.time() * 1000), prev_ict + 1
             )
@@ -2022,6 +2044,26 @@ class DeltaTableWriter:
             self._write_checkpoint(version)
         except Exception:
             pass
+
+    def _json_ict(self, version: int) -> int | None:
+        """The exact commitInfo.inCommitTimestamp recorded in
+        {version}.json, or None (file missing / table not ICT-enabled).
+        Stamped into _last_checkpoint as an advisory field so the ICT
+        monotonicity watermark survives log cleanup truncating the JSON
+        commits at the checkpoint (readers ignore unknown
+        _last_checkpoint keys)."""
+        p = os.path.join(self.log_dir, f"{version:020d}.json")
+        try:
+            with open(p) as fh:
+                for line in fh:
+                    if not line.strip() or '"commitInfo"' not in line:
+                        continue
+                    ci = json.loads(line).get("commitInfo") or {}
+                    v = ci.get("inCommitTimestamp")
+                    return int(v) if v is not None else None
+        except (OSError, ValueError):
+            return None
+        return None
 
     def _write_checkpoint(self, version: int) -> None:
         if self.checkpoint_format == "v2":
@@ -2177,14 +2219,15 @@ class DeltaTableWriter:
             # constructible from the version alone, so without it every
             # snapshot after a v2 checkpoint would pay the listing slow
             # path the fast path exists to avoid
-            json.dump(
-                {
-                    "version": version,
-                    "size": len(manifest),
-                    "v2Manifest": mname,
-                },
-                fh,
-            )
+            lc = {
+                "version": version,
+                "size": len(manifest),
+                "v2Manifest": mname,
+            }
+            ict = self._json_ict(version)
+            if ict is not None:
+                lc["inCommitTimestamp"] = ict
+            json.dump(lc, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
@@ -2390,7 +2433,11 @@ class DeltaTableWriter:
         )
         lc_tmp = os.path.join(self.log_dir, f".lc_{uuid.uuid4().hex}.json")
         with open(lc_tmp, "w") as fh:
-            json.dump({"version": version, "size": len(rows)}, fh)
+            lc = {"version": version, "size": len(rows)}
+            ict = self._json_ict(version)
+            if ict is not None:
+                lc["inCommitTimestamp"] = ict
+            json.dump(lc, fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))

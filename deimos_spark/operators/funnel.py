@@ -6,13 +6,23 @@ of step i-1; reach time = the earliest such event. Output = users reaching
 each step, monotonically non-increasing down the funnel.
 
 Scale notes (100 TB event logs):
-- every stage is a hash aggregate + equi-join on user_id — the SAME key
-  every time, so after the first shuffle the stages are co-partitioned and
-  AQE/exchange-reuse keeps data in place; nothing is ever sorted globally.
-- per-stage state is one row per surviving user (first-reach time), shrinkg
-  monotonically down the funnel — the joins get cheaper at every step.
-- the step filter pushes to the scan (event_type is a low-cardinality
-  column, ideal for dictionary-encoded parquet + row-group skipping).
+- ONE scan of the event log and ONE shuffle (groupBy user), however long
+  the funnel: the `type IN steps` filter pushes to the scan
+  (dictionary-encoded parquet + row-group skipping), each user's
+  per-step event times are collected in a single hash aggregate, and
+  the reach chain (earliest step-i event strictly after the step-(i-1)
+  reach) is pure array expressions — no per-step re-scan, no per-step
+  join. (The previous shape — filter+join+agg per step — read the fact
+  table len(steps) times; an 8-step funnel over 100 TB paid 8 scans.)
+- per-user state is one array per step holding that user's events OF
+  THE FUNNEL TYPES only — the same O(user activity) bound as any
+  sessionization; pathological users (bots with millions of step
+  events) should be pre-filtered upstream like any per-user
+  aggregation.
+- the final reach counts are one global aggregate over one row per
+  user who hit any funnel step's type at least once; conversion rates
+  are derived on that ONE row before the explode, so adding them costs
+  no extra scan, join, or window.
 """
 
 from __future__ import annotations
@@ -21,6 +31,84 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _funnel_totals(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str,
+    type_col: str,
+    ts_col: Column | str,
+) -> DataFrame:
+    """ONE-row DataFrame (_c0.._c{n-1}) = users reaching each step."""
+    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
+    u = F.col(user_col)
+    n = len(steps)
+
+    # ONE scan + ONE shuffle: per user, the event-time array of each
+    # step type (collect_list drops the when()'s nulls); the isin()
+    # filter pushes to the scan so only funnel-type events shuffle.
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(u.alias("_u"))
+        .agg(
+            *[
+                F.collect_list(
+                    F.when(F.col(type_col) == s, ts)
+                ).alias(f"_a{i}")
+                for i, s in enumerate(steps)
+            ]
+        )
+    )
+    # reach chain as pure array expressions: reach_0 = earliest step-0
+    # event; reach_i = earliest step-i event STRICTLY after reach_{i-1}.
+    # A missing reach is NULL and propagates (x > NULL filters all).
+    reach = per_user.withColumn("_t0", F.array_min("_a0"))
+    for i in range(1, n):
+        prev = F.col(f"_t{i - 1}")
+        reach = reach.withColumn(
+            f"_t{i}",
+            F.array_min(F.filter(F.col(f"_a{i}"), lambda x: x > prev)),
+        )
+    return reach.agg(
+        *[F.count(f"_t{i}").alias(f"_c{i}") for i in range(n)]
+    )
+
+
+def _explode_totals(
+    totals: DataFrame, steps: Sequence[str], with_conv: bool
+) -> DataFrame:
+    """One-row (_c0.._cn) -> (step_idx, step, users[, conv_rate]) rows —
+    every derived column, including the previous-step ratio, is computed
+    BEFORE the explode so the funnel pipeline (scan + shuffle) exists
+    exactly once in the plan (no self-join, no lag window)."""
+
+    def _fields(i: int, s: str) -> list[Column]:
+        out = [
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"),
+            F.col(f"_c{i}").alias("users"),
+        ]
+        if with_conv:
+            conv = (
+                F.lit(1.0)
+                if i == 0
+                else F.round(F.col(f"_c{i}") / F.col(f"_c{i - 1}"), 4)
+            )
+            out.append(conv.alias("conv_rate"))
+        return out
+
+    rows = F.explode(
+        F.array(
+            *[F.struct(*_fields(i, s)) for i, s in enumerate(steps)]
+        )
+    )
+    cols = ["_r.step_idx", "_r.step", "_r.users"] + (
+        ["_r.conv_rate"] if with_conv else []
+    )
+    return (
+        totals.select(rows.alias("_r")).select(*cols).orderBy("step_idx")
+    )
 
 
 def funnel_reach(
@@ -34,35 +122,11 @@ def funnel_reach(
 
     ts_col may be a Column expression (e.g. a nanos→timestamp conversion).
     """
-    ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
-    u = F.col(user_col)
-
-    reached = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(u.alias("_u"))
-        .agg(F.min(ts).alias("_t"))
+    return _explode_totals(
+        _funnel_totals(events, steps, user_col, type_col, ts_col),
+        steps,
+        with_conv=False,
     )
-    stages = [reached]
-    for step in steps[1:]:
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .select(u.alias("_u"), ts.alias("_ts"))
-            .join(stages[-1], "_u")
-            .filter(F.col("_ts") > F.col("_t"))
-            .groupBy("_u")
-            .agg(F.min("_ts").alias("_t"))
-        )
-        stages.append(nxt)
-
-    counts = None
-    for i, (step, stage) in enumerate(zip(steps, stages)):
-        c = stage.agg(
-            F.lit(i).cast("int").alias("step_idx"),
-            F.lit(step).alias("step"),
-            F.count(F.lit(1)).alias("users"),
-        )
-        counts = c if counts is None else counts.unionAll(c)
-    return counts.orderBy("step_idx")
 
 
 def funnel_conversion(
@@ -72,27 +136,11 @@ def funnel_conversion(
     type_col: str = "event_type",
     ts_col: Column | str = "ts",
 ) -> DataFrame:
-    """funnel_reach + conversion rate vs the previous step."""
-    reach = funnel_reach(events, steps, user_col, type_col, ts_col)
-    # prev-step lookup as a broadcast self-join on step_idx-1, NOT an
-    # unpartitioned lag window: the relation is only len(steps) rows,
-    # but an empty window partition spec survives into the plan even
-    # when partitionBy(lit(...)) is used (Catalyst constant-folds the
-    # key away) and Spark logs the single-partition scale warning on
-    # every execution — the join is warning-free and equally bounded
-    prev = reach.select(
-        (F.col("step_idx") + 1).alias("step_idx"),
-        F.col("users").alias("_prev_users"),
+    """funnel_reach + conversion rate vs the previous step (1.0 at step
+    0; a 0-users previous step yields NULL per SQL division, matching
+    the prior self-join shape where a missing prev row meant NULL)."""
+    return _explode_totals(
+        _funnel_totals(events, steps, user_col, type_col, ts_col),
+        steps,
+        with_conv=True,
     )
-    joined = reach.join(F.broadcast(prev), "step_idx", "left")
-    return joined.select(
-        "step_idx",
-        "step",
-        "users",
-        F.round(
-            F.when(F.col("_prev_users").isNull(), 1.0).otherwise(
-                F.col("users") / F.col("_prev_users")
-            ),
-            4,
-        ).alias("conv_rate"),
-    ).orderBy("step_idx")

@@ -205,10 +205,24 @@ class IcebergTableReader:
         concern and does not affect reads). A default we cannot PARSE
         (nested type, unknown serialization) refuses loudly at open —
         silently surfacing NULL where the table declares a default is
-        the failure mode this gate exists to prevent."""
-        for sch in self.metadata.get("schemas") or (
-            [self.metadata["schema"]] if self.metadata.get("schema") else []
-        ):
+        the failure mode this gate exists to prevent.
+
+        Only the CURRENT schema is gated: reads resolve
+        current-schema-id exclusively (schema_fields /
+        _initial_defaults), so an unreadable default on a superseded
+        historical schema can never surface through this reader and
+        refusing the whole table for it would reject tables whose
+        problem column was since dropped or retyped."""
+        md = self.metadata
+        schemas = md.get("schemas")
+        if schemas:
+            sid = md.get("current-schema-id", 0)
+            current = [
+                s for s in schemas if s.get("schema-id") == sid
+            ] or schemas[:1]
+        else:
+            current = [md["schema"]] if md.get("schema") else []
+        for sch in current:
             for f in sch.get("fields") or []:
                 for key in ("initial-default", "write-default"):
                     if f.get(key) is not None:

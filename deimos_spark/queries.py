@@ -27,7 +27,11 @@ from deimos_spark.functions.text import (
     token_count,
 )
 from deimos_spark.operators import asof, dedup, funnel, relational, simsearch, tpch
-from deimos_spark.session import apply_runtime_confs, autotune_for_dir
+from deimos_spark.session import (
+    apply_runtime_confs,
+    autotune_for_dir,
+    spread_small,
+)
 
 
 @dataclass(frozen=True)
@@ -98,8 +102,13 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread_small: every text query chains CPU-heavy per-row work
+    # (tokenize/regex/md5/explode) directly onto the scan; a tiny
+    # single-row-group file makes that scan ONE task, serializing the
+    # whole stage on one core. Scale-gated — identity at >= 1 GiB,
+    # where file splits already parallelize the scan.
     apply_runtime_confs(spark)
-    return load_table(spark, sf_dir, "documents")
+    return spread_small(load_table(spark, sf_dir, "documents"), sf_dir)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -168,6 +168,31 @@ def autotune_for_dir(
         pass
 
 
+def spread_small(df, sf_dir: str):
+    """Redistribute a CPU-heavy small input across the executor threads.
+
+    A tiny parquet file is ONE row group, so the scan is ONE task no
+    matter how small maxPartitionBytes goes — and every per-row-expensive
+    projection chained onto it (tokenize/regex/md5/explode) serializes on
+    a single core while the rest idle. At scale this problem does not
+    exist: a 100 TB table has ~800k input splits and the scan stage is
+    already wide. So the fix is gated on the SAME signal autotune uses:
+    below AQE_MIN_INPUT_BYTES a round-robin repartition (shuffle bytes
+    bounded by the tiny input itself) unlocks the cores; at or above it
+    this is the identity — no shuffle is ever added to a big input.
+    """
+    try:
+        if dir_input_bytes(sf_dir) >= AQE_MIN_INPUT_BYTES:
+            return df
+    except Exception:
+        return df
+    try:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        n = 32
+    return df.repartition(max(8, n))
+
+
 def get_spark(app_name: str = "deimos_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Create (or get) a SparkSession with engine defaults.
 

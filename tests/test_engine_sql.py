@@ -117,3 +117,42 @@ def test_topic_table_view_tracks_state(engine, spark, tmp_path):
 def test_register_view_rejects_junk(engine):
     with pytest.raises(TypeError):
         engine.register_view("nope", 42)
+
+
+def test_sql_binds_only_referenced_views(spark):
+    """VERDICT r9 #6: a registered-but-unreferenced view's factory must
+    NOT be invoked by an unrelated sql() call — a catalog of hundreds
+    of delta-backed topic tables would otherwise pay every table's
+    log-replay cost on every interactive query."""
+    eng = Engine(spark).attach_catalog(SF_DIR, tables=("nation",))
+    calls = []
+
+    def expensive_factory():
+        calls.append(1)
+        return spark.range(1).toDF("x")
+
+    eng.register_view("expensive_table", expensive_factory)
+    n = eng.sql("SELECT count(*) AS c FROM nation").first().c
+    assert n == 25 and calls == []
+    # ... and it IS invoked when referenced
+    assert eng.sql("SELECT x FROM expensive_table").count() == 1
+    assert calls == [1]
+
+
+def test_sql_restores_preexisting_temp_view(spark):
+    """ADVICE r9: two Engines (or user temp views) on one session must
+    not clobber each other — sql() rebinds a shadowed pre-existing temp
+    view after analysis and drops views it created itself."""
+    spark.range(7).toDF("user_col").createOrReplaceTempView("nation")
+    try:
+        eng = Engine(spark).attach_catalog(SF_DIR, tables=("nation", "region"))
+        assert eng.sql("SELECT count(*) AS c FROM nation").first().c == 25
+        # the user's view is back, not the engine's
+        assert spark.table("nation").columns == ["user_col"]
+        # a view the engine created (no pre-existing one) is dropped
+        assert eng.sql("SELECT count(*) AS c FROM region").first().c == 5
+        assert not any(
+            t.name == "region" for t in spark.catalog.listTables()
+        )
+    finally:
+        spark.catalog.dropTempView("nation")

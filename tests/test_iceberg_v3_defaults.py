@@ -283,3 +283,48 @@ def test_malformed_defaults_refuse_as_protocol_errors(spark, tmp_path):
         _add_default_column(path, "bad_col", ice_type, initial_default=bad)
         with pytest.raises(IcebergProtocolError):
             IcebergTableReader(spark, path)
+
+
+def test_unreadable_default_on_superseded_schema_opens(spark, tmp_path):
+    """ADVICE r9: reads only ever resolve current-schema-id, so an
+    unreadable default on a superseded HISTORICAL schema (e.g. the
+    problem column was since dropped) must not refuse the whole
+    table."""
+    path = str(tmp_path / "t")
+    _v2_table(spark, path)
+    # historical schema carrying a nested (unparseable) default, then a
+    # clean current schema without it — what drop-column leaves behind
+    _add_default_column(
+        path,
+        "bad",
+        {"type": "struct", "fields": []},
+        initial_default={"a": 1},
+    )
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        mv = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{mv}.metadata.json")) as fh:
+        md = json.load(fh)
+    bad = next(
+        s
+        for s in md["schemas"]
+        if s["schema-id"] == md["current-schema-id"]
+    )
+    clean = {
+        "type": "struct",
+        "schema-id": bad["schema-id"] + 1,
+        "fields": [f for f in bad["fields"] if f["name"] != "bad"],
+    }
+    md["schemas"].append(clean)
+    md["current-schema-id"] = clean["schema-id"]
+    with open(
+        os.path.join(meta_dir, f"v{mv + 1}.metadata.json"), "w"
+    ) as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(mv + 1))
+
+    r = IcebergTableReader(spark, path)  # must not raise
+    assert r.read().count() == 5
+    # (the same default on the CURRENT schema still refuses — pinned by
+    # test_unparseable_default_refuses_at_open)

@@ -283,3 +283,48 @@ def test_vacuum_allowed_on_identity_column_tables(spark, tmp_path):
     with pytest.raises(DeltaProtocolError, match="identity"):
         w.append(_df(spark, [2]))
     assert w.vacuum(retention_seconds=0.0) == []  # proceeds, no orphans
+
+
+@pytest.mark.parametrize("fmt", ["classic", "v2"])
+def test_ict_monotonic_survives_log_cleanup(spark, tmp_path, fmt):
+    """ADVICE r9: after cleanup_log truncates the JSON commits at the
+    checkpoint, {version-1}.json is gone — the monotonicity watermark
+    must be recovered from _last_checkpoint's advisory
+    inCommitTimestamp field, not silently reset to wall-clock (a
+    backwards clock step would then emit a non-monotonic ICT)."""
+    t = str(tmp_path / "t")
+    future = 4102444800000  # 2100-01-01: far beyond any test wall-clock
+    proto = dict(ICT_PROTOCOL)
+    if fmt == "v2":
+        # v2 checkpoints are a table feature: the writer only emits
+        # them when the table declares it
+        proto = {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["v2Checkpoint"],
+            "writerFeatures": ["inCommitTimestamp", "v2Checkpoint"],
+        }
+    _foreign_table(
+        t,
+        proto,
+        configuration={"delta.enableInCommitTimestamps": "true"},
+        commit_info={"timestamp": future, "inCommitTimestamp": future},
+    )
+    w = DeltaTableWriter(
+        spark, t, checkpoint_interval=2, checkpoint_format=fmt
+    )
+    w.append(_df(spark, [2]))  # v1
+    w.append(_df(spark, [3]))  # v2 → checkpoint at v2
+    deleted = w.cleanup_log(retention_seconds=0.0)
+    assert deleted, "cleanup must have truncated the JSON tail"
+    assert not os.path.exists(
+        os.path.join(t, "_delta_log", f"{2:020d}.json")
+    )
+    # _last_checkpoint carries the watermark
+    with open(os.path.join(t, "_delta_log", "_last_checkpoint")) as fh:
+        lc = json.load(fh)
+    assert lc["inCommitTimestamp"] > future
+    # the next commit (prev JSON missing) stays strictly monotonic
+    w.append(_df(spark, [4]))  # v3
+    acts = _commit_actions(t, 3)
+    assert acts[0]["commitInfo"]["inCommitTimestamp"] > future

@@ -359,3 +359,91 @@ def test_non_tracking_tables_unaffected(spark, tmp_path):
             if "add" in a:
                 assert "baseRowId" not in a["add"]
             assert "domainMetadata" not in a
+
+
+def test_pruned_snapshot_keeps_domains(spark, tmp_path):
+    """ADVICE r9 (medium): partition/stats-pruned snapshots must carry
+    domainMetadata — _merge_dv commits against a pruned snapshot, and a
+    snapshot that silently dropped delta.rowTracking would let the
+    committed rowIdHighWaterMark regress below another writer's
+    advanced watermark (spec violation, row-id reuse)."""
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, "_delta_log"), exist_ok=True)
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "p", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        }
+    )
+    adds = []
+    for part in ("x", "y"):
+        rel = f"p={part}/f.parquet"
+        os.makedirs(os.path.join(t, f"p={part}"), exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"id": 1}], schema=pa.schema([("id", pa.int64())])
+            ),
+            os.path.join(t, rel),
+        )
+        adds.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {"p": part},
+                    "size": os.path.getsize(os.path.join(t, rel)),
+                    "modificationTime": 1,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {"numRecords": 1, "minValues": {"id": 1},
+                         "maxValues": {"id": 1}}
+                    ),
+                }
+            }
+        )
+    actions = [
+        {"protocol": PROTOCOL_RT},
+        {
+            "metaData": {
+                "id": "foreign-rt01",
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema,
+                "partitionColumns": ["p"],
+                "configuration": {},
+                "createdTime": 1,
+            }
+        },
+        *adds,
+        {
+            "domainMetadata": {
+                "domain": "delta.rowTracking",
+                "configuration": json.dumps({"rowIdHighWaterMark": 41}),
+                "removed": False,
+            }
+        },
+        {
+            "domainMetadata": {
+                "domain": "foreign.domain",
+                "configuration": "{}",
+                "removed": False,
+            }
+        },
+    ]
+    with open(os.path.join(t, "_delta_log", f"{0:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+    r = DeltaTableReader(spark, t)
+    full = r.snapshot()
+    assert set(full.domains) == {"delta.rowTracking", "foreign.domain"}
+    part_pruned = r.snapshot(partition_filter={"p": "x"})
+    assert len(part_pruned.files) == 1
+    assert part_pruned.domains == full.domains
+    assert part_pruned.txns == full.txns
+    stats_pruned = r.snapshot(stats_filter={"id": (5, None)})
+    assert len(stats_pruned.files) == 0
+    assert stats_pruned.domains == full.domains

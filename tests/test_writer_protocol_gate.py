@@ -309,3 +309,17 @@ def test_foreign_cdf_table_merge_emits_cdc(spark, tmp_path):
 
     with pytest.raises(DeltaProtocolError, match="CDC files"):
         DeltaTableWriter(spark, t).overwrite(_df(spark))
+
+
+@pytest.mark.parametrize("mwv", [0, -3, "two", None, 2.5])
+def test_invalid_min_writer_version_refuses_cleanly(spark, tmp_path, mwv):
+    """ADVICE r9: a corrupt/foreign log with minWriterVersion 0,
+    negative, or non-int must refuse with DeltaProtocolError, not crash
+    with KeyError/TypeError."""
+    t = str(tmp_path / "bad_mwv")
+    _foreign_table(t, {"minReaderVersion": 1, "minWriterVersion": mwv})
+    with pytest.raises(DeltaProtocolError, match="minWriterVersion"):
+        DeltaTableWriter(spark, t).append(_df(spark))
+    assert not os.path.exists(
+        os.path.join(t, "_delta_log", f"{1:020d}.json")
+    )
