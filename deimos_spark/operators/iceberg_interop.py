@@ -175,6 +175,16 @@ def single_value_from_json(t, v):
     raise IcebergProtocolError(f"default on Iceberg type {t!r} unsupported")
 
 
+def _unlink_quietly(path: str) -> bool:
+    """Best-effort unlink; True = gone (used to drop zero-row delete
+    files from a distributed position-delete write)."""
+    try:
+        os.unlink(path)
+        return True
+    except OSError:
+        return True  # treat as dropped either way — never commit it
+
+
 # ----------------------------------------------------------------- reader
 
 class IcebergTableReader:
@@ -3215,7 +3225,14 @@ class IcebergKeyedTable:
             reader = IcebergTableReader(self.spark, self.path)
             data = reader._file_sets(None)[0]
             schema = reader.schema()
-            pairs = []
+            # hits aggregate per FILE executor-side; the driver only
+            # ever streams one file's position list at a time
+            # (toLocalIterator, DV mode) or nothing at all (position
+            # mode writes the delete files distributedly) — never the
+            # full O(matched rows) pair list a 50M-row delete batch
+            # would otherwise materialize driver-side.
+            hits_grouped = None
+            rec_by_fp: dict[str, str] = {}
             if data:
                 rec_by_fp = {"file:" + local: rec for rec, local, _, _, _ in data}
                 scan = (
@@ -3227,20 +3244,17 @@ class IcebergKeyedTable:
                         F.col("_metadata.row_index").alias("__pos"),
                     )
                 )
-                hits = (
+                hits_grouped = (
                     scan.join(affected, self.key_cols, "left_semi")
-                    .select("__fp", "__pos")
-                    .collect()
-                )
-                pairs = sorted(
-                    (rec_by_fp[r["__fp"]], int(r["__pos"]))
-                    for r in hits
-                    if r["__fp"] in rec_by_fp
+                    .groupBy("__fp")
+                    .agg(
+                        F.sort_array(
+                            F.collect_list(F.col("__pos").cast("long"))
+                        ).alias("__poss")
+                    )
                 )
 
             has_upserts = upserts is not None and bool(upserts.head(1))
-            if not pairs and not has_upserts:
-                return
 
             if self.delete_mode == "dv":
                 import uuid as _uuid
@@ -3248,34 +3262,42 @@ class IcebergKeyedTable:
                 import numpy as np
 
                 from deimos_spark.operators.puffin import (
+                    _frame_positions,
                     read_dv_blob,
-                    write_puffin_dvs,
+                    write_puffin_framed,
                 )
 
                 # fold new hits into each touched file's EXISTING live
                 # DV (the spec's one-DV-per-file rule: the replacement
-                # must carry the union, since it supersedes)
+                # must carry the union, since it supersedes). Stream
+                # one file's positions at a time; keep only the framed
+                # (compressed roaring) blob per file.
                 live_dvs = {
                     ref: (local, off, size)
                     for ref, local, off, size in reader._file_sets(None)[3]
                 }
-                by_file: dict[str, list[int]] = {}
-                for rec, pos in pairs:
-                    by_file.setdefault(rec, []).append(pos)
-                dvs: dict[str, np.ndarray] = {}
-                for rec, poss in by_file.items():
-                    idx = np.asarray(sorted(poss), dtype=np.int64)
-                    if rec in live_dvs:
-                        lp, off, size = live_dvs[rec]
-                        idx = np.union1d(idx, read_dv_blob(lp, off, size))
-                    dvs[rec] = idx
+                framed: dict[str, tuple[bytes, int]] = {}
+                if hits_grouped is not None:
+                    for r in hits_grouped.toLocalIterator():
+                        rec = rec_by_fp.get(r["__fp"])
+                        if rec is None:
+                            continue
+                        idx = np.asarray(r["__poss"], dtype=np.int64)
+                        if rec in live_dvs:
+                            lp, off, size = live_dvs[rec]
+                            idx = np.union1d(
+                                idx, read_dv_blob(lp, off, size)
+                            )
+                        framed[rec] = _frame_positions(idx)
+                if not framed and not has_upserts:
+                    return
                 dv_entries, puffin, superseded = [], None, set()
-                if dvs:
+                if framed:
                     puffin = os.path.join(
                         self.writer.data_dir,
                         f"dv-{_uuid.uuid4().hex[:12]}.puffin",
                     )
-                    blob_meta = write_puffin_dvs(puffin, dvs)
+                    blob_meta = write_puffin_framed(puffin, framed)
                     dv_entries = [
                         {
                             "referenced_data_file": rec,
@@ -3288,7 +3310,7 @@ class IcebergKeyedTable:
                             blob_meta.items()
                         )
                     ]
-                    superseded = set(dvs) & set(live_dvs)
+                    superseded = set(framed) & set(live_dvs)
                 try:
                     self.writer._snapshot_commit(
                         upserts if has_upserts else None,
@@ -3308,15 +3330,34 @@ class IcebergKeyedTable:
                     continue
 
             delete_files = []
-            if pairs:
-                # spec orders delete rows by (file_path, pos) for
-                # row-group pruning on the read side
-                pairs_df = self.spark.createDataFrame(
-                    pairs, "file_path string, pos long"
-                ).coalesce(1)
-                delete_files = self._delete_writer._write_data_files(
+            if hits_grouped is not None:
+                # distributed position-delete write — no driver
+                # materialization: map the scan's file URI back to the
+                # manifest's record path via a tiny broadcast relation,
+                # keep spec ordering by (file_path, pos) inside each
+                # delete file via a sort, write, and drop any empty
+                # output (a no-hit batch writes no delete file)
+                fp_map = self.spark.createDataFrame(
+                    [(fp, rec) for fp, rec in sorted(rec_by_fp.items())],
+                    "__fp string, file_path string",
+                )
+                pairs_df = (
+                    hits_grouped.select(
+                        "__fp", F.explode("__poss").alias("pos")
+                    )
+                    .join(F.broadcast(fp_map), "__fp")
+                    .select("file_path", "pos")
+                    .sort("file_path", "pos")
+                )
+                written = self._delete_writer._write_data_files(
                     pairs_df
                 )
+                delete_files = [f for f in written if f[1] > 0]
+                for f in written:
+                    if f[1] == 0:
+                        _unlink_quietly(f[0])
+            if not delete_files and not has_upserts:
+                return
 
             try:
                 self.writer._snapshot_commit(

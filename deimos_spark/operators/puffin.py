@@ -165,15 +165,43 @@ def write_puffin_dvs(
     referenced data file. Returns {referenced_data_file: (offset,
     length, cardinality)} — what the caller records in manifest fields
     content_offset / content_size_in_bytes / record_count."""
+    return write_puffin_framed(
+        path,
+        {
+            ref: _frame_positions(dvs[ref])
+            for ref in dvs
+        },
+        snapshot_id=snapshot_id,
+        sequence_number=sequence_number,
+    )
+
+
+def _frame_positions(positions: np.ndarray) -> tuple[bytes, int]:
+    """Sorted-unique positions → (framed deletion-vector-v1 blob,
+    cardinality). The compressed-bitmap form a streaming caller keeps
+    per file instead of raw position arrays."""
+    idx = np.unique(np.asarray(positions, dtype=np.int64))
+    return frame_dv_blob(serialize_dv_vector(idx)), int(len(idx))
+
+
+def write_puffin_framed(
+    path: str,
+    framed: dict[str, tuple[bytes, int]],
+    snapshot_id: int = 0,
+    sequence_number: int = 0,
+) -> dict[str, tuple[int, int, int]]:
+    """write_puffin_dvs taking PRE-FRAMED blobs ({referenced_data_file:
+    (framed_blob, cardinality)}) — lets a caller that streams hit
+    positions one data file at a time (toLocalIterator) hold only
+    compressed roaring bitmaps, never every file's raw positions."""
     out: dict[str, tuple[int, int, int]] = {}
     blobs_meta = []
     body = bytearray(MAGIC)
-    for ref in sorted(dvs):
-        idx = np.unique(np.asarray(dvs[ref], dtype=np.int64))
-        blob = frame_dv_blob(serialize_dv_vector(idx))
+    for ref in sorted(framed):
+        blob, card = framed[ref]
         off = len(body)
         body += blob
-        out[ref] = (off, len(blob), int(len(idx)))
+        out[ref] = (off, len(blob), card)
         blobs_meta.append(
             {
                 "type": "deletion-vector-v1",
@@ -184,7 +212,7 @@ def write_puffin_dvs(
                 "length": len(blob),
                 "properties": {
                     "referenced-data-file": ref,
-                    "cardinality": str(len(idx)),
+                    "cardinality": str(card),
                 },
             }
         )

@@ -102,13 +102,21 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):
 # --------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # spread_small: every text query chains CPU-heavy per-row work
-    # (tokenize/regex/md5/explode) directly onto the scan; a tiny
-    # single-row-group file makes that scan ONE task, serializing the
-    # whole stage on one core. Scale-gated — identity at >= 1 GiB,
-    # where file splits already parallelize the scan.
     apply_runtime_confs(spark)
-    return spread_small(load_table(spark, sf_dir, "documents"), sf_dir)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + session.spread_small, for builders whose per-row
+    work is HEAVY (tokenize/shingle/regex-chain/md5 over the full
+    text): a tiny single-row-group file makes the scan ONE task,
+    serializing that work on one core while the rest idle. Scale-gated
+    — identity at >= 1 GiB, where file splits already parallelize the
+    scan. Cheap queries keep plain _docs: for them the extra exchange
+    costs more than the parallelism buys (measured: t18 +0.28s,
+    b31 +0.12s with a blanket spread; t26 -1.4s, t15 -0.4s,
+    t14 -0.2s, t16 -0.2s with it where it belongs)."""
+    return spread_small(_docs(spark, sf_dir), sf_dir)
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,7 +541,7 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the benchmark set (docs 0-49 stand in for eval-suite text).
     The decontamination primitive every training-data pipeline needs."""
     return dedup.benchmark_contamination(
-        _docs(spark, sf_dir), benchmark_max_id=50, n=3, k=50
+        _docs_spread(spark, sf_dir), benchmark_max_id=50, n=3, k=50
     )
 
 
@@ -544,7 +552,7 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-frequency: exploded shingles → DF aggregate → join back;
     hash shuffles only, never all-pairs)."""
     return dedup.duplicate_ngram_spans(
-        _docs(spark, sf_dir), n=5, min_docs=2
+        _docs_spread(spark, sf_dir), n=5, min_docs=2
     ).orderBy("doc_id")
 
 
@@ -557,7 +565,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     via regexp_extract_all, redaction via chained regexp_replace."""
     from deimos_spark.functions.text import pii_counts, scrub_pii
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -624,7 +632,7 @@ def q_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deimos_spark.operators.chunking import exact_segment_dedup
 
     return exact_segment_dedup(
-        _docs(spark, sf_dir), segment_size=8, min_docs=2
+        _docs_spread(spark, sf_dir), segment_size=8, min_docs=2
     )
 
 
@@ -677,7 +685,7 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deimos_spark.operators import dsir
 
     w = dsir.dsir_log_weights(
-        _docs(spark, sf_dir), F.col("lang") == "en"
+        _docs_spread(spark, sf_dir), F.col("lang") == "en"
     )
     return (
         w.select("doc_id", F.round("log_weight", 4).alias("log_weight"))
@@ -694,7 +702,7 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     dsir.py has the scale argument)."""
     from deimos_spark.operators import dsir
 
-    s = dsir.unigram_ppl_scores(_docs(spark, sf_dir), F.col("lang") == "en")
+    s = dsir.unigram_ppl_scores(_docs_spread(spark, sf_dir), F.col("lang") == "en")
     return (
         s.select(
             "doc_id", "n_tokens", F.round("ppl_score", 4).alias("ppl_score")
@@ -978,6 +986,34 @@ def q_sql_string_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deimos_spark.engine import Engine
 
     return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_DOCS)
+
+
+# third same-text proof (VERDICT r9 #8): full TPC-H Q1 text — the
+# aggregate battery (8 aggregates, arithmetic expressions inside sums),
+# WHERE, GROUP BY, ORDER BY in one statement, identical text on both
+# engines. round() bounds float-sum order sensitivity exactly as the
+# h01 DataFrame twin's oracle does.
+SQL_ENTRY_TPCH_Q1 = (
+    "SELECT l_returnflag, l_linestatus, "
+    "round(sum(l_quantity), 2) AS sum_qty, "
+    "round(sum(l_extendedprice), 2) AS sum_base_price, "
+    "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+    "round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) "
+    "AS sum_charge, "
+    "round(avg(l_quantity), 4) AS avg_qty, "
+    "round(avg(l_extendedprice), 4) AS avg_price, "
+    "round(avg(l_discount), 4) AS avg_disc, "
+    "CAST(count(*) AS BIGINT) AS count_order "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-06-30' "
+    "GROUP BY l_returnflag, l_linestatus "
+    "ORDER BY l_returnflag, l_linestatus"
+)
+
+
+def q_sql_string_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deimos_spark.engine import Engine
+
+    return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_TPCH_Q1)
 
 
 # --------------------------------------------------------------------------
@@ -1835,6 +1871,10 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "s02_sql_docs_topk", q_sql_string_docs, SQL_ENTRY_DOCS,
             note="Engine.sql() windowed top-k: identical SQL text both sides",
+        ),
+        QuerySpec(
+            "s03_sql_tpch_q1", q_sql_string_tpch_q1, SQL_ENTRY_TPCH_Q1,
+            note="Engine.sql() full TPC-H Q1 text: identical SQL both sides",
         ),
     ]
     specs += _tpch_specs()

@@ -1806,3 +1806,56 @@ def test_changelog_plan_broadcasts_delete_sets(spark, tmp_path):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("mode", ["position", "dv"])
+def test_keyed_merge_never_collects_hit_pairs(spark, tmp_path, mode):
+    """VERDICT r9 #5: the keyed merge must never materialize the
+    matched (file, position) pair set driver-side — position mode
+    writes delete files distributedly; DV mode streams one file's
+    positions at a time via toLocalIterator. Gate: any collect() of a
+    relation carrying the probe columns (__fp/__pos/__poss) during
+    merge fails the test."""
+    from pyspark.sql import DataFrame as _DF
+
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    t = str(tmp_path / f"ice_nocollect_{mode}")
+    kt = IcebergKeyedTable(spark, t, ["id"], delete_mode=mode)
+    # two data files so the hit set genuinely spans files
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "id long, v string"
+        )
+    )
+    kt.upsert(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8, 16)], "id long, v string"
+        )
+    )
+
+    real_collect = _DF.collect
+    probed = {"__fp", "__pos", "__poss"}
+
+    def gated_collect(self, *a, **kw):
+        hit = probed & set(self.columns)
+        assert not hit, (
+            f"driver-side collect of hit-pair relation (cols {hit})"
+        )
+        return real_collect(self, *a, **kw)
+
+    _DF.collect = gated_collect
+    try:
+        kt.merge(
+            upserts=spark.createDataFrame(
+                [(2, "V2"), (99, "new")], "id long, v string"
+            ),
+            delete_keys=spark.createDataFrame([(5,), (13,)], "id long"),
+        )
+    finally:
+        _DF.collect = real_collect
+
+    got = {(x.id, x.v) for x in IcebergTableReader(spark, t).read().collect()}
+    assert (2, "V2") in got and (99, "new") in got
+    assert not any(i in (5, 13) for i, _ in got)
+    assert len(got) == 15  # 16 - 2 deleted - 1 replaced + 2 upserts
