@@ -286,23 +286,26 @@ def check_writer_protocol(snap: DeltaSnapshot, operation: str) -> None:
             "deletes are forbidden; only append and dataChange=false "
             "OPTIMIZE are allowed)"
         )
-    if conf.get("delta.enableRowTracking") == "true" and operation in (
-        "merge",
-        "optimize",
-    ):
-        # supported-but-not-enabled tables get every operation with
-        # FRESH row ids (legal — readers can't rely on stability yet);
-        # an ENABLED table promises stable row ids across rewrites,
-        # which requires materialized row-id columns this writer does
-        # not produce. Appends/overwrites create logically NEW rows
-        # (fresh ids are correct); merge/optimize COPY surviving rows
-        # into new files and must preserve — refuse.
-        raise DeltaProtocolError(
-            f"delta.enableRowTracking table refuses {operation}: "
-            "copied rows would need materialized row-id preservation "
-            "this writer does not implement (append/overwrite remain "
-            "available)"
-        )
+    # delta.enableRowTracking tables accept merge/optimize: copied
+    # rows' ids/commit-versions are PRESERVED via the materialized
+    # row-tracking columns (see DeltaTableWriter._rt_rewrite and the
+    # reader's with_row_ids path) — the spec's stability mechanism.
+    # Appends/overwrites create logically NEW rows (fresh ids).
+
+
+def rt_materialized_cols(
+    meta_raw: dict | None,
+) -> tuple[str | None, str | None]:
+    """The row-tracking MATERIALIZED column names (PROTOCOL.md "Row
+    Tracking"): physical parquet columns — never part of the logical
+    schema, never renamed by column mapping — holding a copied row's
+    preserved row id / row commit version. Set in the table
+    configuration at enablement time by the enabling writer."""
+    conf = (meta_raw or {}).get("configuration") or {}
+    return (
+        conf.get("delta.rowTracking.materializedRowIdColumnName"),
+        conf.get("delta.rowTracking.materializedRowCommitVersionColumnName"),
+    )
 
 
 # ------------------------------------------------- schema enforcement
@@ -1209,12 +1212,22 @@ class DeltaTableReader:
         partition_filter: dict[str, object] | None = None,
         as_of_ms: int | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
+        """`with_row_ids=True` (row-tracking tables) appends
+        `__rt_row_id` / `__rt_rcv` long columns — each row's stable row
+        id and row commit version per PROTOCOL.md "Row Tracking":
+        the file's MATERIALIZED column value when present, else
+        baseRowId + file row index / defaultRowCommitVersion. Used by
+        rewriting writers (merge/optimize) to preserve ids for copied
+        rows."""
         if as_of_ms is not None:
             if version is not None:
                 raise ValueError("pass version OR as_of_ms, not both")
             version = self.version_at(as_of_ms)
-        return self._read(version, partition_filter, stats_filter)
+        return self._read(
+            version, partition_filter, stats_filter, with_row_ids
+        )
 
     def history(self, limit: int | None = None) -> list[dict]:
         """DESCRIBE HISTORY parity: one dict per commit, NEWEST first —
@@ -1542,6 +1555,7 @@ class DeltaTableReader:
         version: int | None = None,
         partition_filter: dict[str, object] | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """`partition_filter` prunes by the LOG's partitionValues before
         any file is opened — {col: value} or {col: [values...]}; values
@@ -1554,16 +1568,31 @@ class DeltaTableReader:
         # checkpoint scan, post-filtered for the JSON tail — the driver
         # only ever holds the pruned file set (see snapshot() docstring)
         snap = self.snapshot(version, partition_filter, stats_filter)
-        return self._assemble(snap)
+        return self._assemble(snap, with_row_ids=with_row_ids)
 
-    def _assemble(self, snap: DeltaSnapshot) -> DataFrame:
+    def _assemble(
+        self, snap: DeltaSnapshot, with_row_ids: bool = False
+    ) -> DataFrame:
         """Materialize a snapshot's file set as one DataFrame: files
         grouped by partition values (one scan per group, partition
         columns re-attached as typed literals — Delta keeps them in the
         log, not the files), column-mapping translation, DV-carrying
-        files routed through the distributed DV anti-join."""
+        files routed through the distributed DV anti-join.
+
+        `with_row_ids` appends `__rt_row_id`/`__rt_rcv`: the file's
+        materialized row-tracking column when present (nullable long,
+        read even though it is outside the logical schema), else
+        baseRowId + row index / defaultRowCommitVersion from the add
+        actions — attached via ONE broadcast join on a per-file map,
+        never a per-file driver loop."""
         if snap.schema is None:
             raise DeltaProtocolError(f"{self.path}: no metaData action in log")
+        mat_id, mat_cv = (
+            rt_materialized_cols(snap.meta_raw)
+            if with_row_ids
+            else (None, None)
+        )
+        rt_extra = [c for c in (mat_id, mat_cv) if c]
         mapping = snap.column_mapping in ("name", "id")
 
         def _phys(f: T.StructField) -> str:
@@ -1624,8 +1653,21 @@ class DeltaTableReader:
                     for f in data_fields
                 ]
             )
+        if with_row_ids:
+            # materialized columns are physical-only: files written
+            # before enablement (or by appends, which leave them unset)
+            # simply lack them and read as null
+            data_schema = T.StructType(
+                list(data_schema.fields)
+                + [T.StructField(c, T.LongType(), True) for c in rt_extra]
+            )
         if not snap.files:
-            return self.spark.createDataFrame([], snap.schema)
+            out = self.spark.createDataFrame([], snap.schema)
+            if with_row_ids:
+                out = out.withColumn(
+                    "__rt_row_id", F.lit(None).cast("long")
+                ).withColumn("__rt_rcv", F.lit(None).cast("long"))
+            return out
 
         ptypes = {
             f.name: f.dataType
@@ -1658,20 +1700,34 @@ class DeltaTableReader:
             dved = [p for p in paths if p not in clean]
             scans = []
             if clean:
+                df = self.spark.read.schema(data_schema).parquet(
+                    *[os.path.join(self.path, p) for p in clean]
+                )
+                if with_row_ids:
+                    df = df.withColumn(
+                        "__rt_file",
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:", ""
+                        ),
+                    ).withColumn("__rt_ri", F.col("_metadata.row_index"))
+                scans.append(df)
+            if dved:
                 scans.append(
-                    self.spark.read.schema(data_schema).parquet(
-                        *[os.path.join(self.path, p) for p in clean]
+                    self._read_with_dvs(
+                        dved, data_schema, snap, keep_meta=with_row_ids
                     )
                 )
-            if dved:
-                scans.append(self._read_with_dvs(dved, data_schema, snap))
+            extras = (
+                [*rt_extra, "__rt_file", "__rt_ri"] if with_row_ids else []
+            )
             for df in scans:
                 if mapping:
                     df = df.select(
                         *[
                             F.col(_phys(f)).alias(f.name)
                             for f in data_fields
-                        ]
+                        ],
+                        *extras,
                     )
                 for col, raw in key:
                     lit = (
@@ -1680,14 +1736,48 @@ class DeltaTableReader:
                         else F.lit(raw).cast(ptypes[col])
                     )
                     df = df.withColumn(col, lit)
-                parts.append(df.select(*[f.name for f in snap.schema.fields]))
+                parts.append(
+                    df.select(
+                        *[f.name for f in snap.schema.fields], *extras
+                    )
+                )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        if not with_row_ids:
+            return out
+        # one broadcast map (abs file path -> add's row-tracking
+        # fields); rows whose file never carried baseRowId surface null
+        base_rows = [
+            (
+                os.path.abspath(os.path.join(self.path, p)),
+                (snap.adds_raw.get(p) or {}).get("baseRowId"),
+                (snap.adds_raw.get(p) or {}).get("defaultRowCommitVersion"),
+            )
+            for p in snap.files
+        ]
+        base_map = self.spark.createDataFrame(
+            base_rows, "__rt_file string, __rt_base long, __rt_dcv long"
+        )
+        out = out.join(F.broadcast(base_map), "__rt_file", "left")
+        rid = F.col("__rt_base") + F.col("__rt_ri")
+        rcv = F.col("__rt_dcv")
+        if mat_id:
+            rid = F.coalesce(F.col(mat_id), rid)
+        if mat_cv:
+            rcv = F.coalesce(F.col(mat_cv), rcv)
+        return (
+            out.withColumn("__rt_row_id", rid.cast("long"))
+            .withColumn("__rt_rcv", rcv.cast("long"))
+            .drop("__rt_file", "__rt_ri", "__rt_base", "__rt_dcv", *rt_extra)
+        )
 
     def _read_with_dvs(
-        self, rel_paths: list[str], data_schema: T.StructType, snap: DeltaSnapshot
+        self,
+        rel_paths: list[str],
+        data_schema: T.StructType,
+        snap: DeltaSnapshot,
+        keep_meta: bool = False,
     ) -> DataFrame:
         """Scan files that carry deletion vectors, dropping deleted rows.
 
@@ -1759,10 +1849,14 @@ class DeltaTableReader:
             )
             .withColumn("__dv_ri", F.col("_metadata.row_index"))
         )
-        return (
-            df.join(drop, ["__dv_file", "__dv_ri"], "left_anti")
-            .drop("__dv_file", "__dv_ri")
-        )
+        out = df.join(drop, ["__dv_file", "__dv_ri"], "left_anti")
+        if keep_meta:
+            # surviving rows keep (file, row index) for row-id
+            # derivation — renamed to the _assemble row-id temps
+            return out.withColumnRenamed(
+                "__dv_file", "__rt_file"
+            ).withColumnRenamed("__dv_ri", "__rt_ri")
+        return out.drop("__dv_file", "__dv_ri")
 
 
 class DeltaTableWriter:
@@ -2887,6 +2981,43 @@ class DeltaTableWriter:
             f"could not commit after {self.max_commit_retries} tries"
         )
 
+    def _rt_rewrite(
+        self, snap: DeltaSnapshot | None
+    ) -> tuple[str, str, dict | None] | None:
+        """Row-tracking rewrite support (PROTOCOL.md "Row Tracking"):
+        when the table ENABLES row tracking (stability promised), a
+        writer that copies rows into new files must materialize their
+        preserved row ids / commit versions into the configured
+        physical columns. Returns (mat_id_col, mat_cv_col,
+        metaData_action_to_commit_or_None) — names minted and recorded
+        in the table configuration if the enabling writer never set
+        them — or None when the table does not enable row tracking
+        (fresh ids are legal, nothing to materialize)."""
+        if snap is None:
+            return None
+        conf = (snap.meta_raw or {}).get("configuration") or {}
+        proto = snap.protocol_raw or {}
+        if not (
+            conf.get("delta.enableRowTracking") == "true"
+            and "rowTracking" in (proto.get("writerFeatures") or [])
+        ):
+            return None
+        mat_id, mat_cv = rt_materialized_cols(snap.meta_raw)
+        if mat_id and mat_cv:
+            return mat_id, mat_cv, None
+        import uuid as _uuid
+
+        uid = _uuid.uuid4().hex
+        mat_id = mat_id or f"_row-id-col-{uid}"
+        mat_cv = mat_cv or f"_row-commit-version-col-{uid}"
+        meta = dict(snap.meta_raw or {})
+        meta["configuration"] = {
+            **conf,
+            "delta.rowTracking.materializedRowIdColumnName": mat_id,
+            "delta.rowTracking.materializedRowCommitVersionColumnName": mat_cv,
+        }
+        return mat_id, mat_cv, {"metaData": meta}
+
     def optimize(self) -> None:
         """Compact the table: rewrite the current live rows as fresh
         files and drop every old add — including DV-carrying ones, so
@@ -2904,7 +3035,22 @@ class DeltaTableWriter:
             check_writer_protocol(snap, "optimize")
             if not snap.files:
                 return
-            current = reader.read()
+            rt = self._rt_rewrite(snap)
+            meta_up: list[dict] = []
+            if rt is None:
+                current = reader.read()
+            else:
+                # OPTIMIZE copies rows unmodified: preserve BOTH the
+                # row id and the row commit version by materializing
+                # them into the configured physical columns
+                mat_id, mat_cv, meta_action = rt
+                current = (
+                    reader.read(with_row_ids=True)
+                    .withColumnRenamed("__rt_row_id", mat_id)
+                    .withColumnRenamed("__rt_rcv", mat_cv)
+                )
+                if meta_action is not None:
+                    meta_up = [meta_action]
             removes = [
                 {"remove": {"path": p, "dataChange": False}}
                 for p in sorted(snap.files)
@@ -2913,7 +3059,9 @@ class DeltaTableWriter:
             for a in adds:
                 a["add"]["dataChange"] = False
             try:
-                self._commit(v + 1, removes + adds, op="OPTIMIZE", snap=snap)
+                self._commit(
+                    v + 1, meta_up + removes + adds, op="OPTIMIZE", snap=snap
+                )
                 return
             except DeltaCommitConflict:
                 self._drop_files(self.path, adds)
@@ -3333,25 +3481,49 @@ class DeltaKeyedTable:
                 cdf = self.enable_cdf or (
                     (snap.meta_raw or {}).get("configuration") or {}
                 ).get("delta.enableChangeDataFeed") == "true"
-                current = (
-                    DeltaTableReader(self.spark, self.path).read()
-                    if snap.files
-                    else None
-                )
+                rt = w._rt_rewrite(snap)
+                rdr = DeltaTableReader(self.spark, self.path)
+                if not snap.files:
+                    current = current_rt = None
+                elif rt is None:
+                    current = current_rt = rdr.read()
+                else:
+                    # rewrite-mode merge copies SURVIVORS unmodified:
+                    # preserve their row ids + commit versions via the
+                    # materialized columns; upsert rows are logically
+                    # new (delete+insert semantics) and stay null ->
+                    # fresh ids from the new adds' baseRowId ranges
+                    mat_id, mat_cv, rt_meta = rt
+                    current_rt = (
+                        rdr.read(with_row_ids=True)
+                        .withColumnRenamed("__rt_row_id", mat_id)
+                        .withColumnRenamed("__rt_rcv", mat_cv)
+                    )
+                    current = current_rt.drop(mat_id, mat_cv)
                 removes = [
                     {"remove": {"path": p, "dataChange": True}}
                     for p in sorted(snap.files)
                 ]
             else:
-                current, removes, snap = None, [], None
+                current, current_rt, removes, snap, rt = (
+                    None, None, [], None, None,
+                )
             survivors = (
-                current.join(F.broadcast(affected), self.key_cols, "left_anti")
-                if current is not None
+                current_rt.join(
+                    F.broadcast(affected), self.key_cols, "left_anti"
+                )
+                if current_rt is not None
                 else None
             )
             if survivors is not None and upserts is not None:
+                ups = upserts
+                if rt is not None:
+                    mat_id, mat_cv, rt_meta = rt
+                    ups = ups.withColumn(
+                        mat_id, F.lit(None).cast("long")
+                    ).withColumn(mat_cv, F.lit(None).cast("long"))
                 new_state = survivors.unionByName(
-                    upserts.select(*survivors.columns)
+                    ups.select(*survivors.columns)
                 )
             elif upserts is not None:
                 new_state = upserts
@@ -3378,8 +3550,12 @@ class DeltaKeyedTable:
                     self._cdf_rows(pre, upserts), cmap
                 )
                 proto_up = self._cdf_protocol_action(snap.protocol_raw)
+            rt_meta_up = (
+                [rt[2]] if rt is not None and rt[2] is not None else []
+            )
             actions = (
                 (self._meta_actions(new_state.schema) if v < 0 else [])
+                + rt_meta_up
                 + proto_up
                 + cdc_actions
                 + removes
@@ -3658,7 +3834,39 @@ class DeltaKeyedTable:
                 proto.get("readerFeatures") or []
             )
             if needs_upgrade:
-                proto = self._DV_PROTOCOL["protocol"]
+                # UNION with the table's existing features — replacing
+                # the protocol outright would silently drop declared
+                # features (rowTracking, domainMetadata, ...) and break
+                # every writer that keys behavior on them. Legacy
+                # (pre-feature) protocols carry their version-implied
+                # features forward explicitly, per the spec's upgrade
+                # rule.
+                base = self._DV_PROTOCOL["protocol"]
+                old_w = set(proto.get("writerFeatures") or [])
+                if proto.get("minWriterVersion", 1) < 7 and not old_w:
+                    old_w = set(
+                        _LEGACY_WRITER_FEATURES.get(
+                            proto.get("minWriterVersion", 1)
+                        )
+                        or []
+                    )
+                proto = {
+                    "minReaderVersion": max(
+                        base["minReaderVersion"],
+                        proto.get("minReaderVersion", 1),
+                    ),
+                    "minWriterVersion": max(
+                        base["minWriterVersion"],
+                        proto.get("minWriterVersion", 1),
+                    ),
+                    "readerFeatures": sorted(
+                        set(base["readerFeatures"])
+                        | set(proto.get("readerFeatures") or [])
+                    ),
+                    "writerFeatures": sorted(
+                        set(base["writerFeatures"]) | old_w
+                    ),
+                }
             proto_actions = [{"protocol": proto}] if needs_upgrade else []
             cdc_actions: list[dict] = []
             if cdf and removes and scan is not None:

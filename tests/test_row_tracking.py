@@ -241,23 +241,111 @@ def test_dv_merge_preserves_base_row_id_of_readded_file(spark, tmp_path):
 
 # --------------------------------------------------- enableRowTracking
 
-def test_enabled_tables_refuse_merge_and_optimize(spark, tmp_path):
+ENABLED_CONF = {
+    "delta.enableRowTracking": "true",
+    "delta.rowTracking.materializedRowIdColumnName": "_row_id_mat",
+    "delta.rowTracking.materializedRowCommitVersionColumnName": "_rcv_mat",
+}
+
+
+def _ids(spark, t):
+    return {
+        r["id"]: (r["__rt_row_id"], r["__rt_rcv"])
+        for r in DeltaTableReader(spark, t)
+        .read(with_row_ids=True)
+        .collect()
+    }
+
+
+def test_enabled_table_merge_preserves_survivor_ids(spark, tmp_path):
+    """VERDICT r9 #4: delta.enableRowTracking tables accept rewrite
+    merges — copied (surviving) rows keep their row id AND commit
+    version via the configured materialized columns; upserted rows are
+    logically new (delete+insert) and get fresh ids above the
+    watermark."""
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, configuration=ENABLED_CONF, hwm=9)  # ids 0,1,2
+    kt = DeltaKeyedTable(spark, t, ["id"])
+    kt.merge(
+        upserts=_df(spark, [1]),  # update id=1
+        delete_keys=spark.createDataFrame([(2,)], "id long"),
+    )
+    got = _ids(spark, t)
+    assert set(got) == {0, 1}
+    assert got[0] == (0, 0), "survivor must keep row id + commit version"
+    rid1, rcv1 = got[1]
+    assert rid1 >= 10 and rcv1 == 1, "updated row is new: fresh id"
+    # the new files PHYSICALLY carry the materialized columns
+    import pyarrow.parquet as _pq
+
+    acts = _commit_actions(t, 1)
+    add_paths = [a["add"]["path"] for a in acts if "add" in a]
+    assert add_paths
+    cols = set()
+    for p in add_paths:
+        cols |= set(_pq.read_schema(os.path.join(t, p)).names)
+    assert {"_row_id_mat", "_rcv_mat"} <= cols
+    # watermark advanced past every assigned id
+    assert _hwm(acts) >= rid1
+
+
+def test_enabled_table_optimize_preserves_all_ids(spark, tmp_path):
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, configuration=ENABLED_CONF, hwm=9)
+    kt = DeltaKeyedTable(spark, t, ["id"])
+    kt.merge(upserts=_df(spark, [1, 100]))
+    before = _ids(spark, t)
+    DeltaTableWriter(spark, t).optimize()
+    after = _ids(spark, t)
+    assert after == before, "OPTIMIZE must not move any row id"
+    # and the data files were actually rewritten (fresh file set)
+    acts = _commit_actions(t, 2)
+    assert any("add" in a for a in acts)
+    assert all(
+        not a["add"]["dataChange"] for a in acts if "add" in a
+    )
+
+
+def test_enabled_table_without_mat_cols_mints_them(spark, tmp_path):
+    """An enabled table whose enabling writer never recorded the
+    materialized column names: the first rewrite mints them and commits
+    the updated metaData, so ids still survive."""
     t = str(tmp_path / "t")
     _foreign_rt_table(
         t, configuration={"delta.enableRowTracking": "true"}, hwm=9
     )
-    w = DeltaTableWriter(spark, t)
-    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
-        w.optimize()
     kt = DeltaKeyedTable(spark, t, ["id"])
-    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
-        kt.merge(upserts=_df(spark, [1]))
-    kt_dv = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
-    with pytest.raises(DeltaProtocolError, match="enableRowTracking"):
-        kt_dv.merge(delete_keys=spark.createDataFrame([(1,)], "id long"))
-    # appends stay available — new rows are genuinely new
-    w.append(_df(spark, [100]))
-    assert DeltaTableReader(spark, t).read().count() == 4
+    kt.merge(delete_keys=spark.createDataFrame([(2,)], "id long"))
+    got = _ids(spark, t)
+    assert got[0] == (0, 0) and got[1] == (1, 0)
+    snap = DeltaTableReader(spark, t).snapshot()
+    conf = (snap.meta_raw or {}).get("configuration") or {}
+    assert conf.get("delta.rowTracking.materializedRowIdColumnName")
+    assert conf.get(
+        "delta.rowTracking.materializedRowCommitVersionColumnName"
+    )
+    # stability holds through a subsequent optimize too
+    DeltaTableWriter(spark, t).optimize()
+    assert _ids(spark, t) == got
+
+
+def test_enabled_table_dv_merge_allowed_and_stable(spark, tmp_path):
+    """DV-mode merge never copies rows — enabled tables take it with no
+    materialization: the re-added file keeps its baseRowId."""
+    t = str(tmp_path / "t")
+    _foreign_rt_table(t, configuration=ENABLED_CONF, hwm=9)
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.merge(delete_keys=spark.createDataFrame([(1,)], "id long"))
+    got = _ids(spark, t)
+    assert got == {0: (0, 0), 2: (2, 0)}
+    # the DV protocol upgrade must UNION features, not clobber them —
+    # dropping rowTracking here would stop id assignment on appends
+    proto = DeltaTableReader(spark, t).snapshot().protocol_raw
+    wf = set(proto.get("writerFeatures") or [])
+    assert {"rowTracking", "domainMetadata", "deletionVectors"} <= wf
+    # appends stay fresh-id as before
+    DeltaTableWriter(spark, t).append(_df(spark, [100]))
+    assert _ids(spark, t)[100][0] >= 10
 
 
 # ------------------------------------------------------- checkpointing
