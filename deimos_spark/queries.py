@@ -490,7 +490,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate with map-side combine; top-20 is TakeOrderedAndProject.
     At 100 TB the shuffle carries (bigram, partial count) pairs — the
     combine collapses per-partition repeats first."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(
         F.split(
             F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
@@ -521,7 +521,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order sensitivity. Plan: explode -> two hash aggregates (doc-token,
     then doc) -> one per-lang aggregate; every shuffle is on keys whose
     cardinality grows with the corpus."""
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     toks = d.select(
         "doc_id",
         "lang",
@@ -674,7 +674,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunction; one codegen'd projection per doc, one hash aggregate."""
     from deimos_spark.functions.text import gopher_flags
 
-    d = _docs(spark, sf_dir)
+    d = _docs_spread(spark, sf_dir)
     flags = gopher_flags("text")
     return (
         d.groupBy("lang")

@@ -217,3 +217,14 @@ def test_no_declared_query_has_unpartitioned_window(spark):
                 if len(groups) == 2:
                     offenders.append((name, line[:120]))
     assert not offenders, offenders
+
+
+def test_funnel_scans_events_once(spark):
+    """VERDICT r9 #2: the funnel reads the event log ONCE however long
+    the funnel — one scan, one groupBy(user) shuffle, reach chain as
+    array expressions. A per-step filter+join shape re-reads the fact
+    table len(steps) times, which at 100 TB means an 8-step funnel
+    pays 8 full scans."""
+    df = all_queries()["x06_funnel"].builder(spark, SF)
+    plan = _plan(df)
+    assert plan.count("events.parquet") == 1, plan
