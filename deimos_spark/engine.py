@@ -110,18 +110,22 @@ class Engine:
         ]
         cat = self.spark.catalog
         restore: dict[str, Any] = {}
-        for name in needed:
-            try:
-                t = cat.getTable(name)
-                if getattr(t, "tableType", "") == "TEMPORARY":
-                    restore[name] = self.spark.table(name)
-            except Exception:
-                pass  # not bound yet — plain create, plain drop
-            self._views[name]().createOrReplaceTempView(name)
+        bound: list[str] = []
         try:
+            for name in needed:
+                try:
+                    t = cat.getTable(name)
+                    if getattr(t, "tableType", "") == "TEMPORARY":
+                        restore[name] = self.spark.table(name)
+                except Exception:
+                    pass  # not bound yet — plain create, plain drop
+                self._views[name]().createOrReplaceTempView(name)
+                bound.append(name)
             return self.spark.sql(query)
         finally:
-            for name in needed:
+            # unbind even when a factory raised mid-way — only the
+            # views actually created are dropped/restored
+            for name in bound:
                 prev = restore.get(name)
                 if prev is not None:
                     prev.createOrReplaceTempView(name)

@@ -3850,6 +3850,12 @@ class DeltaKeyedTable:
                         )
                         or []
                     )
+                old_r = set(proto.get("readerFeatures") or [])
+                if "columnMapping" in old_w:
+                    # the one legacy READER-relevant feature (mrv 2):
+                    # once on table features, readers must be told
+                    # explicitly or they'd misread physical names
+                    old_r.add("columnMapping")
                 proto = {
                     "minReaderVersion": max(
                         base["minReaderVersion"],
@@ -3860,8 +3866,7 @@ class DeltaKeyedTable:
                         proto.get("minWriterVersion", 1),
                     ),
                     "readerFeatures": sorted(
-                        set(base["readerFeatures"])
-                        | set(proto.get("readerFeatures") or [])
+                        set(base["readerFeatures"]) | old_r
                     ),
                     "writerFeatures": sorted(
                         set(base["writerFeatures"]) | old_w

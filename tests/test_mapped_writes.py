@@ -322,3 +322,104 @@ def test_mapped_rowtracking_ict_compose(spark, tmp_path):
     kt.merge(delete_keys=spark.createDataFrame([(1,)], "id long"))
     got = {(r.id, r.v) for r in DeltaTableReader(spark, t).read().collect()}
     assert got == {(2, "b")}
+
+
+def test_dv_upgrade_on_legacy_mapped_table_keeps_column_mapping(
+    spark, tmp_path
+):
+    """Round-10 fix: the DV merge's protocol upgrade must carry the
+    legacy (mrv 2 / mwv 5) protocol's implied features forward — a
+    replaced protocol of deletionVectors-only would stop readers from
+    resolving physical column names, silently corrupting reads."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / "legacy_mapped_dv")
+    _mapped_table(t, mode="name")
+    kt = DeltaKeyedTable(spark, t, ["id"], use_dvs=True)
+    kt.merge(
+        upserts=spark.createDataFrame([(2, "b")], "id long, v string"),
+        delete_keys=spark.createDataFrame([(1,)], "id long"),
+    )
+    r = DeltaTableReader(spark, t)
+    proto = r.snapshot().protocol_raw
+    assert proto["minReaderVersion"] == 3
+    assert proto["minWriterVersion"] == 7
+    assert "columnMapping" in proto["readerFeatures"]
+    assert "deletionVectors" in proto["readerFeatures"]
+    assert "columnMapping" in proto["writerFeatures"]
+    assert "deletionVectors" in proto["writerFeatures"]
+    # and the table still reads logically post-upgrade
+    assert {(x.id, x.v) for x in r.read().collect()} == {(2, "b")}
+
+
+@pytest.mark.parametrize("mode", ["name", "id"])
+def test_row_tracking_rewrite_on_mapped_table(spark, tmp_path, mode):
+    """Row-tracking preservation composes with column mapping: the
+    materialized row-id columns are physical-only (no field ids, never
+    mapped) and must round-trip through a rewrite merge on a mapped
+    table in BOTH mapping modes."""
+    from deimos_spark.operators.delta_interop import (
+        DeltaKeyedTable,
+        DeltaTableReader,
+    )
+
+    t = str(tmp_path / f"rt_mapped_{mode}")
+    _mapped_table(
+        t,
+        mode=mode,
+        extra_conf={
+            "delta.enableRowTracking": "true",
+            "delta.rowTracking.materializedRowIdColumnName": "_rid_mat",
+            "delta.rowTracking.materializedRowCommitVersionColumnName":
+                "_rcv_mat",
+        },
+    )
+    # upgrade the legacy protocol to declare rowTracking (feature form)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = open(log).read().splitlines()
+    fixed = []
+    for line in lines:
+        a = json.loads(line)
+        if "protocol" in a:
+            a["protocol"] = {
+                "minReaderVersion": 2,
+                "minWriterVersion": 7,
+                "writerFeatures": [
+                    "rowTracking", "domainMetadata", "columnMapping",
+                ],
+            }
+        fixed.append(json.dumps(a))
+    # baseRowId on the foreign add + watermark domain
+    add_fixed = []
+    for line in fixed:
+        a = json.loads(line)
+        if "add" in a:
+            a["add"]["baseRowId"] = 0
+            a["add"]["defaultRowCommitVersion"] = 0
+        add_fixed.append(json.dumps(a))
+    add_fixed.append(json.dumps({
+        "domainMetadata": {
+            "domain": "delta.rowTracking",
+            "configuration": json.dumps({"rowIdHighWaterMark": 9}),
+            "removed": False,
+        }
+    }))
+    with open(log, "w") as fh:
+        fh.write("\n".join(add_fixed) + "\n")
+
+    kt = DeltaKeyedTable(spark, t, ["id"])
+    kt.merge(
+        upserts=spark.createDataFrame([(2, "b")], "id long, v string")
+    )
+    r = DeltaTableReader(spark, t)
+    ids = {
+        x["id"]: (x["__rt_row_id"], x["__rt_rcv"])
+        for x in r.read(with_row_ids=True).collect()
+    }
+    assert ids[1] == (0, 0), "survivor keeps id through mapped rewrite"
+    assert ids[2][0] >= 10 and ids[2][1] == 1
+    # logical read stays clean (no physical/materialized names leak)
+    assert set(r.read().columns) == {"id", "v"}
