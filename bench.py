@@ -116,6 +116,7 @@ HEADLINE = [
     "x13_sessionize",
     # round 9: trained-BPE tokenizer (train + tokenize-once-per-word)
     "t10b_bpe_real",
+    "t27_semdedup",
 ]
 
 

@@ -713,7 +713,16 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:1911.00359) — mean token negative log-prob under a hashed
     unigram model of the 'en' subset; the 15 most target-like (lowest
     score) documents. Same broadcast-model shape as t21 (operators/
-    dsir.py has the scale argument)."""
+    dsir.py has the scale argument).
+
+    Perf posture (r10): ~4.5x DuckDB at sf0.1 and accepted as-is. The
+    plan is already single-tokenize (ReusedExchange-gated) + broadcast
+    model + spread; the residual gap is (a) md5 per token — the ONLY
+    hash both engines compute identically (DuckDB has no
+    crc32/xxhash; Spark hash() != DuckDB hash()), so the oracle pins
+    it — and (b) ~6 stage barriers that are fixed-cost at 100k rows.
+    STRESS exponent 0.585: the per-token work scales sublinearly, so
+    the gap closes with SF rather than growing."""
     from deimos_spark.operators import dsir
 
     s = dsir.unigram_ppl_scores(_docs_spread(spark, sf_dir), F.col("lang") == "en")
@@ -814,6 +823,20 @@ def q_dedup_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cosine_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine >= 0.4 — oracle-checked baseline for t08."""
     return simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t27: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) —
+    cluster-then-prune semantic dedup over the embedding column with a
+    seeded, SQL-reproducible assignment (md5-selected centroids; the
+    production path plugs simsearch.ivf_train centroids in instead).
+    All-integer per-cluster output: (cluster_id, n_vectors,
+    n_removed)."""
+    from deimos_spark.operators.semdedup import semdedup_summary
+
+    return semdedup_summary(
+        _emb(spark, sf_dir), n_clusters=8, threshold=0.4
+    )
 
 
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1580,6 +1603,39 @@ def all_queries() -> dict[str, QuerySpec]:
             "AND b.band BETWEEN a.band - 1 AND a.band + 1 "
             "AND a.doc_id < b.doc_id) "
             "WHERE dist <= 24 ORDER BY id_a, id_b",
+        ),
+        QuerySpec(
+            "t27_semdedup", q_semdedup,
+            # identical seeded construction both engines: md5-selected
+            # centroids, argmax-cosine assignment (round-4, ties to
+            # lowest centroid id), within-cluster dominance pruning
+            "WITH cent AS (SELECT vec_id AS cid, "
+            "CAST(embedding AS DOUBLE[]) AS cv FROM embeddings "
+            "ORDER BY md5('semdedup' || CAST(vec_id AS VARCHAR)), vec_id "
+            "LIMIT 8), "
+            "sims AS (SELECT e.vec_id, c.cid, "
+            "round(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), c.cv), 4) AS cs "
+            "FROM embeddings e CROSS JOIN cent c), "
+            "assigned AS (SELECT vec_id, cid, cs FROM ("
+            "SELECT vec_id, cid, cs, row_number() OVER ("
+            "PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn "
+            "FROM sims) t WHERE rn = 1), "
+            "rme AS (SELECT DISTINCT a.vec_id FROM assigned a "
+            "JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id "
+            "JOIN embeddings ea ON ea.vec_id = a.vec_id "
+            "JOIN embeddings eb ON eb.vec_id = b.vec_id "
+            "WHERE round(list_cosine_similarity("
+            "CAST(ea.embedding AS DOUBLE[]), "
+            "CAST(eb.embedding AS DOUBLE[])), 4) >= 0.4 "
+            "AND (b.cs < a.cs OR (b.cs = a.cs AND b.vec_id < a.vec_id))) "
+            "SELECT a.cid AS cluster_id, "
+            "CAST(count(*) AS BIGINT) AS n_vectors, "
+            "CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_removed "
+            "FROM assigned a LEFT JOIN rme r ON a.vec_id = r.vec_id "
+            "GROUP BY a.cid ORDER BY cluster_id",
+            note="SemDeDup cluster-then-prune semantic dedup",
         ),
         QuerySpec(
             "t09_cosine_pairs_exact", q_cosine_pairs_exact,
