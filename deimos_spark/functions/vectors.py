@@ -81,3 +81,37 @@ def cosine_vs_literal(vec_col: Column | str, query: list[float]) -> Column:
         dot_e = t if dot_e is None else dot_e + t
         n2 = s if n2 is None else n2 + s
     return dot_e / (F.sqrt(n2) * F.lit(qn))
+
+
+def dot_cols_unrolled(a: str, b: str, dim: int) -> Column:
+    """Column-vs-column dot product UNROLLED into codegen'd
+    element_at arithmetic (one SQL parse, left-to-right association —
+    bit-identical to the fold in `dot`, ~10-30x faster: Spark runs
+    higher-order-function lambdas interpreted, one closure call per
+    element). `a`/`b` are COLUMN NAMES; `dim` the known vector length
+    (callers pass it like simsearch's lsh does). Falls back to the
+    fold past UNROLL_MAX_DIM where plan size dominates."""
+    if dim > UNROLL_MAX_DIM:
+        return dot(to_double_array(F.col(a)), to_double_array(F.col(b)))
+    # coalesce: element_at past the real length is NULL — treat as a
+    # zero pad so vectors SHORTER than `dim` still dot correctly
+    # (adding 0.0 never changes an IEEE sum, so full-length vectors
+    # get the bit-identical fold value)
+    terms = " + ".join(
+        f"coalesce(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i + 1}) AS DOUBLE), 0.0D)"
+        for i in range(dim)
+    )
+    return F.expr(f"({terms})")
+
+
+def norm_unrolled(a: str, dim: int) -> Column:
+    """sqrt(self-dot), unrolled like dot_cols_unrolled."""
+    if dim > UNROLL_MAX_DIM:
+        return norm(to_double_array(F.col(a)))
+    terms = " + ".join(
+        f"coalesce(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE), 0.0D)"
+        for i in range(dim)
+    )
+    return F.expr(f"sqrt({terms})")

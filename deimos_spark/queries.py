@@ -835,7 +835,9 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deimos_spark.operators.semdedup import semdedup_summary
 
     return semdedup_summary(
-        _emb(spark, sf_dir), n_clusters=8, threshold=0.4
+        spread_small(_emb(spark, sf_dir), sf_dir),
+        n_clusters=8,
+        threshold=0.4,
     )
 
 
