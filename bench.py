@@ -116,11 +116,10 @@ HEADLINE = [
     "x13_sessionize",
     # round 9: trained-BPE tokenizer (train + tokenize-once-per-word)
     "t10b_bpe_real",
-    # t27_semdedup is declared + oracle-gated (3 SFs) but NOT timed
-    # here: at sf0.1 it is 2000 rows through an applyInPandas kernel —
-    # ~1.2s of Python-worker/stage floor against DuckDB's 0.08s, i.e.
-    # pure fixed-cost composition drift of the kind the R5 fixed set
-    # exists to factor out (the kernel itself is ~ms; see SURVEY §15).
+    # round 11: SemDeDup joined the headline — the r10 exclusion's
+    # fixed cost (crossJoin + window assignment chain) was cut by
+    # fusing assignment into one mapInPandas kernel: warm ~0.07s.
+    "t27_semdedup",
 ]
 
 

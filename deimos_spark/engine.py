@@ -105,7 +105,12 @@ class Engine:
             n
             for n in self._views
             if _re.search(
-                rf"(?i)(?<![\w.$`]){_re.escape(n)}(?![\w$])", query
+                # bare form (not part of a longer/qualified identifier)
+                # OR the exactly-backtick-quoted form `name` — legal
+                # Spark SQL that the bare pattern's lookbehind rejects
+                rf"(?i)(?:(?<![\w.$`]){_re.escape(n)}(?![\w$])"
+                rf"|`{_re.escape(n)}`)",
+                query,
             )
         ]
         cat = self.spark.catalog

@@ -39,9 +39,23 @@ def bpe_pieces(col: Column | str) -> Column:
     )
 
 
+def _rx_word(word: str) -> str:
+    """re.escape a probe word for interpolation into a SQL-string
+    regex literal (backslashes doubled for the SQL parser). No-op for
+    the current all-letter probes, but a future probe containing a
+    regex metacharacter must not silently corrupt the alternation."""
+    import re as _re
+
+    return _re.escape(word).replace("\\", "\\\\")
+
+
 def stopword_hits(col: Column | str, word: str) -> Column:
     """Count standalone occurrences of `word` (word-boundary regex)."""
-    return F.size(F.expr(f"regexp_extract_all({_name(col)}, '\\\\b{word}\\\\b', 0)"))
+    return F.size(
+        F.expr(
+            f"regexp_extract_all({_name(col)}, '\\\\b{_rx_word(word)}\\\\b', 0)"
+        )
+    )
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:
@@ -53,7 +67,7 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
         lang: F.size(
             F.expr(
                 f"regexp_extract_all({_name(col)}, "
-                f"'\\\\b({'|'.join(words)})\\\\b', 0)"
+                f"'\\\\b({'|'.join(_rx_word(w) for w in words)})\\\\b', 0)"
             )
         ).alias(f"score_{lang}")
         for lang, words in LANG_PROBES.items()

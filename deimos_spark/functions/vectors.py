@@ -86,23 +86,33 @@ def cosine_vs_literal(vec_col: Column | str, query: list[float]) -> Column:
 def dot_cols_unrolled(a: str, b: str, dim: int) -> Column:
     """Column-vs-column dot product UNROLLED into codegen'd
     element_at arithmetic (one SQL parse, left-to-right association —
-    bit-identical to the fold in `dot`, ~10-30x faster: Spark runs
-    higher-order-function lambdas interpreted, one closure call per
-    element). `a`/`b` are COLUMN NAMES; `dim` the known vector length
-    (callers pass it like simsearch's lsh does). Falls back to the
-    fold past UNROLL_MAX_DIM where plan size dominates."""
+    bit-identical to the fold in `dot` for full-length vectors,
+    INCLUDING NULL-element and NULL-array propagation; ~10-30x faster:
+    Spark runs higher-order-function lambdas interpreted, one closure
+    call per element). `a`/`b` are COLUMN NAMES; `dim` the known
+    vector length (callers pass it like simsearch's lsh does). The one
+    deliberate divergence: a vector SHORTER than `dim` is zero-padded
+    here, where the fold's zip_with would NULL-pad the ragged tail.
+    Falls back to the fold past UNROLL_MAX_DIM where plan size
+    dominates."""
     if dim > UNROLL_MAX_DIM:
         return dot(to_double_array(F.col(a)), to_double_array(F.col(b)))
-    # coalesce: element_at past the real length is NULL — treat as a
-    # zero pad so vectors SHORTER than `dim` still dot correctly
-    # (adding 0.0 never changes an IEEE sum, so full-length vectors
-    # get the bit-identical fold value)
+    # zero-pad ONLY when the index is genuinely past a vector's real
+    # length (adding 0.0 never changes an IEEE sum, so short vectors
+    # dot correctly); an IN-RANGE NULL element must propagate NULL,
+    # exactly like the zip_with/aggregate fold in `dot`. A NULL ARRAY
+    # is handled by ONE outer IF — size(NULL) is -1 under legacy
+    # sizeOfNull, which would otherwise silently zero-pad the whole
+    # sum. Codegen CSEs the repeated size() calls.
     terms = " + ".join(
-        f"coalesce(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
-        f"CAST(element_at({b}, {i + 1}) AS DOUBLE), 0.0D)"
+        f"IF(size({a}) < {i + 1} OR size({b}) < {i + 1}, 0.0D, "
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i + 1}) AS DOUBLE))"
         for i in range(dim)
     )
-    return F.expr(f"({terms})")
+    return F.expr(
+        f"IF({a} IS NULL OR {b} IS NULL, CAST(NULL AS DOUBLE), ({terms}))"
+    )
 
 
 def norm_unrolled(a: str, dim: int) -> Column:
@@ -110,8 +120,11 @@ def norm_unrolled(a: str, dim: int) -> Column:
     if dim > UNROLL_MAX_DIM:
         return norm(to_double_array(F.col(a)))
     terms = " + ".join(
-        f"coalesce(CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
-        f"CAST(element_at({a}, {i + 1}) AS DOUBLE), 0.0D)"
+        f"IF(size({a}) < {i + 1}, 0.0D, "
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE))"
         for i in range(dim)
     )
-    return F.expr(f"sqrt({terms})")
+    return F.expr(
+        f"IF({a} IS NULL, CAST(NULL AS DOUBLE), sqrt({terms}))"
+    )

@@ -182,7 +182,9 @@ def _unlink_quietly(path: str) -> bool:
         os.unlink(path)
         return True
     except OSError:
-        return True  # treat as dropped either way — never commit it
+        # never committed either way, but an orphaned empty delete
+        # file left in data/ must be observable to the caller
+        return False
 
 
 # ----------------------------------------------------------------- reader

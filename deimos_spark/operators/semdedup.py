@@ -18,33 +18,78 @@ DSIR/t23 use for KenLM. The production path composes with the real
 k-means trainer (`simsearch.ivf_train`) by passing `centroid_ids`.
 
 Scale shape (100 TB):
-- centroid selection: one TakeOrdered of n_clusters rows (bounded,
-  like DSIR's <= 4096-row model collect) — broadcast back as a tiny
-  relation, never literals in a megabyte expression tree.
-- assignment: broadcast cross-join (N x K rows, K bounded) -> one
-  row_number window PARTITIONED by vec_id — no unpartitioned window,
-  no driver state.
-- pruning: the pair join is keyed on the CLUSTER id — per-cluster
-  quadratic exactly as the paper's per-cluster GPU pass; K is chosen
-  so N/K is bounded (the paper uses K ~ sqrt(N)-ish), and the join
-  never goes cartesian across clusters.
+- centroid selection: one TakeOrdered of n_clusters rows collected to
+  the driver (bounded, like DSIR's <= 4096-row model collect) and
+  shipped to executors inside the two Arrow kernels' closures — never
+  literals in a megabyte expression tree, never a crossJoin row blowup.
+- assignment: ONE mapInPandas projection per input partition — each
+  Arrow batch is scored against the (K x dim) centroid matrix and
+  emits (id, cluster, centroid_sim, vector). No shuffle, no window:
+  argmax over K replaces the old crossJoin(N x K) + row_number plan
+  (that chain paid two extra stages of pure fixed cost — the reason
+  r10 kept t27 out of the bench headline).
+- pruning: groupBy(cluster) -> applyInPandas — per-cluster quadratic
+  exactly as the paper's per-cluster GPU pass (CPU here). K is chosen
+  so N/K is bounded (the paper uses K ~ sqrt(N)-ish). The n_c^2
+  similarity matrix is computed BLOCKWISE (O(block x n_c) peak), and a
+  skewed cluster larger than `max_cluster_rows` raises loudly (the
+  t09 guard precedent): applyInPandas materializes the whole group in
+  one executor's memory, so a 90%-of-rows hot cluster must fail fast
+  with a message pointing at raising K, not OOM an executor.
 - dominance rule: v is removed iff SOME same-cluster near-dup u has a
   strictly lower centroid-similarity (tie: lower id wins) — the
   pairwise relaxation of the paper's per-group keep-one; full
   connected-component grouping is the separate t20 operator.
+
+Numeric determinism: every dot product / norm here accumulates
+LEFT-TO-RIGHT over the dimension (a Python-level loop of vectorized
+adds, `acc += x[:, k] * y[:, k]`), the same association as the
+`functions.vectors.dot` fold and t09's pair baseline — NOT a BLAS
+matmul, whose blocked accumulation order can flip a round-4 value
+sitting on a rounding boundary against the DuckDB oracle. dim is 64;
+the loop is 64 vectorized adds per block, within ~2x of dgemm and
+bit-stable.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import math
+from typing import Iterator
+
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from deimos_spark.functions.vectors import (
-    dot_cols_unrolled,
-    norm_unrolled,
-)
-
 __all__ = ["semdedup_summary"]
+
+
+# applyInPandas holds one cluster per executor as a dense pandas group;
+# beyond this many rows the (rows x dim) matrix plus block buffers stop
+# being a sane single-task working set — refuse loudly (t09 precedent).
+MAX_CLUSTER_ROWS = 2_000_000
+
+# rows per similarity block: caps the pairwise pass at
+# PRUNE_BLOCK_ROWS x n_c doubles (~32 MB at n_c = 2M and 2048 rows).
+PRUNE_BLOCK_ROWS = 2048
+
+
+def _gram_lr(x, y):
+    """(B x d) . (M x d)^T pairwise dot-product matrix with
+    LEFT-TO-RIGHT accumulation over d — bit-stable, engine-portable."""
+    import numpy as np
+
+    acc = np.zeros((x.shape[0], y.shape[0]), dtype=np.float64)
+    for k in range(x.shape[1]):
+        acc += np.multiply.outer(x[:, k], y[:, k])
+    return acc
+
+
+def _norms_lr(x):
+    import numpy as np
+
+    acc = np.zeros(x.shape[0], dtype=np.float64)
+    for k in range(x.shape[1]):
+        acc += x[:, k] * x[:, k]
+    return np.sqrt(acc)
 
 
 def semdedup_summary(
@@ -55,6 +100,8 @@ def semdedup_summary(
     vec_col: str = "embedding",
     salt: str = "semdedup",
     dim: int = 64,
+    max_cluster_rows: int = MAX_CLUSTER_ROWS,
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Per-cluster SemDeDup summary: (cluster_id, n_vectors,
     n_removed) — cluster_id is the centroid's vec_id; all-integer
@@ -62,86 +109,111 @@ def semdedup_summary(
     to 4 digits BEFORE any comparison so the dominance rule is decided
     on values both engines agree on (the t09 precedent).
 
-    Hot-path shape: norms computed ONCE per row, every dot product
-    UNROLLED into codegen'd element_at arithmetic (`dim` is the known
-    vector length, like simsearch's lsh takes) — the fold form runs
-    interpreted and made the within-cluster pair pass ~10x slower;
-    pairs are generated UNORDERED (id_a < id_b, half the join output)
-    with the dominated side selected per pair, which is equivalent to
-    the two-sided exists rule."""
-    cent = (
-        df.select(
-            F.col(id_col).alias("_cid"),
-            F.col(vec_col).alias("_cv"),
-            norm_unrolled(vec_col, dim).alias("_cn"),
-            F.md5(
-                F.concat(F.lit(salt), F.col(id_col).cast("string"))
-            ).alias("_h"),
-        )
-        .orderBy("_h", "_cid")
-        .limit(n_clusters)
-        .drop("_h")
-    )
-    e = df.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        norm_unrolled(vec_col, dim).alias("_n"),
-    )
-    c_sim = F.round(
-        dot_cols_unrolled("_v", "_cv", dim)
-        / (F.col("_n") * F.col("_cn")),
-        4,
-    )
-    sims = e.crossJoin(F.broadcast(cent)).select(
-        id_col, "_v", "_n", "_cid", c_sim.alias("_cs")
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_cs").desc(), F.col("_cid").asc()
-    )
-    assigned = (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, "_cid", "_cs", "_v", "_n")
-    )
-    # within-cluster pruning as a per-cluster Arrow kernel: one
-    # (n_c x dim) @ (dim x n_c) BLAS matmul per cluster — the paper's
-    # per-cluster pass verbatim (they run it on GPU; CPU BLAS here).
-    # The expression alternative (a self-join computing an unrolled
-    # 64-term dot per pair) exceeds codegen's method budget and runs
-    # interpreted: measured 5.5s vs ~0.3s at sf0.1. A cluster is one
-    # pandas group, so K must grow with N (the paper's own contract:
-    # K ~ sqrt(N)-ish keeps n_c bounded).
+    `centroids` overrides the seeded md5 selection with trained ones
+    (e.g. from `simsearch.ivf_train`) as (id, vector) pairs — the
+    production path; the seeded default exists for the SQL oracle."""
+    if centroids is None:
+        cent_rows = [
+            (int(r["_cid"]), [float(v) for v in r["_cv"]])
+            for r in (
+                df.select(
+                    F.col(id_col).alias("_cid"),
+                    F.col(vec_col).alias("_cv"),
+                    F.md5(
+                        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+                    ).alias("_h"),
+                )
+                .orderBy("_h", "_cid")
+                .limit(n_clusters)
+                .collect()
+            )
+        ]
+    else:
+        cent_rows = [
+            (int(cid), [float(v) for v in vec]) for cid, vec in centroids
+        ]
+    # sorted by centroid id so np.argmax's first-max rule = lowest cid
+    cent_rows.sort(key=lambda r: r[0])
+    cent_ids = [r[0] for r in cent_rows]
+    cent_vecs = [r[1] for r in cent_rows]
+    # left-to-right norm, matching the executor-side convention
+    cent_norms = [
+        math.sqrt(sum(v * v for v in vec)) for vec in cent_vecs
+    ]
     thr = float(threshold)
+
+    def _assign(batches: Iterator["object"]) -> Iterator["object"]:
+        import numpy as np
+        import pandas as pd
+
+        c = np.asarray(cent_vecs, dtype=np.float64)
+        cn = np.asarray(cent_norms, dtype=np.float64)
+        cids = np.asarray(cent_ids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cs = np.round(
+                _gram_lr(x, c) / (_norms_lr(x)[:, None] * cn[None, :]), 4
+            )
+            best = cs.argmax(axis=1)  # first max -> lowest centroid id
+            yield pd.DataFrame(
+                {
+                    "_id": pdf[id_col].to_numpy(),
+                    "_cid": cids[best],
+                    "_cs": cs[np.arange(len(best)), best],
+                    "_v": list(x),
+                }
+            )
+
+    assigned = df.mapInPandas(
+        _assign, "_id long, _cid long, _cs double, _v array<double>"
+    )
 
     def _prune(pdf):
         import numpy as np
         import pandas as pd
 
+        n = len(pdf)
+        if n > max_cluster_rows:
+            raise ValueError(
+                f"semdedup cluster {int(pdf['_cid'].iloc[0])} has {n} rows"
+                f" > max_cluster_rows={max_cluster_rows}: one cluster is one"
+                f" in-memory pandas group, so a skewed cluster this large"
+                f" must be split by raising n_clusters (K ~ sqrt(N) is the"
+                f" paper's contract), not crunched on one executor."
+            )
         x = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-        nrm = np.sqrt((x * x).sum(axis=1))
-        s = np.round((x @ x.T) / np.outer(nrm, nrm), 4)
+        nrm = _norms_lr(x)
         cs = pdf["_cs"].to_numpy()
         ids = pdf["_id"].to_numpy()
-        near = s >= thr
-        np.fill_diagonal(near, False)
-        # dominated by j: j nearer AND (lower centroid-sim, tie lower id)
-        lower = (cs[:, None] > cs[None, :]) | (
-            (cs[:, None] == cs[None, :]) & (ids[:, None] > ids[None, :])
-        )
-        removed = (near & lower).any(axis=1)
+        removed = 0
+        # blockwise pair pass: peak extra memory O(block x n), not n^2
+        for lo in range(0, n, PRUNE_BLOCK_ROWS):
+            hi = min(lo + PRUNE_BLOCK_ROWS, n)
+            s = np.round(
+                _gram_lr(x[lo:hi], x)
+                / (nrm[lo:hi, None] * nrm[None, :]),
+                4,
+            )
+            near = s >= thr
+            near[np.arange(lo, hi) - lo, np.arange(lo, hi)] = False
+            # dominated by j: near AND (j lower centroid-sim, tie lower id)
+            lower = (cs[lo:hi, None] > cs[None, :]) | (
+                (cs[lo:hi, None] == cs[None, :])
+                & (ids[lo:hi, None] > ids[None, :])
+            )
+            removed += int((near & lower).any(axis=1).sum())
         return pd.DataFrame(
             {
                 "cluster_id": [int(pdf["_cid"].iloc[0])],
-                "n_vectors": [len(pdf)],
-                "n_removed": [int(removed.sum())],
+                "n_vectors": [n],
+                "n_removed": [removed],
             }
         )
 
     return (
-        assigned.select(
-            F.col(id_col).alias("_id"), "_cid", "_cs", "_v"
-        )
-        .groupBy("_cid")
+        assigned.groupBy("_cid")
         .applyInPandas(
             _prune,
             "cluster_id long, n_vectors long, n_removed long",

@@ -156,3 +156,11 @@ def test_sql_restores_preexisting_temp_view(spark):
         )
     finally:
         spark.catalog.dropTempView("nation")
+
+
+def test_sql_binds_backtick_quoted_views(spark):
+    """ADVICE r10: `nation` (backtick-quoted, legal Spark SQL) must
+    bind the view — the old name-probe lookbehind rejected a preceding
+    backtick and raised TABLE_OR_VIEW_NOT_FOUND."""
+    eng = Engine(spark).attach_catalog(SF_DIR, tables=("nation",))
+    assert eng.sql("SELECT count(*) AS c FROM `nation`").first().c == 25
