@@ -13,11 +13,13 @@ Laplace-smoothed counts. Documents with high log-weight "look like" the
 target; importance resampling keeps them proportionally.
 
 Why this shape scales to 100 TB: the corpus is touched by exactly
-  1. one tokenize+hash projection (codegen'd string ops, no Python),
-  2. two hash aggregates over (bucket) — B rows out (B = 4096 here),
-  3. one hash aggregate over (doc, bucket) — bounded by corpus tokens,
-  4. a broadcast join of the ≤B-row log-ratio table onto (3),
-  5. one final per-doc aggregate.
+  1. one tokenize projection (codegen'd string ops, no Python),
+  2. one hash aggregate over (doc, token) — map-side combine collapses
+     within-partition repeats before the shuffle,
+  3. a distinct-token map hashed to buckets ONCE per vocabulary entry
+     (not per occurrence — see _per_doc_bucket_counts) and joined back,
+  4. one hash aggregate over (doc, bucket) + one over (bucket),
+  5. a broadcast join of the ≤B-row log-ratio table + a per-doc agg.
 No all-pairs step, no driver-side model fit; the "model" IS the ≤B-row
 broadcast relation. The bucket hash is the engine-portable md5 prefix
 (same construction as operators/sampling.py), so DuckDB oracles and any
@@ -78,6 +80,54 @@ def _tokens(
     return uni.unionByName(bi)
 
 
+def _per_doc_bucket_counts(
+    docs: DataFrame,
+    target: Column,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    salt: str,
+    ngram: int,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """(id, __tgt, __b, __n): tokenize once, then hash each DISTINCT
+    token ONCE instead of per occurrence (VERDICT r10 #1; the t10b
+    tokenize-once-per-distinct-word pattern, operators/bpe.py).
+
+    md5+conv per token occurrence was the dominant CPU of the t23
+    headline query — natural text repeats tokens heavily, so hashing
+    the vocabulary and mapping it back pays |vocab| hashes instead of
+    |occurrences|. Shape: one (doc, token) hash aggregate (map-side
+    partial combine collapses within-partition repeats before the
+    shuffle), a distinct-token projection hashed to buckets (its input
+    REUSES the (doc, token) exchange), a broadcast join of the
+    token→bucket map, and a fold to (doc, bucket). Same md5 per token
+    ⇒ bucket counts bit-identical to hashing inline.
+
+    Scale note: `broadcast_vocab=False` for corpora whose whitespace
+    vocabulary exceeds broadcast size (web-scale crawls with URLs /
+    typos) — the join then shuffles two already-aggregated relations
+    on `token`, still never the raw occurrence stream."""
+    tok = _tokens(
+        docs.withColumn("__tgt", target), id_col, text_col, ["__tgt"], ngram
+    )
+    per_tok = tok.groupBy(id_col, "__tgt", "token").agg(
+        F.count("*").alias("__tn")
+    )
+    vocab = (
+        per_tok.select("token")
+        .distinct()
+        .select("token", _bucket(F.col("token"), buckets, salt).alias("__b"))
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        per_tok.join(vocab, "token")
+        .groupBy(id_col, "__tgt", "__b")
+        .agg(F.sum("__tn").alias("__n"))
+    )
+
+
 def dsir_log_weights(
     docs: DataFrame,
     target: Column,
@@ -93,15 +143,11 @@ def dsir_log_weights(
     subset (e.g. `F.col("lang") == "en"`). Probabilities are
     Laplace-smoothed: p(b) = (count_b + 1) / (total + buckets).
     """
-    tok = _tokens(
-        docs.withColumn("__tgt", target), id_col, text_col, ["__tgt"], ngram
-    ).withColumn("__b", _bucket(F.col("token"), buckets, salt))
-
     # single (doc, bucket) aggregate; both the bucket model and the
     # per-doc scoring derive from it, so the tokenize projection and its
     # shuffle run ONCE (Spark reuses the identical exchange subplan)
-    per_doc = tok.groupBy(id_col, "__tgt", "__b").agg(
-        F.count("*").alias("__n")
+    per_doc = _per_doc_bucket_counts(
+        docs, target, id_col, text_col, buckets, salt, ngram
     )
     by_bucket = per_doc.groupBy("__b").agg(
         F.sum("__n").alias("__cr"),
@@ -154,11 +200,8 @@ def unigram_ppl_scores(
     step, no driver-side fit. Docs with zero tokens are absent from the
     output (no tokens → no likelihood), mirroring dsir_log_weights.
     """
-    tok = _tokens(
-        docs.withColumn("__tgt", target), id_col, text_col, ["__tgt"], 1
-    ).withColumn("__b", _bucket(F.col("token"), buckets, salt))
-    per_doc = tok.groupBy(id_col, "__tgt", "__b").agg(
-        F.count("*").alias("__n")
+    per_doc = _per_doc_bucket_counts(
+        docs, target, id_col, text_col, buckets, salt, 1
     )
     # one aggregate covers every corpus bucket; target counts fold in as
     # a conditional sum (ct = 0 where the target never hashed there →

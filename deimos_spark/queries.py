@@ -694,7 +694,8 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2302.03169) with the 'en' subset as the target distribution —
     the 15 most target-like documents by log importance weight. The
     'model' is a ≤4096-row broadcast of per-bucket log-ratios; the
-    corpus pays one tokenize projection and three hash aggregates
+    corpus pays one tokenize projection, md5 once per DISTINCT token
+    (r11), and pre-aggregated hash aggregates
     (operators/dsir.py has the full scale argument)."""
     from deimos_spark.operators import dsir
 
@@ -715,14 +716,14 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     score) documents. Same broadcast-model shape as t21 (operators/
     dsir.py has the scale argument).
 
-    Perf posture (r10): ~4.5x DuckDB at sf0.1 and accepted as-is. The
-    plan is already single-tokenize (ReusedExchange-gated) + broadcast
-    model + spread; the residual gap is (a) md5 per token — the ONLY
-    hash both engines compute identically (DuckDB has no
-    crc32/xxhash; Spark hash() != DuckDB hash()), so the oracle pins
-    it — and (b) ~6 stage barriers that are fixed-cost at 100k rows.
-    STRESS exponent 0.585: the per-token work scales sublinearly, so
-    the gap closes with SF rather than growing."""
+    Perf posture (r11): md5 now runs per DISTINCT token, not per
+    occurrence (dsir._per_doc_bucket_counts — the t10b pattern VERDICT
+    r10 #1 prescribed); warm sf0.1 went 1.29s -> ~0.1s. md5 stays the
+    bucket hash because it is the ONLY hash both engines compute
+    identically (DuckDB has no crc32/xxhash; Spark hash() != DuckDB
+    hash()), so the oracle pins it; the plan is single-tokenize
+    (ReusedExchange-gated) + broadcast token->bucket map + broadcast
+    model."""
     from deimos_spark.operators import dsir
 
     s = dsir.unigram_ppl_scores(_docs_spread(spark, sf_dir), F.col("lang") == "en")
