@@ -407,21 +407,44 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-decimal money math (SURVEY flags decimal as an extension):
     revenue per return flag in DECIMAL(18,2)/(18,4) — bit-exact across
-    engines, unlike float aggregation which needs round() tolerance."""
+    engines, unlike float aggregation which needs round() tolerance.
+
+    Fast path (VERDICT r10 #2): the naive sum(decimal(18,2) *
+    decimal(18,4)) accumulates decimal(38,6) — past Spark's long-backed
+    Decimal fast path, so every row paid a BigDecimal multiply + add
+    (10x DuckDB's native int128 decimal). Instead the UNSCALED values
+    are extracted as longs JVM-side — `round(x, s)` on a double makes
+    the identical HALF_UP decision as `cast(x as decimal(_, s))` (both
+    round the exact binary value), and the second round() repairs the
+    <<0.5 representation error of unscaled*10^s — multiplied in int64
+    (cents x basis-points <= 1e12/row, exact), and summed as compact
+    decimal(38,0): Spark's Decimal add stays on the int64 fast path
+    until a partial sum genuinely exceeds long range, then widens —
+    overflow-checked at any scale, never wrong. One division per GROUP
+    rescales to the same decimal(38,6)/(18,2) values as the naive
+    plan; the oracle SQL is unchanged and bit-exact."""
     li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.round(F.col("l_extendedprice"), 2) * 100, 0).cast(
+        "long"
+    )
+    dbp = F.round(
+        F.round(F.lit(1.0) - F.col("l_discount"), 4) * 10000, 0
+    ).cast("long")
     return (
         li.select(
             "l_returnflag",
-            F.col("l_extendedprice").cast("decimal(18,2)").alias("_p"),
-            (F.lit(1) - F.col("l_discount")).cast("decimal(18,4)").alias("_d"),
+            (cents * dbp).cast("decimal(38,0)").alias("_r6"),
+            cents.cast("decimal(38,0)").alias("_p2"),
         )
         .groupBy("l_returnflag")
         .agg(
             # keep the exact scale-6 sum: a final cast to (18,2) would round
             # x.xx5 HALF_UP in Spark but HALF_EVEN in DuckDB — exactness is
             # the point of decimal, so expose the exact value
-            F.sum(F.col("_p") * F.col("_d")).cast("decimal(38,6)").alias("revenue"),
-            F.sum("_p").cast("decimal(18,2)").alias("gross"),
+            (F.sum("_r6") / F.lit(1000000))
+            .cast("decimal(38,6)")
+            .alias("revenue"),
+            (F.sum("_p2") / F.lit(100)).cast("decimal(18,2)").alias("gross"),
         )
         .orderBy("l_returnflag")
     )
