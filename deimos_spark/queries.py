@@ -1079,6 +1079,38 @@ def q_sql_string_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_TPCH_Q1)
 
 
+# fourth same-text proof (VERDICT r10 #8): the WINDOW-FUNCTION battery
+# as one ANSI statement — ranking (B18) + analytic frames (B19) through
+# Engine.sql, identical text on both engines. Every windowed value is
+# chosen exact-by-construction so the comparison needs no tolerance:
+# the running sum aggregates DECIMAL(18,2) (order-insensitive exact,
+# then cast back to a common type — Spark widens sum(decimal) to
+# (28,2), DuckDB to (38,2)); rank is cast to BIGINT (Spark int vs
+# DuckDB bigint); lag and the sliding max pass input doubles through
+# untouched.
+SQL_ENTRY_WINDOW = (
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER ("
+    "PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS DECIMAL(18,2)) AS running_spend, "
+    "CAST(rank() OVER (PARTITION BY o_custkey "
+    "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS spend_rank, "
+    "lag(o_totalprice, 1) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderkey) AS prev_price, "
+    "max(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS max3 "
+    "FROM orders WHERE o_custkey < 200 "
+    "ORDER BY o_custkey, o_orderkey"
+)
+
+
+def q_sql_string_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deimos_spark.engine import Engine
+
+    return Engine(spark).attach_catalog(sf_dir).sql(SQL_ENTRY_WINDOW)
+
+
 # --------------------------------------------------------------------------
 # Oracle SQL helpers (shared expression fragments, DuckDB dialect)
 # --------------------------------------------------------------------------
@@ -1971,6 +2003,10 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "s03_sql_tpch_q1", q_sql_string_tpch_q1, SQL_ENTRY_TPCH_Q1,
             note="Engine.sql() full TPC-H Q1 text: identical SQL both sides",
+        ),
+        QuerySpec(
+            "s04_sql_window", q_sql_string_window, SQL_ENTRY_WINDOW,
+            note="Engine.sql() window battery: identical SQL both sides",
         ),
     ]
     specs += _tpch_specs()

@@ -164,3 +164,25 @@ def test_sql_binds_backtick_quoted_views(spark):
     backtick and raised TABLE_OR_VIEW_NOT_FOUND."""
     eng = Engine(spark).attach_catalog(SF_DIR, tables=("nation",))
     assert eng.sql("SELECT count(*) AS c FROM `nation`").first().c == 25
+
+
+def test_s04_window_battery_same_text_both_engines(engine):
+    """VERDICT r10 #8: the window-function battery (rank + frames +
+    lag + sliding max) as ONE ANSI statement through Engine.sql, with
+    the DuckDB oracle running the IDENTICAL text (registered as
+    s04_sql_window). Exactness by construction: decimal running sum,
+    BIGINT rank, pass-through doubles."""
+    from deimos_spark.queries import SQL_ENTRY_WINDOW
+
+    spec = all_queries()["s04_sql_window"]
+    assert spec.oracle == SQL_ENTRY_WINDOW
+    got = _rows([tuple(r) for r in engine.sql(SQL_ENTRY_WINDOW).collect()])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    want = _rows(con.execute(SQL_ENTRY_WINDOW).fetchall())
+    assert len(got) > 0
+    # decimal cells come back as Decimal on both sides; compare direct
+    assert got == want
