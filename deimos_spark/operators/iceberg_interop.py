@@ -73,7 +73,19 @@ _PRIMITIVES = {
 
 
 def iceberg_type_to_spark(t) -> T.DataType:
-    """Iceberg JSON type → Spark type (the spec's documented mapping)."""
+    """Iceberg JSON type → Spark type (the spec's documented mapping).
+
+    v3 additions (spec v3, 2024/2025 finalization):
+    - `unknown`: always-null, no storage — NullType (scans exclude it
+      from the parquet read schema and re-add a null literal, since
+      the parquet reader rejects void fields; see `read`).
+    - `timestamp_ns`/`timestamptz_ns`: Spark has no nanosecond
+      timestamp — LongType, epoch nanoseconds, the engine-wide
+      convention (catalog._normalize_events_ts; nanosAsLong conf
+      makes parquet TIMESTAMP(NANOS) columns arrive as long).
+    - `variant`, `geometry(...)`, `geography(...)`: refused loudly
+      BY NAME — shredded-variant and geo encodings have no fixture
+      here and silently mis-typing them would corrupt reads."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]()
@@ -82,6 +94,23 @@ def iceberg_type_to_spark(t) -> T.DataType:
             return T.DecimalType(int(m.group(1)), int(m.group(2)))
         if re.fullmatch(r"fixed\[\d+\]", t):
             return T.BinaryType()
+        if t == "unknown":
+            return T.NullType()
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            return T.LongType()
+        if t == "variant":
+            raise IcebergProtocolError(
+                "Iceberg v3 type 'variant' is not supported by this "
+                "reader: shredded-variant decoding is unimplemented; "
+                "refusing loudly rather than mis-typing the column"
+            )
+        m = re.fullmatch(r"(geometry|geography)(\(.*\))?", t)
+        if m:
+            raise IcebergProtocolError(
+                f"Iceberg v3 type {m.group(1)!r} is not supported by "
+                f"this reader: geospatial encodings are unimplemented; "
+                f"refusing loudly rather than mis-typing the column"
+            )
         raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
     kind = t.get("type")
     if kind == "struct":
@@ -112,10 +141,21 @@ def iceberg_type_to_spark(t) -> T.DataType:
 def single_value_from_json(t, v):
     """Iceberg JSON single-value serialization → Python value (spec
     §Appendix C 'Single-value serialization', JSON column). Used for
-    v3 column defaults (`initial-default`/`write-default`). Primitive
-    types only — a nested-type default refuses loudly rather than
-    guessing at the struct/list/map JSON forms we have no fixture
-    for."""
+    v3 column defaults (`initial-default`/`write-default`).
+
+    Nested forms per the spec's JSON column (v3 allows defaults on
+    nested types):
+    - struct: JSON object keyed by FIELD ID as a string
+      (`{"1": 1, "2": "bar"}`) → dict keyed by field NAME; an id not
+      in the struct refuses; a missing optional field is null; a
+      missing required field refuses.
+    - list: JSON array of element single-values → python list.
+    - map: `{"keys": [...], "values": [...]}` → list of (k, v) pairs
+      (keys need not be strings, so not a dict).
+    v3 primitives: timestamp_ns/timestamptz_ns → int epoch
+    nanoseconds (the engine-wide long-nanos convention); `unknown`
+    admits no default (only null is a legal value, and null defaults
+    are illegal)."""
     import base64
     import datetime as _dt
     import decimal as _dec
@@ -123,8 +163,65 @@ def single_value_from_json(t, v):
     if v is None:
         raise IcebergProtocolError("null is not a legal default value")
     if not isinstance(t, str):
+        kind = t.get("type")
+        if kind == "struct":
+            if not isinstance(v, dict):
+                raise IcebergProtocolError(
+                    f"struct default must be a JSON object, got {v!r}"
+                )
+            by_id = {str(f["id"]): f for f in t.get("fields") or []}
+            unknown_ids = set(v) - set(by_id)
+            if unknown_ids:
+                raise IcebergProtocolError(
+                    f"struct default keys {sorted(unknown_ids)} are not "
+                    f"field ids of the struct (spec: object keyed by "
+                    f"field id as string)"
+                )
+            out = {}
+            for fid, f in by_id.items():
+                if fid in v:
+                    out[f["name"]] = single_value_from_json(
+                        f["type"], v[fid]
+                    )
+                elif f.get("required"):
+                    raise IcebergProtocolError(
+                        f"struct default omits required field "
+                        f"{f['name']!r} (id {fid})"
+                    )
+                else:
+                    out[f["name"]] = None
+            return out
+        if kind == "list":
+            if not isinstance(v, list):
+                raise IcebergProtocolError(
+                    f"list default must be a JSON array, got {v!r}"
+                )
+            return [single_value_from_json(t["element"], x) for x in v]
+        if kind == "map":
+            if (
+                not isinstance(v, dict)
+                or set(v) != {"keys", "values"}
+                or not isinstance(v["keys"], list)
+                or not isinstance(v["values"], list)
+                or len(v["keys"]) != len(v["values"])
+            ):
+                raise IcebergProtocolError(
+                    f"map default must be {{'keys': [...], 'values': "
+                    f"[...]}} of equal length, got {v!r}"
+                )
+            return [
+                (
+                    single_value_from_json(t["key"], k),
+                    single_value_from_json(t["value"], w),
+                )
+                for k, w in zip(v["keys"], v["values"])
+            ]
         raise IcebergProtocolError(
-            f"default on nested type {t.get('type')!r} unsupported"
+            f"default on nested type {kind!r} unsupported"
+        )
+    if t == "unknown":
+        raise IcebergProtocolError(
+            "unknown type admits only null values — a default is illegal"
         )
     if t == "boolean":
         if not isinstance(v, bool):
@@ -144,6 +241,13 @@ def single_value_from_json(t, v):
         return v
     # malformed serializations must surface as PROTOCOL errors — the
     # reader gate catches IcebergProtocolError, not stdlib exceptions
+    if (
+        t in ("date", "timestamp", "timestamptz", "timestamp_ns",
+              "timestamptz_ns")
+        and not isinstance(v, str)
+    ):
+        # found by fuzz: a non-string here leaked AttributeError
+        raise IcebergProtocolError(f"{t} default {v!r} must be a string")
     try:
         if t == "date":
             return _dt.date.fromisoformat(v)
@@ -156,6 +260,27 @@ def single_value_from_json(t, v):
                     f"timestamptz default {v!r} lacks an offset"
                 )
             return dt
+        if t in ("timestamp_ns", "timestamptz_ns"):
+            # ISO string with up to 9 fractional digits → epoch nanos
+            # (fromisoformat caps at 6 digits, so split the fraction)
+            m = re.fullmatch(
+                r"([^.]+)(?:\.(\d{1,9}))?([+-]\d{2}:\d{2}|Z)?", str(v)
+            )
+            if not m:
+                raise IcebergProtocolError(f"malformed {t} default {v!r}")
+            base, frac, off = m.groups()
+            if t == "timestamptz_ns" and not off:
+                raise IcebergProtocolError(
+                    f"timestamptz_ns default {v!r} lacks an offset"
+                )
+            dt = _dt.datetime.fromisoformat(
+                base + ((off or "").replace("Z", "+00:00"))
+            )
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dt.timezone.utc)
+            ns = int(dt.timestamp()) * 1_000_000_000
+            ns += int((frac or "").ljust(9, "0") or 0)
+            return ns
         m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
         if m:
             return _dec.Decimal(str(v))
@@ -167,12 +292,54 @@ def single_value_from_json(t, v):
     except IcebergProtocolError:
         raise
     # ValueError covers binascii.Error, ArithmeticError covers
-    # decimal.InvalidOperation
-    except (ValueError, TypeError, ArithmeticError) as e:
+    # decimal.InvalidOperation; AttributeError/KeyError backstop any
+    # shape surprise the checks above miss (fuzz contract: stdlib
+    # exceptions never leak)
+    except (
+        ValueError, TypeError, ArithmeticError, AttributeError, KeyError
+    ) as e:
         raise IcebergProtocolError(
             f"malformed {t} default {v!r}: {e!r}"
         ) from None
     raise IcebergProtocolError(f"default on Iceberg type {t!r} unsupported")
+
+
+def default_literal(value, stype):
+    """Parsed single-value (from `single_value_from_json`) → Spark
+    Column literal of `stype`. F.lit only takes scalars, so nested
+    defaults build structurally: struct → F.struct of per-field
+    literals, list → F.array, map → F.map_from_arrays. Empty
+    containers cast to carry the element type."""
+    from pyspark.sql import functions as F
+
+    if value is None:
+        return F.lit(None).cast(stype)
+    if isinstance(stype, T.StructType):
+        return F.struct(
+            *[
+                default_literal(value.get(f.name), f.dataType).alias(f.name)
+                for f in stype.fields
+            ]
+        )
+    if isinstance(stype, T.ArrayType):
+        if not value:
+            return F.lit([]).cast(stype)
+        return F.array(
+            *[default_literal(x, stype.elementType) for x in value]
+        )
+    if isinstance(stype, T.MapType):
+        if not value:
+            return F.map_from_arrays(
+                F.lit([]).cast(T.ArrayType(stype.keyType)),
+                F.lit([]).cast(T.ArrayType(stype.valueType)),
+            )
+        return F.map_from_arrays(
+            F.array(*[default_literal(k, stype.keyType) for k, _ in value]),
+            F.array(
+                *[default_literal(w, stype.valueType) for _, w in value]
+            ),
+        )
+    return F.lit(value).cast(stype)
 
 
 def _unlink_quietly(path: str) -> bool:
@@ -211,13 +378,23 @@ class IcebergTableReader:
     def _check_v3_features(self) -> None:
         """v3 support is deletion vectors (Puffin-framed roaring
         bitmaps, handled in _file_sets/read), row lineage (advisory
-        for a reader — ignored), and primitive column defaults
-        (`initial-default` patched into reads for files written
-        before the column existed; `write-default` is a writer-side
-        concern and does not affect reads). A default we cannot PARSE
-        (nested type, unknown serialization) refuses loudly at open —
-        silently surfacing NULL where the table declares a default is
-        the failure mode this gate exists to prevent.
+        for a reader — ignored), and column defaults — primitive AND
+        nested-typed (struct/list/map single-value JSON forms), on
+        TOP-LEVEL columns (`initial-default` patched into reads for
+        files written before the column existed; `write-default` is a
+        writer-side concern and does not affect reads). v3 types:
+        unknown reads as null, timestamp_ns/timestamptz_ns as epoch
+        nanos; variant/geometry/geography refuse BY NAME in
+        iceberg_type_to_spark. What still refuses loudly here:
+        - a default we cannot PARSE (malformed serialization) —
+          silently surfacing NULL where the table declares a default
+          is the failure mode this gate exists to prevent;
+        - a default on a field NESTED INSIDE a struct/list/map
+          column: applying it needs per-file SUBfield presence
+          probing, which this reader does not do — ignoring it would
+          silently null rows the spec says carry the default;
+        - an `unknown`-typed field nested inside a container (the
+          scan-side void stripping is top-level only).
 
         Only the CURRENT schema is gated: reads resolve
         current-schema-id exclusively (schema_fields /
@@ -234,8 +411,50 @@ class IcebergTableReader:
             ] or schemas[:1]
         else:
             current = [md["schema"]] if md.get("schema") else []
+
+        def _walk_nested(t, path):
+            # inner fields of container types: defaults unsupported,
+            # nested `unknown` unsupported — both loud, by name
+            if isinstance(t, str):
+                if t == "unknown" and path:
+                    raise IcebergProtocolError(
+                        f"v3 `unknown` type nested at {'.'.join(path)!r} "
+                        f"unsupported (top-level unknown columns read "
+                        f"as null; nested void cannot be stripped from "
+                        f"the parquet read schema)"
+                    )
+                return
+            kind = t.get("type")
+            if kind == "struct":
+                for f in t.get("fields") or []:
+                    for key in ("initial-default", "write-default"):
+                        if f.get(key) is not None:
+                            raise IcebergProtocolError(
+                                f"v3 {key} on NESTED field "
+                                f"{'.'.join(path + [f['name']])!r} "
+                                f"unsupported: this reader applies "
+                                f"defaults to top-level columns only "
+                                f"(per-file subfield presence probing "
+                                f"unimplemented); refusing rather than "
+                                f"silently dropping the default"
+                            )
+                    _walk_nested(f["type"], path + [f["name"]])
+            elif kind == "list":
+                _walk_nested(t.get("element"), path + ["element"])
+            elif kind == "map":
+                _walk_nested(t.get("key"), path + ["key"])
+                _walk_nested(t.get("value"), path + ["value"])
+
         for sch in current:
             for f in sch.get("fields") or []:
+                # unsupported v3 types (variant/geometry/geography)
+                # refuse AT OPEN, not at first read
+                try:
+                    iceberg_type_to_spark(f["type"])
+                except IcebergProtocolError as e:
+                    raise IcebergProtocolError(
+                        f"field {f.get('name')!r}: {e}"
+                    ) from e
                 for key in ("initial-default", "write-default"):
                     if f.get(key) is not None:
                         try:
@@ -245,6 +464,8 @@ class IcebergTableReader:
                                 f"v3 {key} on field {f.get('name')!r} "
                                 f"unreadable: {e}"
                             ) from e
+                if not isinstance(f["type"], str):
+                    _walk_nested(f["type"], [f["name"]])
 
     # ------------------------------------------------------- metadata file
 
@@ -734,6 +955,30 @@ class IcebergTableReader:
         assert isinstance(out, T.StructType)
         return out
 
+    def _scan_parquet(self, paths: list) -> DataFrame:
+        """spark.read over data files with the current schema. v3
+        `unknown` (NullType) columns are excluded from the parquet
+        read schema — Spark's parquet reader rejects void fields —
+        and re-added as null literals in schema position (the spec:
+        unknown values are always null, files never store them)."""
+        schema = self.schema()
+        voids = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, T.NullType)
+        ]
+        if not voids:
+            return self.spark.read.schema(schema).parquet(*paths)
+        from pyspark.sql import functions as F
+
+        readable = T.StructType(
+            [f for f in schema.fields if f.name not in voids]
+        )
+        df = self.spark.read.schema(readable).parquet(*paths)
+        for name in voids:
+            df = df.withColumn(name, F.lit(None))
+        return df.select(*[f.name for f in schema.fields])
+
     def _field_names_by_id(self) -> dict[int, str]:
         return {
             f["id"]: f["name"] for f in self.schema_fields() if "id" in f
@@ -948,9 +1193,7 @@ class IcebergTableReader:
                 out_schema.add("__ice_fp", T.StringType())
                 out_schema.add("__ice_pos", T.LongType())
             return self.spark.createDataFrame([], out_schema)
-        df = self.spark.read.schema(schema).parquet(
-            *[p for _, p, _, _, _ in data]
-        )
+        df = self._scan_parquet([p for _, p, _, _, _ in data])
         defaults = self._initial_defaults()
         if (
             not pos_deletes
@@ -1158,7 +1401,7 @@ class IcebergTableReader:
             if snapshot_col:
                 out_schema.add(snapshot_col, T.LongType())
             return self.spark.createDataFrame([], out_schema)
-        df = self.spark.read.schema(schema).parquet(*[p for p, _ in pairs])
+        df = self._scan_parquet([p for p, _ in pairs])
         defaults = self._initial_defaults()
         if not snapshot_col and not defaults:
             return df
@@ -1307,7 +1550,7 @@ class IcebergTableReader:
                 continue
             data, pos, eq, dv_adds = self._added_files_split(snap)
             if data:
-                ins = self.spark.read.schema(schema).parquet(*data)
+                ins = self._scan_parquet(data)
                 if defaults:
                     # inserts from snapshots older than a column add
                     # surface the default, same as read() would
@@ -1653,7 +1896,7 @@ class IcebergTableReader:
                 F.when(
                     F.coalesce(F.col(f"__has_{i}"), F.lit(True)),
                     F.col(name),
-                ).otherwise(F.lit(value).cast(stype)),
+                ).otherwise(default_literal(value, stype)),
             )
         return scan.drop(*[f"__has_{i}" for i in range(len(names))])
 
@@ -2426,9 +2669,10 @@ class IcebergTableWriter:
                 if wd is not None and f["name"] not in have:
                     df = df.withColumn(
                         f["name"],
-                        F.lit(
-                            single_value_from_json(f["type"], wd)
-                        ).cast(iceberg_type_to_spark(f["type"])),
+                        default_literal(
+                            single_value_from_json(f["type"], wd),
+                            iceberg_type_to_spark(f["type"]),
+                        ),
                     )
 
         files = self._write_data_files(df) if df is not None else []
@@ -3237,8 +3481,18 @@ class IcebergKeyedTable:
             rec_by_fp: dict[str, str] = {}
             if data:
                 rec_by_fp = {"file:" + local: rec for rec, local, _, _, _ in data}
+                # only key columns are read — drop v3 `unknown` (void)
+                # fields, which the parquet reader rejects and which
+                # can never be merge keys
+                key_schema = T.StructType(
+                    [
+                        f
+                        for f in schema.fields
+                        if not isinstance(f.dataType, T.NullType)
+                    ]
+                )
                 scan = (
-                    self.spark.read.schema(schema)
+                    self.spark.read.schema(key_schema)
                     .parquet(*[local for _, local, _, _, _ in data])
                     .select(
                         *self.key_cols,

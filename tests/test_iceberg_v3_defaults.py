@@ -62,7 +62,9 @@ def test_single_value_refusals():
         single_value_from_json("int", "7")
     with pytest.raises(IcebergProtocolError, match="boolean default"):
         single_value_from_json("boolean", 1)
-    with pytest.raises(IcebergProtocolError, match="nested"):
+    # struct defaults parse as of r11 (spec JSON form, keyed by field
+    # id) — a key that is NOT a field id still refuses
+    with pytest.raises(IcebergProtocolError, match="field id"):
         single_value_from_json(
             {"type": "struct", "fields": []}, {"a": 1}
         )

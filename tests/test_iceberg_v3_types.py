@@ -1,0 +1,275 @@
+"""Iceberg v3 types + nested defaults (VERDICT r10 #4 — shrink the v3
+refusal surface). Spec v3 additions under test:
+
+- nested-typed column defaults: struct (JSON object keyed by field id
+  as string), list (array), map ({"keys": [...], "values": [...]})
+  single-value forms parse and PATCH into reads for pre-add files;
+- `unknown` columns read as null (excluded from the parquet read
+  schema, re-added as null literal);
+- `timestamp_ns` / `timestamptz_ns` read as epoch-nanos longs (the
+  engine-wide convention) and their defaults parse 9-digit fractions;
+- `variant` / `geometry` / `geography` refuse BY NAME at open;
+- a default on a field nested INSIDE a struct refuses loudly (per-file
+  subfield presence probing is unimplemented — silent drop would be
+  wrong);
+- `unknown` nested inside a container refuses loudly.
+
+Fixtures are hand-authored metadata upgrades, as in
+test_iceberg_v3_defaults.py — the reader never sees output of its own
+defaults path.
+"""
+
+import json
+import os
+
+import pytest
+
+from deimos_spark.operators.iceberg_interop import (
+    IcebergProtocolError,
+    IcebergTableReader,
+    IcebergTableWriter,
+    iceberg_type_to_spark,
+    single_value_from_json,
+)
+
+SCHEMA = "id bigint, v string"
+
+
+def _v2_table(spark, path):
+    w = IcebergTableWriter(spark, path)
+    w.append(
+        spark.createDataFrame([(i, f"r{i}") for i in range(4)], SCHEMA)
+    )
+    return path
+
+
+def _add_column(path, field_patch):
+    """Hand-author the v3 upgrade: format-version 3 + a new schema-id
+    appending the given raw field dict (ids inside nested types are
+    the caller's responsibility, as an external engine would emit)."""
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        mv = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{mv}.metadata.json")) as fh:
+        md = json.load(fh)
+    cur = next(
+        s
+        for s in md["schemas"]
+        if s.get("schema-id") == md.get("current-schema-id", 0)
+    )
+    nid = md.get("last-column-id", len(cur["fields"])) + 100
+    field = {"id": nid, "required": False, **field_patch}
+    new_schema = {
+        "type": "struct",
+        "schema-id": cur["schema-id"] + 1,
+        "fields": [dict(f) for f in cur["fields"]] + [field],
+    }
+    md["format-version"] = 3
+    md["schemas"] = md["schemas"] + [new_schema]
+    md["current-schema-id"] = new_schema["schema-id"]
+    md["last-column-id"] = nid + 50
+    with open(os.path.join(meta_dir, f"v{mv + 1}.metadata.json"), "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write(str(mv + 1))
+
+
+# -------------------------------------------------- single-value parser
+
+STRUCT_T = {
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "a", "required": True, "type": "int"},
+        {"id": 2, "name": "b", "required": False, "type": "string"},
+    ],
+}
+
+
+def test_struct_single_value_keyed_by_field_id():
+    assert single_value_from_json(STRUCT_T, {"1": 7, "2": "x"}) == {
+        "a": 7,
+        "b": "x",
+    }
+    # missing optional field -> null
+    assert single_value_from_json(STRUCT_T, {"1": 7}) == {
+        "a": 7,
+        "b": None,
+    }
+    with pytest.raises(IcebergProtocolError, match="required"):
+        single_value_from_json(STRUCT_T, {"2": "x"})
+    with pytest.raises(IcebergProtocolError, match="field id"):
+        single_value_from_json(STRUCT_T, {"9": 1})
+
+
+def test_list_and_map_single_values():
+    lt = {"type": "list", "element-id": 3, "element": "long"}
+    assert single_value_from_json(lt, [1, 2, 3]) == [1, 2, 3]
+    with pytest.raises(IcebergProtocolError, match="array"):
+        single_value_from_json(lt, {"1": 2})
+    mt = {
+        "type": "map", "key-id": 4, "key": "string",
+        "value-id": 5, "value": "int",
+    }
+    assert single_value_from_json(
+        mt, {"keys": ["a", "b"], "values": [1, 2]}
+    ) == [("a", 1), ("b", 2)]
+    with pytest.raises(IcebergProtocolError, match="keys"):
+        single_value_from_json(mt, {"keys": ["a"], "values": [1, 2]})
+
+
+def test_timestamp_ns_single_values():
+    assert (
+        single_value_from_json(
+            "timestamp_ns", "1970-01-01T00:00:01.000000001"
+        )
+        == 1_000_000_001
+    )
+    assert (
+        single_value_from_json(
+            "timestamptz_ns", "1970-01-01T00:00:00.5+00:00"
+        )
+        == 500_000_000
+    )
+    with pytest.raises(IcebergProtocolError, match="offset"):
+        single_value_from_json("timestamptz_ns", "1970-01-01T00:00:00.5")
+    with pytest.raises(IcebergProtocolError, match="unknown"):
+        single_value_from_json("unknown", "anything")
+
+
+def test_v3_type_mapping():
+    from pyspark.sql import types as T
+
+    assert isinstance(iceberg_type_to_spark("unknown"), T.NullType)
+    assert isinstance(iceberg_type_to_spark("timestamp_ns"), T.LongType)
+    assert isinstance(iceberg_type_to_spark("timestamptz_ns"), T.LongType)
+    for t in ("variant", "geometry", "geometry(srid:3857)", "geography"):
+        with pytest.raises(IcebergProtocolError, match=t.split("(")[0]):
+            iceberg_type_to_spark(t)
+
+
+# ----------------------------------------------------------------- reads
+
+def test_struct_default_patches_pre_add_files(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(
+        path,
+        {
+            "name": "meta",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 201, "name": "src", "required": False,
+                     "type": "string"},
+                    {"id": 202, "name": "gen", "required": False,
+                     "type": "int"},
+                ],
+            },
+            "initial-default": {"201": "backfill", "202": 3},
+        },
+    )
+    rows = IcebergTableReader(spark, path).read().collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["meta"]["src"] == "backfill" and r["meta"]["gen"] == 3
+
+
+def test_list_and_map_defaults_patch(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(
+        path,
+        {
+            "name": "tags",
+            "type": {"type": "list", "element-id": 210,
+                     "element": "string"},
+            "initial-default": ["a", "b"],
+        },
+    )
+    _add_column(
+        path,
+        {
+            "name": "attrs",
+            "type": {
+                "type": "map", "key-id": 220, "key": "string",
+                "value-id": 221, "value": "long",
+            },
+            "initial-default": {"keys": ["k"], "values": [9]},
+        },
+    )
+    rows = IcebergTableReader(spark, path).read().collect()
+    for r in rows:
+        assert list(r["tags"]) == ["a", "b"]
+        assert dict(r["attrs"]) == {"k": 9}
+
+
+def test_unknown_column_reads_as_null(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(path, {"name": "mystery", "type": "unknown"})
+    r = IcebergTableReader(spark, path)
+    rows = r.read().collect()
+    assert len(rows) == 4
+    assert all(x["mystery"] is None for x in rows)
+    assert r.read().columns == ["id", "v", "mystery"]
+
+
+def test_timestamp_ns_default_surfaces_as_long_nanos(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(
+        path,
+        {
+            "name": "ingested_at",
+            "type": "timestamp_ns",
+            "initial-default": "1970-01-01T00:00:02.000000123",
+        },
+    )
+    rows = IcebergTableReader(spark, path).read().collect()
+    assert {x["ingested_at"] for x in rows} == {2_000_000_123}
+
+
+def test_unsupported_v3_types_refuse_by_name_at_open(spark, tmp_path):
+    for t, name in (
+        ("variant", "variant"),
+        ("geometry(srid:3857)", "geometry"),
+        ("geography", "geography"),
+    ):
+        path = _v2_table(spark, str(tmp_path / f"t_{name}"))
+        _add_column(path, {"name": "geo", "type": t})
+        with pytest.raises(IcebergProtocolError, match=name):
+            IcebergTableReader(spark, path)
+
+
+def test_nested_subfield_default_refuses_loudly(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(
+        path,
+        {
+            "name": "meta",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 301, "name": "src", "required": False,
+                     "type": "string", "initial-default": "x"},
+                ],
+            },
+        },
+    )
+    with pytest.raises(IcebergProtocolError, match="NESTED"):
+        IcebergTableReader(spark, path)
+
+
+def test_nested_unknown_refuses_loudly(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(
+        path,
+        {
+            "name": "wrap",
+            "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 310, "name": "inner", "required": False,
+                     "type": "unknown"},
+                ],
+            },
+        },
+    )
+    with pytest.raises(IcebergProtocolError, match="nested"):
+        IcebergTableReader(spark, path)
