@@ -409,42 +409,89 @@ def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue per return flag in DECIMAL(18,2)/(18,4) — bit-exact across
     engines, unlike float aggregation which needs round() tolerance.
 
-    Fast path (VERDICT r10 #2): the naive sum(decimal(18,2) *
-    decimal(18,4)) accumulates decimal(38,6) — past Spark's long-backed
-    Decimal fast path, so every row paid a BigDecimal multiply + add
-    (10x DuckDB's native int128 decimal). Instead the UNSCALED values
-    are extracted as longs JVM-side — `round(x, s)` on a double makes
-    the identical HALF_UP decision as `cast(x as decimal(_, s))` (both
-    round the exact binary value), and the second round() repairs the
-    <<0.5 representation error of unscaled*10^s — multiplied in int64
-    (cents x basis-points <= 1e12/row, exact), and summed as compact
-    decimal(38,0): Spark's Decimal add stays on the int64 fast path
-    until a partial sum genuinely exceeds long range, then widens —
-    overflow-checked at any scale, never wrong. One division per GROUP
-    rescales to the same decimal(38,6)/(18,2) values as the naive
-    plan; the oracle SQL is unchanged and bit-exact."""
+    Fast path (VERDICT r10 #2, its literal suggestion — scaled-long
+    partials provably in range): the naive sum(decimal(18,2) *
+    decimal(18,4)) accumulates decimal(38,6) past Spark's long-backed
+    Decimal fast path, a BigDecimal multiply + add per row (measured
+    0.71s median fresh-lineage at sf0.1; 11x DuckDB's native int128).
+    Even `round(x, 2)` allocates a BigDecimal per double, so the
+    unscaled extraction must stay in pure double/int64 arithmetic:
+
+    - cents = cast(price*100 + 0.5 as long). Money columns hold
+      nearest-doubles of 2-decimal values, so the true product is
+      within ~1e-9 of the integer k; +0.5 lands in (k, k+1) and the
+      truncating cast returns exactly k — the same digit the oracle's
+      cast(x as decimal(18,2)) produces. (tests/test_sampling.py pins
+      row-for-row equality against the decimal-cast formulation.)
+    - revenue partials: r6 = cents*dbp < 1e12 per row (RUNTIME-checked
+      — raise_error on violation, never silent), split lo = r6 mod 1e6
+      and hi = r6 div 1e6, each < 1e6, so plain BIGINT sums hold
+      exactly to 9.2e12 rows PER GROUP (~40x a 100-TB lineitem's rows
+      per returnflag) — overflow-impossible by construction where the
+      naive plan paid BigDecimal per row. Same split for gross cents.
+    - ONE decimal reconstruction per GROUP: (hi*1e6 + lo)/1e6 as
+      decimal(38,6) — bit-identical to the naive sum because integer
+      partial sums are exact and the division is a single exact
+      rescale. Oracle SQL unchanged. Median fresh-lineage sf0.1:
+      0.71s -> 0.30s (the residual is the single-row-group scan)."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.round(F.col("l_extendedprice"), 2) * 100, 0).cast(
+    M = 1_000_000
+    cents = (F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    cents = F.when((cents >= 0) & (cents < F.lit(1_000_000_000_000)), cents).otherwise(
+        F.raise_error(
+            F.lit("x10: cents outside [0, 1e12) — negative or huge price")
+        )
+    )
+    dbp = ((F.lit(1.0) - F.col("l_discount")) * 10000 + F.lit(0.5)).cast(
         "long"
     )
-    dbp = F.round(
-        F.round(F.lit(1.0) - F.col("l_discount"), 4) * 10000, 0
-    ).cast("long")
+    r6 = cents * dbp
+    r6 = F.when((r6 >= 0) & (r6 < F.lit(1_000_000_000_000)), r6).otherwise(
+        F.raise_error(
+            F.lit(
+                "x10: cents*basis-points >= 1e12 — the scaled-long "
+                "split bound assumes prices < 1e8; widen the split"
+            )
+        )
+    )
     return (
         li.select(
             "l_returnflag",
-            (cents * dbp).cast("decimal(38,0)").alias("_r6"),
-            cents.cast("decimal(38,0)").alias("_p2"),
+            (r6 % M).alias("_lo"),
+            (r6 / M).cast("long").alias("_hi"),
+            (cents % M).alias("_clo"),
+            (cents / M).cast("long").alias("_chi"),
         )
         .groupBy("l_returnflag")
         .agg(
-            # keep the exact scale-6 sum: a final cast to (18,2) would round
-            # x.xx5 HALF_UP in Spark but HALF_EVEN in DuckDB — exactness is
-            # the point of decimal, so expose the exact value
-            (F.sum("_r6") / F.lit(1000000))
+            F.sum("_lo").alias("_slo"),
+            F.sum("_hi").alias("_shi"),
+            F.sum("_clo").alias("_sclo"),
+            F.sum("_chi").alias("_schi"),
+        )
+        .select(
+            "l_returnflag",
+            # keep the exact scale-6 sum: a final cast to (18,2) would
+            # round x.xx5 HALF_UP in Spark but HALF_EVEN in DuckDB —
+            # exactness is the point of decimal, so expose the exact value
+            (
+                (
+                    F.col("_shi").cast("decimal(38,0)") * M
+                    + F.col("_slo")
+                )
+                / M
+            )
             .cast("decimal(38,6)")
             .alias("revenue"),
-            (F.sum("_p2") / F.lit(100)).cast("decimal(18,2)").alias("gross"),
+            (
+                (
+                    F.col("_schi").cast("decimal(38,0)") * M
+                    + F.col("_sclo")
+                )
+                / 100
+            )
+            .cast("decimal(18,2)")
+            .alias("gross"),
         )
         .orderBy("l_returnflag")
     )

@@ -297,3 +297,37 @@ def test_dedup_safe_split_colocates_duplicates(spark):
     assert leaked(safe) == 0  # content split cannot leak
     # and it is still a real split, not everything in one bucket
     assert safe.select("split").distinct().count() == 2
+
+
+def test_x10_scaled_long_split_equals_decimal_cast_formulation(spark):
+    """x10's scaled-long fast path (VERDICT r10 #2) must be row-for-row
+    equal — Decimal cells included — to the naive decimal-cast
+    formulation it replaced, at two SFs. Pins BOTH the +0.5/trunc cents
+    extraction (exact for 2-decimal money doubles) and the lo/hi bigint
+    partial-sum reconstruction."""
+    from deimos_spark.catalog import load_table
+    from deimos_spark.queries import all_queries
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        li = load_table(spark, sf_dir, "lineitem")
+        naive = (
+            li.select(
+                "l_returnflag",
+                F.col("l_extendedprice").cast("decimal(18,2)").alias("_p"),
+                (F.lit(1) - F.col("l_discount"))
+                .cast("decimal(18,4)")
+                .alias("_d"),
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.col("_p") * F.col("_d"))
+                .cast("decimal(38,6)")
+                .alias("revenue"),
+                F.sum("_p").cast("decimal(18,2)").alias("gross"),
+            )
+            .orderBy("l_returnflag")
+        )
+        fast = all_queries()["x10_decimal_revenue"].builder(spark, sf_dir)
+        assert [tuple(r) for r in fast.collect()] == [
+            tuple(r) for r in naive.collect()
+        ]
