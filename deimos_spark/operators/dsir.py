@@ -13,13 +13,13 @@ Laplace-smoothed counts. Documents with high log-weight "look like" the
 target; importance resampling keeps them proportionally.
 
 Why this shape scales to 100 TB: the corpus is touched by exactly
-  1. one tokenize projection (codegen'd string ops, no Python),
-  2. one hash aggregate over (doc, token) — map-side combine collapses
-     within-partition repeats before the shuffle,
-  3. a distinct-token map hashed to buckets ONCE per vocabulary entry
-     (not per occurrence — see _per_doc_bucket_counts) and joined back,
-  4. one hash aggregate over (doc, bucket) + one over (bucket),
-  5. a broadcast join of the ≤B-row log-ratio table + a per-doc agg.
+  1. one tokenize+hash projection (codegen'd string ops, no Python;
+     an optional distinct-token-hash variant exists and was measured
+     slower here — see _per_doc_bucket_counts),
+  2. two hash aggregates over (bucket) — B rows out (B = 4096 here),
+  3. one hash aggregate over (doc, bucket) — bounded by corpus tokens,
+  4. a broadcast join of the ≤B-row log-ratio table onto (3),
+  5. one final per-doc aggregate.
 No all-pairs step, no driver-side model fit; the "model" IS the ≤B-row
 broadcast relation. The bucket hash is the engine-portable md5 prefix
 (same construction as operators/sampling.py), so DuckDB oracles and any
@@ -88,41 +88,48 @@ def _per_doc_bucket_counts(
     buckets: int,
     salt: str,
     ngram: int,
-    broadcast_vocab: bool = True,
+    distinct_token_hash: bool = False,
 ) -> DataFrame:
-    """(id, __tgt, __b, __n): tokenize once, then hash each DISTINCT
-    token ONCE instead of per occurrence (VERDICT r10 #1; the t10b
-    tokenize-once-per-distinct-word pattern, operators/bpe.py).
+    """(id, __tgt, __b, __n) — the shared first half of t21/t23.
 
-    md5+conv per token occurrence was the dominant CPU of the t23
-    headline query — natural text repeats tokens heavily, so hashing
-    the vocabulary and mapping it back pays |vocab| hashes instead of
-    |occurrences|. Shape: one (doc, token) hash aggregate (map-side
-    partial combine collapses within-partition repeats before the
-    shuffle), a distinct-token projection hashed to buckets (its input
-    REUSES the (doc, token) exchange), a broadcast join of the
-    token→bucket map, and a fold to (doc, bucket). Same md5 per token
-    ⇒ bucket counts bit-identical to hashing inline.
+    DEFAULT (`distinct_token_hash=False`): hash INLINE, one md5 per
+    token occurrence, ONE shuffle — tokenize projection →
+    groupBy(doc, bucket) with map-side combine. This was re-measured
+    in r11 against the "hash each distinct token once" rewrite that
+    VERDICT r10 #1 prescribed (the t10b pattern), and the inline form
+    WON: interleaved fresh-lineage medians at sf0.1 were 1.54s inline
+    vs 1.69s (pre-aggregate to (doc, token), hash distinct pairs) vs
+    1.98s (broadcast token→bucket vocabulary map joined onto the
+    occurrence stream). The corpus vocabulary here is tiny (31 words,
+    270k occurrences at sf0.1), so the md5 CPU the rewrite saves
+    (~all of it) is worth less than the extra exchange/stage each
+    alternative adds. At 100 TB the inline form is also the safer
+    plan: linear, embarrassingly parallel CPU with no new shuffle,
+    while the alternatives shuffle the (doc, token) stream or build
+    an unboundedly large broadcast.
 
-    Scale note: `broadcast_vocab=False` for corpora whose whitespace
-    vocabulary exceeds broadcast size (web-scale crawls with URLs /
-    typos) — the join then shuffles two already-aggregated relations
-    on `token`, still never the raw occurrence stream."""
+    `distinct_token_hash=True` keeps the rewrite available for
+    corpora with heavy within-document repetition AND an expensive
+    per-token transform (where t10b's pattern genuinely pays): it
+    pre-aggregates to (doc, token), hashes each distinct pair once,
+    and folds to (doc, bucket). Bucket counts are bit-identical
+    either way (same md5 per token), so oracles don't care."""
     tok = _tokens(
         docs.withColumn("__tgt", target), id_col, text_col, ["__tgt"], ngram
     )
+    if not distinct_token_hash:
+        return (
+            tok.withColumn("__b", _bucket(F.col("token"), buckets, salt))
+            .groupBy(id_col, "__tgt", "__b")
+            .agg(F.count("*").alias("__n"))
+        )
     per_tok = tok.groupBy(id_col, "__tgt", "token").agg(
         F.count("*").alias("__tn")
     )
-    vocab = (
-        per_tok.select("token")
-        .distinct()
-        .select("token", _bucket(F.col("token"), buckets, salt).alias("__b"))
-    )
-    if broadcast_vocab:
-        vocab = F.broadcast(vocab)
     return (
-        per_tok.join(vocab, "token")
+        per_tok.withColumn(
+            "__b", _bucket(F.col("token"), buckets, salt)
+        )
         .groupBy(id_col, "__tgt", "__b")
         .agg(F.sum("__tn").alias("__n"))
     )

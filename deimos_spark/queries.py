@@ -764,9 +764,9 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     arXiv:2302.03169) with the 'en' subset as the target distribution —
     the 15 most target-like documents by log importance weight. The
     'model' is a ≤4096-row broadcast of per-bucket log-ratios; the
-    corpus pays one tokenize projection, md5 once per DISTINCT token
-    (r11), and pre-aggregated hash aggregates
-    (operators/dsir.py has the full scale argument)."""
+    corpus pays one tokenize+hash projection and three hash aggregates
+    (operators/dsir.py has the full scale argument; the
+    distinct-token-hash variant measured slower — see t23's note)."""
     from deimos_spark.operators import dsir
 
     w = dsir.dsir_log_weights(
@@ -786,14 +786,17 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     score) documents. Same broadcast-model shape as t21 (operators/
     dsir.py has the scale argument).
 
-    Perf posture (r11): md5 now runs per DISTINCT token, not per
-    occurrence (dsir._per_doc_bucket_counts — the t10b pattern VERDICT
-    r10 #1 prescribed); warm sf0.1 went 1.29s -> ~0.1s. md5 stays the
-    bucket hash because it is the ONLY hash both engines compute
-    identically (DuckDB has no crc32/xxhash; Spark hash() != DuckDB
-    hash()), so the oracle pins it; the plan is single-tokenize
-    (ReusedExchange-gated) + broadcast token->bucket map + broadcast
-    model."""
+    Perf posture (r11): VERDICT r10 #1's distinct-token-hash rewrite
+    was implemented, MEASURED (interleaved fresh-lineage A/B, see
+    dsir._per_doc_bucket_counts), and found slower than inline
+    hashing at sf0.1 (1.54s vs 1.69/1.98s medians — vocab is 31
+    words, so the saved md5 CPU is worth less than the added
+    exchange); inline stays the default, the rewrite stays available
+    via distinct_token_hash=True. md5 stays the bucket hash because
+    it is the ONLY hash both engines compute identically (DuckDB has
+    no crc32/xxhash; Spark hash() != DuckDB hash()), so the oracle
+    pins it; the plan is single-tokenize (ReusedExchange-gated) +
+    broadcast model."""
     from deimos_spark.operators import dsir
 
     s = dsir.unigram_ppl_scores(_docs_spread(spark, sf_dir), F.col("lang") == "en")

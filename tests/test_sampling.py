@@ -331,3 +331,27 @@ def test_x10_scaled_long_split_equals_decimal_cast_formulation(spark):
         assert [tuple(r) for r in fast.collect()] == [
             tuple(r) for r in naive.collect()
         ]
+
+
+def test_dsir_distinct_token_hash_path_identical(spark):
+    """The optional distinct-token-hash variant (kept for corpora
+    where per-token work genuinely dominates — see
+    dsir._per_doc_bucket_counts) must produce bit-identical bucket
+    counts to the default inline hash: same md5 per token."""
+    from deimos_spark.operators.dsir import _per_doc_bucket_counts
+
+    d = spark.createDataFrame(
+        [(1, "a b a c", True), (2, "b b d", False), (3, "", True)],
+        "doc_id long, text string, tgt boolean",
+    )
+    kw = dict(
+        id_col="doc_id", text_col="text", buckets=64, salt="s", ngram=2
+    )
+    base = _per_doc_bucket_counts(
+        d, F.col("tgt"), distinct_token_hash=False, **kw
+    )
+    alt = _per_doc_bucket_counts(
+        d, F.col("tgt"), distinct_token_hash=True, **kw
+    )
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(base.collect()) == key(alt.collect())
