@@ -212,11 +212,19 @@ def semdedup_summary(
             }
         )
 
+    # sorted output without orderBy(): a global sort's range sampling
+    # re-executes the whole pipeline when AQE is off (measured 0.33s of
+    # the query at sf0.1). The summary is K rows (K = n_clusters, the
+    # paper's K ~ sqrt(N) — bounded), so ONE round-robin exchange to a
+    # single partition + local sort is the right plan at any corpus
+    # size. repartition, NOT coalesce: coalesce(1) would pull the
+    # per-cluster prune kernel itself into one task.
     return (
         assigned.groupBy("_cid")
         .applyInPandas(
             _prune,
             "cluster_id long, n_vectors long, n_removed long",
         )
-        .orderBy("cluster_id")
+        .repartition(1)
+        .sortWithinPartitions("cluster_id")
     )

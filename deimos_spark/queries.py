@@ -908,8 +908,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_removed)."""
     from deimos_spark.operators.semdedup import semdedup_summary
 
+    # no spread_small since r11: the fused assignment kernel made the
+    # pre-shuffle trivial (argmax per batch), so the round-robin
+    # redistribution only added an exchange — measured +0.37s at sf0.1
     return semdedup_summary(
-        spread_small(_emb(spark, sf_dir), sf_dir),
+        _emb(spark, sf_dir),
         n_clusters=8,
         threshold=0.4,
     )
