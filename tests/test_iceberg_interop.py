@@ -264,8 +264,12 @@ def test_unsupported_versions_and_types_refused(spark, tmp_path):
     _metadata(t, 1, [], current=None, fmt_version=4)
     with pytest.raises(IcebergProtocolError, match="format-version"):
         IcebergTableReader(spark, t)
-    with pytest.raises(IcebergProtocolError, match="unsupported Iceberg type"):
+    # r11: variant refuses BY NAME (tests/test_iceberg_v3_types.py has
+    # the full v3-type battery); a made-up type still refuses generically
+    with pytest.raises(IcebergProtocolError, match="variant"):
         iceberg_type_to_spark("variant")
+    with pytest.raises(IcebergProtocolError, match="unsupported Iceberg type"):
+        iceberg_type_to_spark("no-such-type")
 
 
 def test_type_mapping_covers_spec_table():
