@@ -228,3 +228,34 @@ def test_funnel_scans_events_once(spark):
     df = all_queries()["x06_funnel"].builder(spark, SF)
     plan = _plan(df)
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_semdedup_plan_has_no_crossjoin_no_range_sort(spark):
+    """t27's r11 plan contract: assignment is ONE mapInPandas
+    projection (no crossJoin row blowup, no per-vector row_number
+    window), pruning shuffles ONCE on the cluster id, and the sorted
+    summary comes from a single-partition local sort (repartition(1)),
+    never a rangepartitioning exchange — whose sampling pass would
+    re-execute the pipeline with AQE off."""
+    plan = _plan(all_queries()["t27_semdedup"].builder(spark, SF))
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    low = plan.lower()
+    assert low.count("hashpartitioning") <= 1  # the groupBy(_cid) shuffle
+    assert "exchange singlepartition" in low  # K-bounded local sort
+
+
+def test_x10_plan_is_long_sums_no_decimal_aggregate(spark):
+    """x10's r11 contract: the aggregate buffers are BIGINT partial
+    sums (lo/hi split) — no sum(decimal) in the aggregate, so no
+    per-row BigDecimal on any path; decimal appears only in the
+    per-GROUP reconstruction after the final aggregate."""
+    plan = _plan(all_queries()["x10_decimal_revenue"].builder(spark, SF))
+    import re as _re
+
+    agg_lines = [
+        ln for ln in plan.splitlines() if "HashAggregate" in ln
+    ]
+    assert agg_lines, plan
+    for ln in agg_lines:
+        assert not _re.search(r"sum\([^)]*decimal", ln, _re.I), ln

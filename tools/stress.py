@@ -55,7 +55,12 @@ QUERIES = [
     "t05_jaccard_vs_query", "t06_minhash_pairs", "t11_levenshtein_pairs",
     "t12_top_bigrams", "t13_repetition_stats", "t14_benchmark_contamination",
     "h02_min_cost_supplier", "h11_important_stock",
-    "x06_funnel", "t21_dsir_weights",
+    "x06_funnel", "t21_dsir_weights", "x10_decimal_revenue",
+    # t27_semdedup is deliberately NOT here: its per-cluster pair pass
+    # is Theta(N^2/K) BY DESIGN and the operator's contract requires
+    # K ~ sqrt(N) (semdedup.py docstring + max_cluster_rows guard);
+    # stressing it at the registry's fixed K=8 would measure documented
+    # misuse, not a plan defect.
     "t23_unigram_ppl", "t24_source_overlap", "x13_sessionize",
     "t10b_bpe_real", "t25_chunk_plan", "t26_substr_dedup",
 ]
