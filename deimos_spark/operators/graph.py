@@ -94,3 +94,32 @@ def cluster_sizes(
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
         .orderBy(F.desc("size"), F.asc("comp"))
     )
+
+
+def keep_representatives(
+    corpus: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """APPLY the dedup decision: → the SURVIVING rows of `corpus`
+    after dropping every near-duplicate except each cluster's
+    min-id representative — the step between t20's cluster report and
+    actually writing the deduped training corpus.
+
+    Keep rule: a row survives iff it appears in no duplicate cluster
+    (isolated — connected_components only labels edge-connected
+    nodes) OR it IS its cluster's minimum id. One hash join of the
+    corpus against the (node, comp) label relation on the id key —
+    the label side is bounded by the number of near-duplicate docs,
+    ≤ the corpus, so the join is the ordinary co-partitioned shape at
+    any scale (AQE broadcasts it when the dup set is small)."""
+    comp = connected_components(edges, src, dst).withColumnRenamed(
+        "node", id_col
+    )
+    return (
+        corpus.join(comp, id_col, "left")
+        .where(F.col("comp").isNull() | (F.col("comp") == F.col(id_col)))
+        .drop("comp")
+    )

@@ -930,6 +930,20 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_sizes(edges, "id_a", "id_b")
 
 
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t28: APPLY the dedup decision end-to-end — near-dup pairs (t09
+    relation) → connected components (t20 machinery) → keep each
+    cluster's min-id representative → the SURVIVING corpus ids. The
+    step a real pipeline runs to materialize the deduped training
+    set; oracle = the identical recursive-CTE closure + keep rule."""
+    from deimos_spark.operators.graph import keep_representatives
+
+    emb = _emb(spark, sf_dir)
+    edges = simsearch.pairwise_cosine_exact(emb, threshold=0.4)
+    kept = keep_representatives(emb, edges, "vec_id")
+    return kept.select("vec_id").orderBy("vec_id")
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_runtime_confs(spark)
     return load_table(spark, sf_dir, "events")
@@ -1911,6 +1925,26 @@ def all_queries() -> dict[str, QuerySpec]:
             "SELECT comp, CAST(count(*) AS BIGINT) AS size FROM c "
             "GROUP BY comp ORDER BY size DESC, comp",
             note="connected-component duplicate clusters (iterative)",
+        ),
+        QuerySpec(
+            "t28_dedup_apply", q_dedup_apply,
+            # same pair relation + recursive closure as t20, then the
+            # keep rule: survive iff unlabeled (no near-dup) or the
+            # cluster's min id
+            "WITH RECURSIVE p AS (SELECT id_a, id_b FROM ("
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])), 4) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) t "
+            "WHERE sim >= 0.4), "
+            "e AS (SELECT id_a AS a, id_b AS b FROM p "
+            "UNION SELECT id_b, id_a FROM p), "
+            "reach(n, m) AS (SELECT a, a FROM e "
+            "UNION SELECT e.a, r.m FROM e JOIN reach r ON r.n = e.b), "
+            "c AS (SELECT n, min(m) AS comp FROM reach GROUP BY n) "
+            "SELECT v.vec_id FROM embeddings v LEFT JOIN c ON c.n = v.vec_id "
+            "WHERE c.n IS NULL OR c.comp = v.vec_id ORDER BY vec_id",
+            note="dedup APPLY: drop all but each cluster's representative",
         ),
         QuerySpec(
             "t21_dsir_weights", q_dsir_weights,

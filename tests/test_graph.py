@@ -44,3 +44,28 @@ def test_long_chain_converges_within_max_iters(spark):
     e = _edges(spark, [(i, i + 1) for i in range(n)])
     got = {(r["node"], r["comp"]) for r in connected_components(e).collect()}
     assert got == {(i, 0) for i in range(n + 1)}
+
+
+def test_keep_representatives_applies_dedup(spark):
+    """t28: survivors = isolated docs + each cluster's min id; other
+    columns pass through untouched."""
+    from deimos_spark.operators.graph import keep_representatives
+
+    corpus = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(1, 8)], "doc_id long, body string"
+    )
+    # clusters {1,2,3} (chain) and {5,6}; 4 and 7 isolated
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    kept = keep_representatives(corpus, edges, "doc_id")
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4, 5, 7]
+    assert kept.columns == ["doc_id", "body"]
+
+
+def test_keep_representatives_no_edges_keeps_all(spark):
+    from deimos_spark.operators.graph import keep_representatives
+
+    corpus = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert keep_representatives(corpus, edges, "doc_id").count() == 2

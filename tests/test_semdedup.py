@@ -126,3 +126,17 @@ def test_trained_centroids_override(spark):
     assert set(by_c) == {100, 200}
     assert by_c[100].n_vectors == 2 and by_c[100].n_removed == 1
     assert by_c[200].n_vectors == 1 and by_c[200].n_removed == 0
+
+
+def test_empty_input_and_k_above_n(spark):
+    """Robustness pins: an empty corpus yields an empty summary (the
+    assignment kernel skips empty Arrow batches; no centroid job
+    blowup), and n_clusters > N degrades to one cluster per vector."""
+    empty = _df(spark, [])
+    assert semdedup_summary(empty).collect() == []
+    few = _df(spark, [(1, [1.0, 0, 0, 0]), (2, [0, 1.0, 0, 0])])
+    out = semdedup_summary(few, n_clusters=8).collect()
+    assert sorted((r.cluster_id, r.n_vectors, r.n_removed) for r in out) == [
+        (1, 1, 0),
+        (2, 1, 0),
+    ]
