@@ -3312,6 +3312,90 @@ def _unescape(s: str) -> str:
     return "".join(out)
 
 
+def convert_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """CONVERT TO DELTA, in place: write a version-0 _delta_log whose
+    add actions REFERENCE the directory's existing parquet files — no
+    data rewrite, the migration path Delta ships as `CONVERT TO
+    DELTA` (PROTOCOL.md: a table is just a log whose adds point at
+    files). Hive-style `key=value` layouts convert with
+    `partition_by` naming the directory keys, matching the Delta
+    convention the writer already follows (values live in each add's
+    partitionValues; the files don't contain the columns). Each add
+    carries footer-derived stats (numRecords + column bounds), so
+    data skipping works on the converted table immediately.
+
+    Refuses loudly when: the directory already has a Delta log (a
+    second convert would fork history), the layout has non-hive
+    subdirectories, or the dir keys don't match `partition_by`.
+    Returns the number of files converted; the result is an ordinary
+    table — DeltaTableReader reads it and DeltaTableWriter appends
+    version 1+ on top."""
+    import time as _time
+
+    log_dir = os.path.join(path, "_delta_log")
+    if os.path.isdir(log_dir) and any(
+        n.endswith(".json") or ".checkpoint" in n
+        for n in os.listdir(log_dir)
+    ):
+        raise DeltaProtocolError(
+            f"{path} already has a Delta log — converting again would "
+            f"fork the table's history"
+        )
+    pset = set(partition_by)
+    files: list[tuple[str, dict]] = []
+    for root, dirs, fs in os.walk(path):
+        dirs[:] = [
+            d
+            for d in dirs
+            if d != "_delta_log" and not d.startswith(".")
+        ]
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, f), path)
+            segs = [
+                s for s in os.path.dirname(rel).split(os.sep) if s
+            ]
+            bad = [s for s in segs if "=" not in s]
+            if bad:
+                raise DeltaProtocolError(
+                    f"{rel}: non-hive subdirectory {bad[0]!r} — only "
+                    f"key=value partition layouts convert in place"
+                )
+            pvals: dict = {}
+            for s in segs:
+                k, v = s.split("=", 1)
+                pvals[k] = (
+                    None
+                    if v == "__HIVE_DEFAULT_PARTITION__"
+                    else _unescape(v)
+                )
+            if set(pvals) != pset:
+                raise DeltaProtocolError(
+                    f"{rel}: directory keys {sorted(pvals)} != "
+                    f"partition_by {sorted(pset)}"
+                )
+            files.append((rel, pvals))
+    if not files:
+        raise DeltaProtocolError(f"{path}: no parquet files to convert")
+    # full logical schema: Spark's scan infers partition columns and
+    # their types from the hive directories
+    schema = spark.read.parquet(path).schema
+    writer = DeltaTableWriter(
+        spark, path, partition_by=tuple(partition_by)
+    )
+    adds = [
+        writer._add_action(rel, pvals, _time)
+        for rel, pvals in sorted(files)
+    ]
+    writer._commit(0, writer._meta_actions(schema) + adds, op="CONVERT")
+    return len(adds)
+
+
 class DeltaKeyedTable:
     """MERGE semantics over a real Delta table layout — the slot-in that
     lets `TransactionLogTable`-shaped pipelines (streaming consumer

@@ -2538,10 +2538,14 @@ class IcebergTableWriter:
         drop_dv_for: set[str] | None = None,
         merge_schema: bool = False,
         summary_extra: dict[str, str] | None = None,
+        pre_written: list[tuple[str, int, int, dict]] | None = None,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
-        schema); `delete_files` → already-written position-delete
+        schema); `pre_written` (with df=None) registers ALREADY-EXISTING
+        parquet files as this snapshot's data files — the add_files
+        migration path (manifest entries, footer bounds, and sequence
+        numbers are built identically to written files); `delete_files` → already-written position-delete
         parquet files recorded in their own content=1 manifest;
         `eq_delete_files` → EQUALITY-delete parquet files (rows = key
         values, columns = `eq_key_cols`) recorded content=2 with
@@ -2675,7 +2679,11 @@ class IcebergTableWriter:
                         ),
                     )
 
-        files = self._write_data_files(df) if df is not None else []
+        files = (
+            self._write_data_files(df)
+            if df is not None
+            else list(pre_written or [])
+        )
         uid = uuid.uuid4().hex[:12]
 
         entry_schema = _MANIFEST_ENTRY_SCHEMA
@@ -3134,6 +3142,62 @@ class IcebergTableWriter:
         fields with fresh ids past last-column-id, committed as a new
         schema-id — prior snapshots keep referencing theirs."""
         self._snapshot_commit(df, overwrite=False, merge_schema=merge_schema)
+
+    def add_files(self, src_dir: str) -> int:
+        """Iceberg's `add_files`/migrate procedure: register EXISTING
+        parquet files as one append snapshot WITHOUT rewriting data —
+        manifests simply reference them by absolute path (spec:
+        `file_path` is a full URI, files need not live under the
+        table location). Manifest entries are built by the exact same
+        code as written files, so footer-derived column bounds (and
+        with them stats skipping) work on migrated files immediately;
+        the table's schema gate runs against the files' Spark-inferred
+        schema, refusing drift exactly like append.
+
+        Scope, refused loudly: only FLAT directories of parquet
+        (hive-partitioned layouts need a partition-spec mapping this
+        reader does not infer) and only unpartitioned table specs.
+        Returns the number of files registered."""
+        if self.partition_fields:
+            raise IcebergProtocolError(
+                "add_files supports unpartitioned table specs only — "
+                "a partitioned migration needs per-file partition "
+                "values this procedure does not infer"
+            )
+        import pyarrow.parquet as papq
+
+        files: list[tuple[str, int, int, dict]] = []
+        for n in sorted(os.listdir(src_dir)):
+            full = os.path.join(src_dir, n)
+            if os.path.isdir(full):
+                if "=" in n or any(
+                    f.endswith(".parquet") for f in os.listdir(full)
+                ):
+                    raise IcebergProtocolError(
+                        f"add_files: {src_dir} is not a flat parquet "
+                        f"directory (subdir {n!r}); hive layouts need "
+                        f"an explicit partition spec"
+                    )
+                continue
+            if not n.endswith(".parquet"):
+                continue
+            meta = papq.read_metadata(full)
+            files.append(
+                (full, meta.num_rows, os.path.getsize(full), {})
+            )
+        if not files:
+            raise IcebergProtocolError(
+                f"add_files: no parquet files under {src_dir}"
+            )
+        schema = self.spark.read.parquet(src_dir).schema
+        self._snapshot_commit(
+            None,
+            overwrite=False,
+            schema_override=schema,
+            pre_written=files,
+            summary_extra={"added-migrated-files": str(len(files))},
+        )
+        return len(files)
 
     def overwrite(self, df: DataFrame, merge_schema: bool = False) -> None:
         """Same enforcement as append — an overwrite replaces DATA, not
