@@ -99,7 +99,6 @@ def semdedup_summary(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "semdedup",
-    dim: int = 64,
     max_cluster_rows: int = MAX_CLUSTER_ROWS,
     centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:

@@ -132,3 +132,27 @@ def test_add_files_refusals(spark, tmp_path):
     os.makedirs(empty)
     with pytest.raises(IcebergProtocolError, match="no parquet"):
         w.add_files(empty)
+
+
+def test_convert_multi_key_and_typed_partitions(spark, tmp_path):
+    """Nested key=value dirs (two partition keys, one an int) convert;
+    Spark's scan infers the partition column types and the Delta
+    reader re-attaches the values from partitionValues."""
+    p = str(tmp_path / "mk")
+    df = spark.createDataFrame(
+        [(1, 2020, "a"), (2, 2020, "b"), (3, 2021, "a")],
+        "id long, y int, k string",
+    )
+    df.write.partitionBy("y", "k").parquet(p)
+    n = convert_parquet_dir(spark, p, partition_by=("y", "k"))
+    assert n >= 3
+    got = sorted(
+        (x["id"], x["y"], x["k"])
+        for x in DeltaTableReader(spark, p).read().collect()
+    )
+    assert got == [(1, 2020, "a"), (2, 2020, "b"), (3, 2021, "a")]
+    # and a partitioned append lands on top as version 1
+    DeltaTableWriter(spark, p, partition_by=("y", "k")).append(
+        spark.createDataFrame([(4, 2021, "b")], "id long, y int, k string")
+    )
+    assert DeltaTableReader(spark, p).read().count() == 4
