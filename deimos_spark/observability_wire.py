@@ -27,7 +27,6 @@ Design rules, both adapters:
 from __future__ import annotations
 
 import json
-import os
 import secrets
 import socket
 from typing import Callable
