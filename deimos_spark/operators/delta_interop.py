@@ -3333,7 +3333,14 @@ def convert_parquet_dir(
     subdirectories, or the dir keys don't match `partition_by`.
     Returns the number of files converted; the result is an ordinary
     table — DeltaTableReader reads it and DeltaTableWriter appends
-    version 1+ on top."""
+    version 1+ on top.
+
+    Hive-escaped partition values (%20 etc.) round-trip via
+    `_unescape`. One inherent loss: an EMPTY-STRING value converts to
+    null, because Spark's hive layout writes "" and null to the same
+    `__HIVE_DEFAULT_PARTITION__` directory — the source directory
+    itself already conflated them (our own writer avoids this with a
+    sentinel, _write_files; a plain parquet writer did not)."""
     import time as _time
 
     log_dir = os.path.join(path, "_delta_log")

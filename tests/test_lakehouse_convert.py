@@ -156,3 +156,22 @@ def test_convert_multi_key_and_typed_partitions(spark, tmp_path):
         spark.createDataFrame([(4, 2021, "b")], "id long, y int, k string")
     )
     assert DeltaTableReader(spark, p).read().count() == 4
+
+
+def test_convert_hive_escaped_values_roundtrip(spark, tmp_path):
+    """Hive-escaped partition values (%20, %3D, unicode, slashes)
+    unescape back to the original strings. Pinned inherent loss: an
+    EMPTY-STRING value converts to null — Spark's hive layout wrote
+    "" and null to the same __HIVE_DEFAULT_PARTITION__ directory, so
+    the source dir itself conflated them before conversion."""
+    p = str(tmp_path / "esc")
+    vals = ["a b", "x=y", "ünïcode", "slash/like", ""]
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, k string"
+    ).write.partitionBy("k").parquet(p)
+    convert_parquet_dir(spark, p, partition_by=("k",))
+    got = dict(
+        (x["id"], x["k"])
+        for x in DeltaTableReader(spark, p).read().collect()
+    )
+    assert got == {0: "a b", 1: "x=y", 2: "ünïcode", 3: "slash/like", 4: None}
