@@ -41,6 +41,24 @@ __all__ = [
 ]
 
 
+def _dg_clean(s: str, *, is_value: bool = False) -> str:
+    """Defang datagram metacharacters. '|' splits sections, ',' splits
+    tags, '\\n' would let one poisoned tag value inject a SECOND
+    fabricated metric into the same UDP packet; ':' additionally
+    splits name-from-value and tag-key-from-tag-value (tag VALUES may
+    keep colons — DogStatsD parses only the first one per tag)."""
+    s = (
+        str(s)
+        .replace("\n", "_")
+        .replace("\r", "_")
+        .replace("|", "_")
+        .replace(",", "_")
+    )
+    if not is_value:
+        s = s.replace(":", "_")
+    return s
+
+
 def format_dogstatsd(
     name: str,
     value,
@@ -51,14 +69,18 @@ def format_dogstatsd(
     """One DogStatsD datagram. Public format:
     `[namespace.]name:value|type[|#tag1:v1,tag2:v2]` — tags sorted for
     deterministic wire bytes (test- and dedup-friendly; the protocol
-    does not care about order)."""
+    does not care about order). Names / tag keys / tag values are
+    sanitized (`_dg_clean`) so hostile content cannot corrupt the
+    datagram or smuggle a second metric."""
     full = f"{namespace}.{name}" if namespace else name
+    full = _dg_clean(full)
     if isinstance(value, float) and value == int(value):
         value = int(value)  # 1.0 -> "1", the compact canonical form
     out = f"{full}:{value}|{mtype}"
     if tags:
         out += "|#" + ",".join(
-            f"{k}:{v}" for k, v in sorted(tags.items())
+            f"{_dg_clean(k)}:{_dg_clean(v, is_value=True)}"
+            for k, v in sorted(tags.items())
         )
     return out.encode("utf-8")
 
@@ -97,21 +119,34 @@ class DogStatsdSink(MetricsRegistry):
                 ),
                 self.addr,
             )
-        except OSError:
+        except Exception:
+            # broader than OSError: a str()-raising tag value must not
+            # violate the never-raise-into-the-pipeline contract either
             self.dropped += 1  # observable, never fatal
 
+    def _registry(self, fn, *args, **tags) -> bool:
+        # the in-memory registry str()-formats tag values for its key;
+        # a str()-raising value must not escape the sink's never-raise
+        # contract either (it would have, via super().increment)
+        try:
+            fn(*args, **tags)
+            return True
+        except Exception:
+            self.dropped += 1
+            return False
+
     def increment(self, name: str, by: int = 1, **tags) -> None:
-        super().increment(name, by, **tags)
-        self._send(name, by, "c", tags)
+        if self._registry(super().increment, name, by, **tags):
+            self._send(name, by, "c", tags)
 
     def gauge(self, name: str, value: float, **tags) -> None:
-        super().gauge(name, value, **tags)
-        self._send(name, value, "g", tags)
+        if self._registry(super().gauge, name, value, **tags):
+            self._send(name, value, "g", tags)
 
     def time(self, name: str, seconds: float, **tags) -> None:
-        super().time(name, seconds, **tags)
-        # DogStatsD timers are milliseconds
-        self._send(name, round(seconds * 1000.0, 3), "ms", tags)
+        if self._registry(super().time, name, seconds, **tags):
+            # DogStatsD timers are milliseconds
+            self._send(name, round(seconds * 1000.0, 3), "ms", tags)
 
 
 def _default_transport(url: str, body: bytes, headers: dict) -> int:

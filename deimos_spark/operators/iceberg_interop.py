@@ -262,9 +262,12 @@ def single_value_from_json(t, v):
             return dt
         if t in ("timestamp_ns", "timestamptz_ns"):
             # ISO string with up to 9 fractional digits → epoch nanos
-            # (fromisoformat caps at 6 digits, so split the fraction)
+            # (fromisoformat caps at 6 digits, so split the fraction).
+            # Base is non-greedy: a greedy [^.]+ swallowed the offset
+            # whenever there were no fractional digits, spuriously
+            # refusing valid fraction-less timestamptz_ns defaults.
             m = re.fullmatch(
-                r"([^.]+)(?:\.(\d{1,9}))?([+-]\d{2}:\d{2}|Z)?", str(v)
+                r"(.+?)(?:\.(\d{1,9}))?([+-]\d{2}:\d{2}|Z)?", str(v)
             )
             if not m:
                 raise IcebergProtocolError(f"malformed {t} default {v!r}")

@@ -92,6 +92,39 @@ def _norms_lr(x):
     return np.sqrt(acc)
 
 
+def _round4_half_up(a):
+    """Round to 4 decimals, halves AWAY FROM ZERO — the convention of
+    Spark's F.round(HALF_UP) and DuckDB's round(), which the oracle
+    uses. np.round is half-to-even: a cosine landing exactly on a
+    representable 4-decimal midpoint (e.g. 0.03125) would round
+    differently and flip the >=-threshold / dominance-tie comparisons
+    the round-4 convention exists to stabilize."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(a) * 1e4 + 0.5) / 1e4, a)
+
+
+def _stack_vectors(vals, ids, dim, what):
+    """np.stack with loud per-row validation: a single NULL or
+    ragged-length embedding must name the offending row id, not crash
+    the whole job with an opaque numpy error (max_cluster_rows
+    fail-fast precedent)."""
+    import numpy as np
+
+    for v, i in zip(vals, ids):
+        if v is None:
+            raise ValueError(
+                f"semdedup {what}: NULL {len(vals)}-batch embedding at"
+                f" id={i!r} — filter null vectors before semdedup_summary"
+            )
+        if len(v) != dim:
+            raise ValueError(
+                f"semdedup {what}: ragged embedding at id={i!r}"
+                f" (len {len(v)}, expected {dim})"
+            )
+    return np.stack(vals).astype(np.float64)
+
+
 def semdedup_summary(
     df: DataFrame,
     n_clusters: int = 8,
@@ -148,12 +181,26 @@ def semdedup_summary(
         c = np.asarray(cent_vecs, dtype=np.float64)
         cn = np.asarray(cent_norms, dtype=np.float64)
         cids = np.asarray(cent_ids, dtype=np.int64)
+        # empty corpus -> empty centroid list -> c is 1-D; every batch
+        # is empty too, so dim is never consulted
+        dim = c.shape[1] if c.ndim == 2 else 0
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cs = np.round(
-                _gram_lr(x, c) / (_norms_lr(x)[:, None] * cn[None, :]), 4
+            row_ids = pdf[id_col].to_numpy()
+            x = _stack_vectors(
+                pdf[vec_col].to_numpy(), row_ids, dim, "assign"
+            )
+            xn = _norms_lr(x)
+            if not xn.all():
+                bad = row_ids[(xn == 0.0).nonzero()[0][0]]
+                raise ValueError(
+                    f"semdedup assign: zero-norm embedding at id={bad!r}"
+                    f" — cosine is undefined (NaN); filter zero vectors"
+                    f" before semdedup_summary"
+                )
+            cs = _round4_half_up(
+                _gram_lr(x, c) / (xn[:, None] * cn[None, :])
             )
             best = cs.argmax(axis=1)  # first max -> lowest centroid id
             yield pd.DataFrame(
@@ -190,10 +237,9 @@ def semdedup_summary(
         # blockwise pair pass: peak extra memory O(block x n), not n^2
         for lo in range(0, n, PRUNE_BLOCK_ROWS):
             hi = min(lo + PRUNE_BLOCK_ROWS, n)
-            s = np.round(
+            s = _round4_half_up(
                 _gram_lr(x[lo:hi], x)
-                / (nrm[lo:hi, None] * nrm[None, :]),
-                4,
+                / (nrm[lo:hi, None] * nrm[None, :])
             )
             near = s >= thr
             near[np.arange(lo, hi) - lo, np.arange(lo, hi)] = False

@@ -136,6 +136,31 @@ def test_timestamp_ns_single_values():
         single_value_from_json("unknown", "anything")
 
 
+def test_timestamptz_ns_fractionless_offset():
+    # r12 regression (ADVICE): a greedy base regex swallowed the offset
+    # whenever there were no fractional digits, so valid fraction-less
+    # offset-bearing defaults were spuriously refused with "lacks an
+    # offset".
+    assert (
+        single_value_from_json("timestamptz_ns", "1970-01-01T01:00:00Z")
+        == 3_600_000_000_000
+    )
+    assert (
+        single_value_from_json(
+            "timestamptz_ns", "1970-01-01T05:30:00+05:30"
+        )
+        == 0
+    )
+    # fraction-less timestamp_ns (no offset) keeps parsing
+    assert (
+        single_value_from_json("timestamp_ns", "1970-01-01T00:00:02")
+        == 2_000_000_000
+    )
+    # and the no-offset refusal still fires on the fraction-less form
+    with pytest.raises(IcebergProtocolError, match="offset"):
+        single_value_from_json("timestamptz_ns", "1970-01-01T00:00:00")
+
+
 def test_v3_type_mapping():
     from pyspark.sql import types as T
 

@@ -60,6 +60,40 @@ def test_dogstatsd_sink_sends_and_keeps_registry():
         rx.close()
 
 
+def test_dogstatsd_sanitizes_metacharacters():
+    # r12 regression (ADVICE): '|' splits datagram sections, ',' splits
+    # tags, and a newline would let one poisoned tag value inject a
+    # SECOND fabricated metric into the same packet. ':' splits
+    # name-from-value (and tag-key-from-value), so it is defanged in
+    # names and tag keys; tag VALUES may keep colons (DogStatsD parses
+    # only the first colon per tag).
+    assert (
+        format_dogstatsd("a:b|c", 1, "c", {"k,1": "v|x\ny:z"})
+        == b"a_b_c:1|c|#k_1:v_x_y:z"
+    )
+    # injected-metric attempt: newline in a value must not survive, and
+    # no EXTRA '|' beyond the two legitimate separators (value|type|#tags)
+    out = format_dogstatsd("m", 1, "c", {"t": "0|c\nevil:999|c"})
+    assert out == b"m:1|c|#t:0_c_evil:999_c"
+
+
+def test_dogstatsd_str_raising_tag_never_raises():
+    class Cursed:
+        def __str__(self):
+            raise RuntimeError("no repr for you")
+
+        def __lt__(self, other):  # sortable so sorted(tags) passes
+            return True
+
+    rx, port = _udp_pair()
+    try:
+        sink = DogStatsdSink("127.0.0.1", port)
+        sink.increment("x", tag=Cursed())  # must not raise
+        assert sink.dropped == 1
+    finally:
+        rx.close()
+
+
 def test_dogstatsd_send_failure_never_raises():
     class Boom:
         def sendto(self, *a):

@@ -140,3 +140,45 @@ def test_empty_input_and_k_above_n(spark):
         (1, 1, 0),
         (2, 1, 0),
     ]
+
+
+def test_round4_half_up_matches_oracle_convention():
+    """r12 regression (ADVICE): np.round is half-to-even; the oracle
+    (DuckDB round, Spark F.round HALF_UP) rounds halves away from
+    zero. 0.03125 (= 2^-5; 0.03125*1e4 = 312.5 is an EXACT float
+    midpoint) must round to 0.0313, not 0.0312."""
+    import numpy as np
+
+    from deimos_spark.operators.semdedup import _round4_half_up
+
+    a = np.array([0.03125, -0.03125, 0.00005, -0.00005, 0.6, 0.0])
+    assert _round4_half_up(a).tolist() == [
+        0.0313, -0.0313, 0.0001, -0.0001, 0.6, 0.0
+    ]
+    # the half-to-even behavior this replaces would have been:
+    assert np.round(0.03125, 4) == 0.0312
+
+
+def test_null_and_zero_norm_vectors_raise_naming_id(spark):
+    """r12 regression (ADVICE): a NULL embedding crashed the job with
+    an opaque numpy stack error, and a zero-norm vector silently
+    yielded NaN sims. Both must refuse loudly, naming the row id
+    (max_cluster_rows fail-fast precedent)."""
+    import pytest
+
+    rows = [(0, (1.0, 0.0, 0.0, 0.0)), (7, None), (2, (0.0, 1.0, 0.0, 0.0))]
+    df = spark.createDataFrame(
+        [(i, list(v) if v is not None else None) for i, v in rows], SCHEMA
+    )
+    with pytest.raises(Exception, match="NULL.*id=7"):
+        semdedup_summary(df, n_clusters=1).collect()
+
+    zero = _df(spark, [(0, [1, 0, 0, 0]), (9, [0, 0, 0, 0])])
+    with pytest.raises(Exception, match="zero-norm.*id=9"):
+        semdedup_summary(zero, n_clusters=1).collect()
+
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (5, [1.0, 0.0])], SCHEMA
+    )
+    with pytest.raises(Exception, match="ragged.*id=5"):
+        semdedup_summary(ragged, n_clusters=1).collect()
