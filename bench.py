@@ -120,6 +120,9 @@ HEADLINE = [
     # fixed cost (crossJoin + window assignment chain) was cut by
     # fusing assignment into one mapInPandas kernel: warm ~0.07s.
     "t27_semdedup",
+    # round 12: fastText-style classifier inference (zero-shuffle
+    # single-projection plan — the model-filter staple)
+    "t29_classifier_quality",
 ]
 
 

@@ -809,6 +809,39 @@ def q_unigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_classifier_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t29: fastText-style linear classifier inference (Joulin et al.
+    2016, arXiv:1607.01759) — the quality-filter staple of public LLM
+    data pipelines. Seeded integer weights over md5-hashed unigram
+    features; score = exact-integer sum / one float division, so the
+    DuckDB oracle matches bit-for-bit with NO rounding convention.
+    ZERO shuffle: tokenize+hash+weigh+sum run inside one codegen
+    projection (transform+aggregate over the token array — no explode,
+    no groupBy); the top-20 is the only exchange."""
+    from deimos_spark.operators import classifier
+
+    return (
+        classifier.classifier_scores(_docs_spread(spark, sf_dir))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+def q_classifier_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t29b: t29 with fastText wordNgrams=2 — unigrams + adjacent
+    bigrams share the hash space (zip_with over two slices of the SAME
+    token array; still zero-shuffle)."""
+    from deimos_spark.operators import classifier
+
+    return (
+        classifier.classifier_scores(
+            _docs_spread(spark, sf_dir), word_ngrams=2
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t24: cross-source contamination matrix — for every pair of
     sources, how many distinct CONTENTS (md5 of text) appear in both.
@@ -1945,6 +1978,50 @@ def all_queries() -> dict[str, QuerySpec]:
             "SELECT v.vec_id FROM embeddings v LEFT JOIN c ON c.n = v.vec_id "
             "WHERE c.n IS NULL OR c.comp = v.vec_id ORDER BY vec_id",
             note="dedup APPLY: drop all but each cluster's representative",
+        ),
+        QuerySpec(
+            "t29_classifier_quality", q_classifier_quality,
+            # integer weights -> exact sums; the single float division
+            # is IEEE-pinned, so no round() anywhere
+            "WITH tk AS (SELECT doc_id, "
+            "((('0x' || substr(md5('ft' || w), 1, 8))::BIGINT % 1048576) "
+            "* 2654435761) % 1000003 - 501001 AS wi "
+            "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+            "FROM documents) WHERE w <> ''), "
+            "s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_features, "
+            "sum(wi) / (count(*) * 1000003.0) AS score "
+            "FROM tk GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(s.n_features, 0) AS n_features, "
+            "COALESCE(s.score, 0.0) AS score, "
+            "CAST(CASE WHEN COALESCE(s.score, 0.0) > 0 THEN 1 ELSE 0 END "
+            "AS INT) AS label "
+            "FROM documents d LEFT JOIN s USING (doc_id) "
+            "ORDER BY score DESC, doc_id LIMIT 20",
+            note="fastText-style linear classifier inference (seeded)",
+        ),
+        QuerySpec(
+            "t29b_classifier_bigram", q_classifier_bigram,
+            "WITH toks AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), x -> x <> '') AS t "
+            "FROM documents), "
+            "feats AS (SELECT doc_id, w FROM "
+            "(SELECT doc_id, unnest(t) AS w FROM toks) "
+            "UNION ALL SELECT doc_id, t[i] || ' ' || t[i+1] AS w "
+            "FROM toks, unnest(generate_series(1, len(t) - 1)) AS g(i) "
+            "WHERE len(t) >= 2), "
+            "tk AS (SELECT doc_id, "
+            "((('0x' || substr(md5('ft' || w), 1, 8))::BIGINT % 1048576) "
+            "* 2654435761) % 1000003 - 501001 AS wi FROM feats), "
+            "s AS (SELECT doc_id, CAST(count(*) AS INT) AS n_features, "
+            "sum(wi) / (count(*) * 1000003.0) AS score "
+            "FROM tk GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(s.n_features, 0) AS n_features, "
+            "COALESCE(s.score, 0.0) AS score, "
+            "CAST(CASE WHEN COALESCE(s.score, 0.0) > 0 THEN 1 ELSE 0 END "
+            "AS INT) AS label "
+            "FROM documents d LEFT JOIN s USING (doc_id) "
+            "ORDER BY score DESC, doc_id LIMIT 20",
+            note="fastText wordNgrams=2 classifier inference (seeded)",
         ),
         QuerySpec(
             "t21_dsir_weights", q_dsir_weights,
