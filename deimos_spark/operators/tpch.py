@@ -588,11 +588,13 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PARTSUPP_SQL = (
+    # ANSI-portable inline table (r12): VALUES instead of DuckDB's
+    # unnest([...]), so h02/h11 run VERBATIM through Engine.sql too
     "(SELECT p_partkey AS ps_partkey, "
     "((p_partkey + i) % (SELECT count(*) FROM supplier)) + 1 AS ps_suppkey, "
     "(p_partkey * 4 + i) % 9999 + 1 AS ps_availqty, "
     "(p_partkey * 31 + i * 7) % 10000 + 100 AS ps_supplycost_cents "
-    "FROM part, (SELECT unnest([0, 1, 2, 3]) AS i))"
+    "FROM part, (SELECT i FROM (VALUES (0), (1), (2), (3)) AS t(i)))"
 )
 
 

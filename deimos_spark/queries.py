@@ -2203,7 +2203,7 @@ def _tpch_specs() -> list[QuerySpec]:
         QuerySpec(
             "h03_shipping_priority", tpch.h03_shipping_priority,
             "SELECT l_orderkey, "
-            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, revenue "
+            "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, revenue "
             f"FROM (SELECT l_orderkey, o_orderdate, round(sum({rev}), 2) AS revenue "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
@@ -2220,7 +2220,8 @@ def _tpch_specs() -> list[QuerySpec]:
             "AND o_orderdate < TIMESTAMP '1997-10-01' "
             "AND EXISTS (SELECT 1 FROM lineitem l "
             "WHERE l.l_orderkey = o.o_orderkey "
-            "AND datediff('day', o.o_orderdate, l.l_shipdate) > 90) "
+            "AND CAST(l.l_shipdate AS DATE) > "
+            "CAST(o.o_orderdate AS DATE) + INTERVAL '90' DAY) "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority",
         ),
         QuerySpec(
@@ -2309,7 +2310,8 @@ def _tpch_specs() -> list[QuerySpec]:
             "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
             "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "WHERE datediff('day', o_orderdate, l_shipdate) > 60 "
+            "WHERE CAST(l_shipdate AS DATE) > "
+            "CAST(o_orderdate AS DATE) + INTERVAL '60' DAY "
             "GROUP BY l_year ORDER BY l_year",
         ),
         QuerySpec(
@@ -2360,7 +2362,7 @@ def _tpch_specs() -> list[QuerySpec]:
         QuerySpec(
             "h18_large_volume_customers", tpch.h18_large_volume_customers,
             "SELECT c_name, c_custkey, o_orderkey, "
-            "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate, "
+            "CAST(CAST(o_orderdate AS DATE) AS STRING) AS o_orderdate, "
             "round(o_totalprice, 2) AS o_totalprice, "
             "round(sum_qty, 2) AS sum_qty FROM ("
             "SELECT l_orderkey, sum(l_quantity) AS sum_qty FROM lineitem "
@@ -2391,7 +2393,8 @@ def _tpch_specs() -> list[QuerySpec]:
         QuerySpec(
             "h21_waiting_supplier", tpch.h21_waiting_supplier,
             "WITH j AS (SELECT l_orderkey, l_suppkey, "
-            "CASE WHEN datediff('day', o_orderdate, l_shipdate) > 100 "
+            "CASE WHEN CAST(l_shipdate AS DATE) > "
+            "CAST(o_orderdate AS DATE) + INTERVAL '100' DAY "
             "THEN 1 ELSE 0 END AS late "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderstatus = 'F'), "

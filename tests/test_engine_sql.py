@@ -60,6 +60,30 @@ def test_s01_registered_with_oracle():
     assert spec.oracle == SQL_ENTRY_STATEMENT
 
 
+def test_h_series_runs_through_sql_verbatim(engine, spark):
+    """VERDICT r11 #5: every TPC-H-derived h-query's oracle text is
+    ANSI-portable and runs VERBATIM through Engine.sql, agreeing with
+    its DataFrame builder. r12 made the last 7 portable: h03/h18
+    (CAST AS STRING — both engines accept the alias), h04/h12/h21
+    (datediff('day', a, b) > N → CAST(b AS DATE) > CAST(a AS DATE) +
+    INTERVAL 'N' DAY, the exact integer-days equivalence), h02/h11
+    (PARTSUPP_SQL's unnest([..]) → a VALUES inline table). No
+    dialect-divergent h-queries remain."""
+    checked = 0
+    for name, spec in all_queries().items():
+        if not name.startswith("h") or spec.oracle is None:
+            continue
+        try:
+            via_sql = engine.sql(spec.oracle)
+        except Exception as e:
+            pytest.fail(f"{name}: oracle SQL not Spark-parsable: {e}")
+        got = _rows([tuple(r) for r in via_sql.collect()])
+        want = _rows([tuple(r) for r in spec.builder(spark, SF_DIR).collect()])
+        assert got == want, f"{name}: SQL-string path diverges from builder"
+        checked += 1
+    assert checked == 22  # the full TPC-H-derived suite, zero skips
+
+
 def test_b_series_runs_through_sql(engine, spark):
     """Every ANSI-portable b-series oracle string is runnable as a SQL
     string via Engine.sql and agrees with its DataFrame builder."""
