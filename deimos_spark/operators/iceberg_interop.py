@@ -26,8 +26,11 @@ including v2 POSITION deletes (delete files of (file_path, pos) pairs,
 applied as one anti-join against `_metadata.file_path`/`row_index` —
 the common MERGE/DELETE output of real engines) and v2 EQUALITY deletes
 (value-keyed delete files with `equality_ids`, sequence-number-gated
-null-safe anti-joins — the Flink/CDC upsert shape). Unsupported file
-formats and format-version 3+ raise IcebergProtocolError.
+null-safe anti-joins — the Flink/CDC upsert shape), plus the v3
+surface: deletion vectors, column defaults, and the v3 types
+(unknown, ns-timestamps, variant — both physical layouts, r12).
+Unsupported file formats and format-version 4+ raise
+IcebergProtocolError.
 """
 
 from __future__ import annotations
@@ -83,9 +86,18 @@ def iceberg_type_to_spark(t) -> T.DataType:
       timestamp — LongType, epoch nanoseconds, the engine-wide
       convention (catalog._normalize_events_ts; nanosAsLong conf
       makes parquet TIMESTAMP(NANOS) columns arrive as long).
-    - `variant`, `geometry(...)`, `geography(...)`: refused loudly
-      BY NAME — shredded-variant and geo encodings have no fixture
-      here and silently mis-typing them would corrupt reads."""
+    - `variant` (r12): Spark's native VariantType. The parquet
+      variant encoding is the one Iceberg v3 adopted, and this Spark
+      build reads BOTH physical layouts natively (unshredded
+      metadata/value pairs and shredded typed_value trees —
+      `spark.sql.variant.allowReadingShredded` defaults true), so no
+      per-layout refusal is needed; both are pinned in
+      tests/test_iceberg_v3_types.py. Variant DEFAULTS still refuse
+      loudly (no single-value JSON form in this reader), and variant
+      requires format-version 3 (checked in _check_v3_features).
+    - `geometry(...)`, `geography(...)`: refused loudly BY NAME —
+      geo encodings have no fixture here and silently mis-typing
+      them would corrupt reads."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]()
@@ -99,11 +111,7 @@ def iceberg_type_to_spark(t) -> T.DataType:
         if t in ("timestamp_ns", "timestamptz_ns"):
             return T.LongType()
         if t == "variant":
-            raise IcebergProtocolError(
-                "Iceberg v3 type 'variant' is not supported by this "
-                "reader: shredded-variant decoding is unimplemented; "
-                "refusing loudly rather than mis-typing the column"
-            )
+            return T.VariantType()
         m = re.fullmatch(r"(geometry|geography)(\(.*\))?", t)
         if m:
             raise IcebergProtocolError(
@@ -136,6 +144,23 @@ def iceberg_type_to_spark(t) -> T.DataType:
             valueContainsNull=not t.get("value-required", False),
         )
     raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
+
+
+def _contains_variant(t) -> bool:
+    """True when an Iceberg JSON type mentions `variant` anywhere —
+    variant is a v3-only type, so its presence gates format-version."""
+    if isinstance(t, str):
+        return t == "variant"
+    kind = t.get("type")
+    if kind == "struct":
+        return any(_contains_variant(f["type"]) for f in t.get("fields") or [])
+    if kind == "list":
+        return _contains_variant(t.get("element"))
+    if kind == "map":
+        return _contains_variant(t.get("key")) or _contains_variant(
+            t.get("value")
+        )
+    return False
 
 
 def single_value_from_json(t, v):
@@ -377,6 +402,16 @@ class IcebergTableReader:
             raise IcebergProtocolError(f"format-version {fv} unsupported")
         if fv >= 3:
             self._check_v3_features()
+        else:
+            # v3-only types declared by a v1/v2 table = malformed
+            # metadata; refuse at open naming field and version
+            for f in self.schema_fields():
+                if _contains_variant(f["type"]):
+                    raise IcebergProtocolError(
+                        f"field {f.get('name')!r}: `variant` is a "
+                        f"format-version 3 type; this table declares "
+                        f"format-version {fv}"
+                    )
 
     def _check_v3_features(self) -> None:
         """v3 support is deletion vectors (Puffin-framed roaring
@@ -387,7 +422,8 @@ class IcebergTableReader:
         files written before the column existed; `write-default` is a
         writer-side concern and does not affect reads). v3 types:
         unknown reads as null, timestamp_ns/timestamptz_ns as epoch
-        nanos; variant/geometry/geography refuse BY NAME in
+        nanos, variant as Spark VariantType (both physical layouts,
+        r12); geometry/geography refuse BY NAME in
         iceberg_type_to_spark. What still refuses loudly here:
         - a default we cannot PARSE (malformed serialization) —
           silently surfacing NULL where the table declares a default
@@ -450,8 +486,9 @@ class IcebergTableReader:
 
         for sch in current:
             for f in sch.get("fields") or []:
-                # unsupported v3 types (variant/geometry/geography)
-                # refuse AT OPEN, not at first read
+                # unsupported v3 types (geometry/geography) refuse AT
+                # OPEN, not at first read (variant-below-v3 is gated
+                # in __init__ — this method only runs at fv >= 3)
                 try:
                     iceberg_type_to_spark(f["type"])
                 except IcebergProtocolError as e:
@@ -1917,6 +1954,8 @@ _SPARK_TO_ICE = {
     "binary": "binary",
     "timestamp_ntz": "timestamp",
     "timestamp": "timestamptz",
+    # v3 only — _snapshot_commit refuses variant batches below fv 3
+    "variant": "variant",
 }
 
 
@@ -2498,7 +2537,15 @@ class IcebergTableWriter:
 
                     rows = papq.read_metadata(dest).num_rows
                 except Exception:
-                    rows = 0
+                    # pyarrow predates the parquet VARIANT logical
+                    # type and refuses such footers wholesale; the
+                    # stdlib thrift-compact parser recovers num_rows
+                    # (a wrong record_count would corrupt manifests)
+                    from deimos_spark.schemas.thriftcompact import (
+                        read_footer,
+                    )
+
+                    rows = read_footer(dest)[0]
                 out.append((dest, rows, os.path.getsize(dest), pvals))
                 i += 1
         shutil.rmtree(staging, ignore_errors=True)
@@ -2581,6 +2628,19 @@ class IcebergTableWriter:
             raise IcebergProtocolError(
                 "deletion vectors require format-version 3"
             )
+        _batch = df.schema if df is not None else schema_override
+        if _batch is not None and fv < 3:
+            bad = [
+                f.name
+                for f in _batch.fields
+                if "variant" in f.dataType.simpleString()
+            ]
+            if bad:
+                raise IcebergProtocolError(
+                    f"columns {bad} are variant-typed: `variant` is a "
+                    f"format-version 3 type — construct the writer "
+                    f"with format_version=3"
+                )
         seq = (md.get("last-sequence-number", 0) if md else 0) + 1
         snap_id = seq  # sequential ids: deterministic and spec-legal
         now = int(_time.time() * 1000)
@@ -3184,10 +3244,14 @@ class IcebergTableWriter:
                 continue
             if not n.endswith(".parquet"):
                 continue
-            meta = papq.read_metadata(full)
-            files.append(
-                (full, meta.num_rows, os.path.getsize(full), {})
-            )
+            try:
+                nrows = papq.read_metadata(full).num_rows
+            except Exception:
+                # variant-bearing footers: see _write_data_files
+                from deimos_spark.schemas.thriftcompact import read_footer
+
+                nrows = read_footer(full)[0]
+            files.append((full, nrows, os.path.getsize(full), {}))
         if not files:
             raise IcebergProtocolError(
                 f"add_files: no parquet files under {src_dir}"

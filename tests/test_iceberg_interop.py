@@ -264,10 +264,11 @@ def test_unsupported_versions_and_types_refused(spark, tmp_path):
     _metadata(t, 1, [], current=None, fmt_version=4)
     with pytest.raises(IcebergProtocolError, match="format-version"):
         IcebergTableReader(spark, t)
-    # r11: variant refuses BY NAME (tests/test_iceberg_v3_types.py has
-    # the full v3-type battery); a made-up type still refuses generically
-    with pytest.raises(IcebergProtocolError, match="variant"):
-        iceberg_type_to_spark("variant")
+    # r12: variant READS now (tests/test_iceberg_v3_types.py has the
+    # full v3-type battery incl. both physical layouts); geo types and
+    # made-up types still refuse
+    with pytest.raises(IcebergProtocolError, match="geometry"):
+        iceberg_type_to_spark("geometry")
     with pytest.raises(IcebergProtocolError, match="unsupported Iceberg type"):
         iceberg_type_to_spark("no-such-type")
 

@@ -167,7 +167,10 @@ def test_v3_type_mapping():
     assert isinstance(iceberg_type_to_spark("unknown"), T.NullType)
     assert isinstance(iceberg_type_to_spark("timestamp_ns"), T.LongType)
     assert isinstance(iceberg_type_to_spark("timestamptz_ns"), T.LongType)
-    for t in ("variant", "geometry", "geometry(srid:3857)", "geography"):
+    # r12: variant maps to Spark's native VariantType (reads both
+    # physical layouts — see the variant tests below)
+    assert isinstance(iceberg_type_to_spark("variant"), T.VariantType)
+    for t in ("geometry", "geometry(srid:3857)", "geography"):
         with pytest.raises(IcebergProtocolError, match=t.split("(")[0]):
             iceberg_type_to_spark(t)
 
@@ -252,7 +255,6 @@ def test_timestamp_ns_default_surfaces_as_long_nanos(spark, tmp_path):
 
 def test_unsupported_v3_types_refuse_by_name_at_open(spark, tmp_path):
     for t, name in (
-        ("variant", "variant"),
         ("geometry(srid:3857)", "geometry"),
         ("geography", "geography"),
     ):
@@ -298,3 +300,125 @@ def test_nested_unknown_refuses_loudly(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="nested"):
         IcebergTableReader(spark, path)
+
+
+# ------------------------------------------------------------- variant
+
+def _variant_df(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(4).select(
+        F.col("id"),
+        F.parse_json(
+            F.concat(
+                F.lit('{"a": '),
+                F.col("id").cast("string"),
+                F.lit(', "tags": ["x","y"]}'),
+            )
+        ).alias("payload"),
+    )
+
+
+def _data_layouts(path):
+    """Distinct variant physical layouts across the table's non-empty
+    data files, via the stdlib footer parser (pyarrow refuses
+    VARIANT-annotated footers wholesale)."""
+    import glob
+
+    from deimos_spark.schemas.thriftcompact import read_footer
+
+    layouts = set()
+    for f in glob.glob(os.path.join(path, "data", "*.parquet")):
+        n, tree = read_footer(f)
+        p = [c for c in tree.children if c.name == "payload"]
+        if p and n:
+            layouts.add(tuple(sorted(p[0].child_names())))
+    return layouts
+
+
+@pytest.mark.parametrize("shredded", [False, True])
+def test_variant_roundtrip_both_layouts(spark, tmp_path, shredded):
+    """r12 (VERDICT #2): Iceberg v3 variant columns read as Spark
+    VariantType. Both physical layouts: unshredded (metadata/value
+    pair — the spec's baseline) AND shredded (typed_value tree —
+    Spark's parquet reader handles it natively,
+    spark.sql.variant.allowReadingShredded). The footer parser pins
+    which layout each fixture actually exercises."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    old = spark.conf.get("spark.sql.variant.writeShredding.enabled")
+    spark.conf.set(
+        "spark.sql.variant.writeShredding.enabled", str(shredded).lower()
+    )
+    try:
+        IcebergTableWriter(spark, path, format_version=3).append(
+            _variant_df(spark)
+        )
+    finally:
+        spark.conf.set("spark.sql.variant.writeShredding.enabled", old)
+    want = {("metadata", "typed_value", "value")} if shredded else {
+        ("metadata", "value")
+    }
+    assert _data_layouts(path) == want
+    r = IcebergTableReader(spark, path)
+    import pyspark.sql.types as ST
+
+    assert isinstance(
+        r.schema()["payload"].dataType, ST.VariantType
+    )
+    got = sorted(
+        (x["id"], x["a"], x["t0"])
+        for x in r.read()
+        .select(
+            "id",
+            F.variant_get("payload", "$.a", "int").alias("a"),
+            F.variant_get("payload", "$.tags[0]", "string").alias("t0"),
+        )
+        .collect()
+    )
+    assert got == [(i, i, "x") for i in range(4)]
+
+
+def test_variant_added_column_reads_null(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(path, {"name": "extra", "type": "variant"})
+    rows = IcebergTableReader(spark, path).read().collect()
+    assert len(rows) == 4 and all(x["extra"] is None for x in rows)
+
+
+def test_variant_on_v2_metadata_refuses(spark, tmp_path):
+    """variant is a v3 type: a table whose metadata still claims
+    format-version 2 but declares a variant column is malformed and
+    must refuse at open, naming the field and version."""
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(path, {"name": "extra", "type": "variant"})
+    # _add_column writes format-version 3; forge it back to 2
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        mv = int(fh.read().strip())
+    mpath = os.path.join(meta_dir, f"v{mv}.metadata.json")
+    with open(mpath) as fh:
+        md = json.load(fh)
+    md["format-version"] = 2
+    with open(mpath, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(IcebergProtocolError, match="format-version 2"):
+        IcebergTableReader(spark, path)
+
+
+def test_variant_default_refuses_loudly(spark, tmp_path):
+    path = _v2_table(spark, str(tmp_path / "t"))
+    _add_column(
+        path,
+        {"name": "extra", "type": "variant", "initial-default": "{}"},
+    )
+    with pytest.raises(IcebergProtocolError, match="variant"):
+        IcebergTableReader(spark, path)
+
+
+def test_variant_write_requires_v3_writer(spark, tmp_path):
+    with pytest.raises(IcebergProtocolError, match="format_version=3"):
+        IcebergTableWriter(
+            spark, str(tmp_path / "t"), format_version=2
+        ).append(_variant_df(spark))
