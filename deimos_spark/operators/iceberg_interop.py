@@ -388,7 +388,16 @@ class IcebergTableReader:
     """Read an Iceberg table directory: `read()` → DataFrame for the
     current (or any) snapshot; `data_files()` → live parquet paths."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self, spark: SparkSession, path: str, pin_version: int | None = None
+    ):
+        """`pin_version` loads EXACTLY v{N}.metadata.json instead of
+        the latest — multi-writer callers (IcebergKeyedTable.merge /
+        optimize) pin their probe scans to the same metadata version
+        their commit will build on, so a commit racing in between
+        surfaces as a version-file collision (IcebergCommitConflict →
+        recompute) instead of silently basing stale deletes on a newer
+        table (a lost update — caught by the r12 concurrency fuzz)."""
         self.spark = spark
         self.path = path
         self.meta_dir = os.path.join(path, "metadata")
@@ -396,6 +405,7 @@ class IcebergTableReader:
             raise FileNotFoundError(
                 f"{path} has no metadata/ dir — not an Iceberg table"
             )
+        self.pin_version = pin_version
         self.metadata = self._load_metadata()
         fv = self.metadata.get("format-version", 1)
         if fv not in (1, 2, 3):
@@ -510,6 +520,16 @@ class IcebergTableReader:
     # ------------------------------------------------------- metadata file
 
     def _load_metadata(self) -> dict:
+        if self.pin_version is not None:
+            p = os.path.join(
+                self.meta_dir, f"v{self.pin_version}.metadata.json"
+            )
+            if not os.path.exists(p):
+                raise IcebergProtocolError(
+                    f"pinned metadata version {self.pin_version} absent"
+                )
+            with open(p) as fh:
+                return json.load(fh)
         hint = os.path.join(self.meta_dir, "version-hint.text")
         candidate = None
         if os.path.exists(hint):
@@ -2589,6 +2609,7 @@ class IcebergTableWriter:
         merge_schema: bool = False,
         summary_extra: dict[str, str] | None = None,
         pre_written: list[tuple[str, int, int, dict]] | None = None,
+        base: tuple[int, dict | None] | None = None,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
@@ -2617,7 +2638,12 @@ class IcebergTableWriter:
 
         from deimos_spark.schemas.avro_ocf import ocf_write
 
-        mv, md = self._current()
+        # `base` pins the commit to a caller-derived (version, metadata)
+        # pair: the commit targets v{base+1} unconditionally, so anything
+        # committed after the caller's probe scan collides on the version
+        # file (put-if-absent hard link) and raises IcebergCommitConflict
+        # instead of silently building on state the caller never saw
+        mv, md = base if base is not None else self._current()
         delete_files = delete_files or []
         # never downgrade an existing v3 table; upgrade v2→3 when asked
         fv = max(
@@ -3501,8 +3527,26 @@ class IcebergKeyedTable:
         self.merge(delete_keys=keys)
 
     def optimize(self) -> None:
-        reader = IcebergTableReader(self.spark, self.path)
-        self.writer.overwrite(reader.read())
+        """Compaction = overwrite with the CURRENT live rows. The read
+        and the commit pin the same metadata version (r12): an
+        unpinned overwrite racing a merge could commit rows read
+        BEFORE that merge and silently roll it back."""
+        for _ in range(self.max_commit_retries):
+            mv, md = self.writer._current()
+            if md is None:
+                return
+            reader = IcebergTableReader(self.spark, self.path, pin_version=mv)
+            try:
+                self.writer._snapshot_commit(
+                    reader.read(), overwrite=True, base=(mv, md)
+                )
+                return
+            except IcebergCommitConflict:
+                continue
+        raise IcebergCommitConflict(
+            f"optimize: could not commit after "
+            f"{self.max_commit_retries} tries"
+        )
 
     # snapshot-summary keys for idempotent merges (the Flink-Iceberg
     # pattern: Iceberg has no txn action, so the app's watermark rides
@@ -3553,7 +3597,15 @@ class IcebergKeyedTable:
             return
 
         for _ in range(self.max_commit_retries):
-            _, md = self.writer._current()
+            # ONE metadata read anchors the whole attempt: the txn
+            # watermark check, the probe scan (pinned reader below),
+            # and the commit target (base=) all see the same version.
+            # Anything committed in between collides on v{mv+1} and
+            # retries with fresh state — without the pin, a commit
+            # landing between probe and commit made the stale deletes
+            # land silently (lost update, caught by the r12 fuzz).
+            mv, md = self.writer._current()
+            base = (mv, md)
             if txn is not None and self._txn_watermark(
                 md, str(txn[0])
             ) >= int(txn[1]):
@@ -3566,13 +3618,16 @@ class IcebergKeyedTable:
                         upserts,
                         overwrite=False,
                         summary_extra=summary_extra,
+                        base=base,
                     )
                     return
                 except IcebergCommitConflict:
                     continue
 
             if self.delete_mode == "equality":
-                reader = IcebergTableReader(self.spark, self.path)
+                reader = IcebergTableReader(
+                    self.spark, self.path, pin_version=mv
+                )
                 schema = reader.schema()
                 # no probe scan: the delete files ARE the key batch —
                 # written with the batch's natural partitioning (the
@@ -3589,6 +3644,7 @@ class IcebergKeyedTable:
                         eq_delete_files=eq_files,
                         eq_key_cols=self.key_cols,
                         summary_extra=summary_extra,
+                        base=base,
                     )
                     return
                 except IcebergCommitConflict:
@@ -3599,7 +3655,7 @@ class IcebergKeyedTable:
                             pass
                     continue
 
-            reader = IcebergTableReader(self.spark, self.path)
+            reader = IcebergTableReader(self.spark, self.path, pin_version=mv)
             data = reader._file_sets(None)[0]
             schema = reader.schema()
             # hits aggregate per FILE executor-side; the driver only
@@ -3706,6 +3762,7 @@ class IcebergKeyedTable:
                         dv_entries=dv_entries,
                         drop_dv_for=superseded or None,
                         summary_extra=summary_extra,
+                        base=base,
                     )
                     return
                 except IcebergCommitConflict:
@@ -3753,6 +3810,7 @@ class IcebergKeyedTable:
                     delete_files=delete_files,
                     schema_override=schema,
                     summary_extra=summary_extra,
+                    base=base,
                 )
                 return
             except IcebergCommitConflict:
