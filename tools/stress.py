@@ -63,11 +63,146 @@ QUERIES = [
     # misuse, not a plan defect.
     "t23_unigram_ppl", "t24_source_overlap", "x13_sessionize",
     "t10b_bpe_real", "t25_chunk_plan", "t26_substr_dedup",
+    # r12: the dedup APPLY end-to-end (pairs -> components -> keep)
+    "t28_dedup_apply",
+    # r12: classifier inference — zero-shuffle, should track the scan
+    "t29_classifier_quality",
 ]
 
 # super-linear flagging thresholds (see module docstring)
 EXP_LIMIT = 1.25
 MIN_SIGNAL_SEC = 0.3
+
+# ---------------------------------------------------------------- zipf
+# Adversarial-skew stress (VERDICT r11 #1): every other curve in this
+# harness inherits TPC-H's uniform keys; 100-TB reality is zipf. The
+# zipf section rebuilds the SHUFFLE KEYS of the skew-sensitive ops as
+# a zipf(s=1.2) draw — pmf P(rank) ~ rank^-1.2 via the inverse-CDF
+# tail construction rank = floor(u^(-1/alpha)), alpha = s-1 = 0.2,
+# which gives P(rank=1) = 1 - 2^-alpha ≈ 12.9%: the hottest key owns
+# ~13% of ALL rows (above the 5-10% the verdict asked for — strictly
+# more adversarial). Keys derive from md5 of the original key, so the
+# draw is deterministic and K-stable.
+ZIPF_ALPHA = 0.2
+ZIPF_HOT_SHARE = 1 - 2 ** (-ZIPF_ALPHA)  # ≈ 0.129
+
+# zipf-sensitive registry queries (all read the zipf-rebuilt dir):
+# b20 = hash aggregate on the hot key (map-side combine must absorb
+# it), x13 = window sort where the hot user is ONE unsplittable task,
+# t26 = hot segment hash in the duplicate-flag aggregate + probe join
+ZIPF_QUERIES = ["b20_keep_last_per_key", "x13_sessionize", "t26_substr_dedup"]
+
+
+def _zipf_rank(col, n_keys: int, salt: str):
+    """Deterministic zipf(s=1.2) rank in [1, n_keys] from any column."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(1 << 32)
+    return F.least(
+        F.floor(F.pow(u, F.lit(-1.0 / ZIPF_ALPHA))).cast("long"),
+        F.lit(int(n_keys)),
+    )
+
+
+def _build_zipf(spark, kdir: str, zdir: str, k: int) -> dict:
+    """Rebuild the skew-sensitive tables of an already-K-scaled dir with
+    zipf keys; other tables are symlinked. Returns measured hot-key
+    shares (sanity: ~0.13 regardless of K)."""
+    if os.path.exists(zdir):
+        shutil.rmtree(zdir)
+    os.makedirs(zdir)
+    shares = {}
+    # events: user_id <- zipf rank (b20 group key, x13 window key)
+    ev = spark.read.parquet(f"{kdir}/events.parquet")
+    n_users = max(10_000 * k, 1)
+    zev = ev.withColumn(
+        "user_id", _zipf_rank(F.col("event_id"), n_users, "zu")
+    )
+    zev.write.mode("overwrite").parquet(f"{zdir}/events.parquet")
+    zev = spark.read.parquet(f"{zdir}/events.parquet")
+    total = zev.count()
+    hot = zev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    shares["events_user_id"] = round(hot / total, 4)
+    # documents: the zipf-hot fraction of docs all share ONE text, so
+    # its 8-token segments are the hot hash keys of t26's aggregate
+    # and probe join (hot share applies to DOCS; every segment of a
+    # hot doc collides)
+    docs = spark.read.parquet(f"{kdir}/documents.parquet")
+    hot_text = " ".join(f"hotseg{i // 8}tok{i % 8}" for i in range(64))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("zd"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(1 << 32)
+    zdocs = docs.withColumn(
+        "text",
+        F.when(u < F.lit(ZIPF_HOT_SHARE), F.lit(hot_text)).otherwise(
+            F.col("text")
+        ),
+    )
+    zdocs.write.mode("overwrite").parquet(f"{zdir}/documents.parquet")
+    zdocs = spark.read.parquet(f"{zdir}/documents.parquet")
+    shares["documents_hot_text"] = round(
+        zdocs.filter(F.col("text") == hot_text).count() / zdocs.count(), 4
+    )
+    for t in TABLES:
+        src_p = f"{kdir}/{t}.parquet"
+        dst_p = f"{zdir}/{t}.parquet"
+        if not os.path.exists(dst_p) and os.path.exists(src_p):
+            os.symlink(src_p, dst_p)
+    return shares
+
+
+def _zipf_graph_bench(spark, k: int) -> dict:
+    """Connected components over a zipf-keyed edge list (t20/t28's
+    machinery): edge endpoints drawn zipf, so the hottest node is an
+    ~13%-degree hub — the label-propagation join's build/probe keys
+    are maximally skewed and the giant component converges through the
+    hot key every round. Output stays linear (labels), so the curve
+    isolates SHUFFLE skew, not output growth."""
+    from deimos_spark.operators.graph import (
+        connected_components,
+        keep_representatives,
+    )
+
+    n_edges = 50_000 * k
+    node_space = 200_000 * k
+    edges = spark.range(n_edges).select(
+        (F.col("id") + 2 + node_space).alias("id_a"),
+        _zipf_rank(F.col("id"), node_space, "zg").alias("id_b"),
+    )
+    t0 = time.perf_counter()
+    n_labels = connected_components(edges).count()
+    cc_sec = time.perf_counter() - t0
+    corpus = spark.range(n_edges + node_space).select(
+        F.col("id").alias("doc_id")
+    )
+    t0 = time.perf_counter()
+    # t28's full shape: CC + the corpus keep-join (CC recomputed inside)
+    n_kept = keep_representatives(corpus, edges, id_col="doc_id").count()
+    keep_sec = time.perf_counter() - t0
+    return {
+        "edges": n_edges,
+        "labels": n_labels,
+        "cc_sec": round(cc_sec, 2),
+        "kept": n_kept,
+        "keep_sec": round(keep_sec, 2),
+        "sec": round(cc_sec + keep_sec, 2),
+    }
 
 
 def _build_scaled(spark, src: str, scratch: str, k: int) -> int:
@@ -89,14 +224,15 @@ def _build_scaled(spark, src: str, scratch: str, k: int) -> int:
     return spark.read.parquet(f"{scratch}/lineitem.parquet").count()
 
 
-def _time_queries(spark, scratch: str) -> dict[str, float]:
+def _time_queries(spark, scratch: str, queries=None) -> dict[str, float]:
     from deimos_spark.queries import clear_plan_cache
 
+    queries = QUERIES if queries is None else queries
     specs = all_queries()
-    for name in QUERIES:  # warm-up (plans + codegen)
+    for name in queries:  # warm-up (plans + codegen)
         specs[name].builder(spark, scratch).collect()
     timings = {}
-    for name in QUERIES:
+    for name in queries:
         best = None
         for _ in range(3):
             # fresh lineage per run: re-collecting a cached DataFrame
@@ -189,7 +325,7 @@ def _relay_bench(spark, scratch: str, n: int = 100_000) -> dict:
     return out
 
 
-def _consume_merge_bench(spark, scratch: str, k: int) -> dict:
+def _consume_merge_bench(spark, scratch: str, k: int, zipf: bool = False) -> dict:
     """Streaming-path stress (VERDICT r6 #5): BatchConsumer →
     DeltaKeyedTable MERGE throughput at a K-scaled batch size, both DV
     modes. The kafka-shaped batch (JSON-encoded via the real produce
@@ -220,14 +356,23 @@ def _consume_merge_bench(spark, scratch: str, k: int) -> dict:
     prod = Producer(
         TopicConfig(topic="stress", schema=schema, key_field="test_id")
     )
+    # zipf=True: batch keys drawn zipf(s=1.2) — the hottest key owns
+    # ~13% of the batch, so per-key compaction funnels 13% of rows
+    # through ONE groupBy reducer key and the MERGE's affected-key
+    # probe is maximally skewed (VERDICT r11 #1). AQE skew-join
+    # handling + the partial-aggregable max_by compaction are what
+    # must absorb it.
+    key_expr = (
+        _zipf_rank(F.col("id"), nkeys, "zm")
+        if zipf
+        else F.col("id") % nkeys
+    )
     rows_df = spark.range(n).select(
-        F.concat(F.lit("k"), (F.col("id") % nkeys).cast("string")).alias(
-            "test_id"
-        ),
+        F.concat(F.lit("k"), key_expr.cast("string")).alias("test_id"),
         F.col("id").cast("int").alias("v"),
         F.repeat(F.lit("x"), 200).alias("payload"),
     )
-    raw_dir = os.path.join(scratch, f"raw_{k}")
+    raw_dir = os.path.join(scratch, f"raw_{'z' if zipf else ''}{k}")
     (
         prod.build_messages(rows_df)
         .withColumn("partition", F.lit(0))
@@ -757,16 +902,30 @@ def _fit_exponent(ks: list[int], times: list[float]) -> float:
 
 
 def main() -> None:
-    ks = (
-        [int(x) for x in sys.argv[1].split(",")]
-        if len(sys.argv) > 1
-        else [1, 4, 10]
-    )
-    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/deimos_stress"
+    # flags (for the K=100 heavy-subset run, VERDICT r11 #4):
+    #   --only=q1,q2   restrict the query curve to a subset
+    #   --no-interop / --no-relay / --no-consume / --no-graph /
+    #   --no-zipf      skip whole sections
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    only = None
+    for a in list(flags):
+        if a.startswith("--only="):
+            only = a.split("=", 1)[1].split(",")
+            flags.discard(a)
+    queries = [q for q in QUERIES if only is None or q in only]
+    do_interop = "--no-interop" not in flags
+    do_relay = "--no-relay" not in flags
+    do_consume = "--no-consume" not in flags
+    do_graph = "--no-graph" not in flags
+    do_zipf = "--no-zipf" not in flags
+
+    ks = [int(x) for x in args[0].split(",")] if args else [1, 4, 10]
+    scratch = args[1] if len(args) > 1 else "/tmp/deimos_stress"
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("deimos_stress")
 
-    curve: dict[str, dict] = {name: {} for name in QUERIES}
+    curve: dict[str, dict] = {name: {} for name in queries}
     interop: dict[str, dict] = {
         "delta": {}, "iceberg": {}, "delta_dv": {}, "iceberg_eq": {},
         "delta_changes_last": {}, "iceberg_incremental_last": {},
@@ -775,6 +934,10 @@ def main() -> None:
     interop_detail: dict = {}
     consume_curve: dict[int, dict] = {}
     relay_curve: dict[int, dict] = {}
+    zipf_curve: dict[str, dict] = {name: {} for name in ZIPF_QUERIES}
+    zipf_consume: dict[int, dict] = {}
+    zipf_graph: dict[int, dict] = {}
+    zipf_shares: dict = {}
     rows = {}
     for k in sorted(ks):
         # distinct dir per K: Spark caches file listings by path, and
@@ -782,31 +945,94 @@ def main() -> None:
         kdir = f"{scratch}_k{k}"
         rows[k] = _build_scaled(spark, src, kdir, k)
         print(f"K={k}: lineitem rows = {rows[k]:,}", file=sys.stderr)
-        for name, sec in _time_queries(spark, kdir).items():
+        for name, sec in _time_queries(spark, kdir, queries).items():
             curve[name][k] = sec
-        io = _interop_bench(spark, kdir)
-        io.update(_delete_reads_bench(spark, kdir))
-        for fmt in interop:
-            interop[fmt][k] = io[fmt]["sec"]
-        interop_detail[k] = io
-        graph_curve[k] = _graph_bench(spark, k)
-        consume_curve[k] = _consume_merge_bench(spark, scratch + "_stream", k)
-        relay_curve[k] = _relay_curve_bench(spark, scratch + "_stream", k)
+        if do_interop:
+            io = _interop_bench(spark, kdir)
+            io.update(_delete_reads_bench(spark, kdir))
+            for fmt in interop:
+                interop[fmt][k] = io[fmt]["sec"]
+            interop_detail[k] = io
+        if do_graph:
+            graph_curve[k] = _graph_bench(spark, k)
+        if do_consume:
+            consume_curve[k] = _consume_merge_bench(
+                spark, scratch + "_stream", k
+            )
+        if do_relay:
+            relay_curve[k] = _relay_curve_bench(spark, scratch + "_stream", k)
+        if do_zipf:
+            zdir = f"{scratch}_z{k}"
+            zipf_shares[k] = _build_zipf(spark, kdir, zdir, k)
+            print(
+                f"K={k}: zipf hot shares = {zipf_shares[k]}",
+                file=sys.stderr,
+            )
+            for name, sec in _time_queries(spark, zdir, ZIPF_QUERIES).items():
+                zipf_curve[name][k] = sec
+            zipf_consume[k] = _consume_merge_bench(
+                spark, scratch + "_zstream", k, zipf=True
+            )
+            zipf_graph[k] = _zipf_graph_bench(spark, k)
+            shutil.rmtree(zdir, ignore_errors=True)
         shutil.rmtree(kdir, ignore_errors=True)
         _between_rounds(spark)
 
-    relay = _relay_bench(spark, scratch + "_relay")
+    relay = _relay_bench(spark, scratch + "_relay") if do_relay else None
 
     sks = sorted(ks)
     scaling = {
         name: round(_fit_exponent(sks, [curve[name][k] for k in sks]), 3)
-        for name in QUERIES
+        for name in queries
     }
     superlinear = sorted(
         name
         for name, exp in scaling.items()
         if exp > EXP_LIMIT and curve[name][sks[-1]] > MIN_SIGNAL_SEC
     )
+    zipf_out = None
+    if do_zipf:
+        zipf_scaling = {
+            name: round(
+                _fit_exponent(sks, [zipf_curve[name][k] for k in sks]), 3
+            )
+            for name in ZIPF_QUERIES
+        }
+        zipf_scaling["graph_cc_t28"] = round(
+            _fit_exponent(sks, [zipf_graph[k]["sec"] for k in sks]), 3
+        )
+        for mode in ("rewrite", "dv"):
+            zipf_scaling[f"consume_merge_{mode}"] = round(
+                _fit_exponent(
+                    sks, [zipf_consume[k][mode]["merge_sec"] for k in sks]
+                ),
+                3,
+            )
+        zipf_super = sorted(
+            n for n, e in zipf_scaling.items() if e > EXP_LIMIT
+        )
+        # skew tax: zipf time / uniform time at max K for the shared
+        # registry queries — bounded constants mean the plan absorbs
+        # the hot key; a tax growing with K would flag a skew-killer
+        zipf_out = {
+            "alpha": ZIPF_ALPHA,
+            "zipf_s": 1 + ZIPF_ALPHA,
+            "hot_key_share": {str(k): zipf_shares[k] for k in sks},
+            "queries": zipf_curve,
+            "consume_merge": {str(k): zipf_consume[k] for k in sks},
+            "graph_cc": {str(k): zipf_graph[k] for k in sks},
+            "scaling_exponent": zipf_scaling,
+            "superlinear": zipf_super,
+            "skew_tax_at_max_k": {
+                name: round(
+                    zipf_curve[name][sks[-1]]
+                    / max(curve[name][sks[-1]], 0.001),
+                    2,
+                )
+                for name in ZIPF_QUERIES
+                if name in curve and sks[-1] in curve.get(name, {})
+            },
+        }
     print(
         json.dumps(
             {
@@ -815,7 +1041,8 @@ def main() -> None:
                 "queries": curve,
                 "scaling_exponent": scaling,
                 "superlinear": superlinear,
-                "interop_read": {
+                "zipf": zipf_out,
+                "interop_read": None if not do_interop else {
                     "curve": interop,
                     "exponent": {
                         fmt: round(
@@ -828,7 +1055,7 @@ def main() -> None:
                     },
                     "detail_at_max_k": interop_detail[sks[-1]],
                 },
-                "graph_cc": {
+                "graph_cc": None if not do_graph else {
                     "curve": {str(k): graph_curve[k] for k in sks},
                     "exponent": round(
                         _fit_exponent(
@@ -841,7 +1068,7 @@ def main() -> None:
                 # streaming-path curves (VERDICT r6 #5): consume->MERGE
                 # in both DV modes and the executor relay, K-scaled rows
                 # -> exponent ~1.0 = the path amortizes linearly
-                "consume_merge": {
+                "consume_merge": None if not do_consume else {
                     "curve": {str(k): consume_curve[k] for k in sks},
                     "exponent": {
                         mode: round(
@@ -857,7 +1084,7 @@ def main() -> None:
                         for mode in ("rewrite", "dv")
                     },
                 },
-                "relay_executor": {
+                "relay_executor": None if not do_relay else {
                     "curve": {str(k): relay_curve[k] for k in sks},
                     "exponent": round(
                         _fit_exponent(
@@ -867,7 +1094,7 @@ def main() -> None:
                     ),
                 },
                 "total_sec_at_max_k": round(
-                    sum(curve[n][sks[-1]] for n in QUERIES), 2
+                    sum(curve[n][sks[-1]] for n in queries), 2
                 ),
             }
         )
