@@ -79,7 +79,14 @@ def cosine_topk_pandas(
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             sims = (m @ q) / (np.linalg.norm(m, axis=1) * qn)
             if round_digits is not None:
-                sims = np.round(sims, round_digits)
+                # half-AWAY-FROM-ZERO, matching cosine_topk's F.round
+                # (HALF_UP) — np.round is half-to-even, which could
+                # rank a row differently than the codegen path on an
+                # exact midpoint (semdedup._round4_half_up precedent)
+                scale = 10.0 ** round_digits
+                sims = np.copysign(
+                    np.floor(np.abs(sims) * scale + 0.5) / scale, sims
+                )
             cur = pd.DataFrame({id_col: pdf[id_col], "sim": sims})
             best = cur if best is None else pd.concat((best, cur))
             best = best.sort_values(

@@ -63,10 +63,17 @@ QUERIES = [
     # misuse, not a plan defect.
     "t23_unigram_ppl", "t24_source_overlap", "x13_sessionize",
     "t10b_bpe_real", "t25_chunk_plan", "t26_substr_dedup",
-    # r12: the dedup APPLY end-to-end (pairs -> components -> keep)
-    "t28_dedup_apply",
     # r12: classifier inference — zero-shuffle, should track the scan
     "t29_classifier_quality",
+    # t28_dedup_apply is deliberately NOT here (measured, removed):
+    # its PAIR relation is the EXACT t09 construction (so the oracle's
+    # recursive CTE can reproduce it bit-for-bit), which is Theta(N^2)
+    # BY DESIGN — at K=10 the warm-up alone ran >40 min inside a
+    # BroadcastNestedLoopJoin cosine predicate over 100x the K=1
+    # pairs. The scalable half of t28 (connected components + the
+    # corpus keep-join) is stress-covered by _graph_bench and the
+    # zipf hub bench (_zipf_graph_bench); the scalable PAIR source at
+    # 100 TB is t06/t08's banded LSH, whose curves are here already.
 ]
 
 # super-linear flagging thresholds (see module docstring)
