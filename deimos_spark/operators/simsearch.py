@@ -379,7 +379,12 @@ def lsh_topk_clustered(
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
 
 
-MAX_EXACT_PAIRWISE_ROWS = 100_000
+# Sized from measurement, not guesswork (r12): 20k rows = 200M ordered
+# pairs took >40 min of interpreted-cosine BNLJ on local[32] — already
+# the outer limit of "cheap verification baseline". The old 100k cap
+# would have permitted ~16 h. Production pairs go through
+# pairwise_cosine_above's bucketed join; don't raise this at scale.
+MAX_EXACT_PAIRWISE_ROWS = 20_000
 
 
 def pairwise_cosine_exact(
