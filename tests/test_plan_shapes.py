@@ -103,6 +103,7 @@ _BNLJ_ALLOWED = {
     "h11_important_stock",      # scalar total-value threshold
     "h22_global_sales_opportunity",  # scalar avg(acctbal)
     "t09_cosine_pairs_exact",   # size-capped exact baseline (guarded)
+    "t28_dedup_apply",          # same guarded pairwise relation as t09
     "t18_mixture_sample",       # 1-row share denominator
     "t21_dsir_weights",         # 1-row model totals (broadcast model)
     "t23_unigram_ppl",          # 1-row model totals
