@@ -84,6 +84,35 @@ def test_h_series_runs_through_sql_verbatim(engine, spark):
     assert checked == 22  # the full TPC-H-derived suite, zero skips
 
 
+def test_xtc_series_portable_subset_through_sql(engine, spark):
+    """r12 extension of the SQL-entry sweep to the x/t/c series. The
+    text/similarity oracles are MOSTLY dialect-bound by necessity —
+    they lean on DuckDB list machinery with no Spark-SQL spelling of
+    the same name (`unnest`, `string_split[_regex]`, `list_*`,
+    `regexp_split_to_array`, `quantile_cont`, `epoch_ns`,
+    `len()` over lists) and on DuckDB's `('0x…')::BIGINT` hex-string
+    cast (Spark casts that to NULL — the md5-bucket idiom every
+    hashed-bucket oracle uses, e.g. t11's pbkt). Those run only as
+    DataFrame builders + DuckDB oracles. The ANSI-portable subset
+    below must keep running verbatim through Engine.sql and agree
+    with its builders — a canary against the portable surface
+    silently shrinking."""
+    portable = [
+        "t04_fingerprint",
+        "t24_source_overlap",
+        "x03_pivot",
+        "x06_funnel",
+        "x10_decimal_revenue",
+    ]
+    specs = all_queries()
+    for name in portable:
+        got = _rows([tuple(r) for r in engine.sql(specs[name].oracle).collect()])
+        want = _rows(
+            [tuple(r) for r in specs[name].builder(spark, SF_DIR).collect()]
+        )
+        assert got == want, f"{name}: SQL-string path diverges from builder"
+
+
 def test_b_series_runs_through_sql(engine, spark):
     """Every ANSI-portable b-series oracle string is runnable as a SQL
     string via Engine.sql and agrees with its DataFrame builder."""
