@@ -123,6 +123,8 @@ HEADLINE = [
     # round 12: fastText-style classifier inference (zero-shuffle
     # single-projection plan — the model-filter staple)
     "t29_classifier_quality",
+    # round 12 (session 2): bloom-prefiltered increment-vs-corpus dedup
+    "t30_bloom_incremental",
 ]
 
 

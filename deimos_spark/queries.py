@@ -842,6 +842,27 @@ def q_classifier_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t30: Bloom-prefiltered incremental dedup — the new-batch-vs-corpus
+    step of a continuously-ingesting pipeline (operators/bloomdedup.py
+    has the full scale argument). Corpus = 19/20 md5-buckets of the
+    docs, increment = the other; answer = increment doc_ids whose
+    content hash is NOT in the corpus. The Bloom bitmap prunes the
+    probe side map-side and the confirm join restores exactness, so
+    the result is bit-for-bit the anti-join's — oracle-checkable even
+    with a probabilistic structure in the middle. Corpus-side cost is
+    two column-pruned scans and ZERO shuffles."""
+    from deimos_spark.operators import bloomdedup
+    from deimos_spark.operators.sampling import hash_bucket
+
+    d = _docs(spark, sf_dir)
+    b = hash_bucket("doc_id", buckets=20, salt="t30")
+    out = bloomdedup.incremental_new_docs(
+        corpus=d.filter(b != 0), increment=d.filter(b == 0)
+    )
+    return out.select("doc_id").orderBy("doc_id")
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t24: cross-source contamination matrix — for every pair of
     sources, how many distinct CONTENTS (md5 of text) appear in both.
@@ -2022,6 +2043,19 @@ def all_queries() -> dict[str, QuerySpec]:
             "FROM documents d LEFT JOIN s USING (doc_id) "
             "ORDER BY score DESC, doc_id LIMIT 20",
             note="fastText wordNgrams=2 classifier inference (seeded)",
+        ),
+        QuerySpec(
+            "t30_bloom_incremental", q_bloom_incremental,
+            # exact NOT-EXISTS twin of the bloom+confirm plan (the bloom
+            # filter never changes the answer, only the shuffle volume)
+            "WITH b AS (SELECT doc_id, text, "
+            "(('0x' || substr(md5('t30' || CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT % 20) AS bk FROM documents), "
+            "cor AS (SELECT md5(text) AS h FROM b WHERE bk <> 0) "
+            "SELECT doc_id FROM b i WHERE bk = 0 AND NOT EXISTS ("
+            "SELECT 1 FROM cor c WHERE c.h = md5(i.text)) "
+            "ORDER BY doc_id",
+            note="bloom-prefiltered increment-vs-corpus dedup (exact)",
         ),
         QuerySpec(
             "t21_dsir_weights", q_dsir_weights,
