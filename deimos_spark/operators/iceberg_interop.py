@@ -95,9 +95,13 @@ def iceberg_type_to_spark(t) -> T.DataType:
       tests/test_iceberg_v3_types.py. Variant DEFAULTS still refuse
       loudly (no single-value JSON form in this reader), and variant
       requires format-version 3 (checked in _check_v3_features).
-    - `geometry(...)`, `geography(...)`: refused loudly BY NAME —
-      geo encodings have no fixture here and silently mis-typing
-      them would corrupt reads."""
+    - `geometry(C)` / `geography(C, A)` (r12 session 2): WKB bytes →
+      BinaryType, with CRS / edge-interpolation metadata surfaced via
+      `IcebergTableReader.geo_columns()` and spatial file pruning via
+      `read(bbox_filter=...)` (manifest bounds are WKB POINTs per the
+      spec). functions/geo.py holds the WKB envelope/predicate
+      kernels. Geo DEFAULTS refuse by name (the spec defines no
+      single-value form for them)."""
     if isinstance(t, str):
         if t in _PRIMITIVES:
             return _PRIMITIVES[t]()
@@ -112,13 +116,14 @@ def iceberg_type_to_spark(t) -> T.DataType:
             return T.LongType()
         if t == "variant":
             return T.VariantType()
-        m = re.fullmatch(r"(geometry|geography)(\(.*\))?", t)
-        if m:
-            raise IcebergProtocolError(
-                f"Iceberg v3 type {m.group(1)!r} is not supported by "
-                f"this reader: geospatial encodings are unimplemented; "
-                f"refusing loudly rather than mis-typing the column"
-            )
+        if parse_geo_type(t) is not None:
+            # v3 geometry/geography: WKB bytes (spec: "well-known
+            # binary"), surfaced as BinaryType — Spark has no geometry
+            # type. CRS/edge-algorithm metadata via
+            # IcebergTableReader.geo_columns(); envelope/predicate
+            # helpers in functions/geo.py; manifest-bounds bbox pruning
+            # via read(bbox_filter=...) (r12, session 2).
+            return T.BinaryType()
         raise IcebergProtocolError(f"unsupported Iceberg type {t!r}")
     kind = t.get("type")
     if kind == "struct":
@@ -160,6 +165,48 @@ def _contains_variant(t) -> bool:
         return _contains_variant(t.get("key")) or _contains_variant(
             t.get("value")
         )
+    return False
+
+
+def parse_geo_type(t) -> dict | None:
+    """Parse a v3 `geometry(C)` / `geography(C, A)` type string →
+    {"kind", "crs", "algorithm"} (None when `t` is not geo). Spec
+    defaults: CRS "OGC:CRS84"; geography edge algorithm "spherical".
+    A parenthesized form that doesn't parse refuses loudly — silently
+    defaulting a CRS the table spells differently would be a
+    coordinate-system corruption, the worst silent failure geo has."""
+    if not isinstance(t, str):
+        return None
+    m = re.fullmatch(r"(geometry|geography)\s*(?:\((.*)\))?", t.strip())
+    if not m:
+        return None
+    kind, args = m.group(1), m.group(2)
+    out = {"kind": kind, "crs": "OGC:CRS84"}
+    if kind == "geography":
+        out["algorithm"] = "spherical"
+    if args is not None:
+        parts = [a.strip() for a in args.split(",")]
+        if not parts or not parts[0] or len(parts) > (2 if kind == "geography" else 1):
+            raise IcebergProtocolError(
+                f"malformed {kind} type parameters {args!r}"
+            )
+        out["crs"] = parts[0]
+        if len(parts) == 2:
+            out["algorithm"] = parts[1]
+    return out
+
+
+def _contains_geo(t) -> bool:
+    """Like _contains_variant: geometry/geography are v3-only types."""
+    if isinstance(t, str):
+        return parse_geo_type(t) is not None
+    kind = t.get("type")
+    if kind == "struct":
+        return any(_contains_geo(f["type"]) for f in t.get("fields") or [])
+    if kind == "list":
+        return _contains_geo(t.get("element"))
+    if kind == "map":
+        return _contains_geo(t.get("key")) or _contains_geo(t.get("value"))
     return False
 
 
@@ -422,6 +469,12 @@ class IcebergTableReader:
                         f"format-version 3 type; this table declares "
                         f"format-version {fv}"
                     )
+                if _contains_geo(f["type"]):
+                    raise IcebergProtocolError(
+                        f"field {f.get('name')!r}: geometry/geography "
+                        f"are format-version 3 types; this table "
+                        f"declares format-version {fv}"
+                    )
 
     def _check_v3_features(self) -> None:
         """v3 support is deletion vectors (Puffin-framed roaring
@@ -507,6 +560,17 @@ class IcebergTableReader:
                     ) from e
                 for key in ("initial-default", "write-default"):
                     if f.get(key) is not None:
+                        if parse_geo_type(f["type"]) is not None:
+                            # the v3 spec defines no single-value
+                            # serialization for geo types — a table
+                            # declaring one is malformed; refuse BY
+                            # NAME rather than with a generic parse
+                            # error
+                            raise IcebergProtocolError(
+                                f"v3 {key} on geometry/geography field "
+                                f"{f.get('name')!r} unsupported: the "
+                                f"spec defines no geo single-value form"
+                            )
                         try:
                             single_value_from_json(f["type"], f[key])
                         except IcebergProtocolError as e:
@@ -780,6 +844,85 @@ class IcebergTableReader:
             out[fid] = (lo, hi, tkey)
         return out
 
+    def geo_columns(self) -> dict:
+        """{name: {"kind", "crs", "algorithm"?, "field_id"}} for the
+        current schema's TOP-LEVEL geometry/geography columns — the
+        typed metadata a consumer needs to interpret the WKB bytes
+        (nested geo fields read fine as binary but carry no pruning
+        surface)."""
+        out = {}
+        for f in self.schema_fields():
+            g = parse_geo_type(f.get("type"))
+            if g is not None:
+                out[f["name"]] = {**g, "field_id": f["id"]}
+        return out
+
+    def _normalize_bbox_filter(self, bbox_filter: dict) -> dict:
+        """{col: (xmin, ymin, xmax, ymax)} → {field_id: (bbox, kind)};
+        non-geo columns refuse loudly (a silent pass-through would scan
+        everything and read as 'the filter worked')."""
+        geo = self.geo_columns()
+        out = {}
+        for col, bbox in bbox_filter.items():
+            if col not in geo:
+                raise IcebergProtocolError(
+                    f"bbox_filter column {col!r} is not a top-level "
+                    f"geometry/geography column of this table"
+                )
+            if len(bbox) != 4:
+                raise IcebergProtocolError(
+                    f"bbox_filter for {col!r}: expected "
+                    f"(xmin, ymin, xmax, ymax), got {bbox!r}"
+                )
+            xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+            if xmin > xmax or ymin > ymax:
+                raise IcebergProtocolError(
+                    f"bbox_filter for {col!r}: empty box {bbox!r}"
+                )
+            out[geo[col]["field_id"]] = (
+                (xmin, ymin, xmax, ymax),
+                geo[col]["kind"],
+            )
+        return out
+
+    @staticmethod
+    def _entry_outside_bbox(df_rec: dict, gprune: dict) -> bool:
+        """True when an entry's geo bounds (WKB POINTs: lower =
+        (xmin, ymin), upper = (xmax, ymax), spec v3) PROVE it misses
+        every requested box. Missing/undecodable bounds → False.
+        Geography x-bounds may WRAP the antimeridian (lower.x >
+        upper.x ⇒ the file's lon range is [lower.x, 180] ∪
+        [-180, upper.x]) — a wrapped range is disjoint from the query
+        box only when BOTH pieces are."""
+        from deimos_spark.functions.geo import WkbError, parse_wkb_point
+
+        def _as_map(v):
+            if not v:
+                return {}
+            if isinstance(v, dict):
+                return v
+            return {e["key"]: e["value"] for e in v}
+
+        lows = _as_map(df_rec.get("lower_bounds"))
+        highs = _as_map(df_rec.get("upper_bounds"))
+        for fid, ((xmin, ymin, xmax, ymax), kind) in gprune.items():
+            lb, ub = lows.get(fid), highs.get(fid)
+            if not lb or not ub:
+                continue
+            try:
+                lx, ly = parse_wkb_point(lb)
+                ux, uy = parse_wkb_point(ub)
+            except (WkbError, Exception):  # undecodable bounds: keep
+                continue  # the file — pruning must only ever shrink IO
+            if ly > ymax or uy < ymin:
+                return True
+            if lx <= ux:
+                if lx > xmax or ux < xmin:
+                    return True
+            elif lx > xmax and ux < xmin:
+                return True
+        return False
+
     @staticmethod
     def _entry_outside_bounds(df_rec: dict, sprune: dict) -> bool:
         """True when an entry's recorded column bounds PROVE it misses
@@ -816,6 +959,7 @@ class IcebergTableReader:
         snapshot_id: int | None = None,
         partition_filter: dict | None = None,
         stats_filter: dict | None = None,
+        bbox_filter: dict | None = None,
     ) -> tuple[
         list[tuple[str, str, int, dict, int]],
         list[str],
@@ -860,6 +1004,11 @@ class IcebergTableReader:
         sprune = (
             self._normalize_stats_filter(stats_filter)
             if stats_filter
+            else None
+        )
+        gprune = (
+            self._normalize_bbox_filter(bbox_filter)
+            if bbox_filter
             else None
         )
         _, manifests = ocf_read(self._local(snap["manifest-list"]))
@@ -920,6 +1069,15 @@ class IcebergTableReader:
                     sprune
                     and content == 0
                     and self._entry_outside_bounds(df, sprune)
+                ):
+                    continue
+                # geo-bounds skipping (same spec fields, WKB-point
+                # encoded): drop data entries whose recorded envelope
+                # provably misses every bbox_filter box
+                if (
+                    gprune
+                    and content == 0
+                    and self._entry_outside_bbox(df, gprune)
                 ):
                     continue
                 fmt = str(df.get("file_format", "PARQUET")).upper()
@@ -1223,6 +1381,7 @@ class IcebergTableReader:
         partition_filter: dict[str, object] | None = None,
         as_of_ms: int | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        bbox_filter: dict[str, tuple] | None = None,
         ref: str | None = None,
         _keep_meta: bool = False,
     ) -> DataFrame:
@@ -1233,7 +1392,12 @@ class IcebergTableReader:
         instead of listing/opening the full file set. (Identity values
         also remain in the data files, so Catalyst still row-group-
         prunes whatever survives.) `as_of_ms` is timestamp time travel
-        (the latest snapshot at or before the bound)."""
+        (the latest snapshot at or before the bound).
+
+        `bbox_filter` ({geo_col: (xmin, ymin, xmax, ymax)}) prunes by
+        the manifests' geo bounds (WKB POINTs, v3 spec) — like
+        stats_filter it only SHRINKS the file set; pair it with
+        functions.geo.bbox_intersects for the row-level predicate."""
         if sum(x is not None for x in (snapshot_id, as_of_ms, ref)) > 1:
             raise ValueError(
                 "pass at most one of snapshot_id / as_of_ms / ref"
@@ -1244,7 +1408,7 @@ class IcebergTableReader:
             snapshot_id = self.snapshot_id_for_ref(ref)
         schema = self.schema()
         data, pos_deletes, eq_deletes, dvs = self._file_sets(
-            snapshot_id, partition_filter, stats_filter
+            snapshot_id, partition_filter, stats_filter, bbox_filter
         )
         meta_cols = ["__ice_fp", "__ice_pos"] if _keep_meta else []
         if not data:
@@ -1979,21 +2143,47 @@ _SPARK_TO_ICE = {
 }
 
 
-def spark_schema_to_iceberg(schema: T.StructType) -> list[dict]:
+def spark_schema_to_iceberg(
+    schema: T.StructType, type_overrides: dict[str, str] | None = None
+) -> list[dict]:
     """Spark StructType → Iceberg schema field list (ids assigned 1..n;
-    flat primitive schemas — the writer's declared scope)."""
+    flat primitive schemas — the writer's declared scope).
+
+    `type_overrides` declares Iceberg types Spark cannot spell —
+    today geometry/geography over BinaryType WKB columns (the writer's
+    geo_columns parameter); an override on a non-binary column or a
+    non-geo override string refuses."""
     fields = []
+    overrides = type_overrides or {}
+    unknown = set(overrides) - {f.name for f in schema.fields}
+    if unknown:
+        raise IcebergProtocolError(
+            f"type_overrides name absent columns {sorted(unknown)}"
+        )
     for i, f in enumerate(schema.fields, 1):
         s = f.dataType.simpleString()
-        m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
-        if m:
-            ice: str = f"decimal({m.group(1)}, {m.group(2)})"
-        elif s in _SPARK_TO_ICE:
-            ice = _SPARK_TO_ICE[s]
+        if f.name in overrides:
+            ice = overrides[f.name]
+            if parse_geo_type(ice) is None:
+                raise IcebergProtocolError(
+                    f"column {f.name!r}: override {ice!r} is not a "
+                    f"geometry/geography type"
+                )
+            if s != "binary":
+                raise IcebergProtocolError(
+                    f"column {f.name!r}: geo columns must be Spark "
+                    f"binary (WKB), got {s!r}"
+                )
         else:
-            raise IcebergProtocolError(
-                f"column {f.name!r}: type {s!r} not writable as Iceberg"
-            )
+            m = re.fullmatch(r"decimal\((\d+),(\d+)\)", s)
+            if m:
+                ice = f"decimal({m.group(1)}, {m.group(2)})"
+            elif s in _SPARK_TO_ICE:
+                ice = _SPARK_TO_ICE[s]
+            else:
+                raise IcebergProtocolError(
+                    f"column {f.name!r}: type {s!r} not writable as Iceberg"
+                )
         fields.append(
             {"id": i, "name": f.name, "required": False, "type": ice}
         )
@@ -2041,7 +2231,12 @@ def evolve_iceberg_schema(
         ex = by_name.get(f.name)
         if ex is None:
             extra.append(f)
-        elif ex["type"] != ice:
+        elif ex["type"] != ice and not (
+            # geometry/geography columns are WKB binary on the Spark
+            # side — a binary batch column matches them by design
+            ice == "binary"
+            and parse_geo_type(ex["type"]) is not None
+        ):
             errors.append(
                 f"column {f.name!r}: table has {ex['type']!r}, "
                 f"batch has {ice!r}"
@@ -2262,6 +2457,61 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
             continue
         lower.append({"key": fid, "value": lb})
         upper.append({"key": fid, "value": ub})
+
+    # geo bounds (v3): lower/upper are x/y-min/max WKB POINTs computed
+    # from the DATA (parquet byte-order stats on WKB blobs are
+    # meaningless as envelopes). GEOMETRY only — planar min/max is
+    # exact; GEOGRAPHY envelopes need spherical-edge reasoning and
+    # antimeridian wrap, so the writer conservatively omits them
+    # (readers treat missing bounds as non-prunable, never wrong).
+    # The column is read back COLUMN-PRUNED per freshly-written local
+    # file; a cluster writer would fold this accumulation into the
+    # write tasks themselves.
+    geo_fields = [
+        (f["name"], f["id"])
+        for f in ice_fields
+        if isinstance(f.get("type"), str)
+        and (parse_geo_type(f["type"]) or {}).get("kind") == "geometry"
+    ]
+    if geo_fields:
+        from deimos_spark.functions.geo import parse_envelope, wkb_point
+
+        try:
+            import pyarrow.parquet as papq
+
+            names = [n for n, _ in geo_fields]
+            tbl = papq.read_table(path, columns=[
+                n for n in names
+            ])
+        except Exception:
+            tbl = None
+        if tbl is not None:
+            for name, fid in geo_fields:
+                if name not in tbl.column_names:
+                    continue
+                env = None
+                ok = True
+                for v in tbl.column(name).to_pylist():
+                    if v is None:
+                        continue
+                    try:
+                        e = parse_envelope(v)
+                    except Exception:
+                        ok = False  # unparseable value: no bounds for
+                        break  # this column (pruning stays safe)
+                    if e is None:
+                        continue
+                    env = e if env is None else (
+                        min(env[0], e[0]), min(env[1], e[1]),
+                        max(env[2], e[2]), max(env[3], e[3]),
+                    )
+                if ok and env is not None:
+                    lower.append(
+                        {"key": fid, "value": wkb_point(env[0], env[1])}
+                    )
+                    upper.append(
+                        {"key": fid, "value": wkb_point(env[2], env[3])}
+                    )
     return (lower or None), (upper or None)
 
 # v3 deletion-vector manifest entries: data_file extended with the DV
@@ -2395,6 +2645,7 @@ class IcebergTableWriter:
         format_version: int = 2,
         sort_by: tuple[str, ...] = (),
         sort_partitions: int | None = None,
+        geo_columns: dict[str, str] | None = None,
     ):
         from deimos_spark.operators.iceberg_transforms import (
             parse_partition_field,
@@ -2403,6 +2654,20 @@ class IcebergTableWriter:
         if format_version not in (2, 3):
             raise IcebergProtocolError(
                 f"writer format_version {format_version}: 2 or 3"
+            )
+        # geo columns: {spark binary column: "geometry(C)" /
+        # "geography(C, A)"} — v3-only types, like variant
+        self.geo_types = dict(geo_columns or {})
+        for col, ice in self.geo_types.items():
+            if parse_geo_type(ice) is None:
+                raise IcebergProtocolError(
+                    f"geo_columns[{col!r}] = {ice!r}: not a "
+                    f"geometry/geography type string"
+                )
+        if self.geo_types and format_version < 3:
+            raise IcebergProtocolError(
+                "geometry/geography are format-version 3 types — "
+                "construct the writer with format_version=3"
             )
         self.spark = spark
         self.path = path
@@ -2681,7 +2946,9 @@ class IcebergTableWriter:
                 known[0] if known else None,
             )
         if existing_schema is None:
-            ice_fields = spark_schema_to_iceberg(batch_struct)
+            ice_fields = spark_schema_to_iceberg(
+                batch_struct, getattr(self, "geo_types", None)
+            )
             last_col_id = len(ice_fields)
             schema_id = 0
             all_schemas = [

@@ -1,0 +1,293 @@
+"""Iceberg v3 geometry/geography support (closes the last named v3 type
+refusal — VERDICT r11 'What's missing' #2 tail):
+
+- WKB parser: all seven OGC base types, both byte orders, ISO dimension
+  codes and EWKB flags, EMPTY spellings, loud refusal on malformed bytes;
+- writer: geo columns declared over Spark binary WKB (v3-gated), REAL
+  per-file envelope bounds as WKB POINTs in the manifests;
+- reader: geo columns surface as binary + geo_columns() metadata,
+  read(bbox_filter=...) prunes files by manifest geo bounds (geography
+  antimeridian wrap honored), functions.geo row predicates;
+- refusals: geo on v1/v2 metadata, geo defaults, non-geo bbox columns,
+  malformed type parameters.
+"""
+
+import json
+import os
+import struct
+
+import pytest
+
+from deimos_spark.functions import geo
+from deimos_spark.operators.iceberg_interop import (
+    IcebergProtocolError,
+    IcebergTableReader,
+    IcebergTableWriter,
+    iceberg_type_to_spark,
+    parse_geo_type,
+)
+
+# ------------------------------------------------------------- WKB parser
+
+
+def test_point_roundtrip_and_envelope():
+    p = geo.wkb_point(3.5, -2.0)
+    assert geo.parse_wkb_point(p) == (3.5, -2.0)
+    assert geo.geometry_type_name(p) == "Point"
+    assert geo.parse_envelope(p) == (3.5, -2.0, 3.5, -2.0)
+
+
+def test_linestring_polygon_multigeometry_envelopes():
+    ls = struct.pack("<BII", 1, 2, 3) + struct.pack("<6d", 0, 0, 1, 5, -2, 3)
+    assert geo.parse_envelope(ls) == (-2.0, 0.0, 1.0, 5.0)
+    # big-endian polygon with a hole: holes count toward the envelope
+    ring1 = struct.pack(">I", 4) + struct.pack(">8d", 0, 0, 10, 0, 10, 10, 0, 0)
+    ring2 = struct.pack(">I", 3) + struct.pack(">6d", 1, 1, 2, 1, 1, 2)
+    pg = struct.pack(">BII", 0, 3, 2) + ring1 + ring2
+    assert geo.parse_envelope(pg) == (0.0, 0.0, 10.0, 10.0)
+    # multipoint of ISO XYZ points: Z ignored for the 2-D envelope
+    mp = (
+        struct.pack("<BII", 1, 4, 2)
+        + struct.pack("<BI3d", 1, 1001, 1, 2, 9)
+        + struct.pack("<BI3d", 1, 1001, -5, 7, 9)
+    )
+    assert geo.parse_envelope(mp) == (-5.0, 2.0, 1.0, 7.0)
+    # nested collection
+    gc = struct.pack("<BII", 1, 7, 2) + geo.wkb_point(3.5, -2.0) + ls
+    assert geo.parse_envelope(gc) == (-2.0, -2.0, 3.5, 5.0)
+
+
+def test_ewkb_flags_and_embedded_srid_skipped():
+    ew = (
+        struct.pack("<BI", 1, 1 | 0x80000000 | 0x20000000)
+        + struct.pack("<I", 4326)
+        + struct.pack("<3d", 100, 50, 3)
+    )
+    assert geo.parse_envelope(ew) == (100.0, 50.0, 100.0, 50.0)
+
+
+def test_empty_geometries_yield_no_envelope():
+    assert geo.parse_envelope(struct.pack("<BII", 1, 6, 0)) is None
+    nan = float("nan")
+    assert geo.parse_envelope(struct.pack("<BIdd", 1, 1, nan, nan)) is None
+
+
+def test_malformed_wkb_refuses_loudly():
+    p = geo.wkb_point(1, 2)
+    with pytest.raises(geo.WkbError, match="trailing"):
+        geo.parse_envelope(p + b"xx")
+    with pytest.raises(geo.WkbError, match="truncated"):
+        geo.parse_envelope(p[:10])
+    with pytest.raises(geo.WkbError, match="byte order"):
+        geo.parse_envelope(b"\x07" + p[1:])
+    with pytest.raises(geo.WkbError, match="geometry type"):
+        geo.parse_envelope(struct.pack("<BIdd", 1, 99, 0, 0))
+    with pytest.raises(geo.WkbError, match="Point"):
+        geo.parse_wkb_point(struct.pack("<BII", 1, 2, 0))
+
+
+# ---------------------------------------------------------- type parsing
+
+
+def test_parse_geo_type_defaults_and_params():
+    assert parse_geo_type("geometry") == {
+        "kind": "geometry", "crs": "OGC:CRS84",
+    }
+    assert parse_geo_type("geometry(EPSG:3857)")["crs"] == "EPSG:3857"
+    g = parse_geo_type("geography(OGC:CRS84, planar)")
+    assert g["algorithm"] == "planar"
+    assert parse_geo_type("geography")["algorithm"] == "spherical"
+    assert parse_geo_type("string") is None
+    with pytest.raises(IcebergProtocolError, match="malformed"):
+        parse_geo_type("geometry(a, b)")  # geometry takes only a CRS
+
+
+def test_type_mapping_geo_is_binary_also_nested():
+    from pyspark.sql import types as T
+
+    assert isinstance(iceberg_type_to_spark("geometry"), T.BinaryType)
+    st = iceberg_type_to_spark(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "g", "type": "geography", "required": False}
+            ],
+        }
+    )
+    assert isinstance(st.fields[0].dataType, T.BinaryType)
+
+
+# ------------------------------------------------------- write/read/prune
+
+
+@pytest.fixture()
+def geo_table(spark, tmp_path):
+    path = str(tmp_path / "geot")
+    w = IcebergTableWriter(
+        spark, path, format_version=3,
+        geo_columns={"geom": "geometry(OGC:CRS84)"},
+    )
+    west = [(i, geo.wkb_point(-100.0 + i, 40.0 + i)) for i in range(5)]
+    east = [(10 + i, geo.wkb_point(100.0 + i, -30.0 + i)) for i in range(5)]
+    w.append(spark.createDataFrame(west, "id long, geom binary"))
+    w.append(spark.createDataFrame(east, "id long, geom binary"))
+    return path
+
+
+def test_geo_table_roundtrip_and_metadata(spark, geo_table):
+    r = IcebergTableReader(spark, geo_table)
+    assert r.read().count() == 10
+    gc = r.geo_columns()
+    assert gc["geom"]["kind"] == "geometry"
+    assert gc["geom"]["crs"] == "OGC:CRS84"
+    # the second append proved evolve accepts binary against geometry
+
+
+def test_bbox_filter_prunes_files_and_shrinks_only(spark, geo_table):
+    r = IcebergTableReader(spark, geo_table)
+    west_box = {"geom": (-110, 30, -80, 60)}
+    assert r.read(bbox_filter=west_box).count() == 5
+    d_all, *_ = r._file_sets()
+    d_west, *_ = r._file_sets(bbox_filter=west_box)
+    assert len(d_west) < len(d_all)  # files actually pruned
+    # a box covering everything prunes nothing and loses nothing
+    assert r.read(bbox_filter={"geom": (-180, -90, 180, 90)}).count() == 10
+
+
+def test_row_level_predicate_and_envelope_udf(spark, geo_table):
+    r = IcebergTableReader(spark, geo_table)
+    full = r.read()
+    n = full.filter(
+        geo.bbox_intersects("geom", (-110, 30, -97.5, 60))
+    ).count()
+    assert n == 3  # points at x = -100, -99, -98
+    row = (
+        full.select("id", geo.wkb_envelope("geom").alias("e"))
+        .orderBy("id")
+        .first()
+    )
+    assert (row.e.xmin, row.e.ymin) == (-100.0, 40.0)
+
+
+def test_manifest_geo_bounds_are_wkb_points(spark, geo_table):
+    r = IcebergTableReader(spark, geo_table)
+    data, *_ = r._file_sets()
+    assert data  # then inspect one manifest entry's bounds directly
+    from deimos_spark.schemas.avro_ocf import ocf_read
+
+    snap = r.snapshot(None)
+    _, manifests = ocf_read(r._local(snap["manifest-list"]))
+    found = False
+    for mf in manifests:
+        _, entries = ocf_read(r._local(mf["manifest_path"]))
+        for e in entries:
+            df = e["data_file"]
+            lows = {
+                x["key"]: x["value"] for x in (df.get("lower_bounds") or [])
+            }
+            if 2 in lows:  # geom field id
+                x, y = geo.parse_wkb_point(lows[2])
+                assert -105 <= x <= 110
+                found = True
+    assert found
+
+
+def test_geography_antimeridian_wrap_pruning():
+    """Wrapped x-bounds (lower.x > upper.x) are [lx,180] ∪ [-180,ux]:
+    disjointness needs BOTH pieces to miss."""
+    wrap_rec = {
+        "lower_bounds": [{"key": 7, "value": geo.wkb_point(170.0, -10.0)}],
+        "upper_bounds": [{"key": 7, "value": geo.wkb_point(-170.0, 10.0)}],
+    }
+    prune = IcebergTableReader._entry_outside_bbox
+    gy = lambda box: prune(wrap_rec, {7: (box, "geography")})
+    assert gy((175, -5, 179, 5)) is False   # hits the east piece
+    assert gy((-179, -5, -172, 5)) is False  # hits the west piece
+    assert gy((0, -5, 10, 5)) is True        # misses both
+    assert gy((0, 20, 10, 30)) is True       # y-disjoint
+    # missing / undecodable bounds never prune
+    assert prune({}, {7: ((0, 0, 1, 1), "geography")}) is False
+    bad = {
+        "lower_bounds": [{"key": 7, "value": b"junk"}],
+        "upper_bounds": [{"key": 7, "value": b"junk"}],
+    }
+    assert prune(bad, {7: ((0, 0, 1, 1), "geography")}) is False
+
+
+# --------------------------------------------------------------- refusals
+
+
+def test_geo_requires_v3_writer_and_binary_column(spark, tmp_path):
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        IcebergTableWriter(
+            spark, str(tmp_path / "a"), format_version=2,
+            geo_columns={"g": "geometry"},
+        )
+    w = IcebergTableWriter(
+        spark, str(tmp_path / "b"), format_version=3,
+        geo_columns={"g": "geometry"},
+    )
+    df = spark.createDataFrame([(1, "not-wkb")], "id long, g string")
+    with pytest.raises(IcebergProtocolError, match="binary"):
+        w.append(df)
+    with pytest.raises(IcebergProtocolError, match="not a"):
+        IcebergTableWriter(
+            spark, str(tmp_path / "c"), format_version=3,
+            geo_columns={"g": "varchar"},
+        )
+
+
+def test_geo_on_v2_metadata_refuses_at_open(spark, tmp_path):
+    path = str(tmp_path / "v2geo")
+    w = IcebergTableWriter(spark, path)  # v2
+    w.append(spark.createDataFrame([(1, "x")], "id long, v string"))
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        mv = int(fh.read().strip())
+    mpath = os.path.join(meta_dir, f"v{mv}.metadata.json")
+    with open(mpath) as fh:
+        md = json.load(fh)
+    sch = md["schemas"][md.get("current-schema-id", 0)]
+    sch["fields"].append(
+        {"id": 99, "name": "g", "required": False, "type": "geometry"}
+    )
+    with open(mpath, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        IcebergTableReader(spark, path)
+
+
+def test_geo_default_refuses_by_name(spark, tmp_path):
+    path = str(tmp_path / "v3geodef")
+    w = IcebergTableWriter(spark, path, format_version=3)
+    w.append(spark.createDataFrame([(1, "x")], "id long, v string"))
+    meta_dir = os.path.join(path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        mv = int(fh.read().strip())
+    mpath = os.path.join(meta_dir, f"v{mv}.metadata.json")
+    with open(mpath) as fh:
+        md = json.load(fh)
+    sch = next(
+        s for s in md["schemas"]
+        if s.get("schema-id") == md.get("current-schema-id", 0)
+    )
+    sch["fields"].append(
+        {
+            "id": 98, "name": "g", "required": False,
+            "type": "geometry", "initial-default": "POINT(0 0)",
+        }
+    )
+    with open(mpath, "w") as fh:
+        json.dump(md, fh)
+    with pytest.raises(IcebergProtocolError, match="no geo single-value"):
+        IcebergTableReader(spark, path)
+
+
+def test_bbox_filter_validation(spark, geo_table):
+    r = IcebergTableReader(spark, geo_table)
+    with pytest.raises(IcebergProtocolError, match="not a top-level"):
+        r.read(bbox_filter={"id": (0, 0, 1, 1)})
+    with pytest.raises(IcebergProtocolError, match="empty box"):
+        r.read(bbox_filter={"geom": (5, 0, 1, 1)})
+    with pytest.raises(IcebergProtocolError, match="expected"):
+        r.read(bbox_filter={"geom": (0, 0, 1)})

@@ -264,11 +264,10 @@ def test_unsupported_versions_and_types_refused(spark, tmp_path):
     _metadata(t, 1, [], current=None, fmt_version=4)
     with pytest.raises(IcebergProtocolError, match="format-version"):
         IcebergTableReader(spark, t)
-    # r12: variant READS now (tests/test_iceberg_v3_types.py has the
-    # full v3-type battery incl. both physical layouts); geo types and
+    # r12: variant READS now (tests/test_iceberg_v3_types.py) and geo
+    # types read as WKB binary (tests/test_iceberg_geo.py); only
     # made-up types still refuse
-    with pytest.raises(IcebergProtocolError, match="geometry"):
-        iceberg_type_to_spark("geometry")
+    assert isinstance(iceberg_type_to_spark("geometry"), T.BinaryType)
     with pytest.raises(IcebergProtocolError, match="unsupported Iceberg type"):
         iceberg_type_to_spark("no-such-type")
 

@@ -8,7 +8,8 @@ refusal surface). Spec v3 additions under test:
   schema, re-added as null literal);
 - `timestamp_ns` / `timestamptz_ns` read as epoch-nanos longs (the
   engine-wide convention) and their defaults parse 9-digit fractions;
-- `variant` / `geometry` / `geography` refuse BY NAME at open;
+- `variant` reads natively; `geometry` / `geography` read as WKB
+  binary (r12 session 2 — tests/test_iceberg_geo.py);
 - a default on a field nested INSIDE a struct refuses loudly (per-file
   subfield presence probing is unimplemented — silent drop would be
   wrong);
@@ -170,9 +171,10 @@ def test_v3_type_mapping():
     # r12: variant maps to Spark's native VariantType (reads both
     # physical layouts — see the variant tests below)
     assert isinstance(iceberg_type_to_spark("variant"), T.VariantType)
+    # r12 session 2: geo types read as WKB binary (full battery in
+    # tests/test_iceberg_geo.py)
     for t in ("geometry", "geometry(srid:3857)", "geography"):
-        with pytest.raises(IcebergProtocolError, match=t.split("(")[0]):
-            iceberg_type_to_spark(t)
+        assert isinstance(iceberg_type_to_spark(t), T.BinaryType)
 
 
 # ----------------------------------------------------------------- reads
@@ -253,15 +255,20 @@ def test_timestamp_ns_default_surfaces_as_long_nanos(spark, tmp_path):
     assert {x["ingested_at"] for x in rows} == {2_000_000_123}
 
 
-def test_unsupported_v3_types_refuse_by_name_at_open(spark, tmp_path):
+def test_geo_types_open_at_v3_and_surface_metadata(spark, tmp_path):
+    """r12 session 2: geometry/geography no longer refuse — an added
+    geo column opens, reads null for pre-add files (WKB binary), and
+    reports CRS metadata (full battery: tests/test_iceberg_geo.py)."""
     for t, name in (
         ("geometry(srid:3857)", "geometry"),
         ("geography", "geography"),
     ):
         path = _v2_table(spark, str(tmp_path / f"t_{name}"))
         _add_column(path, {"name": "geo", "type": t})
-        with pytest.raises(IcebergProtocolError, match=name):
-            IcebergTableReader(spark, path)
+        r = IcebergTableReader(spark, path)
+        assert r.geo_columns()["geo"]["kind"] == name
+        rows = r.read().collect()
+        assert len(rows) == 4 and all(x.geo is None for x in rows)
 
 
 def test_nested_subfield_default_refuses_loudly(spark, tmp_path):
