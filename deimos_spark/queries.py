@@ -857,8 +857,28 @@ def q_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     b = hash_bucket("doc_id", buckets=20, salt="t30")
+    # size the bitmap from parquet METADATA (total docs — a cheap upper
+    # bound on the corpus split), not a count job: oversizing only
+    # wastes capped bitmap space, and it saves one Spark job per build
+    n_hint = None
+    try:
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _papq
+
+        p = _os.path.join(sf_dir, "documents.parquet")
+        files = (
+            _glob.glob(_os.path.join(p, "**", "*.parquet"), recursive=True)
+            if _os.path.isdir(p)
+            else [p]
+        )
+        n_hint = sum(_papq.read_metadata(f).num_rows for f in files)
+    except Exception:
+        pass  # fall back to the sizing scan
     out = bloomdedup.incremental_new_docs(
-        corpus=d.filter(b != 0), increment=d.filter(b == 0)
+        corpus=d.filter(b != 0), increment=d.filter(b == 0),
+        n_items=n_hint,
     )
     return out.select("doc_id").orderBy("doc_id")
 
