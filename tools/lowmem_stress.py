@@ -19,11 +19,24 @@ this tool only): wall seconds, memory/disk bytes spilled, peak execution
 memory. The claim the artifact backs: `all_completed: true` with nonzero
 spill on the heavy ops = the plans degrade to disk, not to OOM.
 
+Two regimes in one run:
+- "balanced" (8 threads, 64 shuffle partitions): right-sized partitions —
+  per-task working sets stay under the pool; the evidence is COMPLETION
+  at 1/4 the usual heap (the first K=30 run measured exactly this:
+  zero spill needed, because partition sizing is the first line of
+  defense and it held).
+- "adversarial" (4 threads, 4 shuffle partitions): ~4.5M rows per task —
+  per-task sort/agg working sets exceed the unified pool by design, so
+  completion REQUIRES the spill path. Nonzero disk spill here is the
+  proof the plans degrade to disk, not OOM, when partition sizing is
+  taken away (the mis-configured-job / giant-skew-partition regime).
+
 Usage: python tools/lowmem_stress.py [K] [heap] [scratch_dir]
        (defaults: 30 2g /tmp/deimos_lowmem)
 Emits one JSON document (commit as LOWMEM.json).
 
-NOTE: must run as its OWN process — driver memory binds at JVM launch.
+NOTE: must run as its OWN process — driver memory binds at JVM launch
+(verified in-artifact via Runtime.maxMemory).
 """
 
 from __future__ import annotations
@@ -102,6 +115,9 @@ def main() -> None:
         .getOrCreate()
     )
     apply_runtime_confs(spark)
+    jvm_max_mb = round(
+        spark._jvm.Runtime.getRuntime().maxMemory() / 1e6
+    )  # proves the heap actually bound
 
     data_dir = os.path.join(scratch, f"k{k}")
     if not os.path.exists(os.path.join(data_dir, "lineitem.parquet")):
@@ -110,43 +126,68 @@ def main() -> None:
         rows = spark.read.parquet(f"{data_dir}/lineitem.parquet").count()
 
     specs = all_queries()
-    results: dict[str, dict] = {}
-    all_ok = True
-    for name in OPS:
-        clear_plan_cache()
-        m0, d0, _ = _spill_totals(spark)
-        t0 = time.perf_counter()
-        try:
-            specs[name].builder(spark, data_dir).collect()
-            sec = round(time.perf_counter() - t0, 2)
-            m1, d1, peak = _spill_totals(spark)
-            results[name] = {
-                "sec": sec,
-                "mem_spill_mb": round((m1 - m0) / 1e6, 1),
-                "disk_spill_mb": round((d1 - d0) / 1e6, 1),
-                "peak_exec_mem_mb": round(peak / 1e6, 1),
-                "ok": True,
-            }
-        except Exception as e:  # OOM or task failure = the finding
-            all_ok = False
-            results[name] = {
-                "sec": round(time.perf_counter() - t0, 2),
-                "ok": False,
-                "error": f"{type(e).__name__}: {str(e)[:200]}",
-            }
-        print(f"  {name}: {results[name]}", file=sys.stderr)
+
+    def run_regime(label: str, shuffle_parts: int, max_split: str):
+        # AQE right-sizes shuffle partitions regardless of the base
+        # conf; the adversarial regime turns it off so the tiny
+        # partition count actually binds and per-task working sets
+        # exceed the pool (the giant-partition / skew regime)
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_split)
+        adversarial = shuffle_parts <= 8
+        results: dict[str, dict] = {}
+        ok_all = True
+        for name in OPS:
+            clear_plan_cache()
+            if adversarial:
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+                os.environ["SPARK_GRAFT_AQE_MIN_BYTES"] = str(1 << 60)
+            m0, d0, _ = _spill_totals(spark)
+            t0 = time.perf_counter()
+            try:
+                df = specs[name].builder(spark, data_dir)
+                if adversarial:  # builder's autotune may re-enable AQE
+                    spark.conf.set("spark.sql.adaptive.enabled", "false")
+                    spark.conf.set(
+                        "spark.sql.shuffle.partitions", str(shuffle_parts)
+                    )
+                df.collect()
+                sec = round(time.perf_counter() - t0, 2)
+                m1, d1, peak = _spill_totals(spark)
+                results[name] = {
+                    "sec": sec,
+                    "mem_spill_mb": round((m1 - m0) / 1e6, 1),
+                    "disk_spill_mb": round((d1 - d0) / 1e6, 1),
+                    "ok": True,
+                }
+            except Exception as e:  # OOM or task failure = the finding
+                ok_all = False
+                results[name] = {
+                    "sec": round(time.perf_counter() - t0, 2),
+                    "ok": False,
+                    "error": f"{type(e).__name__}: {str(e)[:200]}",
+                }
+            print(f"  [{label}] {name}: {results[name]}", file=sys.stderr)
+        if adversarial:
+            os.environ.pop("SPARK_GRAFT_AQE_MIN_BYTES", None)
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        return {
+            "shuffle_partitions": shuffle_parts,
+            "all_completed": ok_all,
+            "total_disk_spill_mb": round(
+                sum(r.get("disk_spill_mb", 0) for r in results.values()), 1
+            ),
+            "ops": results,
+        }
 
     out = {
         "k": k,
         "lineitem_rows": rows,
         "heap": heap,
+        "jvm_max_heap_mb": jvm_max_mb,
         "threads": 8,
-        "shuffle_partitions": 64,
-        "all_completed": all_ok,
-        "total_disk_spill_mb": round(
-            sum(r.get("disk_spill_mb", 0) for r in results.values()), 1
-        ),
-        "ops": results,
+        "balanced": run_regime("balanced", 64, "128m"),
+        "adversarial": run_regime("adversarial", 4, "2g"),
     }
     print(json.dumps(out))
     shutil.rmtree(scratch, ignore_errors=True)
