@@ -61,6 +61,19 @@ class Engine:
             )
         return self
 
+    def register_geo_functions(self) -> "Engine":
+        """Expose the WKB kernels (functions/geo.py) to the SQL entry:
+        `st_envelope(wkb)` → struct(xmin, ymin, xmax, ymax),
+        `st_geomtype(wkb)` → OGC type name. (These are Spark-side only —
+        the DuckDB oracle has its own spatial extension, not loaded in
+        this sandbox — so no oracle-checked geo queries are declared;
+        the kernels are pinned by tests/test_iceberg_geo.py.)"""
+        from deimos_spark.functions import geo
+
+        self.spark.udf.register("st_envelope", geo.wkb_envelope)
+        self.spark.udf.register("st_geomtype", geo.wkb_geom_type)
+        return self
+
     def register_view(self, name: str, source: Any) -> None:
         """Expose `source` to sql() as view `name`. Accepts a DataFrame
         (fixed plan), a zero-arg callable returning one, or any object

@@ -82,13 +82,19 @@ class DedupIngest:
     def _dedup_within_batch(self, batch: DataFrame) -> DataFrame:
         """Keep the min-id row per content (b31b keep-rule) — ties on
         content inside one batch are decided deterministically, so
-        retries and the oracle agree."""
+        retries and the oracle agree. NULL contents are EXEMPT: NULL
+        equals nothing (the anti-join semantics the corpus step also
+        uses), so two NULL-text rows are not duplicates of each other
+        — without the exemption they'd all share the md5(NULL) window
+        partition and collapse to one."""
         w = Window.partitionBy(F.md5(F.col(self.content_col))).orderBy(
             F.col(self.id_col)
         )
         return (
             batch.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
+            .filter(
+                F.col(self.content_col).isNull() | (F.col("__rn") == 1)
+            )
             .drop("__rn")
         )
 

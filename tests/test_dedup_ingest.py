@@ -68,3 +68,16 @@ def test_streaming_attach_available_now(spark, tmp_path):
     q.awaitTermination(120)
     ids = sorted(r.doc_id for r in ing.corpus().collect())
     assert ids == [1, 2]  # 3 is a within-batch dup of 1
+
+
+def test_null_contents_are_not_dups_of_each_other(spark, tmp_path):
+    """NULL equals nothing (the same rule the corpus step applies):
+    two NULL-text rows in one batch both survive, and NULL rows pass
+    the corpus check on every later batch too."""
+    ing = DedupIngest(spark, str(tmp_path / "corpus"))
+    ing.process_batch(
+        _batch(spark, [(1, None), (2, None), (3, "real")]), txn=("j", 0)
+    )
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 2, 3]
+    ing.process_batch(_batch(spark, [(4, None), (5, "real")]), txn=("j", 1))
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 2, 3, 4]

@@ -291,3 +291,21 @@ def test_bbox_filter_validation(spark, geo_table):
         r.read(bbox_filter={"geom": (5, 0, 1, 1)})
     with pytest.raises(IcebergProtocolError, match="expected"):
         r.read(bbox_filter={"geom": (0, 0, 1)})
+
+
+def test_engine_sql_geo_functions(spark):
+    """st_envelope / st_geomtype are reachable from the SQL entry."""
+    from deimos_spark.engine import Engine
+
+    eng = Engine(spark).register_geo_functions()
+    df = spark.createDataFrame(
+        [(1, geo.wkb_point(10.0, 20.0)), (2, None)], "id long, g binary"
+    )
+    eng.register_view("geot_sql", df)
+    rows = eng.sql(
+        "SELECT id, st_geomtype(g) AS t, st_envelope(g).xmin AS x "
+        "FROM geot_sql ORDER BY id"
+    ).collect()
+    assert [(r.id, r.t, r.x) for r in rows] == [
+        (1, "Point", 10.0), (2, None, None),
+    ]

@@ -65,6 +65,9 @@ QUERIES = [
     "t10b_bpe_real", "t25_chunk_plan", "t26_substr_dedup",
     # r12: classifier inference — zero-shuffle, should track the scan
     "t29_classifier_quality",
+    # r12 session 2: bloom incremental dedup — corpus scan is linear,
+    # bitmap build map-side; should track the scan like t29
+    "t30_bloom_incremental",
     # t28_dedup_apply is deliberately NOT here (measured, removed):
     # its PAIR relation is the EXACT t09 construction (so the oracle's
     # recursive CTE can reproduce it bit-for-bit), which is Theta(N^2)
