@@ -138,6 +138,10 @@ SUPPORTED_WRITER_FEATURES = {
     # evolution on mapped tables assigns fresh field ids + synthetic
     # physical names per the spec's add-column rule (check_write_schema)
     "columnMapping",
+    # VariantType columns written natively by Spark's parquet writer
+    # (the spec's variant encoding); new tables declare the feature at
+    # birth (_meta_actions), evolution INTO it is gated loudly
+    "variantType",
 }
 
 # Features we may coexist with ONLY while the table provably does not
@@ -334,6 +338,15 @@ def _schema_drift(
     return extra, errors
 
 
+def _schema_has_variant(schema: T.StructType) -> bool:
+    """True when any field (nested included) is VariantType — gates the
+    variantType table feature (simpleString of a variant field or any
+    container holding one contains the token)."""
+    return any(
+        "variant" in f.dataType.simpleString() for f in schema.fields
+    )
+
+
 def check_write_schema(
     snap: DeltaSnapshot,
     batch_schema: T.StructType,
@@ -375,6 +388,30 @@ def check_write_schema(
             f"{[f.name for f in extra]} — pass merge_schema=True to "
             "evolve the table schema"
         )
+    # evolving INTO variant: the table's protocol must already declare
+    # the variantType feature — appending a variant column to a table
+    # whose (possibly foreign) readers never opted in would make the
+    # table unreadable to them without the feature-name refusal the
+    # spec guarantees. Loud here; create variant tables at birth (the
+    # writer declares the feature) or pre-upgrade the protocol.
+    variant_extra = [
+        f.name
+        for f in extra
+        if _schema_has_variant(T.StructType([f]))
+    ]
+    if variant_extra:
+        proto = snap.protocol_raw or {}
+        declared = set(proto.get("readerFeatures") or []) | set(
+            proto.get("writerFeatures") or []
+        )
+        if not declared & {"variantType", "variantType-preview"}:
+            raise DeltaProtocolError(
+                f"schema evolution adds variant columns {variant_extra} "
+                f"but the table's protocol does not declare the "
+                f"variantType feature — recreate with a variant schema "
+                f"(the writer declares it at birth) or upgrade the "
+                f"protocol first"
+            )
     meta = dict(snap.meta_raw or {})
     if (snap.column_mapping or "none") != "none":
         import uuid
@@ -495,10 +532,15 @@ class DeltaTableReader:
                 )
             for feat in p.get("readerFeatures") or []:
                 # deletionVectors / columnMapping handled in read();
-                # v2Checkpoint handled in _load_checkpoint_v2
+                # v2Checkpoint handled in _load_checkpoint_v2;
+                # variantType (+ the preview name early writers used):
+                # schemaString "variant" parses to Spark's native
+                # VariantType and the parquet variant encoding reads
+                # natively (the Iceberg r12 precedent — same encoding)
                 if feat not in (
                     "timestampNtz", "deletionVectors", "columnMapping",
                     "v2Checkpoint", "vacuumProtocolCheck",
+                    "variantType", "variantType-preview",
                 ):
                     raise DeltaProtocolError(f"reader feature {feat!r} unsupported")
         elif "txn" in action:
@@ -2540,16 +2582,23 @@ class DeltaTableWriter:
         import time as _time
         import uuid
 
+        # reader-writer TABLE FEATURES the birth protocol must declare
+        # (PROTOCOL.md "Table Features"): v2 checkpoints by writer
+        # option, variantType whenever the schema carries a variant
+        # column (readers that can't decode the parquet variant
+        # encoding must be able to refuse by feature name)
+        rw_feats = []
         if self.checkpoint_format == "v2":
-            # V2 checkpoints are a TABLE FEATURE: readers must opt in,
-            # so the protocol declares it from the first commit
-            # (PROTOCOL.md "V2 Checkpoints" + "Table Features")
+            rw_feats.append("v2Checkpoint")
+        if _schema_has_variant(schema):
+            rw_feats.append("variantType")
+        if rw_feats:
             proto = {
                 "protocol": {
                     "minReaderVersion": 3,
                     "minWriterVersion": 7,
-                    "readerFeatures": ["v2Checkpoint"],
-                    "writerFeatures": ["v2Checkpoint"],
+                    "readerFeatures": sorted(rw_feats),
+                    "writerFeatures": sorted(rw_feats),
                 }
             }
         else:

@@ -193,6 +193,29 @@ def spread_small(df, sf_dir: str):
     return df.repartition(max(8, n))
 
 
+def _mem_to_bytes(mem: str) -> int:
+    m = str(mem).strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if m and m[-1] in mult:
+        return int(float(m[:-1]) * mult[m[-1]])
+    return int(m)
+
+
+def broadcast_threshold_for_heap(heap: str) -> int:
+    """autoBroadcastJoinThreshold scaled to the executor heap.
+
+    A broadcast hash relation CANNOT spill — if the build exceeds
+    execution memory the join fails outright ("Not enough memory to
+    build and broadcast"), which the 1 GiB lowmem_stress run reproduced
+    on h18: a build side that fits a 32 MB on-disk threshold needs
+    ~5-10x that as an in-memory hash relation. So the threshold must be
+    a FRACTION of memory, not a constant: heap/64 (≈6-10x headroom for
+    the in-memory blowup plus concurrent tasks), capped at the 32 MB
+    the 8 GiB default has always used, floored at Spark's own 10 MB
+    default. At 100 TB the same rule holds per executor."""
+    return min(32 << 20, max(10 << 20, _mem_to_bytes(heap) // 64))
+
+
 def get_spark(app_name: str = "deimos_spark", shuffle_partitions: int | None = None) -> SparkSession:
     """Create (or get) a SparkSession with engine defaults.
 
@@ -207,13 +230,17 @@ def get_spark(app_name: str = "deimos_spark", shuffle_partitions: int | None = N
         except ValueError:
             shuffle_partitions = 32
 
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", mem)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(broadcast_threshold_for_heap(mem)),
+        )
         # Files: keep scan partitions big enough to amortize task overhead
         # locally, small enough to parallelize; at 100 TB the same setting
         # yields ~800k input splits — fine for a 1000-executor cluster.

@@ -101,7 +101,10 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from deimos_spark.queries import all_queries, clear_plan_cache
-    from deimos_spark.session import apply_runtime_confs
+    from deimos_spark.session import (
+        apply_runtime_confs,
+        broadcast_threshold_for_heap,
+    )
     from tools.stress import _build_scaled
 
     spark = (
@@ -110,7 +113,12 @@ def main() -> None:
         .config("spark.driver.memory", heap)
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.ui.enabled", "true")  # the spill evidence source
-        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # scaled with heap — the 1 GiB run FOUND the constant-32MB
+        # failure mode (h18 broadcast build OOM; see session.py)
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            str(broadcast_threshold_for_heap(heap)),
+        )
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .getOrCreate()
     )
