@@ -2460,33 +2460,39 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
 
     # geo bounds (v3): lower/upper are x/y-min/max WKB POINTs computed
     # from the DATA (parquet byte-order stats on WKB blobs are
-    # meaningless as envelopes). GEOMETRY only — planar min/max is
-    # exact; GEOGRAPHY envelopes need spherical-edge reasoning and
-    # antimeridian wrap, so the writer conservatively omits them
-    # (readers treat missing bounds as non-prunable, never wrong).
-    # The column is read back COLUMN-PRUNED per freshly-written local
-    # file; a cluster writer would fold this accumulation into the
-    # write tasks themselves.
+    # meaningless as envelopes). GEOMETRY always — planar min/max is
+    # exact. GEOGRAPHY only when every value is a POINT: points have
+    # no edges, so coordinate min/max is exact under ANY edge
+    # algorithm (the device-location case); any non-point geography
+    # value disables the column's bounds — its true envelope needs
+    # spherical-edge reasoning and antimeridian wrap this writer does
+    # not do, and readers treat missing bounds as non-prunable, never
+    # wrong. The column is read back COLUMN-PRUNED per freshly-written
+    # local file; a cluster writer would fold this accumulation into
+    # the write tasks themselves.
     geo_fields = [
-        (f["name"], f["id"])
+        (f["name"], f["id"], (parse_geo_type(f["type"]) or {}).get("kind"))
         for f in ice_fields
         if isinstance(f.get("type"), str)
-        and (parse_geo_type(f["type"]) or {}).get("kind") == "geometry"
+        and parse_geo_type(f["type"]) is not None
     ]
     if geo_fields:
-        from deimos_spark.functions.geo import parse_envelope, wkb_point
+        from deimos_spark.functions.geo import (
+            geometry_type_name,
+            parse_envelope,
+            wkb_point,
+        )
 
         try:
             import pyarrow.parquet as papq
 
-            names = [n for n, _ in geo_fields]
-            tbl = papq.read_table(path, columns=[
-                n for n in names
-            ])
+            tbl = papq.read_table(
+                path, columns=[n for n, _, _ in geo_fields]
+            )
         except Exception:
             tbl = None
         if tbl is not None:
-            for name, fid in geo_fields:
+            for name, fid, kind in geo_fields:
                 if name not in tbl.column_names:
                     continue
                 env = None
@@ -2495,6 +2501,12 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                     if v is None:
                         continue
                     try:
+                        if (
+                            kind == "geography"
+                            and geometry_type_name(v) != "Point"
+                        ):
+                            ok = False  # non-point geography: exact
+                            break  # bounds need spherical reasoning
                         e = parse_envelope(v)
                     except Exception:
                         ok = False  # unparseable value: no bounds for

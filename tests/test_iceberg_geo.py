@@ -309,3 +309,56 @@ def test_engine_sql_geo_functions(spark):
     assert [(r.id, r.t, r.x) for r in rows] == [
         (1, "Point", 10.0), (2, None, None),
     ]
+
+
+def test_geography_point_columns_get_bounds_nonpoint_do_not(spark, tmp_path):
+    """Geography write bounds: POINT-only columns are exactly boundable
+    under any edge algorithm (no edges to bulge); one non-point value
+    disables the column's bounds (missing bounds never mis-prune)."""
+    import struct as _s
+
+    from deimos_spark.schemas.avro_ocf import ocf_read
+
+    def bounds_for(path):
+        r = IcebergTableReader(spark, path)
+        snap = r.snapshot(None)
+        _, manifests = ocf_read(r._local(snap["manifest-list"]))
+        out = []
+        for mf in manifests:
+            _, entries = ocf_read(r._local(mf["manifest_path"]))
+            for e in entries:
+                lows = e["data_file"].get("lower_bounds") or []
+                out.extend(x["key"] for x in lows)
+        return out
+
+    # all points -> field 2 bounded
+    p1 = str(tmp_path / "pts")
+    w1 = IcebergTableWriter(
+        spark, p1, format_version=3, geo_columns={"g": "geography"},
+    )
+    w1.append(spark.createDataFrame(
+        [(1, geo.wkb_point(10.0, 1.0)), (2, geo.wkb_point(20.0, 2.0))],
+        "id long, g binary",
+    ).coalesce(1))
+    assert 2 in bounds_for(p1)
+
+    # a linestring poisons the geography bounds
+    ls = _s.pack("<BII", 1, 2, 2) + _s.pack("<4d", 0, 0, 5, 5)
+    p2 = str(tmp_path / "mixed")
+    w2 = IcebergTableWriter(
+        spark, p2, format_version=3, geo_columns={"g": "geography"},
+    )
+    w2.append(spark.createDataFrame(
+        [(1, geo.wkb_point(10.0, 1.0)), (2, ls)], "id long, g binary",
+    ).coalesce(1))
+    assert 2 not in bounds_for(p2)
+
+    # the same linestring under GEOMETRY (planar) IS bounded
+    p3 = str(tmp_path / "geom")
+    w3 = IcebergTableWriter(
+        spark, p3, format_version=3, geo_columns={"g": "geometry"},
+    )
+    w3.append(spark.createDataFrame(
+        [(1, ls)], "id long, g binary",
+    ).coalesce(1))
+    assert 2 in bounds_for(p3)
