@@ -2980,6 +2980,26 @@ class IcebergTableWriter:
                 ),
                 merge_schema,
             )
+            # geo declarations bind at TABLE CREATION: on an existing
+            # table a writer-declared geo column must already carry a
+            # geo type in the table schema — letting it evolve in as
+            # plain `binary` would silently mis-type the column for
+            # every other engine
+            for gcol in getattr(self, "geo_types", None) or {}:
+                ex_t = next(
+                    (
+                        f.get("type")
+                        for f in ice_fields
+                        if f["name"] == gcol
+                    ),
+                    None,
+                )
+                if ex_t is None or parse_geo_type(ex_t) is None:
+                    raise IcebergProtocolError(
+                        f"geo_columns[{gcol!r}]: existing table schema "
+                        f"has {ex_t!r}, not a geo type — geo columns "
+                        f"must be declared when the table is created"
+                    )
             if changed:
                 schema_id = (
                     max(

@@ -362,3 +362,21 @@ def test_geography_point_columns_get_bounds_nonpoint_do_not(spark, tmp_path):
         [(1, ls)], "id long, g binary",
     ).coalesce(1))
     assert 2 in bounds_for(p3)
+
+
+def test_geo_declaration_binds_at_creation_only(spark, tmp_path):
+    """A writer-declared geo column must already be geo-typed in an
+    existing table's schema — evolving it in as plain binary would
+    silently mis-type it for every other engine."""
+    path = str(tmp_path / "t")
+    IcebergTableWriter(spark, path, format_version=3).append(
+        spark.createDataFrame([(1, "x")], "id long, v string")
+    )
+    w = IcebergTableWriter(
+        spark, path, format_version=3, geo_columns={"g": "geometry"},
+    )
+    df = spark.createDataFrame(
+        [(2, "y", geo.wkb_point(0, 0))], "id long, v string, g binary"
+    )
+    with pytest.raises(IcebergProtocolError, match="created"):
+        w.append(df, merge_schema=True)
