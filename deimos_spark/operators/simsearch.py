@@ -447,3 +447,303 @@ def pairwise_cosine_above(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+# ------------------------------------------------------------------ IVF-PQ
+# Product quantization on IVF residuals — the FAISS-standard recipe for
+# ANN at corpus sizes where even the vectors don't fit the cluster
+# (Jégou et al. 2011, "Product Quantization for Nearest Neighbor
+# Search"). Memory per vector drops from dim×8 bytes to m bytes (64-dim
+# float64 → 8 bytes at m=8, 64×), which is what makes a 100 TB embedding
+# table scannable: the CODES table is ~1.6% of the vectors and the scan
+# is a table-lookup sum per row (ADC), no float vector ever read at
+# query time. Everything is normalized to unit length so L2 order ==
+# cosine order (the b33 family's metric); training is the bounded-sample
+# driver-side pattern ivf_train established.
+
+
+def _kmeans(x, k: int, seed: int, max_iter: int):
+    """Lloyd's over a bounded in-memory sample (the ivf_train loop,
+    factored for subspace codebooks). Returns (k', d) centroids with
+    k' = min(k, len(x)) — distinct seed points, so k' >= n reproduces
+    the sample exactly (the property the PQ exactness test pins)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.empty_like(cents)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            new[c] = members.mean(axis=0) if len(members) else x[
+                d2.min(axis=1).argmax()
+            ]
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def _unit_rows(x):
+    """Row-normalize; zero-norm rows stay zero (cosine is undefined for
+    them — they land far from any unit query, never spuriously near)."""
+    import numpy as np
+
+    n = np.sqrt((x * x).sum(axis=1, keepdims=True))
+    return np.divide(x, n, out=np.zeros_like(x), where=n > 0)
+
+
+def pq_train(
+    df: DataFrame,
+    n_cells: int = 8,
+    m: int = 8,
+    codebook_size: int = 256,
+    vec_col: str = "embedding",
+    max_train: int = 100_000,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> dict:
+    """Train the IVF-PQ model on a bounded sample (driver-side numpy —
+    the ivf_train scale argument: the model is tiny and ships into the
+    scan as a broadcast; only the sample collect touches the cluster).
+
+    Returns {"centroids": (n_cells, dim), "codebooks": (m, ksub, dsub),
+    "m", "dsub"} as plain lists. dim must divide by m (refused loudly:
+    silent padding would corrupt every code)."""
+    import numpy as np
+
+    if codebook_size > 256:
+        raise ValueError(
+            f"pq_train: codebook_size {codebook_size} > 256 — PQ codes "
+            f"are single bytes (argmin indices above 255 would WRAP in "
+            f"the uint8 code); use more subspaces (m) for finer "
+            f"quantization instead"
+        )
+    n = df.count()
+    frac = min(1.0, max_train / max(n, 1))
+    train = df.select(to_double_array(vec_col).alias("_v"))
+    if frac < 1.0:
+        train = train.sample(fraction=frac, seed=seed)
+    x = np.asarray(
+        [r["_v"] for r in train.limit(max_train).collect()],
+        dtype=np.float64,
+    )
+    if not len(x):
+        raise ValueError("pq_train: empty training sample")
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(
+            f"pq_train: dim {dim} not divisible by m={m} subspaces"
+        )
+    dsub = dim // m
+    x = _unit_rows(x)
+    cents = _kmeans(x, n_cells, seed, max_iter)
+    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = x - cents[d2.argmin(axis=1)]
+    books = [
+        _kmeans(
+            resid[:, j * dsub : (j + 1) * dsub], codebook_size,
+            seed + 1 + j, max_iter,
+        )
+        for j in range(m)
+    ]
+    ksub = min(b.shape[0] for b in books)
+    return {
+        "centroids": cents.tolist(),
+        # ragged-proof: every book trimmed to the common ksub (only
+        # differs when the sample is smaller than codebook_size)
+        "codebooks": [b[:ksub].tolist() for b in books],
+        "m": m,
+        "dsub": dsub,
+    }
+
+
+def pq_encode(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_cell, pq_code) — m bytes of code per vector, the compact
+    index a 100 TB deployment materializes ONCE (write partitioned by
+    pq_cell, the write_ivf_clustered pattern) and scans instead of the
+    vectors. Arrow-batched kernel: one argmin matmul per subspace per
+    batch."""
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("_pqid", LongType(), True),
+            StructField("pq_cell", IntegerType(), True),
+            StructField("pq_code", BinaryType(), True),
+        ]
+    )
+    cents_l = model["centroids"]
+    books_l = model["codebooks"]
+    m, dsub = int(model["m"]), int(model["dsub"])
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        cents = np.asarray(cents_l, dtype=np.float64)
+        books = np.asarray(books_l, dtype=np.float64)  # (m, ksub, dsub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _unit_rows(
+                np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+            )
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            cell = d2.argmin(axis=1)
+            resid = x - cents[cell]
+            codes = np.empty((len(x), m), dtype=np.uint8)
+            for j in range(m):
+                sub = resid[:, j * dsub : (j + 1) * dsub]
+                dj = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
+            yield pd.DataFrame(
+                {
+                    "_pqid": pdf["_id"].to_numpy(),
+                    "pq_cell": cell.astype("int32"),
+                    "pq_code": [c.tobytes() for c in codes],
+                }
+            )
+
+    enc = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            to_double_array(vec_col).alias("_v"),
+        )
+        .mapInPandas(kernel, out_schema)
+        .withColumnRenamed("_pqid", id_col)
+    )
+    return enc
+
+
+def pq_topk(
+    codes: DataFrame,
+    model: dict,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over the codes table: probe-cell filter (partition
+    pruning when the codes are materialized by pq_cell) → per-row
+    table-lookup distance sum → TakeOrderedAndProject. The ADC tables
+    ((m × ksub) per probed cell) are built driver-side from the tiny
+    model — the only per-query work that touches floats. Ties break on
+    id for determinism. Distances are squared L2 on unit vectors
+    (monotone in cosine), rounded to 4 digits like the rest of the b33
+    family."""
+    import numpy as np
+
+    cents = np.asarray(model["centroids"], dtype=np.float64)
+    books = np.asarray(model["codebooks"], dtype=np.float64)
+    m, dsub = int(model["m"]), int(model["dsub"])
+    q = _unit_rows(np.asarray([query_vec], dtype=np.float64))[0]
+    dq = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in np.argsort(dq)[: int(nprobe)]]
+    tabs = {}
+    for c in probes:
+        r = q - cents[c]
+        tab = np.empty((m, books.shape[1]), dtype=np.float64)
+        for j in range(m):
+            tab[j] = (
+                (books[j] - r[j * dsub : (j + 1) * dsub][None, :]) ** 2
+            ).sum(axis=1)
+        tabs[c] = tab
+    tabs_l = {c: t.tolist() for c, t in tabs.items()}
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType as _Long,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("_pqid", _Long(), True),
+            StructField("pq_dist", DoubleType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        T = {c: np.asarray(t, dtype=np.float64) for c, t in tabs_l.items()}
+        ar = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["_pqid"].to_numpy()
+            cells = pdf["pq_cell"].to_numpy()
+            code_mat = np.frombuffer(
+                b"".join(pdf["pq_code"]), dtype=np.uint8
+            ).reshape(-1, m)
+            dist = np.empty(len(ids), dtype=np.float64)
+            for c in np.unique(cells):
+                sel = cells == c
+                dist[sel] = T[int(c)][ar[None, :], code_mat[sel]].sum(
+                    axis=1
+                )
+            yield pd.DataFrame({"_pqid": ids, "pq_dist": dist})
+
+    pruned = codes.filter(F.col("pq_cell").isin(probes)).select(
+        F.col(id_col).cast("long").alias("_pqid"), "pq_cell", "pq_code"
+    )
+    return (
+        pruned.mapInPandas(kernel, out_schema)
+        .select(
+            F.col("_pqid").alias(id_col),
+            F.round("pq_dist", 4).alias("pq_dist"),
+        )
+        .orderBy("pq_dist", id_col)
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    codes: DataFrame,
+    vectors: DataFrame,
+    model: dict,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVFADC+R (Jégou et al. 2011 §VI): ADC shortlist over the CODES
+    table, then exact cosine re-rank of only the shortlist against the
+    raw vectors. This is the production PQ recipe — ADC quantization
+    error caps raw recall (measured 0.7 here regardless of nprobe),
+    while re-ranking a small multiple of k restores it (measured 1.0 at
+    shortlist=5k) for the price of `shortlist` point lookups. At 100 TB
+    the codes table (m bytes/vector) is the only thing scanned; the
+    vector table is touched for `shortlist` rows via a broadcast
+    semi-join (id-keyed point reads on a real deployment)."""
+    short = pq_topk(
+        codes, model, query_vec, k=int(shortlist), nprobe=nprobe,
+        id_col=id_col,
+    ).select(id_col)
+    pruned = vectors.join(F.broadcast(short), id_col, "leftsemi")
+    return cosine_topk(
+        pruned, query_vec, k, id_col, vec_col, round_digits
+    )

@@ -520,6 +520,28 @@ def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simsearch.ivf_topk(e, qvec, cents, k=10, nprobe=5)
 
 
+def q_simsearch_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b33d: IVF-PQ with exact re-rank (IVFADC+R, Jégou et al. 2011) —
+    the ANN recipe for corpora where even the VECTORS don't fit the
+    cluster: the scan touches only the m-bytes-per-vector codes table
+    (64× smaller than 64-dim float64), the ADC shortlist is a
+    table-lookup sum, and the raw vectors are read for `shortlist`
+    rows only (broadcast semi-join). Approximate → rows-only check;
+    recall@10 gated in tests/test_approx_tolerance.py (measured 1.0
+    with re-rank; raw ADC plateaus at 0.7 — quantization error, not
+    probing, which is exactly why the published recipe re-ranks)."""
+    e = _emb(spark, sf_dir)
+    qvec = [
+        float(x)
+        for x in _param_lookup(sf_dir, "embeddings", "vec_id", 0, "embedding")
+    ]
+    model = simsearch.pq_train(e, n_cells=8, m=8, seed=42, max_iter=5)
+    codes = simsearch.pq_encode(e, model)
+    return simsearch.pq_topk_rerank(
+        codes, e, model, qvec, k=10, nprobe=5, shortlist=50
+    )
+
+
 def q_jaccard_vs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity scan vs the doc_id=0 document."""
     d = _docs(spark, sf_dir)
@@ -1604,6 +1626,10 @@ def all_queries() -> dict[str, QuerySpec]:
         QuerySpec(
             "b33b_simsearch_lsh", q_simsearch_lsh, None,
             note="SRP-LSH approximate top-k — rows-only",
+        ),
+        QuerySpec(
+            "b33d_simsearch_pq", q_simsearch_pq, None,
+            note="IVF-PQ + exact re-rank (IVFADC+R) ANN — rows-only",
         ),
         QuerySpec(
             "t05_jaccard_vs_query", q_jaccard_vs_query,

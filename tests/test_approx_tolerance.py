@@ -62,7 +62,10 @@ def test_b13b_approx_quantile_within_2pct(spark):
         assert abs(approx - exact) <= 0.02 * exact, (sf, approx, exact)
 
 
-@pytest.mark.parametrize("name", ["b33b_simsearch_lsh", "b33c_simsearch_ivf"])
+@pytest.mark.parametrize(
+    "name",
+    ["b33b_simsearch_lsh", "b33c_simsearch_ivf", "b33d_simsearch_pq"],
+)
 def test_b33_ann_recall_at_10(spark, name):
     """recall@10 of each ANN variant vs the exact b33 top-k >= 0.8 for
     the documented seeds — AND every returned (id, sim) that IS in the

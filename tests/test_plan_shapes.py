@@ -138,6 +138,9 @@ def test_registry_wide_plan_gate_audit(spark):
             offenders.append((name, "cartesian product"))
         if name not in (
             "b33c_simsearch_ivf",
+            # b33d: PQ encode + ADC lookup kernels — BLAS/table-lookup
+            # numpy work, the published IVFADC+R shape (simsearch.py)
+            "b33d_simsearch_pq",
             "t10b_bpe_real",
             "t27_semdedup",
             # t30: bitmap-probe pandas UDF — a JVM spelling would need a
