@@ -747,3 +747,45 @@ def pq_topk_rerank(
     return cosine_topk(
         pruned, query_vec, k, id_col, vec_col, round_digits
     )
+
+
+def write_pq_clustered(
+    df: DataFrame,
+    path: str,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the IVF-PQ index: encode once, write the CODES table
+    hive-partitioned by `pq_cell`. The 100-TB posture made physical
+    twice over — the index is m bytes/vector (the only thing a query
+    scans) AND the probe-cell filter is partition pruning, so ADC cost
+    scales with nprobe/n_cells of an already-64×-smaller table. The
+    raw vectors stay wherever they live; re-rank touches them for
+    `shortlist` ids only."""
+    pq_encode(df, model, id_col, vec_col).write.mode(mode).partitionBy(
+        "pq_cell"
+    ).parquet(path)
+
+
+def pq_topk_clustered(
+    spark,
+    codes_path: str,
+    vectors: DataFrame,
+    model: dict,
+    query_vec: list,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC+R over a `write_pq_clustered` layout: the probe filter
+    lands in PartitionFilters (asserted in tests) — directories outside
+    the probe set are never listed, let alone read."""
+    codes = spark.read.parquet(codes_path)
+    return pq_topk_rerank(
+        codes, vectors, model, query_vec, k=k, nprobe=nprobe,
+        shortlist=shortlist, id_col=id_col, vec_col=vec_col,
+    )

@@ -92,3 +92,37 @@ def test_zero_norm_vectors_never_rank_near(spark):
         ).collect()
     ]
     assert got == [2, 3]  # the zero vector is last, not NaN-first
+
+
+def test_clustered_pq_layout_partition_prunes(spark, tmp_path):
+    """The materialized codes layout turns the probe filter into
+    PartitionFilters — the scan never lists unprobed cell dirs."""
+    e = _emb(spark)
+    q = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    model = simsearch.pq_train(e, n_cells=8, m=8, seed=42, max_iter=5)
+    path = str(tmp_path / "pq_codes")
+    simsearch.write_pq_clustered(e, path, model)
+
+    import numpy as np
+
+    cents = np.asarray(model["centroids"])
+    qn = np.asarray(q) / np.linalg.norm(q)
+    probes = [
+        int(i)
+        for i in np.argsort(((cents - qn[None, :]) ** 2).sum(axis=1))[:5]
+    ]
+    pruned = spark.read.parquet(path).filter(
+        F.col("pq_cell").isin(probes)
+    )
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [pq_cell" in plan
+
+    got = simsearch.pq_topk_clustered(
+        spark, path, e, model, q, k=10, nprobe=5, shortlist=50
+    ).collect()
+    exact = simsearch.cosine_topk(e, q, 10).collect()
+    assert len(
+        {r.vec_id for r in got} & {r.vec_id for r in exact}
+    ) >= 8
