@@ -380,3 +380,12 @@ def test_geo_declaration_binds_at_creation_only(spark, tmp_path):
     )
     with pytest.raises(IcebergProtocolError, match="created"):
         w.append(df, merge_schema=True)
+
+
+def test_mixed_endian_nested_collection():
+    """A collection may nest geometries of DIFFERENT byte orders — each
+    nested geometry carries its own order byte (OGC SFA)."""
+    p = geo.wkb_point(3.5, -2.0)  # little-endian
+    ls = struct.pack(">BII", 0, 2, 2) + struct.pack(">4d", -7, 1, 4, 9)
+    gc = struct.pack("<BII", 1, 7, 2) + p + ls
+    assert geo.parse_envelope(gc) == (-7.0, -2.0, 4.0, 9.0)
