@@ -125,6 +125,8 @@ HEADLINE = [
     "t29_classifier_quality",
     # round 12 (session 2): bloom-prefiltered increment-vs-corpus dedup
     "t30_bloom_incremental",
+    # round 12 (session 2): embedding-space decontamination
+    "t31_semantic_decontamination",
 ]
 
 

@@ -226,21 +226,24 @@ def incremental_new_docs(
             out[live] = hit
         return pd.Series(out)
 
-    inc = increment.withColumn("__ck", ck).withColumn(
-        "__maybe", _maybe(F.col("__ck"))
+    inc = increment.withColumn("__ck", ck)
+    # Bloom has no false negatives, so `confirmed` (below) contains the
+    # hash of EVERY duplicated increment row: rows the filter rejected
+    # are provably absent from the corpus and can't be in `confirmed`
+    # either. One anti-join against it therefore answers for the WHOLE
+    # increment — no maybe/definitely branch union, and the probe UDF
+    # runs exactly once (inside the maybe-hash build), not once per
+    # branch (the original two-branch union re-ran it per branch —
+    # measured 1.38s warm at sf0.1, ~2× this plan).
+    maybe_hashes = (
+        inc.filter(_maybe(F.col("__ck"))).select("__ck").distinct()
     )
-    # Bloom has no false negatives: a miss IS the proof of novelty.
-    definitely_new = inc.filter(~F.col("__maybe"))
-    maybe = inc.filter(F.col("__maybe"))
     # Exact confirm, corpus side map-only: the maybe set is increment-
     # bounded (true dups + fpp·|increment|), so its distinct hashes
     # broadcast; LEFT SEMI against them is the second corpus scan.
-    maybe_hashes = maybe.select("__ck").distinct()
     confirmed = (
         corpus_h.join(F.broadcast(maybe_hashes), "__ck", "leftsemi").distinct()
     )
-    survivors = maybe.join(F.broadcast(confirmed), "__ck", "leftanti")
-    return (
-        definitely_new.unionByName(survivors)
-        .drop("__ck", "__maybe")
-    )
+    # NULL __ck (NULL content) never equals a confirmed hash → kept,
+    # the anti-join/NOT EXISTS semantics.
+    return inc.join(F.broadcast(confirmed), "__ck", "leftanti").drop("__ck")

@@ -651,6 +651,42 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t31: SEMANTIC decontamination — t14's n-gram scan misses
+    paraphrased eval leakage; the embedding-space form (the
+    Phi/FineWeb-style recipe) flags corpus vectors whose max cosine
+    against the benchmark set crosses a threshold. Exact and
+    oracle-checkable: benchmark = vec_id < 20 (stand-in for the eval
+    suite), corpus = the rest. Plan: one corpus scan × broadcast
+    benchmark (dimension-sized — eval suites are thousands of rows,
+    never corpus-scaled) → JVM-side cosine → map-side partial MAX, so
+    the shuffle carries one row per corpus vector, not the N×B pair
+    stream. No Python anywhere."""
+    from deimos_spark.functions.vectors import cosine, to_double_array
+
+    e = _emb(spark, sf_dir)
+    bench = (
+        e.filter(F.col("vec_id") < 20)
+        .select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("bench_vec"),
+        )
+    )
+    corpus = e.filter(F.col("vec_id") >= 20)
+    sims = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        cosine(
+            to_double_array("embedding"), to_double_array("bench_vec")
+        ).alias("sim"),
+    )
+    return (
+        sims.groupBy("vec_id")
+        .agg(F.round(F.max("sim"), 4).alias("max_sim"))
+        .filter(F.col("max_sim") >= 0.35)
+        .orderBy(F.desc("max_sim"), "vec_id")
+    )
+
+
 def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15: verbatim-duplication scan — per doc, how many of its distinct
     word 5-grams appear in ≥2 documents (the substring-dedup signal from
@@ -1906,6 +1942,18 @@ def all_queries() -> dict[str, QuerySpec]:
             "CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap "
             "FROM tot t LEFT JOIN ovl o ON t.doc_id = o.doc_id "
             "ORDER BY n_overlap DESC, t.doc_id LIMIT 50",
+        ),
+        QuerySpec(
+            "t31_semantic_decontamination", q_semantic_decontamination,
+            "WITH b AS (SELECT CAST(embedding AS DOUBLE[]) AS bv "
+            "FROM embeddings WHERE vec_id < 20), "
+            "c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv "
+            "FROM embeddings WHERE vec_id >= 20) "
+            "SELECT vec_id, round(max(list_cosine_similarity(cv, bv)), 4) "
+            "AS max_sim FROM c CROSS JOIN b GROUP BY vec_id "
+            "HAVING round(max(list_cosine_similarity(cv, bv)), 4) >= 0.35 "
+            "ORDER BY max_sim DESC, vec_id",
+            note="embedding-space decontamination (max cosine vs bench set)",
         ),
         QuerySpec(
             "t15_duplicate_ngrams", q_duplicate_ngrams,

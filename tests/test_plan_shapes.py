@@ -108,6 +108,10 @@ _BNLJ_ALLOWED = {
     "t21_dsir_weights",         # 1-row model totals (broadcast model)
     "t23_unigram_ppl",          # 1-row model totals
     "t24_source_overlap",       # n_src^2 source-pair frame (dimension)
+    # benchmark set is dimension-sized (an eval suite, never
+    # corpus-scaled) and explicitly broadcast; partial MAX collapses
+    # the pair stream map-side
+    "t31_semantic_decontamination",
 }
 
 

@@ -68,6 +68,9 @@ QUERIES = [
     # r12 session 2: bloom incremental dedup — corpus scan is linear,
     # bitmap build map-side; should track the scan like t29
     "t30_bloom_incremental",
+    # r12 session 2: scan × broadcast-bench cosine + partial MAX —
+    # should track the scan
+    "t31_semantic_decontamination",
     # t28_dedup_apply is deliberately NOT here (measured, removed):
     # its PAIR relation is the EXACT t09 construction (so the oracle's
     # recursive CTE can reproduce it bit-for-bit), which is Theta(N^2)
