@@ -168,11 +168,20 @@ def build_bloom_bitmap(
     partials = hashes.select(F.col(hash_col)).mapInPandas(
         _partial, _PARTIAL_SCHEMA
     )
-    reduced = partials.groupBy("grp").applyInPandas(_combine, _PARTIAL_SCHEMA)
+    # the grouped OR level exists to bound what the driver collects at
+    # LARGE partition counts; below 64 partials the direct collect is
+    # strictly cheaper (drops a shuffle + stage per build) and the
+    # driver holds at most 64 × max_bits/8 bytes
+    nparts = hashes.rdd.getNumPartitions()
+    reduced = (
+        partials
+        if nparts <= 64
+        else partials.groupBy("grp").applyInPandas(_combine, _PARTIAL_SCHEMA)
+    )
     import numpy as np
 
     final = np.zeros(nbytes, dtype=np.uint8)
-    for row in reduced.collect():  # ≤ fan_in rows by construction
+    for row in reduced.collect():  # ≤ max(64, fan_in) rows
         final |= np.frombuffer(row["bits"], dtype=np.uint8)
     return final.tobytes()
 

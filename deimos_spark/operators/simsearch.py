@@ -789,3 +789,74 @@ def pq_topk_clustered(
         codes, vectors, model, query_vec, k=k, nprobe=nprobe,
         shortlist=shortlist, id_col=id_col, vec_col=vec_col,
     )
+
+
+def max_cosine_vs_set(
+    df: DataFrame,
+    bench_vecs: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """(id, max_sim): each row's maximum cosine against a SMALL fixed
+    vector set (an eval suite, a probe battery). Arrow-batched BLAS —
+    one (batch × dim) @ (dim × B) matmul per batch — for the same
+    reason ivf_assign is: B chained zip_with/aggregate folds run
+    INTERPRETED per row-pair (measured 1.5s at 5k×20×64 where the
+    matmul is milliseconds), and the expression-unrolled form is
+    quadratically worse to analyze. Rounding is half-away-from-zero
+    (cosine_topk_pandas precedent) so the DuckDB oracle matches.
+    Zero-norm rows yield max_sim NULL (cosine undefined), matching
+    list_cosine_similarity's NULL propagation through MAX only when
+    ALL sims are undefined."""
+    import numpy as np
+
+    B = np.asarray(bench_vecs, dtype=np.float64)  # (nb, dim)
+    Bn = np.linalg.norm(B, axis=1)
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("_mcid", LongType(), True),
+            StructField("max_sim", DoubleType(), True),
+        ]
+    )
+    scale = 10.0 ** int(round_digits)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            xn = np.linalg.norm(x, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (x @ B.T) / (xn[:, None] * Bn[None, :])
+            mx = np.nanmax(
+                np.where(np.isfinite(sims), sims, np.nan), axis=1,
+                initial=-np.inf,
+            )
+            mx = np.copysign(np.floor(np.abs(mx) * scale + 0.5) / scale, mx)
+            out = pd.DataFrame(
+                {"_mcid": pdf["_id"].to_numpy(), "max_sim": mx}
+            )
+            out.loc[~np.isfinite(mx), "max_sim"] = None
+            yield out
+
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            to_double_array(vec_col).alias("_v"),
+        )
+        .mapInPandas(kernel, out_schema)
+        .withColumnRenamed("_mcid", id_col)
+    )
