@@ -168,20 +168,22 @@ def build_bloom_bitmap(
     partials = hashes.select(F.col(hash_col)).mapInPandas(
         _partial, _PARTIAL_SCHEMA
     )
-    # the grouped OR level exists to bound what the driver collects at
-    # LARGE partition counts; below 64 partials the direct collect is
-    # strictly cheaper (drops a shuffle + stage per build) and the
-    # driver holds at most 64 × max_bits/8 bytes
+    # the grouped OR level exists to bound what the driver collects;
+    # when nparts × bitmap bytes already fits the same budget the tree
+    # guarantees (fan_in × max bitmap size, 128 MiB at defaults), the
+    # direct collect is strictly cheaper (drops a shuffle + stage per
+    # build) AND respects the identical driver-memory invariant
     nparts = hashes.rdd.getNumPartitions()
+    budget = fan_in * (DEFAULT_MAX_BITS // 8)
     reduced = (
         partials
-        if nparts <= 64
+        if nparts * nbytes <= budget
         else partials.groupBy("grp").applyInPandas(_combine, _PARTIAL_SCHEMA)
     )
     import numpy as np
 
     final = np.zeros(nbytes, dtype=np.uint8)
-    for row in reduced.collect():  # ≤ max(64, fan_in) rows
+    for row in reduced.collect():  # bounded by `budget` bytes total
         final |= np.frombuffer(row["bits"], dtype=np.uint8)
     return final.tobytes()
 

@@ -140,8 +140,12 @@ SUPPORTED_WRITER_FEATURES = {
     "columnMapping",
     # VariantType columns written natively by Spark's parquet writer
     # (the spec's variant encoding); new tables declare the feature at
-    # birth (_meta_actions), evolution INTO it is gated loudly
+    # birth (_meta_actions), evolution INTO it is gated loudly. The
+    # preview feature name is the same encoding (early writers) — a
+    # table declaring it must stay writable or the evolution gate's
+    # preview branch could never be reached
     "variantType",
+    "variantType-preview",
 }
 
 # Features we may coexist with ONLY while the table provably does not
@@ -340,11 +344,22 @@ def _schema_drift(
 
 def _schema_has_variant(schema: T.StructType) -> bool:
     """True when any field (nested included) is VariantType — gates the
-    variantType table feature (simpleString of a variant field or any
-    container holding one contains the token)."""
-    return any(
-        "variant" in f.dataType.simpleString() for f in schema.fields
-    )
+    variantType table feature. Recursive isinstance walk, NOT a
+    simpleString substring test: a field merely NAMED 'invariant' /
+    'variant_id' must not drag the protocol to v3/v7."""
+
+    def _walk(dt) -> bool:
+        if isinstance(dt, T.VariantType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_walk(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _walk(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return _walk(dt.keyType) or _walk(dt.valueType)
+        return False
+
+    return any(_walk(f.dataType) for f in schema.fields)
 
 
 def check_write_schema(

@@ -2985,7 +2985,7 @@ class IcebergTableWriter:
             # geo type in the table schema — letting it evolve in as
             # plain `binary` would silently mis-type the column for
             # every other engine
-            for gcol in getattr(self, "geo_types", None) or {}:
+            for gcol, want_t in (getattr(self, "geo_types", None) or {}).items():
                 ex_t = next(
                     (
                         f.get("type")
@@ -2994,11 +2994,22 @@ class IcebergTableWriter:
                     ),
                     None,
                 )
-                if ex_t is None or parse_geo_type(ex_t) is None:
+                ex_geo = parse_geo_type(ex_t) if ex_t is not None else None
+                if ex_geo is None:
                     raise IcebergProtocolError(
                         f"geo_columns[{gcol!r}]: existing table schema "
                         f"has {ex_t!r}, not a geo type — geo columns "
                         f"must be declared when the table is created"
+                    )
+                # kind/CRS/edge-algorithm must MATCH the table: a
+                # geography declaration writing into a geometry column
+                # (or a different CRS) would silently swap coordinate
+                # semantics for every other engine
+                if ex_geo != parse_geo_type(want_t):
+                    raise IcebergProtocolError(
+                        f"geo_columns[{gcol!r}] declares {want_t!r} but "
+                        f"the table schema has {ex_t!r} — declarations "
+                        f"must match the existing geo type exactly"
                     )
             if changed:
                 schema_id = (

@@ -669,13 +669,17 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedent."""
     # bench fetch is input preparation (the _param_lookup rationale):
     # pyarrow straight off parquet, not a ~0.3s Spark job per build
-    import pyarrow.compute as _pc
     import pyarrow.parquet as _papq
 
     t = _papq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        # predicate INTO the read (row-group pruning): at stress scales
+        # the unfiltered table is tens of millions of rows — filtering
+        # after a full read would materialize it all driver-side
+        filters=[("vec_id", "<", 20)],
     )
-    t = t.filter(_pc.less(t["vec_id"], 20)).sort_by("vec_id")
+    t = t.sort_by("vec_id")
     bench = [
         [float(x) for x in v] for v in t["embedding"].to_pylist()
     ]

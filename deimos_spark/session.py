@@ -194,7 +194,12 @@ def spread_small(df, sf_dir: str):
 
 
 def _mem_to_bytes(mem: str) -> int:
+    """Spark byte-string → bytes: both suffix spellings Spark's own
+    byteStringAs accepts ('2g' AND '2gb') must keep working here —
+    the old code passed the raw string to Spark verbatim."""
     m = str(mem).strip().lower()
+    if m.endswith("b"):
+        m = m[:-1]  # '2gb' -> '2g', '8b' -> '8' (plain bytes)
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if m and m[-1] in mult:
         return int(float(m[:-1]) * mult[m[-1]])

@@ -138,3 +138,67 @@ def test_v2_checkpoint_and_variant_compose(spark, tmp_path):
     assert set(proto["readerFeatures"]) == {"v2Checkpoint", "variantType"}
     assert set(proto["writerFeatures"]) == {"v2Checkpoint", "variantType"}
     assert DeltaTableReader(spark, path).read().count() == 4
+
+
+def test_variantlike_names_do_not_trigger_the_feature(spark, tmp_path):
+    """A field NAMED 'invariant'/'variant_id' must not drag the table
+    to v3/v7 (_schema_has_variant is a type walk, not a substring
+    test), and merge-schema-evolving such a column must not hit the
+    variant gate."""
+    from pyspark.sql import types as T
+
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(spark, path)
+    df = spark.createDataFrame(
+        [(1, (True,), "v1")],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(
+                    "meta",
+                    T.StructType(
+                        [T.StructField("invariant", T.BooleanType())]
+                    ),
+                ),
+                T.StructField("variant_id", T.StringType()),
+            ]
+        ),
+    )
+    w.append(df)
+    proto = _protocol_action(path)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    # evolving another variant-NAMED (not -typed) column is fine
+    w.append(
+        df.withColumn("invariant_code", df.variant_id), merge_schema=True
+    )
+    assert DeltaTableReader(spark, path).read().count() == 2
+
+
+def test_preview_feature_table_stays_writable(spark, tmp_path):
+    """The preview name is the same encoding — a table declaring it
+    must accept appends (and the evolution gate's preview branch must
+    be reachable)."""
+    path = str(tmp_path / "t")
+    DeltaTableWriter(spark, path).append(_variant_df(spark))
+    log = os.path.join(path, "_delta_log", "00000000000000000000.json")
+    lines = []
+    with open(log) as fh:
+        for line in fh:
+            a = json.loads(line)
+            if "protocol" in a:
+                a["protocol"]["readerFeatures"] = ["variantType-preview"]
+                a["protocol"]["writerFeatures"] = ["variantType-preview"]
+            lines.append(json.dumps(a))
+    with open(log, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    w = DeltaTableWriter(spark, path)
+    w.append(_variant_df(spark, start=10))
+    assert DeltaTableReader(spark, path).read().count() == 8
+    # a SECOND variant column evolves under the preview declaration
+    w.append(
+        _variant_df(spark, start=20).withColumn(
+            "extra", F.parse_json(F.lit('{"k": 2}'))
+        ),
+        merge_schema=True,
+    )
+    assert DeltaTableReader(spark, path).read().count() == 12

@@ -389,3 +389,29 @@ def test_mixed_endian_nested_collection():
     ls = struct.pack(">BII", 0, 2, 2) + struct.pack(">4d", -7, 1, 4, 9)
     gc = struct.pack("<BII", 1, 7, 2) + p + ls
     assert geo.parse_envelope(gc) == (-7.0, -2.0, 4.0, 9.0)
+
+
+def test_geo_declaration_kind_mismatch_refuses(spark, tmp_path):
+    """A geography declaration against an existing GEOMETRY column (or
+    a CRS mismatch) must refuse — it would silently swap coordinate
+    semantics for every other engine."""
+    path = str(tmp_path / "t")
+    IcebergTableWriter(
+        spark, path, format_version=3, geo_columns={"g": "geometry"},
+    ).append(
+        spark.createDataFrame(
+            [(1, geo.wkb_point(0, 0))], "id long, g binary"
+        )
+    )
+    w = IcebergTableWriter(
+        spark, path, format_version=3, geo_columns={"g": "geography"},
+    )
+    df = spark.createDataFrame([(2, geo.wkb_point(1, 1))], "id long, g binary")
+    with pytest.raises(IcebergProtocolError, match="match"):
+        w.append(df)
+    # matching declaration still appends
+    w2 = IcebergTableWriter(
+        spark, path, format_version=3, geo_columns={"g": "geometry"},
+    )
+    w2.append(df)
+    assert IcebergTableReader(spark, path).read().count() == 2
