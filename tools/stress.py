@@ -103,7 +103,14 @@ ZIPF_HOT_SHARE = 1 - 2 ** (-ZIPF_ALPHA)  # ≈ 0.129
 # b20 = hash aggregate on the hot key (map-side combine must absorb
 # it), x13 = window sort where the hot user is ONE unsplittable task,
 # t26 = hot segment hash in the duplicate-flag aggregate + probe join
-ZIPF_QUERIES = ["b20_keep_last_per_key", "x13_sessionize", "t26_substr_dedup"]
+ZIPF_QUERIES = [
+    "b20_keep_last_per_key", "x13_sessionize", "t26_substr_dedup",
+    # r12 session 2: t30 under zipf content — ~13% of docs share ONE
+    # text, so its md5 is a hot __ck through the bloom probe, the
+    # confirm semi-join, and the final anti-join (all broadcast-side;
+    # the curve proves none degenerates)
+    "t30_bloom_incremental",
+]
 
 
 def _zipf_rank(col, n_keys: int, salt: str):
