@@ -2518,13 +2518,52 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                         max(env[2], e[2]), max(env[3], e[3]),
                     )
                 if ok and env is not None:
+                    xlo, xhi = env[0], env[2]
+                    if kind == "geography":
+                        # the spec allows geography x-bounds to WRAP
+                        # (lower.x > upper.x ⇒ [lo,180] ∪ [-180,hi]):
+                        # for a point set clustered at ±180 the naive
+                        # range spans the globe and prunes nothing —
+                        # emit the wrapped interval when the largest
+                        # longitude gap beats the naive span
+                        w = _wrapped_lon_bounds(
+                            tbl.column(name).to_pylist()
+                        )
+                        if w is not None:
+                            xlo, xhi = w
                     lower.append(
-                        {"key": fid, "value": wkb_point(env[0], env[1])}
+                        {"key": fid, "value": wkb_point(xlo, env[1])}
                     )
                     upper.append(
-                        {"key": fid, "value": wkb_point(env[2], env[3])}
+                        {"key": fid, "value": wkb_point(xhi, env[3])}
                     )
     return (lower or None), (upper or None)
+
+
+def _wrapped_lon_bounds(values) -> "tuple[float, float] | None":
+    """(lower_x, upper_x) with lower_x > upper_x when wrapping the
+    antimeridian yields a strictly tighter longitude interval than the
+    naive [min, max]; None when the naive range is already tightest.
+    Point-only inputs (the only case the caller emits geography bounds
+    for); NULLs skipped."""
+    from deimos_spark.functions.geo import parse_wkb_point
+
+    lons = sorted(
+        parse_wkb_point(v)[0] for v in values if v is not None
+    )
+    if len(lons) < 2:
+        return None
+    naive = lons[-1] - lons[0]
+    # largest gap between consecutive longitudes; the wrapped interval
+    # excludes exactly that gap
+    gap, at = 0.0, 0
+    for i in range(1, len(lons)):
+        if lons[i] - lons[i - 1] > gap:
+            gap, at = lons[i] - lons[i - 1], i
+    # interval excluding the interior gap: [lons[at], 180]∪[-180, lons[at-1]]
+    if gap > 0 and 360.0 - gap < naive:
+        return (lons[at], lons[at - 1])
+    return None
 
 # v3 deletion-vector manifest entries: data_file extended with the DV
 # address fields (spec ids 143-145); built lazily from the base schema

@@ -415,3 +415,58 @@ def test_geo_declaration_kind_mismatch_refuses(spark, tmp_path):
     )
     w2.append(df)
     assert IcebergTableReader(spark, path).read().count() == 2
+
+
+def test_geography_wrapped_write_bounds_roundtrip(spark, tmp_path):
+    """Points clustered at ±180: the naive lon range spans the globe
+    and prunes nothing; the writer emits the spec's WRAPPED interval
+    (lower.x > upper.x) and the reader's wrap-aware pruning uses it."""
+    path = str(tmp_path / "t")
+    w = IcebergTableWriter(
+        spark, path, format_version=3, geo_columns={"g": "geography"},
+    )
+    pts = [
+        (1, geo.wkb_point(176.0, 0.0)),
+        (2, geo.wkb_point(179.0, 5.0)),
+        (3, geo.wkb_point(-178.0, -5.0)),
+    ]
+    w.append(
+        spark.createDataFrame(pts, "id long, g binary").coalesce(1)
+    )
+    r = IcebergTableReader(spark, path)
+    from deimos_spark.schemas.avro_ocf import ocf_read
+
+    snap = r.snapshot(None)
+    _, manifests = ocf_read(r._local(snap["manifest-list"]))
+    lo = hi = None
+    for mf in manifests:
+        _, entries = ocf_read(r._local(mf["manifest_path"]))
+        for e in entries:
+            df = e["data_file"]
+            lows = {x["key"]: x["value"] for x in df["lower_bounds"]}
+            his = {x["key"]: x["value"] for x in df["upper_bounds"]}
+            if 2 in lows:
+                lo = geo.parse_wkb_point(lows[2])
+                hi = geo.parse_wkb_point(his[2])
+    assert lo is not None and lo[0] == 176.0 and hi[0] == -178.0  # wrapped
+    # wrap-aware reads: a mid-Pacific box near +180 hits; mid-Atlantic
+    # (inside the excluded gap) prunes the file
+    assert r.read(bbox_filter={"g": (178, -10, 180, 10)}).count() == 3
+    d_all, *_ = r._file_sets()
+    d_miss, *_ = r._file_sets(bbox_filter={"g": (-60, -10, -20, 10)})
+    assert len(d_miss) < len(d_all)
+
+
+def test_wrapped_lon_bounds_helper():
+    from deimos_spark.operators.iceberg_interop import _wrapped_lon_bounds
+
+    # spread points: naive range already tightest
+    assert _wrapped_lon_bounds(
+        [geo.wkb_point(-10, 0), geo.wkb_point(10, 0)]
+    ) is None
+    # antimeridian cluster: wrap
+    assert _wrapped_lon_bounds(
+        [geo.wkb_point(179, 0), geo.wkb_point(-179, 0)]
+    ) == (179.0, -179.0)
+    # singleton / NULL handling
+    assert _wrapped_lon_bounds([geo.wkb_point(5, 5), None]) is None
