@@ -176,10 +176,15 @@ def wkb_point(x: float, y: float) -> bytes:
 
 
 def parse_wkb_point(buf: bytes) -> tuple[float, float]:
-    en, base, dims, off = _header(bytes(buf), 0)
+    buf = bytes(buf)
+    en, base, dims, off = _header(buf, 0)
     if base != 1:
         raise WkbError(
             f"expected WKB Point, got {_BASE_TYPES[base]}"
+        )
+    if len(buf) < off + 16:  # typed error, not a raw struct.error —
+        raise WkbError(  # the module's malformed-WKB contract
+            f"truncated WKB Point: {len(buf)} bytes"
         )
     x, y = struct.unpack_from(en + "dd", buf, off)
     return float(x), float(y)
@@ -199,10 +204,12 @@ _ENVELOPE_SCHEMA = StructType(
 
 @F.pandas_udf(_ENVELOPE_SCHEMA)
 def wkb_envelope(col: pd.Series) -> pd.DataFrame:
-    """Envelope per WKB value: struct(xmin, ymin, xmax, ymax); NULL in →
-    NULL out; EMPTY geometry → all-null struct. Malformed WKB raises
-    (silently nulling a corrupt geometry column is the mediacodecs
-    anti-goal)."""
+    """Envelope per WKB value: struct(xmin, ymin, xmax, ymax). NULL
+    input and EMPTY geometries both yield an all-null-FIELDS struct
+    (the pandas→Arrow struct interface cannot mark a struct value
+    itself null) — test `e.xmin IS NULL`, not `e IS NULL`. Malformed
+    WKB raises (silently nulling a corrupt geometry column is the
+    mediacodecs anti-goal)."""
     rows = []
     for v in col:
         if v is None:

@@ -192,7 +192,6 @@ def incremental_new_docs(
     corpus: DataFrame,
     increment: DataFrame,
     content_col: str = "text",
-    id_col: str = "doc_id",
     fpp: float = DEFAULT_FPP,
     max_bits: int = DEFAULT_MAX_BITS,
     n_items: int | None = None,

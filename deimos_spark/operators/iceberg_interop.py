@@ -894,7 +894,7 @@ class IcebergTableReader:
         upper.x ⇒ the file's lon range is [lower.x, 180] ∪
         [-180, upper.x]) — a wrapped range is disjoint from the query
         box only when BOTH pieces are."""
-        from deimos_spark.functions.geo import WkbError, parse_wkb_point
+        from deimos_spark.functions.geo import parse_wkb_point
 
         def _as_map(v):
             if not v:
@@ -912,8 +912,8 @@ class IcebergTableReader:
             try:
                 lx, ly = parse_wkb_point(lb)
                 ux, uy = parse_wkb_point(ub)
-            except (WkbError, Exception):  # undecodable bounds: keep
-                continue  # the file — pruning must only ever shrink IO
+            except Exception:  # undecodable bounds: keep the file —
+                continue  # pruning must only ever shrink IO
             if ly > ymax or uy < ymin:
                 return True
             if lx <= ux:
@@ -2497,6 +2497,8 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                     continue
                 env = None
                 ok = True
+                lons: list = []  # geography-point lons, collected in
+                # the SAME parse pass (a point's envelope is the point)
                 for v in tbl.column(name).to_pylist():
                     if v is None:
                         continue
@@ -2513,6 +2515,8 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                         break  # this column (pruning stays safe)
                     if e is None:
                         continue
+                    if kind == "geography":
+                        lons.append(e[0])
                     env = e if env is None else (
                         min(env[0], e[0]), min(env[1], e[1]),
                         max(env[2], e[2]), max(env[3], e[3]),
@@ -2526,9 +2530,7 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                         # range spans the globe and prunes nothing —
                         # emit the wrapped interval when the largest
                         # longitude gap beats the naive span
-                        w = _wrapped_lon_bounds(
-                            tbl.column(name).to_pylist()
-                        )
+                        w = _wrapped_lon_bounds(lons)
                         if w is not None:
                             xlo, xhi = w
                     lower.append(
@@ -2540,17 +2542,13 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
     return (lower or None), (upper or None)
 
 
-def _wrapped_lon_bounds(values) -> "tuple[float, float] | None":
+def _wrapped_lon_bounds(lons: list) -> "tuple[float, float] | None":
     """(lower_x, upper_x) with lower_x > upper_x when wrapping the
     antimeridian yields a strictly tighter longitude interval than the
     naive [min, max]; None when the naive range is already tightest.
-    Point-only inputs (the only case the caller emits geography bounds
-    for); NULLs skipped."""
-    from deimos_spark.functions.geo import parse_wkb_point
-
-    lons = sorted(
-        parse_wkb_point(v)[0] for v in values if v is not None
-    )
+    Takes the geography-POINT longitudes the bounds pass already
+    collected (no second column decode)."""
+    lons = sorted(lons)
     if len(lons) < 2:
         return None
     naive = lons[-1] - lons[0]

@@ -466,13 +466,21 @@ def _kmeans(x, k: int, seed: int, max_iter: int):
     """Lloyd's over a bounded in-memory sample (the ivf_train loop,
     factored for subspace codebooks). Returns (k', d) centroids with
     k' = min(k, len(x)) — distinct seed points, so k' >= n reproduces
-    the sample exactly (the property the PQ exactness test pins)."""
+    the sample exactly (the property the PQ exactness test pins).
+
+    Distances via the matmul identity |x|² + |c|² − 2x·c: the
+    broadcast (n, k, d) temp of the subtraction form is ~1.6 GiB per
+    iteration at pq_train defaults (100k × 256 × 8 float64) — a
+    driver MemoryError waiting to happen; the matmul form only ever
+    materializes (n, k)."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    x2 = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        c2 = (cents * cents).sum(axis=1)
+        d2 = x2[:, None] + c2[None, :] - 2.0 * (x @ cents.T)
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
         for c in range(len(cents)):

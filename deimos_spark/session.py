@@ -198,12 +198,15 @@ def _mem_to_bytes(mem: str) -> int:
     byteStringAs accepts ('2g' AND '2gb') must keep working here —
     the old code passed the raw string to Spark verbatim."""
     m = str(mem).strip().lower()
+    plain_bytes = m.endswith("b") and len(m) > 1 and m[-2].isdigit()
     if m.endswith("b"):
-        m = m[:-1]  # '2gb' -> '2g', '8b' -> '8' (plain bytes)
+        m = m[:-1]  # '2gb' -> '2g'; '8b' -> '8' (explicit bytes)
     mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
     if m and m[-1] in mult:
         return int(float(m[:-1]) * mult[m[-1]])
-    return int(m)
+    # suffixless: Spark's memory confs read bare numbers as MiB
+    # (byteStringAsMb) — '4096' means 4 GiB, not 4 KB
+    return int(m) if plain_bytes else int(m) << 20
 
 
 def broadcast_threshold_for_heap(heap: str) -> int:

@@ -98,6 +98,28 @@ class DedupIngest:
             .drop("__rn")
         )
 
+    def _corpus_rows_hint(self) -> int | None:
+        """Upper bound on corpus rows from the Delta snapshot's add
+        stats — the bitmap sizer only needs a bound, and a metadata sum
+        beats paying a third full corpus scan (count job) per
+        micro-batch. None (→ count fallback) when any file lacks
+        stats."""
+        import json as _json
+
+        from deimos_spark.operators.delta_interop import DeltaTableReader
+
+        try:
+            snap = DeltaTableReader(self.spark, self.corpus_path).snapshot()
+            total = 0
+            for add in snap.adds_raw.values():
+                st = add.get("stats")
+                if not st:
+                    return None
+                total += int(_json.loads(st)["numRecords"])
+            return total if total > 0 else None
+        except Exception:
+            return None
+
     def process_batch(
         self, batch: DataFrame, txn: tuple[str, int] | None = None
     ) -> None:
@@ -109,9 +131,9 @@ class DedupIngest:
                 self.corpus(),
                 deduped,
                 content_col=self.content_col,
-                id_col=self.id_col,
                 fpp=self.fpp,
                 max_bits=self.max_bits,
+                n_items=self._corpus_rows_hint(),
             )
         else:
             survivors = deduped  # first batch founds the corpus

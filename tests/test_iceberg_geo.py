@@ -461,12 +461,8 @@ def test_wrapped_lon_bounds_helper():
     from deimos_spark.operators.iceberg_interop import _wrapped_lon_bounds
 
     # spread points: naive range already tightest
-    assert _wrapped_lon_bounds(
-        [geo.wkb_point(-10, 0), geo.wkb_point(10, 0)]
-    ) is None
+    assert _wrapped_lon_bounds([-10.0, 10.0]) is None
     # antimeridian cluster: wrap
-    assert _wrapped_lon_bounds(
-        [geo.wkb_point(179, 0), geo.wkb_point(-179, 0)]
-    ) == (179.0, -179.0)
-    # singleton / NULL handling
-    assert _wrapped_lon_bounds([geo.wkb_point(5, 5), None]) is None
+    assert _wrapped_lon_bounds([179.0, -179.0]) == (179.0, -179.0)
+    # singleton: nothing to tighten
+    assert _wrapped_lon_bounds([5.0]) is None

@@ -10,7 +10,8 @@ def test_mem_suffixes_both_spellings():
     assert _mem_to_bytes("8192mb") == _mem_to_bytes("8g")
     assert _mem_to_bytes("512m") == 512 << 20
     assert _mem_to_bytes("8b") == 8
-    assert _mem_to_bytes(str(1 << 30)) == 1 << 30
+    # suffixless follows Spark's byteStringAsMb: bare numbers are MiB
+    assert _mem_to_bytes("4096") == 4 << 30
 
 
 def test_broadcast_threshold_scales_with_heap():
