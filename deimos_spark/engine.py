@@ -72,6 +72,9 @@ class Engine:
 
         self.spark.udf.register("st_envelope", geo.wkb_envelope)
         self.spark.udf.register("st_geomtype", geo.wkb_geom_type)
+        self.spark.udf.register(
+            "st_bbox_intersects", geo.st_bbox_intersects
+        )
         return self
 
     def register_view(self, name: str, source: Any) -> None:

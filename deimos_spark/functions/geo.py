@@ -31,6 +31,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     StringType,
     StructField,
@@ -225,6 +226,36 @@ def wkb_geom_type(col: pd.Series) -> pd.Series:
     return pd.Series(
         [None if v is None else geometry_type_name(v) for v in col]
     )
+
+
+@F.pandas_udf(BooleanType())
+def st_bbox_intersects(
+    g: pd.Series,
+    xmin: pd.Series,
+    ymin: pd.Series,
+    xmax: pd.Series,
+    ymax: pd.Series,
+) -> pd.Series:
+    """SQL-surface form of bbox_intersects (registered by
+    Engine.register_geo_functions as `st_bbox_intersects`): envelope
+    intersection with per-row box bounds. NULL/EMPTY geometry → false
+    (ST_Intersects(NULL) semantics)."""
+    out = []
+    for v, a, b, c, d in zip(g, xmin, ymin, xmax, ymax):
+        if v is None:
+            out.append(False)
+            continue
+        e = parse_envelope(v)
+        out.append(
+            bool(
+                e
+                and e[0] <= float(c)
+                and e[2] >= float(a)
+                and e[1] <= float(d)
+                and e[3] >= float(b)
+            )
+        )
+    return pd.Series(out)
 
 
 def bbox_intersects(

@@ -466,3 +466,24 @@ def test_wrapped_lon_bounds_helper():
     assert _wrapped_lon_bounds([179.0, -179.0]) == (179.0, -179.0)
     # singleton: nothing to tighten
     assert _wrapped_lon_bounds([5.0]) is None
+
+
+def test_engine_sql_bbox_predicate(spark):
+    from deimos_spark.engine import Engine
+
+    eng = Engine(spark).register_geo_functions()
+    df = spark.createDataFrame(
+        [
+            (1, geo.wkb_point(5.0, 5.0)),
+            (2, geo.wkb_point(50.0, 50.0)),
+            (3, None),
+        ],
+        "id long, g binary",
+    )
+    eng.register_view("geot_bbox", df)
+    rows = eng.sql(
+        "SELECT id FROM geot_bbox "
+        "WHERE st_bbox_intersects(g, 0.0D, 0.0D, 10.0D, 10.0D) "
+        "ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows] == [1]
