@@ -984,6 +984,24 @@ class DeltaTableReader:
                 v = snap.version + 1
                 while version is None or v <= version:
                     if not self._replay_json_commit(v, snap):
+                        # Logs are gapless by the commit protocol, so the
+                        # first absent name normally IS the end. A present
+                        # successor means a HOLE (torn delete / bit rot):
+                        # refuse rather than return a silently stale
+                        # snapshot that drops v's adds / resurrects its
+                        # removes. One exists() probe keeps the no-LIST
+                        # fast path intact.
+                        nxt = os.path.join(
+                            self.log_dir, f"{v + 1:020d}.json"
+                        )
+                        if (version is None or v + 1 <= version) and (
+                            os.path.exists(nxt)
+                        ):
+                            raise DeltaProtocolError(
+                                f"{self.path}: commit {v} missing but "
+                                f"{v + 1} exists — log has a hole; "
+                                "refusing a partial replay"
+                            )
                         break
                     v += 1
                 if version is not None and snap.version < version:
@@ -1016,11 +1034,30 @@ class DeltaTableReader:
             if loaded is not None:
                 snap = loaded
                 break
+        if snap.version < 0 and ckpt_sets and not commits:
+            # every checkpoint unreadable and the commits below them were
+            # legitimately cleaned: there is nothing to rebuild from, and
+            # returning the empty snapshot would read as a 0-row table
+            raise DeltaProtocolError(
+                f"{self.path}: no readable checkpoint "
+                f"(candidates at versions {sorted(ckpt_sets)}) and no "
+                "JSON commits to replay — refusing to read corrupt "
+                "state as an empty table"
+            )
         for v in commits:
             if v <= snap.version:
                 continue
             if version is not None and v > version:
                 break
+            if v != snap.version + 1:
+                # Commits below a checkpoint are legitimately cleaned;
+                # above the replay base they must be contiguous. A hole
+                # would silently drop the missing version's adds and
+                # resurrect its removes in every downstream job.
+                raise DeltaProtocolError(
+                    f"{self.path}: log has a hole — next commit after "
+                    f"{snap.version} is {v}; refusing a partial replay"
+                )
             self._replay_json_commit(v, snap)
         if version is not None and snap.version < version:
             raise DeltaProtocolError(
