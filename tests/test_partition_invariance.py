@@ -1,0 +1,119 @@
+"""Partition-count invariance: a query's RESULT must not depend on how
+the data happens to be split — shuffle partition count, scan split
+size, or whether AQE re-plans at runtime. On a 1000-executor cluster
+every one of these differs from local[32]; an operator whose answer
+drifts with task layout (a mapInPandas partial that double-counts a
+boundary, a window that assumes one partition, an agg keyed on
+partition id) is wrong at scale even if the single-layout oracle run
+passes.
+
+Sweep: the shuffle-heaviest oracle-backed registry queries run under
+three deliberately different layouts and must produce IDENTICAL rows
+(canonicalized exactly like the oracle harness — floats rounded to 9
+places, since summation ORDER legitimately varies with partitioning):
+
+- `wide`: many tiny scan splits (256 KiB) — maximizes map-task count,
+  so per-partition state (bloom partials, pandas batches) sees many
+  small pieces;
+- `narrow`: few shuffle partitions (base 8) with default splits;
+- `aqe`: AQE forced ON (runtime re-planning, skew-join, partition
+  coalescing active) with a large shuffle base.
+
+The knobs are driven through deimos_spark.session's autotune state —
+the same path every builder takes — so the sweep exercises the real
+conf plumbing, not a parallel test-only one.
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+import deimos_spark.session as S
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+from check_oracle import _norm_rows  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Shuffle/partition-sensitive, deterministic (oracle-backed) queries:
+# grouped aggs, windows, banded dedup joins, connected components,
+# bloom partials, deterministic sampling, sessionization.
+QUERIES = [
+    "b11_agg_hash",
+    "b19_window_running",
+    "b20_keep_last_per_key",
+    "t06_minhash_pairs",
+    "t07_simhash_pairs",
+    "t17_pack_plan",
+    "t18_mixture_sample",
+    "t20_dup_clusters",
+    "t22_dedup_safe_split",
+    "t26_substr_dedup",
+    "t28_dedup_apply",
+    "t30_bloom_incremental",
+    "t24_source_overlap",
+    "x13_sessionize",
+]
+
+LAYOUTS = {
+    # (shuffle base, maxPartitionBytes, aqe_min_bytes)
+    "wide": (32, "262144b", 1 << 30),
+    "narrow": (8, None, 1 << 30),
+    "aqe": (64, None, 0),
+}
+
+
+def _registry():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__",
+        str(Path(__file__).resolve().parent.parent / "__spark_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries()
+
+
+def _run_under(spark, fn, base_sp, mpb, aqe_min):
+    key = spark.sparkContext.applicationId
+    saved = (
+        S._base_shuffle_partitions.get(key),
+        S._base_max_partition_bytes.get(key),
+        S.AQE_MIN_INPUT_BYTES,
+        S._last_autotune.get(key),
+    )
+    try:
+        S._base_shuffle_partitions[key] = base_sp
+        if mpb is not None:
+            S._base_max_partition_bytes[key] = mpb
+        S.AQE_MIN_INPUT_BYTES = aqe_min
+        S._last_autotune.pop(key, None)
+        df = fn(spark, SF_DIR)
+        return _norm_rows(df.columns, df.collect())
+    finally:
+        if saved[0] is not None:
+            S._base_shuffle_partitions[key] = saved[0]
+        if saved[1] is not None:
+            S._base_max_partition_bytes[key] = saved[1]
+        S.AQE_MIN_INPUT_BYTES = saved[2]
+        S._last_autotune.pop(key, None)
+        if saved[3] is not None:
+            S._last_autotune[key] = saved[3]
+
+
+@pytest.mark.parametrize("qname", QUERIES)
+def test_layout_invariant(spark, qname):
+    fn = _registry()[qname]
+    results = {
+        name: _run_under(spark, fn, *knobs)
+        for name, knobs in LAYOUTS.items()
+    }
+    wide = results.pop("wide")
+    assert wide, f"{qname}: empty result weakens the property"
+    for name, rows in results.items():
+        assert rows == wide, (
+            f"{qname}: result differs between layout 'wide' and "
+            f"'{name}' — partition-layout-dependent answer"
+        )
