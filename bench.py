@@ -127,6 +127,8 @@ HEADLINE = [
     "t30_bloom_incremental",
     # round 12 (session 2): embedding-space decontamination
     "t31_semantic_decontamination",
+    # round 12 (session 3): SCD2 gaps-and-islands state history
+    "x14_scd2_history",
 ]
 
 

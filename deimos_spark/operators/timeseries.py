@@ -43,6 +43,53 @@ def sessionize(
     )
 
 
+def state_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """SCD2-style state-history materialization (gaps-and-islands):
+    collapse each key's ordered `state_col` stream into maximal runs of
+    one unchanged value and emit one interval row per run —
+    (key, run_id, state, valid_from, last_seen, valid_to, n_events,
+    is_current), `valid_to` = the next run's start (NULL on the key's
+    current run). The changelog→dimension-history op warehouses call
+    SCD type 2; Spark has no built-in for it.
+
+    Change detection is null-safe (`eqNullSafe`): a NULL state is a
+    value — consecutive NULLs merge into one run, and NULL→x / x→NULL
+    are boundaries. `lag` and the running sum share ONE window spec
+    (partition key, order ts + tiebreak), so both evaluate in a single
+    Window node over one exchange + one sort; the interval `lead` runs
+    over the run-level relation (keys × runs rows, already far smaller
+    than the input). Scale: exactly the sessionize(!) shuffle shape —
+    one hash partition on the key, O(1) window state per row."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(state_col).over(w)
+    boundary = ~prev.eqNullSafe(F.col(state_col))
+    runs = (
+        df.withColumn(
+            "_run",
+            F.sum(boundary.cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(F.col(key_col), F.col("_run").alias("run_id"))
+        .agg(
+            F.first(state_col).alias(state_col),
+            F.min(ts_col).alias("valid_from"),
+            F.max(ts_col).alias("last_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    iv = Window.partitionBy(key_col).orderBy("run_id")
+    return runs.withColumn(
+        "valid_to", F.lead("valid_from").over(iv)
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
 def resample_ffill(
     df: DataFrame,
     key_col: str,

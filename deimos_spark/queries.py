@@ -382,6 +382,37 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x14: SCD2 state-history materialization — each user's event_type
+    stream collapses into maximal unchanged runs with [valid_from,
+    valid_to) intervals (operators/timeseries.py state_history), then a
+    compact per-state audit: run count, event count, max/total run
+    duration, and how many keys currently sit in that state. Any
+    boundary mistake in the islands construction moves counts AND
+    durations, so the aggregate is a tight oracle over the whole
+    interval relation without shipping keys×runs rows to the driver."""
+    from deimos_spark.operators import timeseries
+
+    e = _events(spark, sf_dir)
+    runs = timeseries.state_history(
+        e, "user_id", "ts", "event_type", order_cols=("event_id",)
+    )
+    dur = F.col("last_seen") - F.col("valid_from")
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.max(dur).cast("bigint").alias("max_run_ns"),
+            F.sum(dur).cast("bigint").alias("sum_run_ns"),
+            F.sum(F.col("is_current").cast("int"))
+            .cast("bigint")
+            .alias("n_current"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily OHLC rollup per user: first/last by timestamp + min/max/avg."""
     from deimos_spark.operators import timeseries
@@ -1809,6 +1840,31 @@ def all_queries() -> dict[str, QuerySpec]:
             "SELECT n_events, CAST(count(*) AS BIGINT) AS n_sessions "
             "FROM sess GROUP BY n_events ORDER BY n_events",
             note="gap-based batch sessionization (30-min gap) histogram",
+        ),
+        QuerySpec(
+            "x14_scd2_history", q_scd2_history,
+            "WITH e AS (SELECT user_id, epoch_ns(ts) AS tns, event_id, "
+            "event_type FROM events), "
+            "s AS (SELECT user_id, tns, event_id, event_type, "
+            "CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type "
+            "THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS "
+            "(PARTITION BY user_id ORDER BY tns, event_id)), "
+            "r AS (SELECT user_id, event_type, tns, "
+            "sum(chg) OVER (PARTITION BY user_id ORDER BY tns, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS run_id FROM s), "
+            "runs AS (SELECT user_id, run_id, min(event_type) AS event_type, "
+            "min(tns) AS valid_from, max(tns) AS last_seen, "
+            "count(*) AS n_events FROM r GROUP BY user_id, run_id), "
+            "iv AS (SELECT *, lead(valid_from) OVER "
+            "(PARTITION BY user_id ORDER BY run_id) AS valid_to FROM runs) "
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs, "
+            "CAST(sum(n_events) AS BIGINT) AS n_events, "
+            "CAST(max(last_seen - valid_from) AS BIGINT) AS max_run_ns, "
+            "CAST(sum(last_seen - valid_from) AS BIGINT) AS sum_run_ns, "
+            "CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_current "
+            "FROM iv GROUP BY event_type ORDER BY event_type",
+            note="SCD2 gaps-and-islands state history, per-state audit",
         ),
         QuerySpec(
             "x12_ohlc_daily", q_ohlc_daily,

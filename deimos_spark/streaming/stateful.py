@@ -196,3 +196,98 @@ def first_seen_dedup(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+STATE_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+_RUN_STATE = T.StructType(
+    [
+        T.StructField("state", T.StringType()),
+        T.StructField("from_ms", T.LongType()),
+        T.StructField("last_ms", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def state_history(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "state",
+) -> DataFrame:
+    """Streaming twin of operators/timeseries.state_history (x14): per
+    key, maintain the CURRENT run (state value, valid_from, last_seen,
+    n_events) across micro-batches and emit a CLOSED interval row the
+    moment the key's state changes — `valid_to` = the new run's start,
+    exactly the batch operator's lead() semantics. Open runs stay in
+    the state store (they ARE the SCD2 "current" rows — one tuple per
+    key, the same bound as the dimension itself), so NoTimeout is the
+    honest retention policy; a changelog consumer materializes current
+    rows by unioning the store's view with emitted history downstream.
+
+    Ordering: rows are processed in event-time order WITHIN each batch
+    (sorted on ts); ACROSS batches correctness relies on per-key ordered
+    delivery (SURVEY C3 — the consumer contract) or a watermarked
+    source: an event older than the key's last_seen cannot rewrite
+    already-emitted history and is folded into the current run with a
+    monotonicity clamp, the same last-writer-wins rule the MERGE path
+    applies. NULL state values are VALUES (consecutive NULLs merge) —
+    matching the batch operator's null-safe change detection."""
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (uid,) = key
+        cur = list(state.get) if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        closed = []
+        for t, sv in zip(rows[ts_col], rows[state_col]):
+            t_ms = int(t.value // 1_000_000)
+            sv = None if pd.isna(sv) else str(sv)
+            if cur is None:
+                cur = [sv, t_ms, t_ms, 1]
+            elif sv == cur[0]:
+                cur[2] = max(cur[2], t_ms)
+                cur[3] += 1
+            else:
+                # change boundary: close the run at the new run's start;
+                # a late cross-batch event (t < last_seen) clamps to the
+                # run's end so emitted history stays monotone
+                t_eff = max(t_ms, cur[2])
+                closed.append((cur[0], cur[1], t_eff, cur[3]))
+                cur = [sv, t_eff, t_eff, 1]
+        state.update(tuple(cur))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid] * len(closed),
+                    "state": [s for s, _, _, _ in closed],
+                    "valid_from": [
+                        pd.Timestamp(f, unit="ms") for _, f, _, _ in closed
+                    ],
+                    "valid_to": [
+                        pd.Timestamp(v, unit="ms") for _, _, v, _ in closed
+                    ],
+                    "n_events": [n for _, _, _, n in closed],
+                }
+            )
+
+    return (
+        events.groupBy(F.col(user_col))
+        .applyInPandasWithState(
+            kernel,
+            STATE_HISTORY_SCHEMA,
+            _RUN_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -129,3 +129,57 @@ def test_resample_ffill_null_buckets_and_clamped_interval(spark):
     )
     rows = resample_ffill(df2, "k", "ts", "v", interval="2 hours").collect()
     assert {(r.bucket.hour, r.value_ff) for r in rows} == {(1, 1.0), (2, 2.0)}
+
+
+def test_state_history_runs_and_intervals(spark):
+    """x14's core: consecutive equal states collapse into one run; a
+    re-appearing state starts a NEW run (SCD2, not distinct states);
+    valid_to chains to the next run's start and the last run per key
+    is current."""
+    from deimos_spark.operators.timeseries import state_history
+
+    rows = [
+        ("u1", 0, 1, "a"), ("u1", 10, 2, "a"), ("u1", 20, 3, "b"),
+        ("u1", 30, 4, "a"),                    # a again → new run
+        ("u2", 0, 5, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, event_id long, event_type string"
+    )
+    out = state_history(
+        df, "user_id", "ts", "event_type", order_cols=("event_id",)
+    )
+    got = {
+        (r.user_id, r.run_id): (
+            r.event_type, r.valid_from, r.last_seen, r.valid_to,
+            r.n_events, r.is_current,
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        ("u1", 1): ("a", 0, 10, 20, 2, False),
+        ("u1", 2): ("b", 20, 20, 30, 1, False),
+        ("u1", 3): ("a", 30, 30, None, 1, True),
+        ("u2", 1): ("x", 0, 0, None, 1, True),
+    }
+
+
+def test_state_history_null_states_merge(spark):
+    """NULL is a VALUE in the state stream: consecutive NULLs are one
+    run; NULL→x and x→NULL are boundaries (null-safe change detect)."""
+    from deimos_spark.operators.timeseries import state_history
+
+    rows = [
+        ("u", 0, 1, "a"), ("u", 10, 2, None), ("u", 20, 3, None),
+        ("u", 30, 4, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, event_id long, event_type string"
+    )
+    out = state_history(
+        df, "user_id", "ts", "event_type", order_cols=("event_id",)
+    )
+    got = sorted(
+        (r.run_id, r.event_type, r.n_events) for r in out.collect()
+    )
+    assert got == [(1, "a", 1), (2, None, 2), (3, "b", 1)]

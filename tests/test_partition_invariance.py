@@ -54,6 +54,7 @@ QUERIES = [
     "t30_bloom_incremental",
     "t24_source_overlap",
     "x13_sessionize",
+    "x14_scd2_history",
 ]
 
 LAYOUTS = {

@@ -123,3 +123,87 @@ def test_first_seen_dedup_state_evicted_after_timeout(spark, tmp_path):
         r["ts"] for r in spark.sql("SELECT * FROM dd_evict WHERE user_id = 1").collect()
     )
     assert user1 == [_ts(5), dt.datetime(2026, 1, 1, 23, 30)]
+
+
+STATEFUL_EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("state", T.StringType()),
+    ]
+)
+
+
+def _write_st(spark, path, rows):
+    spark.createDataFrame(
+        [Row(user_id=u, ts=t, state=s) for u, t, s in rows],
+        STATEFUL_EVENTS_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_state_history_across_batches(spark, tmp_path):
+    """x14's streaming twin: a run OPEN at a batch boundary must close
+    with the change arriving in a LATER batch; the open (current) run
+    is never emitted — it lives in the state store."""
+    src = str(tmp_path / "in")
+    # batch 1: u1 enters 'a' (2 events); u2 enters 'x'
+    _write_st(spark, src, [(1, _ts(0), "a"), (1, _ts(1), "a"),
+                           (2, _ts(0), "x")])
+    # batch 2: u1 flips to 'b' → closes the 'a' run at the flip ts
+    _write_st(spark, src, [(1, _ts(5), "b")])
+    # batch 3: u1 flips back to 'a' → closes 'b' (re-appearing state =
+    # NEW run, the SCD2 rule)
+    _write_st(spark, src, [(1, _ts(7), "a")])
+
+    hist = stateful.state_history(
+        streams.file_stream_source(spark, src, STATEFUL_EVENTS_SCHEMA)
+    )
+    streams.run_available_now(
+        streams.memory_sink(hist, "scd2", str(tmp_path / "ck"))
+    )
+    got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["n_events"])
+        for r in spark.sql("SELECT * FROM scd2").collect()
+    )
+    assert got == [
+        (1, "a", _ts(0), _ts(5), 2),
+        (1, "b", _ts(5), _ts(7), 1),
+    ]
+    # u2 and u1's final 'a' run are open — correctly absent
+
+
+def test_state_history_matches_batch_operator(spark, tmp_path):
+    """Twin parity: closed streaming intervals == the batch operator's
+    non-current rows on the same ordered input."""
+    from deimos_spark.operators.timeseries import state_history as batch_sh
+
+    rows = [
+        (1, _ts(0), "a"), (1, _ts(2), "b"), (1, _ts(4), "b"),
+        (1, _ts(6), "a"), (2, _ts(1), "x"), (2, _ts(3), "y"),
+    ]
+    src = str(tmp_path / "in")
+    for r in rows:  # one event per micro-batch: maximal state crossing
+        _write_st(spark, src, [r])
+    hist = stateful.state_history(
+        streams.file_stream_source(spark, src, STATEFUL_EVENTS_SCHEMA)
+    )
+    streams.run_available_now(
+        streams.memory_sink(hist, "scd2p", str(tmp_path / "ck"))
+    )
+    stream_got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["n_events"])
+        for r in spark.sql("SELECT * FROM scd2p").collect()
+    )
+    bdf = spark.createDataFrame(
+        [Row(user_id=u, ts=t, state=s) for u, t, s in rows],
+        STATEFUL_EVENTS_SCHEMA,
+    )
+    batch_got = sorted(
+        (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+         r["n_events"])
+        for r in batch_sh(bdf, "user_id", "ts", "state").collect()
+        if not r["is_current"]
+    )
+    assert stream_got == batch_got

@@ -62,6 +62,7 @@ QUERIES = [
     # stressing it at the registry's fixed K=8 would measure documented
     # misuse, not a plan defect.
     "t23_unigram_ppl", "t24_source_overlap", "x13_sessionize",
+    "x14_scd2_history",
     "t10b_bpe_real", "t25_chunk_plan", "t26_substr_dedup",
     # r12: classifier inference — zero-shuffle, should track the scan
     "t29_classifier_quality",
@@ -110,6 +111,10 @@ ZIPF_QUERIES = [
     # confirm semi-join, and the final anti-join (all broadcast-side;
     # the curve proves none degenerates)
     "t30_bloom_incremental",
+    # r12 session 3: x14 under zipf users — the hot user's whole event
+    # stream is ONE unsplittable window-sort task (the x13 hazard) AND
+    # its run relation stays event-sized through the groupBy
+    "x14_scd2_history",
 ]
 
 
