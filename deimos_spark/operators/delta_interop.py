@@ -989,19 +989,22 @@ class DeltaTableReader:
                         # successor means a HOLE (torn delete / bit rot):
                         # refuse rather than return a silently stale
                         # snapshot that drops v's adds / resurrects its
-                        # removes. One exists() probe keeps the no-LIST
-                        # fast path intact.
-                        nxt = os.path.join(
-                            self.log_dir, f"{v + 1:020d}.json"
-                        )
-                        if (version is None or v + 1 <= version) and (
-                            os.path.exists(nxt)
-                        ):
-                            raise DeltaProtocolError(
-                                f"{self.path}: commit {v} missing but "
-                                f"{v + 1} exists — log has a hole; "
-                                "refusing a partial replay"
+                        # removes. A few exists() probes keep the no-LIST
+                        # fast path intact; holes wider than the probe
+                        # window are still caught by the listing slow
+                        # path whenever the pointer is stale or absent.
+                        for j in range(1, 4):
+                            if version is not None and v + j > version:
+                                break
+                            nxt = os.path.join(
+                                self.log_dir, f"{v + j:020d}.json"
                             )
+                            if os.path.exists(nxt):
+                                raise DeltaProtocolError(
+                                    f"{self.path}: commit {v} missing "
+                                    f"but {v + j} exists — log has a "
+                                    "hole; refusing a partial replay"
+                                )
                         break
                     v += 1
                 if version is not None and snap.version < version:

@@ -265,6 +265,8 @@ def state_history(
                 t_eff = max(t_ms, cur[2])
                 closed.append((cur[0], cur[1], t_eff, cur[3]))
                 cur = [sv, t_eff, t_eff, 1]
+        if cur is None:  # all-empty batches for this key: nothing to do
+            return
         state.update(tuple(cur))
         if closed:
             yield pd.DataFrame(

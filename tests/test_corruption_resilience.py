@@ -258,3 +258,19 @@ def test_missing_iceberg_data_file_raises(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(Exception):
         IcebergTableReader(spark, path).read().collect()
+
+
+def test_wide_delta_log_hole_raises_fast_path(spark, tmp_path):
+    """A 2-wide hole BELOW a fresh _last_checkpoint-less table: both
+    replay paths must detect it (fast path probes a window past the
+    first absent commit; slow path checks contiguity on the listing)."""
+    path = str(tmp_path / "t")
+    w = _delta(spark, path)
+    for b in range(1, 5):
+        w.append(
+            spark.range(b * 100, b * 100 + 2).selectExpr("id", "id * 2 AS v")
+        )
+    for missing in (1, 2):
+        os.remove(os.path.join(path, "_delta_log", f"{missing:020d}.json"))
+    with pytest.raises(DeltaProtocolError):
+        DeltaTableReader(spark, path).read().collect()
