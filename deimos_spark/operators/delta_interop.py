@@ -578,8 +578,15 @@ class DeltaTableReader:
         try:
             with open(p) as fh:
                 lines = fh.read().splitlines()
-        except OSError:
-            return False
+        except FileNotFoundError:
+            return False  # absent = end of log (callers verify no hole)
+        except OSError as e:
+            # present but unreadable (EACCES/EIO/...): failing loudly is
+            # the contract — returning False here would silently serve
+            # the previous version's rows as if this commit never existed
+            raise DeltaProtocolError(
+                f"{p}: commit exists but is unreadable: {e!r}"
+            ) from None
         self.last_snapshot_commit_reads += 1
         for line in lines:
             if not line.strip():
@@ -1058,10 +1065,19 @@ class DeltaTableReader:
                 # would silently drop the missing version's adds and
                 # resurrect its removes in every downstream job.
                 raise DeltaProtocolError(
-                    f"{self.path}: log has a hole — next commit after "
-                    f"{snap.version} is {v}; refusing a partial replay"
+                    f"{self.path}: cannot replay to commit {v} from "
+                    f"version {snap.version} — either the log has a "
+                    f"hole, or every checkpoint covering "
+                    f"{snap.version + 1}..{v - 1} is unreadable and "
+                    "their commits were cleaned; refusing a partial "
+                    "replay"
                 )
-            self._replay_json_commit(v, snap)
+            if not self._replay_json_commit(v, snap):
+                # listed a moment ago but gone now: racing cleaner or
+                # torn delete — refuse rather than skip it
+                raise DeltaProtocolError(
+                    f"{self.path}: commit {v} disappeared during replay"
+                )
         if version is not None and snap.version < version:
             raise DeltaProtocolError(
                 f"version {version} not present (latest {snap.version})"

@@ -68,7 +68,13 @@ def state_history(
     one hash partition on the key, O(1) window state per row."""
     w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
     prev = F.lag(state_col).over(w)
-    boundary = ~prev.eqNullSafe(F.col(state_col))
+    # a key's first row is always a boundary — without the row_number
+    # term a NULL first state (lag NULL eqNullSafe NULL = true) would
+    # number its first run 0 while every other key starts at 1. Same
+    # window spec, so all three functions share one Window pass.
+    boundary = (F.row_number().over(w) == 1) | ~prev.eqNullSafe(
+        F.col(state_col)
+    )
     runs = (
         df.withColumn(
             "_run",

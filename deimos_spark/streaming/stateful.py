@@ -198,26 +198,6 @@ def first_seen_dedup(
     )
 
 
-STATE_HISTORY_SCHEMA = T.StructType(
-    [
-        T.StructField("user_id", T.LongType()),
-        T.StructField("state", T.StringType()),
-        T.StructField("valid_from", T.TimestampType()),
-        T.StructField("valid_to", T.TimestampType()),
-        T.StructField("n_events", T.LongType()),
-    ]
-)
-
-_RUN_STATE = T.StructType(
-    [
-        T.StructField("state", T.StringType()),
-        T.StructField("from_ms", T.LongType()),
-        T.StructField("last_ms", T.LongType()),
-        T.StructField("n", T.LongType()),
-    ]
-)
-
-
 def state_history(
     events: DataFrame,
     user_col: str = "user_id",
@@ -241,7 +221,31 @@ def state_history(
     already-emitted history and is folded into the current run with a
     monotonicity clamp, the same last-writer-wins rule the MERGE path
     applies. NULL state values are VALUES (consecutive NULLs merge) —
-    matching the batch operator's null-safe change detection."""
+    matching the batch operator's null-safe change detection.
+
+    Output schema derives from the INPUT (key and state fields keep
+    their names and types; timestamps keep full microsecond precision
+    end-to-end), so any key type the grouping supports works — the
+    same genericity as the batch twin."""
+    key_field = events.schema[user_col]
+    state_field = events.schema[state_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(key_field.name, key_field.dataType),
+            T.StructField(state_field.name, state_field.dataType),
+            T.StructField("valid_from", T.TimestampType()),
+            T.StructField("valid_to", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    run_state = T.StructType(
+        [
+            T.StructField("state", state_field.dataType),
+            T.StructField("from_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
 
     def kernel(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -251,18 +255,18 @@ def state_history(
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         closed = []
         for t, sv in zip(rows[ts_col], rows[state_col]):
-            t_ms = int(t.value // 1_000_000)
-            sv = None if pd.isna(sv) else str(sv)
+            t_us = int(t.value // 1_000)  # pandas ns → µs, Spark's unit
+            sv = None if pd.isna(sv) else sv
             if cur is None:
-                cur = [sv, t_ms, t_ms, 1]
+                cur = [sv, t_us, t_us, 1]
             elif sv == cur[0]:
-                cur[2] = max(cur[2], t_ms)
+                cur[2] = max(cur[2], t_us)
                 cur[3] += 1
             else:
                 # change boundary: close the run at the new run's start;
                 # a late cross-batch event (t < last_seen) clamps to the
                 # run's end so emitted history stays monotone
-                t_eff = max(t_ms, cur[2])
+                t_eff = max(t_us, cur[2])
                 closed.append((cur[0], cur[1], t_eff, cur[3]))
                 cur = [sv, t_eff, t_eff, 1]
         if cur is None:  # all-empty batches for this key: nothing to do
@@ -271,13 +275,13 @@ def state_history(
         if closed:
             yield pd.DataFrame(
                 {
-                    "user_id": [uid] * len(closed),
-                    "state": [s for s, _, _, _ in closed],
+                    key_field.name: [uid] * len(closed),
+                    state_field.name: [s for s, _, _, _ in closed],
                     "valid_from": [
-                        pd.Timestamp(f, unit="ms") for _, f, _, _ in closed
+                        pd.Timestamp(f, unit="us") for _, f, _, _ in closed
                     ],
                     "valid_to": [
-                        pd.Timestamp(v, unit="ms") for _, _, v, _ in closed
+                        pd.Timestamp(v, unit="us") for _, _, v, _ in closed
                     ],
                     "n_events": [n for _, _, _, n in closed],
                 }
@@ -287,8 +291,8 @@ def state_history(
         events.groupBy(F.col(user_col))
         .applyInPandasWithState(
             kernel,
-            STATE_HISTORY_SCHEMA,
-            _RUN_STATE,
+            out_schema,
+            run_state,
             "append",
             GroupStateTimeout.NoTimeout,
         )

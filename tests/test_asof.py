@@ -183,3 +183,20 @@ def test_state_history_null_states_merge(spark):
         (r.run_id, r.event_type, r.n_events) for r in out.collect()
     )
     assert got == [(1, "a", 1), (2, None, 2), (3, "b", 1)]
+
+
+def test_state_history_null_first_state_run_id_one(spark):
+    """A key whose FIRST state is NULL still numbers its first run 1
+    (the first row is always a boundary; lag-NULL eqNullSafe NULL must
+    not produce a run_id of 0)."""
+    from deimos_spark.operators.timeseries import state_history
+
+    df = spark.createDataFrame(
+        [("u", 0, 1, None), ("u", 10, 2, "a")],
+        "user_id string, ts long, event_id long, event_type string",
+    )
+    out = state_history(
+        df, "user_id", "ts", "event_type", order_cols=("event_id",)
+    )
+    got = sorted((r.run_id, r.event_type) for r in out.collect())
+    assert got == [(1, None), (2, "a")]

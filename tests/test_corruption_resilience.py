@@ -274,3 +274,35 @@ def test_wide_delta_log_hole_raises_fast_path(spark, tmp_path):
         os.remove(os.path.join(path, "_delta_log", f"{missing:020d}.json"))
     with pytest.raises(DeltaProtocolError):
         DeltaTableReader(spark, path).read().collect()
+
+
+def test_wide_hole_above_checkpoint_raises_no_list(spark, tmp_path):
+    """Same 2-wide hole, but UNDER a fresh _last_checkpoint pointer —
+    the no-LIST fast path must find it via the probe window (and must
+    not have fallen back to a directory LIST to do so)."""
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(spark, path, checkpoint_interval=4)
+    for b in range(8):  # v0..v7, checkpoint + pointer at v4
+        w.append(
+            spark.range(b * 10, b * 10 + 2).selectExpr("id", "id * 2 AS v")
+        )
+    for missing in (5, 6):
+        os.remove(os.path.join(path, "_delta_log", f"{missing:020d}.json"))
+    r = DeltaTableReader(spark, path)
+    with pytest.raises(DeltaProtocolError):
+        r.snapshot()
+    assert r.last_snapshot_listed_log is False  # stayed on the fast path
+
+
+def test_unreadable_existing_commit_raises(spark, tmp_path):
+    """A commit that EXISTS but cannot be opened (I/O error — modeled
+    as a directory squatting on the name, since root ignores chmod)
+    must raise, not be treated as end-of-log."""
+    path = str(tmp_path / "t")
+    w = _delta(spark, path)
+    w.append(spark.range(100, 104).selectExpr("id", "id * 2 AS v"))
+    victim = os.path.join(path, "_delta_log", f"{1:020d}.json")
+    os.remove(victim)
+    os.mkdir(victim)
+    with pytest.raises(DeltaProtocolError, match="unreadable"):
+        DeltaTableReader(spark, path).snapshot()

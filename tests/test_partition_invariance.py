@@ -57,27 +57,48 @@ QUERIES = [
     "x14_scd2_history",
 ]
 
+# Layouts are designed around autotune_for_dir's two branches AT THIS
+# INPUT SIZE (~0.5 MB): with aqe_min huge the small-input branch fires
+# (AQE off, sp=max(8, ~1)=8, mpb≈2 MiB regardless of the bases), so the
+# bases only matter with aqe_min=0, which forces the big-input branch
+# where they pass through verbatim. The three layouts are therefore
+# provably distinct:
+#   small:  AQE off, 8 shuffle partitions, ~2 MiB splits
+#   wide:   AQE on, 32 shuffle partitions, 128 KiB splits (many map
+#           tasks → many bloom/pandas partials, many-partition windows)
+#   coarse: AQE on,  8 shuffle partitions, 128 MiB splits (one map task
+#           per file — the opposite extreme)
 LAYOUTS = {
     # (shuffle base, maxPartitionBytes, aqe_min_bytes)
-    "wide": (32, "262144b", 1 << 30),
-    "narrow": (8, None, 1 << 30),
-    "aqe": (64, None, 0),
+    "small": (32, "134217728b", 1 << 30),
+    "wide": (32, "131072b", 0),
+    "coarse": (8, "134217728b", 0),
 }
+
+_REGISTRY = None
 
 
 def _registry():
-    import importlib.util
+    global _REGISTRY
+    if _REGISTRY is None:
+        import importlib.util
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__",
-        str(Path(__file__).resolve().parent.parent / "__spark_entry__.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod.queries()
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__",
+            str(
+                Path(__file__).resolve().parent.parent
+                / "__spark_entry__.py"
+            ),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _REGISTRY = mod.queries()
+    return _REGISTRY
 
 
 def _run_under(spark, fn, base_sp, mpb, aqe_min):
+    from deimos_spark.queries import clear_plan_cache
+
     key = spark.sparkContext.applicationId
     saved = (
         S._base_shuffle_partitions.get(key),
@@ -85,23 +106,34 @@ def _run_under(spark, fn, base_sp, mpb, aqe_min):
         S.AQE_MIN_INPUT_BYTES,
         S._last_autotune.get(key),
     )
+    # the prepared-plan cache pins a DataFrame (and its physical plan)
+    # per query: without clearing it, layouts 2..n would re-execute
+    # layout 1's plan and the sweep would compare a plan with itself
+    clear_plan_cache()
     try:
         S._base_shuffle_partitions[key] = base_sp
-        if mpb is not None:
-            S._base_max_partition_bytes[key] = mpb
+        S._base_max_partition_bytes[key] = mpb
         S.AQE_MIN_INPUT_BYTES = aqe_min
         S._last_autotune.pop(key, None)
         df = fn(spark, SF_DIR)
         return _norm_rows(df.columns, df.collect())
     finally:
-        if saved[0] is not None:
-            S._base_shuffle_partitions[key] = saved[0]
-        if saved[1] is not None:
-            S._base_max_partition_bytes[key] = saved[1]
+        # restore-or-pop: a leaked entry would silently reconfigure
+        # every later test sharing the session-scoped fixture
+        for d, v in (
+            (S._base_shuffle_partitions, saved[0]),
+            (S._base_max_partition_bytes, saved[1]),
+        ):
+            if v is None:
+                d.pop(key, None)
+            else:
+                d[key] = v
         S.AQE_MIN_INPUT_BYTES = saved[2]
-        S._last_autotune.pop(key, None)
-        if saved[3] is not None:
+        if saved[3] is None:
+            S._last_autotune.pop(key, None)
+        else:
             S._last_autotune[key] = saved[3]
+        clear_plan_cache()
 
 
 @pytest.mark.parametrize("qname", QUERIES)
@@ -111,10 +143,10 @@ def test_layout_invariant(spark, qname):
         name: _run_under(spark, fn, *knobs)
         for name, knobs in LAYOUTS.items()
     }
-    wide = results.pop("wide")
-    assert wide, f"{qname}: empty result weakens the property"
+    base = results.pop("small")
+    assert base, f"{qname}: empty result weakens the property"
     for name, rows in results.items():
-        assert rows == wide, (
-            f"{qname}: result differs between layout 'wide' and "
+        assert rows == base, (
+            f"{qname}: result differs between layout 'small' and "
             f"'{name}' — partition-layout-dependent answer"
         )

@@ -207,3 +207,51 @@ def test_state_history_matches_batch_operator(spark, tmp_path):
         if not r["is_current"]
     )
     assert stream_got == batch_got
+
+
+def test_state_history_microsecond_precision(spark, tmp_path):
+    """Interval boundaries keep full microsecond precision — two events
+    500 µs apart with different states must yield a non-degenerate
+    closed interval with the exact event times."""
+    t0 = _ts(0)
+    t1 = t0 + dt.timedelta(microseconds=500)
+    src = str(tmp_path / "in")
+    _write_st(spark, src, [(1, t0, "a"), (1, t1, "b")])
+    hist = stateful.state_history(
+        streams.file_stream_source(spark, src, STATEFUL_EVENTS_SCHEMA)
+    )
+    streams.run_available_now(
+        streams.memory_sink(hist, "scd2us", str(tmp_path / "ck"))
+    )
+    rows = spark.sql("SELECT * FROM scd2us").collect()
+    assert [(r["state"], r["valid_from"], r["valid_to"]) for r in rows] == [
+        ("a", t0, t1)
+    ]
+
+
+def test_state_history_generic_key_and_names(spark, tmp_path):
+    """Output schema derives from the input: a STRING key under a
+    different column name flows through with its name and type."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("st", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [Row(k="alpha", ts=_ts(0), st="x"), Row(k="alpha", ts=_ts(1), st="y")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    hist = stateful.state_history(
+        streams.file_stream_source(spark, src, schema),
+        user_col="k", state_col="st",
+    )
+    streams.run_available_now(
+        streams.memory_sink(hist, "scd2g", str(tmp_path / "ck"))
+    )
+    rows = spark.sql("SELECT * FROM scd2g").collect()
+    assert [(r["k"], r["st"], r["n_events"]) for r in rows] == [
+        ("alpha", "x", 1)
+    ]
