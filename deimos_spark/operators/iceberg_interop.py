@@ -604,6 +604,25 @@ class IcebergTableReader:
                 if os.path.exists(p):
                     candidate = p
                     break
+            # The hint is written AFTER the metadata commit, so a crash
+            # in that window leaves it one-or-more versions STALE — a
+            # routine state, not corruption. Probe forward to the true
+            # latest (HadoopTableOperations' findVersion behavior);
+            # trusting the hint verbatim would silently serve old data.
+            if candidate is not None and v.isdigit():
+                nxt = int(v) + 1
+                while True:
+                    for name in (
+                        f"v{nxt}.metadata.json",
+                        f"{nxt}.metadata.json",
+                    ):
+                        p = os.path.join(self.meta_dir, name)
+                        if os.path.exists(p):
+                            candidate = p
+                            break
+                    else:
+                        break
+                    nxt += 1
         if candidate is None:
             versions = []
             for n in os.listdir(self.meta_dir):

@@ -306,3 +306,35 @@ def test_unreadable_existing_commit_raises(spark, tmp_path):
     os.mkdir(victim)
     with pytest.raises(DeltaProtocolError, match="unreadable"):
         DeltaTableReader(spark, path).snapshot()
+
+
+def test_stale_iceberg_version_hint_reads_latest(spark, tmp_path):
+    """version-hint.text is written AFTER the metadata commit, so a
+    crash in that window leaves it stale — a ROUTINE state. The reader
+    must probe forward to the true latest version, not silently serve
+    the old snapshot the hint names."""
+    path = str(tmp_path / "t")
+    w = _iceberg(spark, path)
+    w.append(spark.range(100, 104).selectExpr("id", "id * 2 AS v"))
+    hint = os.path.join(path, "metadata", "version-hint.text")
+    assert os.path.exists(
+        os.path.join(path, "metadata", "v2.metadata.json")
+    )
+    with open(hint, "w") as fh:
+        fh.write("1")  # crashed-before-hint-update state
+    assert IcebergTableReader(spark, path).read().count() == 12
+
+
+def test_delta_pointer_to_missing_checkpoint_reads_complete(
+    spark, tmp_path
+):
+    """_last_checkpoint naming a checkpoint whose files don't exist
+    (torn pointer write) must fall back to the LIST path and return
+    complete data."""
+    path = str(tmp_path / "t")
+    w = _delta(spark, path)
+    w.append(spark.range(100, 104).selectExpr("id", "id * 2 AS v"))
+    with open(os.path.join(path, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        fh.write(json.dumps({"version": 99, "size": 1}))
+    assert DeltaTableReader(spark, path).read().count() == 12
