@@ -239,10 +239,13 @@ def st_bbox_intersects(
     """SQL-surface form of bbox_intersects (registered by
     Engine.register_geo_functions as `st_bbox_intersects`): envelope
     intersection with per-row box bounds. NULL/EMPTY geometry → false
-    (ST_Intersects(NULL) semantics)."""
+    (ST_Intersects(NULL) semantics), and a NULL box bound likewise
+    yields false instead of a TypeError that fails the whole query —
+    SQL predicate semantics treat the unknown comparison as
+    not-satisfied (ADVICE r12)."""
     out = []
     for v, a, b, c, d in zip(g, xmin, ymin, xmax, ymax):
-        if v is None:
+        if v is None or pd.isna(a) or pd.isna(b) or pd.isna(c) or pd.isna(d):
             out.append(False)
             continue
         e = parse_envelope(v)

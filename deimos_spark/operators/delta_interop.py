@@ -906,9 +906,11 @@ class DeltaTableReader:
         """Live file set at `version` (default latest). Fast path follows
         `_last_checkpoint` (honoring its `parts` field for multi-part
         checkpoints) and probes JSON commits forward by exact name —
-        Delta logs are gapless by the commit protocol — so a fresh
-        pointer means no directory LIST at all. Slow path (no/stale/
-        corrupt pointer, or time travel before it) lists the dir.
+        Delta logs are gapless by the commit protocol — then confirms
+        end-of-log with one name-only LIST (hole detection for any hole
+        width; no checkpoint re-read or replay from it). Slow path (no/
+        stale/corrupt pointer, or time travel before it) lists the dir
+        and replays from the listing.
 
         `partition_filter` (same contract as read()'s) makes this a
         PRUNED, read-only snapshot: the predicate is pushed into the
@@ -996,22 +998,34 @@ class DeltaTableReader:
                         # successor means a HOLE (torn delete / bit rot):
                         # refuse rather than return a silently stale
                         # snapshot that drops v's adds / resurrects its
-                        # removes. A few exists() probes keep the no-LIST
-                        # fast path intact; holes wider than the probe
-                        # window are still caught by the listing slow
-                        # path whenever the pointer is stale or absent.
-                        for j in range(1, 4):
-                            if version is not None and v + j > version:
-                                break
-                            nxt = os.path.join(
-                                self.log_dir, f"{v + j:020d}.json"
+                        # removes. A fixed exists() probe window is blind
+                        # to holes wider than itself (ADVICE r12), so
+                        # confirm end-of-log with ONE name-only listing —
+                        # conclusive for ANY hole width. This is not the
+                        # slow path (no checkpoint re-pick, no replay from
+                        # the listing; names only), so the fast path's win
+                        # — skipping the full list+checkpoint+replay — and
+                        # last_snapshot_listed_log's meaning are intact.
+                        later = [
+                            int(n[:-5])
+                            for n in os.listdir(self.log_dir)
+                            if n.endswith(".json") and n[:-5].isdigit()
+                        ]
+                        hole_hi = max(
+                            (
+                                c
+                                for c in later
+                                if c >= v
+                                and (version is None or c <= version)
+                            ),
+                            default=None,
+                        )
+                        if hole_hi is not None:
+                            raise DeltaProtocolError(
+                                f"{self.path}: commit {v} missing "
+                                f"but {hole_hi} exists — log has a "
+                                "hole; refusing a partial replay"
                             )
-                            if os.path.exists(nxt):
-                                raise DeltaProtocolError(
-                                    f"{self.path}: commit {v} missing "
-                                    f"but {v + j} exists — log has a "
-                                    "hole; refusing a partial replay"
-                                )
                         break
                     v += 1
                 if version is not None and snap.version < version:
@@ -2745,13 +2759,17 @@ class DeltaTableWriter:
         return df.select(*cols)
 
     def _write_files(
-        self, df: DataFrame, cmap: dict | None = None
+        self, df: DataFrame, cmap: dict | None = None,
+        pre_arranged: bool = False,
     ) -> list[dict]:
         """Write df as parquet file(s), Delta layout: partition columns
         stripped from the files, recorded per-file in add actions.
         `cmap` (column-mapped tables) lands PHYSICAL column names +
         field ids in the files and keys partitionValues on physical
-        names — both spec requirements for mapped tables."""
+        names — both spec requirements for mapped tables.
+        `pre_arranged`: the caller already partitioned+sorted the rows
+        (OPTIMIZE ZORDER) — re-sorting on sort_by here would destroy
+        that arrangement."""
         import shutil
         import time as _time
         import uuid
@@ -2759,7 +2777,7 @@ class DeltaTableWriter:
         uid = uuid.uuid4().hex[:12]
         staging = os.path.join(self.path, f".staging_{uid}")
         adds: list[dict] = []
-        if self.sort_by:
+        if self.sort_by and not pre_arranged:
             # sort on LOGICAL names, before any mapping rename
             missing = [
                 c for c in self.sort_by if c not in df.columns
@@ -3138,14 +3156,30 @@ class DeltaTableWriter:
         }
         return mat_id, mat_cv, {"metaData": meta}
 
-    def optimize(self) -> None:
+    def optimize(
+        self,
+        zorder_by: "Sequence[str]" = (),
+        curve: str = "z",
+        n_files: int | None = None,
+    ) -> None:
         """Compact the table: rewrite the current live rows as fresh
         files and drop every old add — including DV-carrying ones, so
         accumulated soft deletes become physical (the protocol's
         OPTIMIZE shape: `dataChange: false`, the logical content is
         unchanged and downstream streams must not re-emit it). Run this
         periodically on DV-merged tables; without it, heavily-deleted
-        files keep paying their DV anti-join forever."""
+        files keep paying their DV anti-join forever.
+
+        `zorder_by` = OPTIMIZE ZORDER BY (Delta's own maintenance verb):
+        the rewrite is arranged along a space-filling curve over those
+        columns (`curve`: "z" Morton / "hilbert" — layout.cluster_arrange)
+        so every fresh file covers a small hyper-rectangle of the key
+        space; the per-file min/max stats recorded in the add actions
+        then prune files for predicates on ANY clustered column (the
+        reader's stats_filter / DataFrame-filter skipping), where
+        sort_by's linear order only prunes on its leading column. It
+        overrides the writer's sort_by for this rewrite, exactly like
+        the real OPTIMIZE ZORDER."""
         for _ in range(self.max_commit_retries):
             reader = self._reader()
             v = self._latest_version()
@@ -3175,7 +3209,17 @@ class DeltaTableWriter:
                 {"remove": {"path": p, "dataChange": False}}
                 for p in sorted(snap.files)
             ]
-            adds = self._write_files(current, self._column_map(snap))
+            if zorder_by:
+                from deimos_spark.operators import layout
+
+                current = layout.cluster_arrange(
+                    current, list(zorder_by), n_files=n_files, curve=curve
+                )
+            adds = self._write_files(
+                current,
+                self._column_map(snap),
+                pre_arranged=bool(zorder_by),
+            )
             for a in adds:
                 a["add"]["dataChange"] = False
             try:

@@ -2782,7 +2782,7 @@ class IcebergTableWriter:
             return v, json.load(fh)
 
     def _write_data_files(
-        self, df: DataFrame
+        self, df: DataFrame, pre_arranged: bool = False
     ) -> list[tuple[str, int, int, dict]]:
         """df → parquet files under data/;
         [(abs_path, rows, bytes, partition_values)].
@@ -2809,7 +2809,7 @@ class IcebergTableWriter:
         src_types = {
             f.name: f.dataType.simpleString() for f in df.schema.fields
         }
-        if self.sort_by:
+        if self.sort_by and not pre_arranged:
             from pyspark.sql import functions as F
 
             missing = [c for c in self.sort_by if c not in src_types]
@@ -2943,6 +2943,7 @@ class IcebergTableWriter:
         summary_extra: dict[str, str] | None = None,
         pre_written: list[tuple[str, int, int, dict]] | None = None,
         base: tuple[int, dict | None] | None = None,
+        pre_arranged: bool = False,
     ) -> None:
         """One snapshot commit. `df` → new data files (None for
         delete-only commits, with `schema_override` supplying the table
@@ -3135,7 +3136,7 @@ class IcebergTableWriter:
                     )
 
         files = (
-            self._write_data_files(df)
+            self._write_data_files(df, pre_arranged=pre_arranged)
             if df is not None
             else list(pre_written or [])
         )
@@ -3892,19 +3893,41 @@ class IcebergKeyedTable:
     def delete(self, keys: DataFrame) -> None:
         self.merge(delete_keys=keys)
 
-    def optimize(self) -> None:
+    def optimize(
+        self,
+        zorder_by: "list[str] | tuple[str, ...]" = (),
+        curve: str = "z",
+        n_files: int | None = None,
+    ) -> None:
         """Compaction = overwrite with the CURRENT live rows. The read
         and the commit pin the same metadata version (r12): an
         unpinned overwrite racing a merge could commit rows read
-        BEFORE that merge and silently roll it back."""
+        BEFORE that merge and silently roll it back.
+
+        `zorder_by`: rewrite along a space-filling curve over those
+        columns (curve "z" Morton / "hilbert" — the shape of Iceberg's
+        own zorder/hilbert sort-order transforms) so the per-file
+        lower/upper bounds recorded in the manifests prune files for
+        predicates on ANY clustered column via the reader's
+        stats_filter — where a linear sort_by only prunes its leading
+        column."""
         for _ in range(self.max_commit_retries):
             mv, md = self.writer._current()
             if md is None:
                 return
             reader = IcebergTableReader(self.spark, self.path, pin_version=mv)
             try:
+                current = reader.read()
+                if zorder_by:
+                    from deimos_spark.operators import layout
+
+                    current = layout.cluster_arrange(
+                        current, list(zorder_by), n_files=n_files,
+                        curve=curve,
+                    )
                 self.writer._snapshot_commit(
-                    reader.read(), overwrite=True, base=(mv, md)
+                    current, overwrite=True, base=(mv, md),
+                    pre_arranged=bool(zorder_by),
                 )
                 return
             except IcebergCommitConflict:

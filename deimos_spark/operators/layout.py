@@ -53,41 +53,32 @@ def write_clustered(
     writer.parquet(path)
 
 
-def zorder_key(
-    df: DataFrame, cols: Sequence[str], bits: int = 12
-) -> "tuple[DataFrame, str]":
-    """Add a Morton (Z-order) key column interleaving `cols`' bucketed
-    values → (df, key_col_name).
-
-    Each column is bucketed to [0, 2^bits) with `width_bucket` over its
-    min/max (one scalar agg per column — a bounded driver read of 2
-    numbers, the same shape Delta's OPTIMIZE ZORDER uses for range ids),
-    then the bucket bits interleave into one long. Everything after the
-    min/max probe is a single codegen'd expression — no window, no
-    shuffle beyond the caller's eventual range partition.
+def _bucket_exprs(df: DataFrame, cols: Sequence[str], bits: int) -> list:
+    """Per-column equal-width bucket expressions to [0, 2^bits) via
+    `width_bucket` over each column's min/max (one scalar agg total —
+    a bounded driver read of 2 numbers per column, the same shape
+    Delta's OPTIMIZE ZORDER uses for range ids). Shared by the Z-order
+    and Hilbert keys — the curves differ only in how the buckets
+    combine into one key.
 
     Equal-width bucketing keeps the key expression O(bits) instead of a
     2^bits-way CASE; heavily skewed columns trade some balance for that
     (the docstring's honest caveat — quantile boundaries would fix skew
     at the cost of an approxQuantile pass)."""
-    if not cols or len(cols) * bits > 63:
-        raise ValueError(
-            f"zorder needs 1..{63 // bits} columns at {bits} bits"
-        )
     bounds = df.agg(
         F.count(F.lit(1)).alias("__n"),
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],
     ).head()
     if bounds is None or bounds["__n"] == 0:
-        raise ValueError("zorder_key: empty DataFrame — nothing to cluster")
+        raise ValueError("cluster key: empty DataFrame — nothing to cluster")
     n_buckets = 1 << bits
-    z = F.lit(0).cast("long")
-    for j, c in enumerate(cols):
+    out = []
+    for c in cols:
         if bounds[f"mn_{c}"] is None:
             raise ValueError(
-                f"zorder_key: column {c!r} is all NULL — no value range "
-                "to bucket; drop it from the z-order columns"
+                f"cluster key: column {c!r} is all NULL — no value range "
+                "to bucket; drop it from the clustering columns"
             )
         mn = float(bounds[f"mn_{c}"])
         mx = float(bounds[f"mx_{c}"])
@@ -103,14 +94,145 @@ def zorder_key(
             )
             - F.lit(1)
         )
-        b = F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)).cast(
-            "long"
+        out.append(
+            F.least(F.greatest(b, F.lit(0)), F.lit(n_buckets - 1)).cast(
+                "long"
+            )
         )
+    return out
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Add a Morton (Z-order) key column interleaving `cols`' bucketed
+    values → (df, key_col_name).
+
+    Everything after the min/max probe is a single codegen'd expression
+    — no window, no Python, no shuffle beyond the caller's eventual
+    range partition. See _bucket_exprs for the bucketing contract."""
+    if not cols or len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder needs 1..{63 // bits} columns at {bits} bits"
+        )
+    z = F.lit(0).cast("long")
+    for j, b in enumerate(_bucket_exprs(df, cols, bits)):
         for i in range(bits):
             bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * len(cols) + j))
     key = "__zorder"
     return df.withColumn(key, z), key
+
+
+def hilbert_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 12
+) -> "tuple[DataFrame, str]":
+    """Add a Hilbert-curve key column over `cols`' bucketed values →
+    (df, key_col_name).
+
+    Why offer Hilbert next to Z-order: Morton order has long "jumps"
+    (the curve teleports across the key space at power-of-two
+    boundaries), so a file covering a contiguous Morton range can span
+    two far-apart hyper-rectangles and its min/max stats widen; the
+    Hilbert curve is jump-free (every consecutive pair of cells is
+    axis-adjacent), which keeps per-file bounding boxes tighter on
+    average — the reason Databricks' liquid clustering and Iceberg's
+    `hilbert` sort-order transform use it at 100-TB scale.
+
+    Implementation: bucketing is the same codegen'd expression as
+    Z-order (see _bucket_exprs); the bucket→index mapping is Skilling's
+    transpose algorithm ("Programming the Hilbert curve", AIP 2004 —
+    public domain), vectorized over rows in an Arrow-batched pandas_udf.
+    Python in the path is a deliberate, write-time-only trade: the key
+    is computed once per clustering rewrite, never at query time, and
+    the kernel is pure numpy bit math (no per-row Python)."""
+    if not cols or len(cols) * bits > 63:
+        raise ValueError(
+            f"hilbert needs 1..{63 // bits} columns at {bits} bits"
+        )
+    n = len(cols)
+    if n == 1:
+        # 1-D Hilbert is the identity — same key as Z-order, no UDF
+        return zorder_key(df, cols, bits)
+
+    import pandas as pd  # noqa: F401 (kernel type context)
+
+    @F.pandas_udf("long")
+    def _hilbert(*bcols):
+        import numpy as np
+        import pandas as pd
+
+        X = np.stack(
+            [c.to_numpy(dtype=np.int64) for c in bcols], axis=1
+        ).astype(np.uint64)
+        # Skilling AxestoTranspose: in-place Gray-code untwisting
+        M = np.uint64(1) << np.uint64(bits - 1)
+        Q = M
+        one = np.uint64(1)
+        while Q > one:
+            P = Q - one
+            for i in range(n):
+                upper = (X[:, i] & Q) != 0
+                X[upper, 0] ^= P
+                lower = ~upper
+                t = (X[lower, 0] ^ X[lower, i]) & P
+                X[lower, 0] ^= t
+                X[lower, i] ^= t
+            Q >>= one
+        for i in range(1, n):
+            X[:, i] ^= X[:, i - 1]
+        t = np.zeros(len(X), dtype=np.uint64)
+        Q = M
+        while Q > one:
+            mask = (X[:, n - 1] & Q) != 0
+            t[mask] ^= Q - one
+            Q >>= one
+        for i in range(n):
+            X[:, i] ^= t
+        # interleave the transpose MSB-first into one integer
+        h = np.zeros(len(X), dtype=np.uint64)
+        for b in range(bits - 1, -1, -1):
+            for i in range(n):
+                h = (h << one) | ((X[:, i] >> np.uint64(b)) & one)
+        return pd.Series(h.astype(np.int64))
+
+    bexprs = _bucket_exprs(df, cols, bits)
+    key = "__hilbert"
+    return df.withColumn(key, _hilbert(*bexprs)), key
+
+
+def cluster_key(
+    df: DataFrame, cols: Sequence[str], bits: int = 12, curve: str = "z"
+) -> "tuple[DataFrame, str]":
+    """Dispatch: space-filling-curve key for `curve` in {"z",
+    "hilbert"} — the one entry point the plain-parquet and Delta/
+    Iceberg clustering writers share."""
+    if curve == "z":
+        return zorder_key(df, cols, bits)
+    if curve == "hilbert":
+        return hilbert_key(df, cols, bits)
+    raise ValueError(f"unknown clustering curve {curve!r} (z | hilbert)")
+
+
+def cluster_arrange(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int | None = None,
+    bits: int = 12,
+    curve: str = "z",
+) -> DataFrame:
+    """Arrange rows for an interleaved-clustered write: range-partition
+    + sort on the curve key, then drop it (layout-only — schema
+    unchanged). Factored out so lakehouse writers (Delta/Iceberg
+    OPTIMIZE ZORDER) can reuse the exact arrangement their add-action
+    stats are then computed over."""
+    keyed, key = cluster_key(df, cols, bits, curve)
+    ranged = (
+        keyed.repartitionByRange(n_files, key)
+        if n_files
+        else keyed.repartitionByRange(key)
+    )
+    return ranged.sortWithinPartitions(key).drop(key)
 
 
 def write_zordered(
@@ -120,20 +242,18 @@ def write_zordered(
     n_files: int,
     bits: int = 12,
     mode: str = "overwrite",
+    curve: str = "z",
 ) -> None:
-    """Write parquet Z-ORDER clustered on `cols` — multi-dimensional
-    data skipping (Delta OPTIMIZE ZORDER's shape): each output file
-    covers a small hyper-rectangle of the key space, so min/max stats
-    prune files for predicates on ANY of the columns, where a linear
-    sort only skips on its leading column. Range-partition + sort on
-    the Morton key, then drop it (layout-only — schema unchanged)."""
-    keyed, key = zorder_key(df, cols, bits)
-    (
-        keyed.repartitionByRange(n_files, key)
-        .sortWithinPartitions(key)
-        .drop(key)
-        .write.mode(mode)
-        .parquet(path)
+    """Write parquet clustered on a space-filling curve over `cols` —
+    multi-dimensional data skipping (Delta OPTIMIZE ZORDER's shape):
+    each output file covers a small hyper-rectangle of the key space,
+    so min/max stats prune files for predicates on ANY of the columns,
+    where a linear sort only skips on its leading column. `curve` picks
+    Morton ("z", pure codegen'd expressions) or Hilbert ("hilbert",
+    tighter boxes, one vectorized write-time kernel — see
+    hilbert_key)."""
+    cluster_arrange(df, cols, n_files, bits, curve).write.mode(mode).parquet(
+        path
     )
 
 

@@ -231,7 +231,7 @@ def ivf_train(
     cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
     for _ in range(max_iter):
         # assign → recenter; empty cells re-seeded from the farthest points
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sqdist(x, cents)
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
         for c in range(len(cents)):
@@ -462,25 +462,37 @@ def pairwise_cosine_above(
 # driver-side pattern ivf_train established.
 
 
+def _sqdist(x, cents):
+    """(n, k) squared distances via the matmul identity
+    |x|² + |c|² − 2x·c. The broadcast subtraction form
+    ((x[:,None,:] − c[None,:,:])**2).sum(−1) materializes an
+    (n, k, d) temp — ~1.6 GiB per call at pq_train defaults
+    (100k × 256 × 8 float64) and multi-GiB at non-default n_cells —
+    a driver MemoryError waiting to happen (ADVICE r12); this form
+    only ever materializes (n, k). Tiny negatives from rounding are
+    clamped so downstream sqrt/min stay sane."""
+    import numpy as np
+
+    x2 = (x * x).sum(axis=1)
+    c2 = (cents * cents).sum(axis=1)
+    d2 = x2[:, None] + c2[None, :] - 2.0 * (x @ cents.T)
+    return np.maximum(d2, 0.0, out=d2)
+
+
 def _kmeans(x, k: int, seed: int, max_iter: int):
     """Lloyd's over a bounded in-memory sample (the ivf_train loop,
     factored for subspace codebooks). Returns (k', d) centroids with
     k' = min(k, len(x)) — distinct seed points, so k' >= n reproduces
     the sample exactly (the property the PQ exactness test pins).
 
-    Distances via the matmul identity |x|² + |c|² − 2x·c: the
-    broadcast (n, k, d) temp of the subtraction form is ~1.6 GiB per
-    iteration at pq_train defaults (100k × 256 × 8 float64) — a
-    driver MemoryError waiting to happen; the matmul form only ever
-    materializes (n, k)."""
+    Distances via _sqdist's matmul identity — see its docstring for
+    why the subtraction form is a driver-memory hazard."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
     cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
-    x2 = (x * x).sum(axis=1)
     for _ in range(max_iter):
-        c2 = (cents * cents).sum(axis=1)
-        d2 = x2[:, None] + c2[None, :] - 2.0 * (x @ cents.T)
+        d2 = _sqdist(x, cents)
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
         for c in range(len(cents)):
@@ -548,8 +560,7 @@ def pq_train(
     dsub = dim // m
     x = _unit_rows(x)
     cents = _kmeans(x, n_cells, seed, max_iter)
-    d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = x - cents[d2.argmin(axis=1)]
+    resid = x - cents[_sqdist(x, cents).argmin(axis=1)]
     books = [
         _kmeans(
             resid[:, j * dsub : (j + 1) * dsub], codebook_size,
@@ -612,16 +623,14 @@ def pq_encode(
                     [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
                 )
             )
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            cell = d2.argmin(axis=1)
+            cell = _sqdist(x, cents).argmin(axis=1)
             resid = x - cents[cell]
             codes = np.empty((len(x), m), dtype=np.uint8)
             for j in range(m):
                 sub = resid[:, j * dsub : (j + 1) * dsub]
-                dj = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
-                    axis=2
+                codes[:, j] = (
+                    _sqdist(sub, books[j]).argmin(axis=1).astype(np.uint8)
                 )
-                codes[:, j] = dj.argmin(axis=1).astype(np.uint8)
             yield pd.DataFrame(
                 {
                     "_pqid": pdf["_id"].to_numpy(),

@@ -203,6 +203,7 @@ def state_history(
     user_col: str = "user_id",
     ts_col: str = "ts",
     state_col: str = "state",
+    order_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Streaming twin of operators/timeseries.state_history (x14): per
     key, maintain the CURRENT run (state value, valid_from, last_seen,
@@ -215,7 +216,9 @@ def state_history(
     rows by unioning the store's view with emitted history downstream.
 
     Ordering: rows are processed in event-time order WITHIN each batch
-    (sorted on ts); ACROSS batches correctness relies on per-key ordered
+    (sorted on ts, then `order_cols` as a deterministic tiebreak for
+    equal timestamps — same contract as the batch twin's order_cols);
+    ACROSS batches correctness relies on per-key ordered
     delivery (SURVEY C3 — the consumer contract) or a watermarked
     source: an event older than the key's last_seen cannot rewrite
     already-emitted history and is folded into the current run with a
@@ -252,7 +255,13 @@ def state_history(
     ) -> Iterable[pd.DataFrame]:
         (uid,) = key
         cur = list(state.get) if state.exists else None
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        # ts alone is not a total order: equal-timestamp events within a
+        # batch would sort by pandas' (shuffle-dependent) input order and
+        # make run boundaries retry-nondeterministic — order_cols is the
+        # tiebreak, mirroring timeseries.state_history (ADVICE r12)
+        rows = pd.concat(list(pdfs)).sort_values(
+            [ts_col, *order_cols], kind="mergesort"
+        )
         closed = []
         for t, sv in zip(rows[ts_col], rows[state_col]):
             t_us = int(t.value // 1_000)  # pandas ns → µs, Spark's unit

@@ -294,6 +294,27 @@ def test_wide_hole_above_checkpoint_raises_no_list(spark, tmp_path):
     assert r.last_snapshot_listed_log is False  # stayed on the fast path
 
 
+def test_wide_hole_beyond_probe_window_raises(spark, tmp_path):
+    """ADVICE r12: a hole WIDER than any fixed probe window (4 commits
+    gone, a later one present) under a FRESH pointer was the blind spot
+    of the 3-probe version — the name-only end-of-log confirmation must
+    catch it without falling back to the slow-path replay."""
+    path = str(tmp_path / "t")
+    w = DeltaTableWriter(spark, path, checkpoint_interval=6)
+    for b in range(12):  # v0..v11, checkpoint + pointer at v6
+        w.append(
+            spark.range(b * 10, b * 10 + 2).selectExpr("id", "id * 2 AS v")
+        )
+    for missing in (7, 8, 9, 10):
+        os.remove(os.path.join(path, "_delta_log", f"{missing:020d}.json"))
+    r = DeltaTableReader(spark, path)
+    with pytest.raises(DeltaProtocolError, match="hole"):
+        r.snapshot()
+    assert r.last_snapshot_listed_log is False
+    # a pinned read BELOW the hole is still legitimately servable
+    assert r.read(version=6).count() == 14
+
+
 def test_unreadable_existing_commit_raises(spark, tmp_path):
     """A commit that EXISTS but cannot be opened (I/O error — modeled
     as a directory squatting on the name, since root ignores chmod)

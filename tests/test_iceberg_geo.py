@@ -487,3 +487,26 @@ def test_engine_sql_bbox_predicate(spark):
         "ORDER BY id"
     ).collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_engine_sql_bbox_null_bounds(spark):
+    """ADVICE r12: a NULL box bound from SQL must behave as a
+    not-satisfied predicate (row filtered out), never a TypeError
+    that fails the whole query."""
+    from deimos_spark.engine import Engine
+
+    eng = Engine(spark).register_geo_functions()
+    df = spark.createDataFrame(
+        [
+            (1, geo.wkb_point(5.0, 5.0), 10.0),
+            (2, geo.wkb_point(5.0, 5.0), None),
+        ],
+        "id long, g binary, xmax double",
+    )
+    eng.register_view("geot_bbox_null", df)
+    rows = eng.sql(
+        "SELECT id FROM geot_bbox_null "
+        "WHERE st_bbox_intersects(g, 0.0D, 0.0D, xmax, 10.0D) "
+        "ORDER BY id"
+    ).collect()
+    assert [r.id for r in rows] == [1]

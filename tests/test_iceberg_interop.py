@@ -1863,3 +1863,52 @@ def test_keyed_merge_never_collects_hit_pairs(spark, tmp_path, mode):
     assert (2, "V2") in got and (99, "new") in got
     assert not any(i in (5, 13) for i, _ in got)
     assert len(got) == 15  # 16 - 2 deleted - 1 replaced + 2 upserts
+
+
+def test_iceberg_optimize_zorder_manifest_bound_skipping(spark, tmp_path):
+    """VERDICT r12 #1, Iceberg wiring: optimize(zorder_by=...) rewrites
+    along a space-filling curve (the shape of Iceberg's own zorder /
+    hilbert sort-order transforms) so the manifests' per-file
+    lower/upper bounds prune on BOTH filter columns — measured: the
+    2-predicate stats_filter plans ≤ 1/3 of the data files the
+    sort_by (single-axis) twin plans, results identical."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergKeyedTable,
+        IcebergTableWriter,
+    )
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 253).alias("x"),
+        ((F.col("id") * 7919) % 241).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zt, lt = str(tmp_path / "z"), str(tmp_path / "lin")
+    wz = IcebergTableWriter(spark, zt)
+    wz.append(df)
+    IcebergKeyedTable(spark, zt, ["payload"]).optimize(
+        zorder_by=["x", "y"], n_files=32
+    )
+    # linear twin: sort_by range-clusters at write time already
+    wl = IcebergTableWriter(spark, lt, sort_by=["x"], sort_partitions=32)
+    wl.append(df)
+
+    sfilt = {"x": (0, 125), "y": (0, 29)}
+    rz, rl = IcebergTableReader(spark, zt), IcebergTableReader(spark, lt)
+    zn = len(rz._file_sets(None, None, sfilt)[0])
+    ln = len(rl._file_sets(None, None, sfilt)[0])
+    assert len(rl._file_sets(None, None, None)[0]) == 32 and ln >= 12
+    assert zn * 3 <= ln, (zn, ln)
+
+    def rows(r):
+        return sorted(
+            tuple(t)
+            for t in r.read(stats_filter=sfilt)
+            .filter((F.col("x") <= 125) & (F.col("y") <= 29))
+            .collect()
+        )
+
+    base = rows(rl)
+    assert base and rows(rz) == base

@@ -188,6 +188,107 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     assert got.count() == n and set(got.columns) == {"x", "y"}
 
 
+def _candidate_files(path, box):
+    """Files whose footer [min,max] boxes intersect the predicate box —
+    exactly the set a stats-pruning reader must open. (candidates,
+    total)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    xlo, xhi, ylo, yhi = box
+    tot = cand = 0
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            tot += 1
+            md = pq.read_metadata(os.path.join(dp, f))
+            mn = {"x": 1e18, "y": 1e18}
+            mx = {"x": -1e18, "y": -1e18}
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    nm = c.path_in_schema
+                    if nm in mn and c.statistics is not None:
+                        mn[nm] = min(mn[nm], c.statistics.min)
+                        mx[nm] = max(mx[nm], c.statistics.max)
+            if (
+                mx["x"] >= xlo
+                and mn["x"] <= xhi
+                and mx["y"] >= ylo
+                and mn["y"] <= yhi
+            ):
+                cand += 1
+    return cand, tot
+
+
+def test_interleaved_skip_ratio_vs_range_clustered(spark, tmp_path):
+    """VERDICT r12 #1, the measured deliverable: under a 2-predicate
+    filter, the interleaved layouts must need ≤ 1/3 of the files the
+    single-axis range-clustered layout needs, with oracle-identical
+    results. Measured at 64 files: linear=32 candidates, z=7,
+    hilbert=5 (Hilbert ≤ Z — jump-free curve, tighter boxes)."""
+    from deimos_spark.operators.layout import write_zordered
+
+    n = 64_000
+    df = spark.range(n).select(
+        (F.col("id") % 253).alias("x"),
+        ((F.col("id") * 7919) % 241).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    paths = {k: str(tmp_path / k) for k in ("lin", "z", "hilbert")}
+    df.repartitionByRange(64, "x").sortWithinPartitions("x").write.parquet(
+        paths["lin"]
+    )
+    write_zordered(df, paths["z"], ["x", "y"], n_files=64)
+    write_zordered(
+        df, paths["hilbert"], ["x", "y"], n_files=64, curve="hilbert"
+    )
+
+    box = (0, 125, 0, 29)  # x: half the range, y: ~1/8 — both predicates bite
+    cand = {k: _candidate_files(p, box) for k, p in paths.items()}
+    assert cand["lin"][1] == 64 and cand["lin"][0] >= 24  # x alone is weak
+    for k in ("z", "hilbert"):
+        assert cand[k][0] * 3 <= cand["lin"][0], (k, cand)
+    assert cand["hilbert"][0] <= cand["z"][0], cand  # the Hilbert claim
+
+    def rows(p):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(p)
+            .filter((F.col("x") <= 125) & (F.col("y") <= 29))
+            .collect()
+        )
+
+    rl = rows(paths["lin"])
+    assert rl and rows(paths["z"]) == rl and rows(paths["hilbert"]) == rl
+
+
+def test_hilbert_key_is_a_space_filling_curve(spark):
+    """Structural properties on a dense grid: the Hilbert key must be a
+    BIJECTION onto [0, 4^bits) and consecutive keys must be
+    axis-ADJACENT cells (the jump-freedom Z-order lacks — Morton
+    teleports at power-of-two boundaries)."""
+    from deimos_spark.operators.layout import hilbert_key
+
+    bits = 3
+    side = 1 << bits
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("long").alias("y"),
+    )
+    # identity bucketing: values already span [0, 2^bits)
+    keyed, key = hilbert_key(grid, ["x", "y"], bits=bits)
+    rows = {(r["x"], r["y"]): r[key] for r in keyed.collect()}
+    ks = sorted(rows.values())
+    assert ks == list(range(side * side))  # bijection
+    inv = {v: k for k, v in rows.items()}
+    for h in range(side * side - 1):
+        (x0, y0), (x1, y1) = inv[h], inv[h + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1, (h, inv[h], inv[h + 1])
+
+
 def test_zorder_key_guards(spark):
     import pytest
 

@@ -150,3 +150,71 @@ def test_layout_invariant(spark, qname):
             f"{qname}: result differs between layout 'small' and "
             f"'{name}' — partition-layout-dependent answer"
         )
+
+
+# ---------------------------------------------------------------------------
+# Physical FILE-layout invariance (VERDICT r12 #1): rewriting the input
+# tables along a space-filling curve (Z-order / Hilbert) reorders rows
+# and redraws file boundaries — a maintenance op a 100-TB table runs
+# routinely. Query RESULTS must be identical over the clustered copy;
+# only the scan cost may change. Uses the same canonicalization as the
+# oracle harness.
+
+ZORDER_COLS = {
+    # table -> 2 numeric clustering columns (the multi-predicate shape)
+    "lineitem": ["l_orderkey", "l_partkey"],
+    "events": ["user_id", "value"],
+    "documents": ["doc_id", "n_chars"],
+}
+
+# shuffle-heavy queries whose inputs cover all three rewritten tables
+ZLAYOUT_QUERIES = [
+    "b11_agg_hash",
+    "b20_keep_last_per_key",
+    "t06_minhash_pairs",
+    "t26_substr_dedup",
+    "x13_sessionize",
+    "x14_scd2_history",
+]
+
+
+@pytest.fixture(scope="module")
+def zordered_sf_dir(spark, tmp_path_factory):
+    import shutil
+
+    from deimos_spark.operators.layout import write_zordered
+
+    src = Path(SF_DIR)
+    dst = tmp_path_factory.mktemp("zsf")
+    for t in src.glob("*.parquet"):
+        name = t.stem
+        out = str(dst / t.name)
+        if name in ZORDER_COLS:
+            df = spark.read.parquet(str(t))
+            curve = "hilbert" if name == "events" else "z"
+            write_zordered(df, out, ZORDER_COLS[name], n_files=8, curve=curve)
+        else:
+            if t.is_dir():
+                shutil.copytree(str(t), out)
+            else:
+                shutil.copy(str(t), out)
+    return str(dst)
+
+
+@pytest.mark.parametrize("qname", ZLAYOUT_QUERIES)
+def test_zordered_file_layout_invariant(spark, qname, zordered_sf_dir):
+    from deimos_spark.queries import clear_plan_cache
+
+    fn = _registry()[qname]
+    clear_plan_cache()
+    df = fn(spark, SF_DIR)
+    base = _norm_rows(df.columns, df.collect())
+    clear_plan_cache()
+    dfz = fn(spark, zordered_sf_dir)
+    got = _norm_rows(dfz.columns, dfz.collect())
+    clear_plan_cache()
+    assert base, f"{qname}: empty result weakens the property"
+    assert got == base, (
+        f"{qname}: result differs between the original and the "
+        "z-ordered file layout — row-order/file-boundary-dependent answer"
+    )
