@@ -115,6 +115,28 @@ def dot_cols_unrolled(a: str, b: str, dim: int) -> Column:
     )
 
 
+def dot_cols_unrolled_nullprop(a: str, b: str, dim: int) -> Column:
+    """NULL-PROPAGATING unrolled dot — bit-identical to the fold `dot`
+    (same left-to-right association; out-of-range element_at yields
+    NULL exactly like zip_with's ragged padding, and any NULL term
+    NULLs the sum) and ~3× leaner than dot_cols_unrolled's
+    zero-padding form: no per-term IF, so a 64-dim product stays far
+    from janino's 64 KB generated-method limit (the padded 3-piece
+    cosine blew past it and silently fell back to interpreted).
+    Caveat: vectors LONGER than `dim` are truncated where the fold
+    would include the tail — callers probe `dim` from the data and
+    fixed-width embedding columns are the contract (ragged input
+    already breaks the numpy training path upstream)."""
+    if dim > UNROLL_MAX_DIM:
+        return dot(to_double_array(F.col(a)), to_double_array(F.col(b)))
+    terms = " + ".join(
+        f"CAST(element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(element_at({b}, {i + 1}) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return F.expr(terms)
+
+
 def norm_unrolled(a: str, dim: int) -> Column:
     """sqrt(self-dot), unrolled like dot_cols_unrolled."""
     if dim > UNROLL_MAX_DIM:

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from deimos_spark.functions import vectors
 from deimos_spark.functions.vectors import (
     cosine,
     cosine_vs_literal,
@@ -447,6 +448,156 @@ def pairwise_cosine_above(
         .filter(F.col("sim") >= threshold)
         .distinct()
     )
+
+
+def _blocked_cell_pairs(
+    cents, radii: dict[int, float], threshold: float
+) -> list[tuple[int, int]]:
+    """Candidate cell pairs for metric-ball blocking, BOTH orientations
+    for a≠b (plus (a,a) once): unit vectors with cos ≥ t lie within
+    GEODESIC angle θ_t = arccos(t) of each other, so by the spherical
+    triangle inequality any qualifying cross-cell pair forces
+    angle(ĉ_a, ĉ_b) ≤ r_a + θ_t + r_b (radii = max member angle to the
+    cell's unit centroid direction, from ivf_cell_dist_udf) — every
+    other cell pair is PROVABLY empty and never joined. Angles beat
+    chords here: at t=0.4 the chord radius (1.095) is as large as a
+    typical inter-centroid chord and prunes nothing. t is relaxed by
+    1e-4 so pairs that only qualify after the output's round-to-4
+    (sim ∈ [t−5e-5, t)) are still covered, plus 1e-9 for arccos
+    rounding. Driver cost: one K×K angle matrix, K = n_cells."""
+    import numpy as np
+
+    t_eff = threshold - 1e-4
+    theta = float(np.arccos(np.clip(t_eff, -1.0, 1.0)))
+    c = np.asarray(cents, dtype=np.float64)
+    n = np.sqrt((c * c).sum(axis=1, keepdims=True))
+    cu = np.divide(c, n, out=np.zeros_like(c), where=n > 0)
+    ca = np.arccos(np.clip(cu @ cu.T, -1.0, 1.0))
+    # vectorized over the K×K grid (a Python double loop is itself a
+    # quadratic driver cost at large n_cells); rows/cols restricted to
+    # NON-EMPTY cells (radii keys)
+    cells = np.asarray(sorted(radii), dtype=np.int64)
+    r = np.asarray([radii[a] for a in cells])
+    sub = ca[np.ix_(cells, cells)]
+    ok = sub <= r[:, None] + r[None, :] + theta + 1e-9
+    ai, bi = np.nonzero(np.triu(ok))
+    pairs: list[tuple[int, int]] = []
+    for a, b in zip(cells[ai], cells[bi]):
+        pairs.append((int(a), int(b)))
+        if a != b:
+            pairs.append((int(b), int(a)))
+    return pairs
+
+
+def pairwise_cosine_exact_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+    max_train: int = 100_000,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold without the Θ(n²) pair
+    relation (VERDICT r12 #2 — lifts pairwise_cosine_exact's 20k cap).
+
+    NOT LSH: banding by random hyperplanes loses pairs (finite bands
+    can't guarantee recall at any threshold), so an LSH-blocked t28
+    would diverge from its exact oracle. This blocks by METRIC BALLS
+    instead: k-means cells in unit space, per-cell max radius, and the
+    triangle inequality proving which cell pairs can possibly hold a
+    qualifying pair (_blocked_cell_pairs) — identical output to
+    pairwise_cosine_exact by construction, including the round-to-4
+    boundary.
+
+    Plan shape: one Arrow kernel pass for (cell, dist) assignment, a
+    K-row driver agg for radii, then an equi-join co-located on the
+    broadcast candidate cell-pair list — no BroadcastNestedLoopJoin,
+    no cartesian. Work is Σ |A|·|B| over surviving cell pairs: for
+    clustered corpora that is ~n²/K, and it degrades toward n² only
+    when the data genuinely packs inside one D-ball — where the OUTPUT
+    itself is Θ(n²) and no exact algorithm can do better. Centroid
+    training is the bounded-sample ivf_train recipe (collect ≤
+    max_train rows, Lloyd's on the driver, model ships as literals)."""
+    import numpy as np
+
+    from deimos_spark.schemas.kernels import ivf_cell_dist_udf
+
+    n = df.count()
+    if n <= 1:
+        return pairwise_cosine_exact(
+            df, threshold, id_col, vec_col, max_rows=max(n, 1)
+        )
+    frac = min(1.0, max_train / n)
+    train = df.select(to_double_array(vec_col).alias("_v"))
+    if frac < 1.0:
+        train = train.sample(fraction=frac, seed=seed)
+    x = np.asarray(
+        [r["_v"] for r in train.limit(max_train).collect()],
+        dtype=np.float64,
+    )
+    cents = _kmeans(
+        _unit_rows(x), min(n_cells, len(x)), seed, max_iter
+    )
+
+    cd = ivf_cell_dist_udf(cents.tolist())(F.col(vec_col))
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cd.getField("cell").alias("_cell"),
+        cd.getField("dist").alias("_dist"),
+    )
+    radii = {
+        r["_cell"]: r["r"]
+        for r in assigned.groupBy("_cell")
+        .agg(F.max("_dist").alias("r"))
+        .collect()
+    }
+    # Radii over the FULL table (not the training sample): the bound
+    # must cover every member, including ones the sample never saw.
+    cand_cells = _blocked_cell_pairs(cents, radii, threshold)
+    cellpairs = df.sparkSession.createDataFrame(
+        cand_cells, "_ca int, _cb int"
+    )
+    # Confirm-stage plan: norms are computed ONCE PER ROW on each join
+    # side (N evaluations), so the per-PAIR work is one unrolled dot —
+    # bit-identical to the fold cosine (dot/(norm_a·norm_b), same
+    # left-to-right association, same NULL propagation) but inside
+    # whole-stage codegen; the interpreted fold costs ~25µs/pair and
+    # dominated the operator before this split.
+    dim = x.shape[1] if x.ndim == 2 else 0
+    unroll = 0 < dim <= vectors.UNROLL_MAX_DIM
+    na = (
+        vectors.norm_unrolled(vec_col, dim)
+        if unroll
+        else vectors.norm(to_double_array(F.col(vec_col)))
+    )
+    left = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        na.alias("_na"),
+        F.col("_cell").alias("_ca"),
+    )
+    right = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        na.alias("_nb"),
+        F.col("_cell").alias("_cb"),
+    )
+    pairs = (
+        left.join(F.broadcast(cellpairs), "_ca")
+        .join(right, "_cb")
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    if unroll:
+        d = vectors.dot_cols_unrolled_nullprop("va", "vb", dim)
+    else:
+        d = dot(to_double_array(F.col("va")), to_double_array(F.col("vb")))
+    sim = d / (F.col("_na") * F.col("_nb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(sim, 4).alias("sim")
+    ).filter(F.col("sim") >= threshold)
 
 
 # ------------------------------------------------------------------ IVF-PQ

@@ -1098,15 +1098,18 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t28: APPLY the dedup decision end-to-end — near-dup pairs (t09
-    relation) → connected components (t20 machinery) → keep each
-    cluster's min-id representative → the SURVIVING corpus ids. The
-    step a real pipeline runs to materialize the deduped training
-    set; oracle = the identical recursive-CTE closure + keep rule."""
+    """t28: APPLY the dedup decision end-to-end — near-dup pairs (the
+    t09 relation, produced by the METRIC-BALL-BLOCKED exact operator:
+    identical pair set, no Θ(n²) BNLJ — simsearch.
+    pairwise_cosine_exact_blocked) → connected components (t20
+    machinery) → keep each cluster's min-id representative → the
+    SURVIVING corpus ids. The step a real pipeline runs to materialize
+    the deduped training set; oracle = the recursive-CTE closure over
+    the same exact pair relation + keep rule."""
     from deimos_spark.operators.graph import keep_representatives
 
     emb = _emb(spark, sf_dir)
-    edges = simsearch.pairwise_cosine_exact(emb, threshold=0.4)
+    edges = simsearch.pairwise_cosine_exact_blocked(emb, threshold=0.4)
     kept = keep_representatives(emb, edges, "vec_id")
     return kept.select("vec_id").orderBy("vec_id")
 

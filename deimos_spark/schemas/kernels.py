@@ -132,6 +132,56 @@ def ivf_cell_udf(centroids):
     return pandas_udf(_cell, "int")
 
 
+def ivf_cell_dist_udf(centroids):
+    """embedding array → struct(cell, dist): nearest-centroid index plus
+    the GEODESIC angle (radians) to the assigned centroid's unit
+    direction — the per-row half of the metric-ball blocking in
+    simsearch.pairwise_cosine_exact_blocked (cell radii = max member
+    angle). Angles, not chords: the spherical triangle inequality on
+    geodesics is strictly tighter than the chord-space one (at
+    threshold 0.4 the chord radius sqrt(2−2t)=1.095 ≈ the typical
+    inter-centroid chord, pruning nothing).
+
+    Rows are unit-normalized inside the kernel. Zero-norm and NULL
+    embeddings report angle 0 — deliberately NOT inflating the cell's
+    radius: such rows can never satisfy a positive cosine threshold
+    (the confirm-stage cosine is NULL/0), so the bound need not cover
+    them. One BLAS matmul per Arrow batch."""
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cents**2).sum(axis=1)
+    cn = np.sqrt(c_norm2)
+    cunit = np.divide(
+        cents, cn[:, None], out=np.zeros_like(cents), where=cn[:, None] > 0
+    )
+    dim = cents.shape[1]
+
+    def _cell_dist(v: pd.Series) -> pd.DataFrame:
+        m = np.vstack(
+            [
+                np.zeros(dim) if x is None else np.asarray(x, dtype=np.float64)
+                for x in v.to_numpy()
+            ]
+        )
+        nrm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+        nonzero = (nrm > 0).ravel()
+        m = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
+        x2 = (m * m).sum(axis=1)
+        d2 = x2[:, None] + c_norm2[None, :] - 2.0 * (m @ cents.T)
+        np.maximum(d2, 0.0, out=d2)
+        cell = d2.argmin(axis=1)
+        cosang = np.clip(
+            (m * cunit[cell]).sum(axis=1), -1.0, 1.0
+        )
+        ang = np.where(nonzero, np.arccos(cosang), 0.0)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32), "dist": ang}
+        )
+
+    return pandas_udf(_cell_dist, "cell int, dist double")
+
+
 def proto_registry_decode_udf(message, names, out_struct, known_ids=None):
     """Confluent-Protobuf-framed bytes → struct rows: validates magic 0
     + 4-byte BE schema id (optionally against the subject's known ids),

@@ -1713,3 +1713,65 @@ def test_optimize_zorder_multi_column_file_skipping(spark, tmp_path):
     rz2 = DeltaTableReader(spark, zt)
     hn = len(rz2.snapshot(stats_filter=sfilt).files)
     assert hn <= zn and rows(rz2) == base, (hn, zn)
+
+
+def test_multipart_checkpoint_write_roundtrip_with_stats(spark, tmp_path):
+    """VERDICT r12 #6: the writer emits MULTI-PART classic checkpoints
+    past the per-part action budget (the million-add-table shape), the
+    pointer carries `parts`, and a reader serving FROM the checkpoint
+    (JSON tail cleaned) keeps both the row set and per-file
+    stats-based skipping."""
+    import os as _os
+
+    from deimos_spark.operators.delta_interop import DeltaTableWriter
+
+    t = str(tmp_path / "mp")
+    w = DeltaTableWriter(
+        spark, t, checkpoint_interval=10, checkpoint_part_actions=4
+    )
+    for b in range(11):  # v0..v10, checkpoint at v10 with 11 adds + meta
+        w.append(
+            spark.range(b * 100, b * 100 + 10)
+            .selectExpr("id", "id * 2 AS v")
+            .coalesce(1)
+        )
+    log = _os.path.join(t, "_delta_log")
+    parts = sorted(
+        f
+        for f in _os.listdir(log)
+        if ".checkpoint." in f and f.endswith(".parquet")
+    )
+    assert len(parts) >= 3, parts  # 13 actions / 4 per part
+    assert all(f.split(".")[2].isdigit() for f in parts)
+    import json as _json
+
+    with open(_os.path.join(log, "_last_checkpoint")) as fh:
+        lc = _json.load(fh)
+    assert lc["parts"] == len(parts)
+
+    # simulate log cleanup: drop every JSON commit the checkpoint covers
+    for v in range(11):
+        p = _os.path.join(log, f"{v:020d}.json")
+        if _os.path.exists(p):
+            _os.remove(p)
+
+    r = DeltaTableReader(spark, t)
+    got = sorted(x.id for x in r.read().collect())
+    assert got == sorted(
+        i for b in range(11) for i in range(b * 100, b * 100 + 10)
+    )
+    assert r.last_snapshot_listed_log is False  # pointer+parts fast path
+
+    # stats survived into the checkpoint: a range filter prunes files
+    full = len(r.snapshot().files)
+    pruned = len(r.snapshot(stats_filter={"id": (305, 308)}).files)
+    assert full == 11 and pruned == 1, (full, pruned)
+
+    # an INCOMPLETE part set (torn cleanup) must not serve partial state
+    _os.remove(_os.path.join(log, parts[1]))
+    import pytest as _pytest
+
+    from deimos_spark.operators.delta_interop import DeltaProtocolError
+
+    with _pytest.raises(DeltaProtocolError):
+        DeltaTableReader(spark, t).read().collect()

@@ -255,3 +255,74 @@ def test_state_history_generic_key_and_names(spark, tmp_path):
     assert [(r["k"], r["st"], r["n_events"]) for r in rows] == [
         ("alpha", "x", 1)
     ]
+
+
+def test_state_history_random_batch_boundaries(spark, tmp_path):
+    """VERDICT r12 #7, property form: the SAME ordered event sequence
+    segmented into micro-batches at RANDOM boundaries must emit
+    IDENTICAL closed history — batch boundaries are an infrastructure
+    accident (trigger timing, file arrival), never semantics. Seeded
+    segmentations plus the two extremes (one-event-per-batch, one
+    giant batch), all checked against the batch operator's answer."""
+    import random
+
+    from deimos_spark.operators.timeseries import state_history as batch_sh
+
+    rng = random.Random(20260816)
+    events = []
+    minute = 0
+    for i in range(36):
+        minute += 1
+        u = rng.choice([1, 2, 3])
+        s = rng.choice(["a", "b", "c", None])
+        events.append((u, _ts(minute // 6, (minute % 6) * 10), s))
+
+    bdf = spark.createDataFrame(
+        [Row(user_id=u, ts=t, state=s) for u, t, s in events],
+        STATEFUL_EVENTS_SCHEMA,
+    )
+    key = lambda t: (t[0], t[2])  # (user, valid_from): unique per run
+    expected = sorted(
+        (
+            (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+             r["n_events"])
+            for r in batch_sh(bdf, "user_id", "ts", "state").collect()
+            if not r["is_current"]
+        ),
+        key=key,
+    )
+    assert expected  # a vacuous property proves nothing
+
+    def segmentations():
+        yield [[e] for e in events]          # maximal state crossing
+        yield [events]                        # no crossing at all
+        for trial in range(3):               # random boundaries
+            cuts = sorted(
+                rng.sample(range(1, len(events)), rng.randint(3, 9))
+            )
+            yield [
+                events[a:b]
+                for a, b in zip([0] + cuts, cuts + [len(events)])
+            ]
+
+    for i, seg in enumerate(segmentations()):
+        src = str(tmp_path / f"in_{i}")
+        for chunk in seg:
+            _write_st(spark, src, chunk)
+        hist = stateful.state_history(
+            streams.file_stream_source(
+                spark, src, STATEFUL_EVENTS_SCHEMA
+            )
+        )
+        streams.run_available_now(
+            streams.memory_sink(hist, f"scd2rb{i}", str(tmp_path / f"ck{i}"))
+        )
+        got = sorted(
+            (
+                (r["user_id"], r["state"], r["valid_from"], r["valid_to"],
+                 r["n_events"])
+                for r in spark.sql(f"SELECT * FROM scd2rb{i}").collect()
+            ),
+            key=key,
+        )
+        assert got == expected, f"segmentation {i} changed the history"

@@ -1,0 +1,168 @@
+"""STRESS_ANN.json generator (VERDICT r12 #4): ANN recall at STRESS
+scale. The registry's recall@10 ≥ 0.8 gates run on the sf0.001/0.01
+fixtures; this measures recall AND the nprobe/recall sensitivity curve
+on K-scaled seeded corpora (K·2000 vectors, 64-dim) for every ANN
+variant. Run ALONE (timings are secondary here, but recall measurement
+still competes for cores): `python tools/stress_ann.py [K1,K2,...]`.
+
+Corpus design: half the vectors live in 32·K tight topical cones, half
+are isotropic noise — the mixed regime between the testdata's
+near-random embeddings (LSH's weakest case, the registry fixtures) and
+the pure-topical corpus of STRESS_T28. Queries are 16 corpus members
+spread across both halves, so recall is averaged over easy (in-cone)
+and hard (isotropic) queries.
+
+Scaling rules under test (documented here because the registry's fixed
+n_cells=8 is a 500-row fixture setting, not a scale setting):
+- IVF/PQ cells grow with the corpus: n_cells = max(8, 4·K) — the FAISS
+  guidance shape (cells ~ sqrt(N) order) keeps per-cell scan cost flat.
+- LSH keeps the registry setting (8 planes, Hamming-3, 4 tables): its
+  recall depends on angle distributions, not corpus size; the curve
+  verifies that claim.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stress import _between_rounds  # noqa: E402
+
+from deimos_spark.operators import simsearch  # noqa: E402
+from deimos_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+K_AT = 10  # recall@10, the registry gate
+
+
+def _corpus(spark, k: int, path: str):
+    import numpy as np
+    import pandas as pd
+
+    n = 2000 * k
+    half = n // 2
+    cones = 32 * k
+    rng = np.random.RandomState(777 + k)
+    dirs = rng.standard_normal((cones, DIM))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    members = dirs[rng.randint(0, cones, size=half)] + (
+        rng.standard_normal((half, DIM)) * 0.05
+    )
+    iso = rng.standard_normal((n - half, DIM))
+    x = np.vstack([members, iso])
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [r.tolist() for r in x],
+        }
+    )
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    # queries: 8 in-cone + 8 isotropic members, deterministic ids
+    qids = [int(i * half / 8) for i in range(8)] + [
+        int(half + i * (n - half) / 8) for i in range(8)
+    ]
+    return spark.read.parquet(path), [x[i].tolist() for i in qids]
+
+
+def _recall(exacts, queries, topk_fn) -> float:
+    total = 0.0
+    for q, exact in zip(queries, exacts):
+        got = {r["vec_id"] for r in topk_fn(q).collect()}
+        total += len(exact & got) / len(exact)
+    return round(total / len(queries), 3)
+
+
+def main() -> None:
+    ks = (
+        [int(x) for x in sys.argv[1].split(",")]
+        if len(sys.argv) > 1
+        else [1, 10, 30]
+    )
+    spark = get_spark("deimos_stress_ann")
+    load0 = os.getloadavg()
+    out_ks = {}
+    for k in ks:
+        path = f"/tmp/ds_ann/emb_{k}"
+        emb, queries = _corpus(spark, k, path)
+        n_cells = max(8, 4 * k)
+        cents = simsearch.ivf_train(
+            emb, n_cells=n_cells, seed=42, max_iter=5
+        )
+        model = simsearch.pq_train(
+            emb, n_cells=n_cells, m=8, seed=42, max_iter=5
+        )
+        codes = simsearch.pq_encode(emb, model)
+        codes.cache().count()  # encode once, like the materialized index
+        exacts = [
+            {
+                r["vec_id"]
+                for r in simsearch.cosine_topk(emb, q, k=K_AT).collect()
+            }
+            for q in queries
+        ]
+
+        row: dict = {"rows": 2000 * k, "n_cells": n_cells}
+        row["lsh_recall"] = _recall(
+            exacts, queries,
+            lambda q: simsearch.cosine_topk_lsh(
+                emb, q, k=K_AT, n_planes=8, probe_hamming=3, n_tables=4
+            ),
+        )
+        row["ivf_recall_by_nprobe"] = {}
+        row["pq_rerank_recall_by_nprobe"] = {}
+        for nprobe in (1, 2, 4, 5, 8):
+            np_eff = min(nprobe, n_cells)
+            row["ivf_recall_by_nprobe"][str(nprobe)] = _recall(
+                exacts, queries,
+                lambda q: simsearch.ivf_topk(
+                    emb, q, cents, k=K_AT, nprobe=np_eff
+                ),
+            )
+            row["pq_rerank_recall_by_nprobe"][str(nprobe)] = _recall(
+                exacts, queries,
+                lambda q: simsearch.pq_topk_rerank(
+                    codes, emb, model, q, k=K_AT, nprobe=np_eff,
+                    shortlist=50,
+                ),
+            )
+        codes.unpersist()
+        out_ks[str(k)] = row
+        print(f"K={k}: {row}", file=sys.stderr)
+        _between_rounds(spark)
+
+    # the registry-default operating points, held across K or not:
+    gate = {
+        "lsh": min(r["lsh_recall"] for r in out_ks.values()),
+        "ivf_nprobe5": min(
+            r["ivf_recall_by_nprobe"]["5"] for r in out_ks.values()
+        ),
+        "pq_rerank_nprobe5": min(
+            r["pq_rerank_recall_by_nprobe"]["5"] for r in out_ks.values()
+        ),
+    }
+    print(
+        json.dumps(
+            {
+                "generator": "tools/stress_ann.py (VERDICT r12 #4)",
+                "ks": ks,
+                "recall_at": K_AT,
+                "per_k": out_ks,
+                "min_recall_at_defaults": gate,
+                "defaults_hold_080": all(
+                    v >= 0.8 for v in gate.values()
+                ),
+                "loadavg_before": [round(x, 2) for x in load0],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            },
+            indent=1,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
