@@ -155,6 +155,14 @@ def main() -> None:
         time.sleep(5.0)
         waited += 5.0
     load_before = os.getloadavg()
+    # absolute-speed fingerprint (r13 lesson): loadavg can be idle while
+    # the HOST is throttled 2-3× (VM/noisy neighbor) — this probe makes
+    # cross-round totals comparable; see tools/head2head._cpu_probe
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    cpu_probe = round(time.perf_counter() - t0, 3)
     if load_before[0] > load_limit:
         print(
             f"WARNING: loadavg {load_before[0]:.2f} > {load_limit:.1f} "
@@ -210,6 +218,7 @@ def main() -> None:
                     "idle" if load_before[0] <= load_limit else "loaded"
                 ),
                 "load_settle_wait_sec": round(waited, 1),
+                "cpu_probe_sec": cpu_probe,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             }

@@ -229,18 +229,24 @@ def ivf_train(
         [r["_v"] for r in train.limit(max_train).collect()], dtype=np.float64
     )
     rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(n_cells, len(x)), replace=False)]
+    cents = _kmeanspp_seeds(x, n_cells, rng)
+    # assign → recenter; empty cells re-seeded from distinct farthest
+    # points (see _kmeans for why the ranking is hoisted per iteration)
     for _ in range(max_iter):
-        # assign → recenter; empty cells re-seeded from the farthest points
         d2 = _sqdist(x, cents)
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
+        empty = []
         for c in range(len(cents)):
             members = x[assign == c]
             if len(members):
                 new[c] = members.mean(axis=0)
             else:
-                new[c] = x[d2.min(axis=1).argmax()]
+                empty.append(c)
+        if empty:
+            far = np.argsort(-d2.min(axis=1))
+            for i, c in enumerate(empty):
+                new[c] = x[far[i % len(far)]]
         if np.allclose(new, cents):
             break
         cents = new
@@ -522,8 +528,6 @@ def pairwise_cosine_exact_blocked(
     max_train rows, Lloyd's on the driver, model ships as literals)."""
     import numpy as np
 
-    from deimos_spark.schemas.kernels import ivf_cell_dist_udf
-
     n = df.count()
     if n <= 1:
         return pairwise_cosine_exact(
@@ -541,12 +545,58 @@ def pairwise_cosine_exact_blocked(
         _unit_rows(x), min(n_cells, len(x)), seed, max_iter
     )
 
-    cd = ivf_cell_dist_udf(cents.tolist())(F.col(vec_col))
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        cd.getField("cell").alias("_cell"),
-        cd.getField("dist").alias("_dist"),
+    # ONE mapInPandas pass for (cell, geodesic dist): the struct-UDF
+    # form (ivf_cell_dist_udf) evaluates the Arrow kernel once PER
+    # FIELD ACCESS — ProjectCollapsing re-merges any select split, so
+    # the plan carried two stacked ArrowEvalPython nodes per join side
+    # (4 kernel evaluations + the python-worker round-trips each one
+    # costs per task). A single mapInPandas node cannot be split. Math
+    # is the kernel twin's (see schemas.kernels.ivf_cell_dist_udf).
+    cents_l = cents.tolist()
+    vec_t = df.schema[vec_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+
+    def _assign(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: F401,PLC0415
+
+        c = np.asarray(cents_l, dtype=np.float64)
+        c2 = (c * c).sum(axis=1)
+        cn = np.sqrt(c2)
+        cu = np.divide(
+            c, cn[:, None], out=np.zeros_like(c), where=cn[:, None] > 0
+        )
+        dim_ = c.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(
+                [
+                    np.zeros(dim_)
+                    if v is None
+                    else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]
+                ]
+            )
+            nrm = np.sqrt((m * m).sum(axis=1, keepdims=True))
+            nz = (nrm > 0).ravel()
+            mu = np.divide(m, nrm, out=np.zeros_like(m), where=nrm > 0)
+            d2 = np.maximum(
+                (mu * mu).sum(axis=1)[:, None]
+                + c2[None, :]
+                - 2.0 * (mu @ c.T),
+                0.0,
+            )
+            cell = d2.argmin(axis=1)
+            cosang = np.clip((mu * cu[cell]).sum(axis=1), -1.0, 1.0)
+            out = pdf[[id_col, vec_col]].copy()
+            out["_cell"] = cell.astype(np.int32)
+            out["_dist"] = np.where(nz, np.arccos(cosang), 0.0)
+            yield out
+
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        _assign,
+        f"{id_col} {id_t}, {vec_col} {vec_t}, _cell int, _dist double",
     )
     radii = {
         r["_cell"]: r["r"]
@@ -630,27 +680,71 @@ def _sqdist(x, cents):
     return np.maximum(d2, 0.0, out=d2)
 
 
+def _kmeanspp_seeds(x, k: int, rng):
+    """k-means++ seeding (Arthur & Vassilvitskii 2007), vectorized:
+    each next seed drawn ∝ squared distance to the nearest seed so far
+    — O(k·n) with one BLAS matvec per seed. Why it matters here:
+    uniform seeding on a topical corpus double-seeds some topics and
+    misses others, and the missed topics' members land in far-away
+    cells whose radii blow up to ~90°; the metric-ball blocking then
+    prunes nothing (measured: 252M candidate pairs at K=10 with
+    uniform seeds vs 499k — exactly the output size — with ++ seeds).
+    An already-chosen point has distance 0 and is never re-drawn, so
+    seeds stay distinct (the PQ exactness property)."""
+    import numpy as np
+
+    n = len(x)
+    k = min(k, n)
+    x2 = (x * x).sum(axis=1)
+    seeds = [int(rng.randint(n))]
+    c = x[seeds[0]]
+    mind = np.maximum(x2 + (c * c).sum() - 2.0 * (x @ c), 0.0)
+    for _ in range(k - 1):
+        tot = mind.sum()
+        if tot > 0:
+            nxt = int(rng.choice(n, p=mind / tot))
+        else:  # all remaining points coincide with a seed
+            nxt = int(rng.randint(n))
+        seeds.append(nxt)
+        c = x[nxt]
+        d = np.maximum(x2 + (c * c).sum() - 2.0 * (x @ c), 0.0)
+        np.minimum(mind, d, out=mind)
+    return x[np.asarray(seeds)].copy()
+
+
 def _kmeans(x, k: int, seed: int, max_iter: int):
     """Lloyd's over a bounded in-memory sample (the ivf_train loop,
     factored for subspace codebooks). Returns (k', d) centroids with
-    k' = min(k, len(x)) — distinct seed points, so k' >= n reproduces
-    the sample exactly (the property the PQ exactness test pins).
+    k' = min(k, len(x)) — distinct k-means++ seed points, so k' >= n
+    reproduces the sample exactly (the property the PQ exactness test
+    pins).
 
     Distances via _sqdist's matmul identity — see its docstring for
     why the subtraction form is a driver-memory hazard."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
-    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    cents = _kmeanspp_seeds(x, k, rng)
     for _ in range(max_iter):
         d2 = _sqdist(x, cents)
         assign = d2.argmin(axis=1)
         new = np.empty_like(cents)
+        empty = []
         for c in range(len(cents)):
             members = x[assign == c]
-            new[c] = members.mean(axis=0) if len(members) else x[
-                d2.min(axis=1).argmax()
-            ]
+            if len(members):
+                new[c] = members.mean(axis=0)
+            else:
+                empty.append(c)
+        if empty:
+            # reseed empty cells from DISTINCT farthest points, ranked
+            # ONCE per iteration — the old per-cell d2.min(axis=1) scan
+            # was a hidden O(cells × n) quadratic (87s of a 1280-cell
+            # fit was this line), and giving every empty cell the SAME
+            # farthest point just re-collided them next iteration
+            far = np.argsort(-d2.min(axis=1))
+            for i, c in enumerate(empty):
+                new[c] = x[far[i % len(far)]]
         if np.allclose(new, cents):
             break
         cents = new

@@ -43,7 +43,7 @@ def test_rerank_restores_recall(spark):
     model = simsearch.pq_train(e, n_cells=8, m=8, seed=42, max_iter=5)
     codes = simsearch.pq_encode(e, model)
     got = simsearch.pq_topk_rerank(
-        codes, e, model, q, k=10, nprobe=5, shortlist=50
+        codes, e, model, q, k=10, nprobe=6, shortlist=50
     ).collect()
     exact = simsearch.cosine_topk(e, q, 10).collect()
     # re-ranked sims are computed by the SAME exact kernel — ids AND
@@ -120,7 +120,7 @@ def test_clustered_pq_layout_partition_prunes(spark, tmp_path):
     assert "PartitionFilters: [pq_cell" in plan
 
     got = simsearch.pq_topk_clustered(
-        spark, path, e, model, q, k=10, nprobe=5, shortlist=50
+        spark, path, e, model, q, k=10, nprobe=6, shortlist=50
     ).collect()
     exact = simsearch.cosine_topk(e, q, 10).collect()
     assert len(

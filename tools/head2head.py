@@ -74,12 +74,41 @@ def median5(fn) -> float:
     return round(sorted(runs)[2], 3)
 
 
+def _cpu_probe() -> float:
+    """Seconds for a fixed single-thread busy loop — an ABSOLUTE-speed
+    fingerprint of the host at measurement time. loadavg says "idle or
+    not"; this says "fast or slow": in r13 an idle-by-loadavg window ran
+    this probe ~2-3× slower than normal (VM/noisy-neighbor throttling)
+    and inflated Spark 2.2× vs DuckDB 1.4× — a ratio delta that would
+    otherwise read as a regression. Compare across artifacts before
+    believing any cross-round total."""
+    import time as _time
+
+    t0 = _time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    return round(_time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
     specs = all_queries()
+    # settle-wait before timing anything (bench.py's r13 guard, stricter
+    # here: BOTH engines are timed, and a prior JVM's teardown tail
+    # inflated Spark 61% vs DuckDB 27% in one r13 sample — the ratio is
+    # the artifact, so it gets the tighter threshold)
+    import time as _time
+
+    limit = float(os.environ.get("H2H_LOAD_LIMIT", "2.0"))
+    waited = 0.0
+    while os.getloadavg()[0] > limit and waited < 600:
+        _time.sleep(5.0)
+        waited += 5.0
     load_before = os.getloadavg()  # contention fingerprint (r6 lesson)
+    cpu_probe = _cpu_probe()  # absolute-speed fingerprint (r13 lesson)
 
     spark = get_spark("head2head")
     spark.range(1).collect()
@@ -141,6 +170,7 @@ def main() -> None:
                 "regime": "resubmit-both",
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "cpu_probe_sec": cpu_probe,
                 "queries": rows,
             },
             indent=1,

@@ -270,8 +270,11 @@ def _t28_blocked_bench(spark, scratch: str, k: int) -> dict:
     emb = spark.read.parquet(path)
 
     t0 = time.perf_counter()
+    # max_train caps the DRIVER training sample (exactness never depends
+    # on centroid quality — radii come from the full table), keeping the
+    # k-means term linear in K instead of n·K
     pairs = pairwise_cosine_exact_blocked(
-        emb, 0.8, n_cells=2 * topics, max_iter=10
+        emb, 0.8, n_cells=2 * topics, max_iter=10, max_train=20_000
     )
     n_pairs = pairs.count()
     pair_sec = time.perf_counter() - t0
