@@ -520,12 +520,20 @@ def pairwise_cosine_exact_blocked(
     Plan shape: one Arrow kernel pass for (cell, dist) assignment, a
     K-row driver agg for radii, then an equi-join co-located on the
     broadcast candidate cell-pair list — no BroadcastNestedLoopJoin,
-    no cartesian. Work is Σ |A|·|B| over surviving cell pairs: for
-    clustered corpora that is ~n²/K, and it degrades toward n² only
-    when the data genuinely packs inside one D-ball — where the OUTPUT
-    itself is Θ(n²) and no exact algorithm can do better. Centroid
+    no cartesian. Work is Σ |A|·|B| over surviving cell pairs: on
+    clustered corpora (real embeddings: topical cones) that is ~n²/K —
+    with ++-seeded cells the STRESS bench measured candidates == output
+    exactly. The honest worst case is ISOTROPIC high-dim data at a
+    loose threshold: cell radii approach 90° and the triangle bound
+    cannot exclude anything (curse of dimensionality — true for EVERY
+    exact metric blocking, not this one), where the operator degrades
+    to the co-located equi-join over all cell pairs — still ~2× the
+    BNLJ baseline, but quadratic; that regime is what the t06/t08 LSH
+    operators exist for when approximate recall is acceptable. Centroid
     training is the bounded-sample ivf_train recipe (collect ≤
-    max_train rows, Lloyd's on the driver, model ships as literals)."""
+    max_train rows, ++-seeded Lloyd's on the driver, model ships as
+    literals); exactness never depends on centroid quality — only
+    pruning does."""
     import numpy as np
 
     n = df.count()
