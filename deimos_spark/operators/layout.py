@@ -30,23 +30,35 @@ def write_clustered(
     partition_by: Sequence[str] = (),
     target_rows_per_file: int | None = None,
     mode: str = "overwrite",
+    curve: str = "linear",
 ) -> None:
-    """Write parquet range-clustered on `cluster_cols`.
+    """Write parquet clustered on `cluster_cols`.
 
-    repartitionByRange gives disjoint value ranges per output file (tight,
-    non-overlapping min/max stats → maximal row-group skipping for range
-    and point predicates on those columns); sortWithinPartitions tightens
-    per-row-group bounds inside each file. `partition_by` adds directory
-    partitioning on top for coarse partition pruning (e.g. by day), with
-    clustering handling the fine grain (e.g. by user within day).
+    curve="linear" (default): repartitionByRange gives disjoint value
+    ranges per output file (tight, non-overlapping min/max stats →
+    maximal row-group skipping for range and point predicates on the
+    LEADING column); sortWithinPartitions tightens per-row-group bounds
+    inside each file. curve="z" / "hilbert": interleaved clustering —
+    every file covers a small hyper-rectangle, so stats prune on ANY of
+    the columns (see zorder_key/hilbert_key; pick these whenever 2+
+    columns are filtered independently). `partition_by` adds directory
+    partitioning on top for coarse partition pruning (e.g. by day),
+    with clustering handling the fine grain (e.g. by user within day).
     """
-    out = df
-    if target_rows_per_file is not None:
-        n = max(1, math.ceil(df.count() / target_rows_per_file))
-        out = out.repartitionByRange(n, *cluster_cols)
+    n = (
+        max(1, math.ceil(df.count() / target_rows_per_file))
+        if target_rows_per_file is not None
+        else None
+    )
+    if curve != "linear":
+        out = cluster_arrange(df, cluster_cols, n_files=n, curve=curve)
     else:
-        out = out.repartitionByRange(*cluster_cols)
-    out = out.sortWithinPartitions(*cluster_cols)
+        out = (
+            df.repartitionByRange(n, *cluster_cols)
+            if n is not None
+            else df.repartitionByRange(*cluster_cols)
+        )
+        out = out.sortWithinPartitions(*cluster_cols)
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -262,20 +274,26 @@ def compact_files(
     path: str,
     target_rows_per_file: int,
     cluster_cols: Sequence[str] = (),
+    curve: str = "linear",
 ) -> int:
     """Bin-pack a small-file parquet directory into ~target-sized files;
     returns the new file count. Rewrites via a temp dir + atomic-ish swap
     (same-volume rename) so readers never see a partial table. Re-clusters
     while rewriting when `cluster_cols` given — compaction is the natural
-    moment to restore sort order degraded by incremental appends."""
+    moment to restore sort order degraded by incremental appends;
+    curve="z"/"hilbert" restores INTERLEAVED clustering instead (see
+    write_clustered)."""
     df = spark.read.parquet(path)
     n = max(1, math.ceil(df.count() / target_rows_per_file))
     tmp = path.rstrip("/") + "._compact_tmp"
-    out = (
-        df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(*cluster_cols)
-        if cluster_cols
-        else df.repartition(n)
-    )
+    if cluster_cols and curve != "linear":
+        out = cluster_arrange(df, cluster_cols, n_files=n, curve=curve)
+    elif cluster_cols:
+        out = df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        out = df.repartition(n)
     out.write.mode("overwrite").parquet(tmp)
     import shutil
 

@@ -1775,3 +1775,54 @@ def test_multipart_checkpoint_write_roundtrip_with_stats(spark, tmp_path):
 
     with _pytest.raises(DeltaProtocolError):
         DeltaTableReader(spark, t).read().collect()
+
+
+def test_optimize_zorder_on_partitioned_table(spark, tmp_path):
+    """OPTIMIZE ZORDER composes with hive partitioning: partition
+    pruning stays intact (partitionValues recorded per add), rows
+    survive exactly, and the clustered columns' stats still prune
+    within the surviving partitions."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.delta_interop import DeltaTableWriter
+
+    t = str(tmp_path / "pz")
+    w = DeltaTableWriter(spark, t, partition_by=("day",))
+    df = spark.range(8_000).select(
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") % 127).alias("x"),
+        ((F.col("id") * 31) % 113).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    w.append(df)
+    w.optimize(zorder_by=["x", "y"], n_files=8)
+
+    r = DeltaTableReader(spark, t)
+    got = r.read()
+    assert got.count() == 8_000
+    assert {x["day"] for x in got.select("day").distinct().collect()} == {
+        0, 1, 2, 3,
+    }
+    # partition pruning still works post-rewrite
+    snap_all = r.snapshot()
+    snap_day = r.snapshot(partition_filter={"day": 2})
+    assert 0 < len(snap_day.files) < len(snap_all.files)
+    # and the z-ordered stats prune within the table
+    pruned = r.snapshot(stats_filter={"x": (0, 20), "y": (0, 20)})
+    assert len(pruned.files) < len(snap_all.files)
+    one = sorted(
+        x.payload
+        for x in r.read(
+            partition_filter={"day": 2},
+            stats_filter={"x": (0, 20), "y": (0, 20)},
+        )
+        .filter((F.col("x") <= 20) & (F.col("y") <= 20))
+        .collect()
+    )
+    want = sorted(
+        x.payload
+        for x in df.filter(
+            (F.col("day") == 2) & (F.col("x") <= 20) & (F.col("y") <= 20)
+        ).collect()
+    )
+    assert one == want and one

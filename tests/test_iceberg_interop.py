@@ -1912,3 +1912,54 @@ def test_iceberg_optimize_zorder_manifest_bound_skipping(spark, tmp_path):
 
     base = rows(rl)
     assert base and rows(rz) == base
+
+
+def test_iceberg_optimize_zorder_on_partitioned_table(spark, tmp_path):
+    """Iceberg twin of the Delta partitioned OPTIMIZE ZORDER test:
+    manifest-level partition pruning survives the curve rewrite, rows
+    survive exactly, stats still prune within partitions."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.iceberg_interop import (
+        IcebergKeyedTable,
+        IcebergTableReader,
+        IcebergTableWriter,
+    )
+
+    t = str(tmp_path / "ipz")
+    w = IcebergTableWriter(spark, t, partition_by=("day",))
+    df = spark.range(8_000).select(
+        (F.col("id") % 4).alias("day"),
+        (F.col("id") % 127).alias("x"),
+        ((F.col("id") * 31) % 113).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    w.append(df)
+    IcebergKeyedTable(
+        spark, t, ["payload"], partition_by=("day",)
+    ).optimize(zorder_by=["x", "y"], n_files=8)
+
+    r = IcebergTableReader(spark, t)
+    got = r.read()
+    assert got.count() == 8_000
+    all_files = r._file_sets(None, None, None)[0]
+    day_files = r._file_sets(None, {"day": 2}, None)[0]
+    assert 0 < len(day_files) < len(all_files)
+    pruned = r._file_sets(None, None, {"x": (0, 20), "y": (0, 20)})[0]
+    assert len(pruned) < len(all_files)
+    one = sorted(
+        x.payload
+        for x in r.read(
+            partition_filter={"day": 2},
+            stats_filter={"x": (0, 20), "y": (0, 20)},
+        )
+        .filter((F.col("x") <= 20) & (F.col("y") <= 20))
+        .collect()
+    )
+    want = sorted(
+        x.payload
+        for x in df.filter(
+            (F.col("day") == 2) & (F.col("x") <= 20) & (F.col("y") <= 20)
+        ).collect()
+    )
+    assert one == want and one

@@ -375,3 +375,38 @@ def test_zorder_key_null_handling(spark):
     # null-b rows get bucket 0 on b: their key must differ only via a
     null_keys = {r[key] for r in rows if r["b"] is None}
     assert len(null_keys) == sum(1 for r in rows if r["b"] is None)
+
+
+def test_write_clustered_and_compact_with_curves(spark, tmp_path):
+    """write_clustered(curve=) and compact_files(curve=) route through
+    the same interleaved arrangement as write_zordered — round-trip +
+    candidate-file pruning vs the linear layout on a 2-predicate box."""
+    n = 32_000
+    df = spark.range(n).select(
+        (F.col("id") % 253).alias("x"),
+        ((F.col("id") * 7919) % 241).alias("y"),
+    )
+    zc = str(tmp_path / "wc_z")
+    layout.write_clustered(
+        df, zc, ["x", "y"], target_rows_per_file=1000, curve="hilbert"
+    )
+    lc = str(tmp_path / "wc_lin")
+    layout.write_clustered(df, lc, ["x"], target_rows_per_file=1000)
+    box = (0, 125, 0, 29)
+    zcand, ztot = _candidate_files(zc, box)
+    lcand, ltot = _candidate_files(lc, box)
+    assert ztot == 32 and ltot == 32
+    assert zcand * 3 <= lcand, (zcand, lcand)
+    assert spark.read.parquet(zc).count() == n
+
+    # compaction restores interleaved clustering from accreted files
+    frag = str(tmp_path / "frag")
+    df.repartition(40).write.parquet(frag)  # 40 unclustered files
+    n_files = layout.compact_files(
+        spark, frag, target_rows_per_file=1000, cluster_cols=["x", "y"],
+        curve="z",
+    )
+    assert n_files == 32
+    ccand, ctot = _candidate_files(frag, box)
+    assert ctot == 32 and ccand * 3 <= lcand, (ccand, lcand)
+    assert spark.read.parquet(frag).count() == n
