@@ -2019,6 +2019,16 @@ class DeltaTableWriter:
             raise ValueError(
                 f"checkpoint_format {checkpoint_format!r}: classic or v2"
             )
+        if checkpoint_part_actions and checkpoint_format == "v2":
+            # refuse loudly (ADVICE r13 #3): v2 checkpoints are a single
+            # manifest + sidecars; the multi-part split applies to
+            # classic checkpoints only, and silently ignoring the
+            # request would hand the user a layout they didn't ask for.
+            raise ValueError(
+                "checkpoint_part_actions applies to classic checkpoints "
+                "only; checkpoint_format='v2' writes a single manifest "
+                "(use classic, or drop checkpoint_part_actions)"
+            )
         self.spark = spark
         self.path = path
         self.partition_by = list(partition_by)
@@ -2677,6 +2687,8 @@ class DeltaTableWriter:
                 papq.write_table(
                     pa.Table.from_pylist(chunk, schema=pa_schema), tmp
                 )
+                with open(tmp, "rb") as fh:
+                    os.fsync(fh.fileno())
                 tmps.append(tmp)
             for i, tmp in enumerate(tmps, start=1):
                 os.replace(
@@ -2687,6 +2699,15 @@ class DeltaTableWriter:
                         f"{i:010d}.{n_parts:010d}.parquet",
                     ),
                 )
+            # fsync the log dir so the renames themselves are durable
+            # before the pointer names this part set (ADVICE r13 #1 —
+            # the part temps are fsync'd above; without this dirsync a
+            # crash could lose a rename while the pointer survives).
+            dfd = os.open(self.log_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         else:
             n_parts = None
             table = pa.Table.from_pylist(rows, schema=pa_schema)
@@ -3262,7 +3283,7 @@ class DeltaTableWriter:
             if zorder_by:
                 from deimos_spark.operators import layout
 
-                current = layout.cluster_arrange(
+                current = layout.cluster_arrange_or_linear(
                     current, list(zorder_by), n_files=n_files, curve=curve
                 )
             adds = self._write_files(

@@ -247,6 +247,31 @@ def cluster_arrange(
     return ranged.sortWithinPartitions(key).drop(key)
 
 
+def cluster_arrange_or_linear(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_files: int | None = None,
+    bits: int = 12,
+    curve: str = "z",
+) -> DataFrame:
+    """cluster_arrange, degrading to the plain linear arrangement when
+    the curve key is undefined — an empty live row set (files present
+    but every row DV-deleted) or an all-NULL cluster column (ADVICE
+    r13). Maintenance verbs (OPTIMIZE/compaction) route through this:
+    failing the rewrite exactly when compaction is most needed is the
+    wrong trade, and the linear sort is well-defined on both degenerate
+    inputs (NULLs order first; empty sorts are no-ops)."""
+    try:
+        return cluster_arrange(df, cols, n_files, bits, curve)
+    except ValueError:
+        ranged = (
+            df.repartitionByRange(n_files, *cols)
+            if n_files
+            else df.repartitionByRange(*cols)
+        )
+        return ranged.sortWithinPartitions(*cols)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -287,7 +312,9 @@ def compact_files(
     n = max(1, math.ceil(df.count() / target_rows_per_file))
     tmp = path.rstrip("/") + "._compact_tmp"
     if cluster_cols and curve != "linear":
-        out = cluster_arrange(df, cluster_cols, n_files=n, curve=curve)
+        out = cluster_arrange_or_linear(
+            df, cluster_cols, n_files=n, curve=curve
+        )
     elif cluster_cols:
         out = df.repartitionByRange(n, *cluster_cols).sortWithinPartitions(
             *cluster_cols

@@ -258,13 +258,14 @@ def ivf_topk(
     query_vec: list[float],
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
 ) -> DataFrame:
     """IVF-pruned approximate top-k: score only vectors in the `nprobe`
-    cells whose centroids are nearest the query.
+    cells whose centroids are nearest the query. nprobe=None derives
+    the measured scale rule max(6, 30%·n_cells) — see scale_nprobe.
 
     Probe-cell selection is driver-side (n_cells dot products on a tiny
     model); the table-side plan is Filter(ivf_cell IN probes) → cosine →
@@ -273,10 +274,35 @@ def ivf_topk(
     the files, which is the entire point at 100 TB. nprobe = n_cells
     degrades gracefully to exact brute force.
     """
+    if nprobe is None:
+        nprobe = scale_nprobe(len(centroids))
     probes = probe_cells(query_vec, centroids, nprobe)
     assigned = ivf_assign(df, centroids, vec_col)
     pruned = assigned.filter(F.col("ivf_cell").isin(probes))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
+
+
+def scale_nprobe(n_cells: int) -> int:
+    """The measured IVF deployment rule (STRESS_ANN.json, VERDICT r13
+    #2): a CONSTANT nprobe decays as cells grow with the corpus —
+    recall@10 fell 0.99→0.71 at nprobe=6 while cells grew 8→120 —
+    whereas nprobe = max(6, 30% of n_cells) held ≥0.875 across every
+    ANN variant and corpus scale in the artifact. This is the default
+    every probe-taking entry point derives when nprobe is not given;
+    the old constant (4) was a 500-row-fixture setting."""
+    return min(max(6, round(0.3 * n_cells)), int(n_cells))
+
+
+def scale_shortlist(n_codes: int, k: int = 10) -> int:
+    """The measured IVFADC+R shortlist rule (STRESS_ANN.json): rerank
+    recall is SHORTLIST-capped, not probe-capped — at 60k codes recall
+    moved 0.75→0.91 as the shortlist grew 50→800 with nprobe already at
+    the scale rule. The artifact's gated point is 800 at 60k rows
+    (n_codes/75); floor at the fixture's 50 (sufficient ≤2k rows) and
+    never below 5·k rerank candidates."""
+    import math
+
+    return max(50, 5 * int(k), math.ceil(n_codes / 75))
 
 
 def probe_cells(
@@ -316,7 +342,7 @@ def ivf_topk_clustered(
     query_vec: list[float],
     centroids: list[list[float]],
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
@@ -325,7 +351,10 @@ def ivf_topk_clustered(
     per-row assignment UDF at query time — `ivf_cell` is a partition
     column, so Filter(ivf_cell IN probes) prunes directories before a
     single byte is read. The plan should show the probe set under
-    PartitionFilters (asserted in tests)."""
+    PartitionFilters (asserted in tests). nprobe=None derives the
+    measured scale rule (scale_nprobe)."""
+    if nprobe is None:
+        nprobe = scale_nprobe(len(centroids))
     probes = probe_cells(query_vec, centroids, nprobe)
     pruned = spark.read.parquet(path).filter(F.col("ivf_cell").isin(probes))
     return cosine_topk(pruned, query_vec, k, id_col, vec_col, round_digits)
@@ -495,15 +524,26 @@ def _blocked_cell_pairs(
     return pairs
 
 
+def _auto_n_cells(n: int) -> int:
+    """Cell count for metric-ball blocking when the caller doesn't pin
+    one: ~640 rows/cell (the density STRESS_T28 measured — 4·K cells at
+    2560·K rows), clamped to [16, 4096]. The floor keeps tiny corpora
+    at the fixture geometry; the cap bounds the driver's K×K angle
+    matrix (~128 MB of float64 at 4096)."""
+    return min(4096, max(16, -(-int(n) // 640)))
+
+
 def pairwise_cosine_exact_blocked(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
     max_iter: int = 5,
     max_train: int = 100_000,
+    warn_pair_budget: float = 5e8,
+    max_pair_budget: float = 5e9,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold without the Θ(n²) pair
     relation (VERDICT r12 #2 — lifts pairwise_cosine_exact's 20k cap).
@@ -533,7 +573,21 @@ def pairwise_cosine_exact_blocked(
     training is the bounded-sample ivf_train recipe (collect ≤
     max_train rows, ++-seeded Lloyd's on the driver, model ships as
     literals); exactness never depends on centroid quality — only
-    pruning does."""
+    pruning does.
+
+    n_cells=None scales cells with the corpus — ceil(n/640), the cell
+    density STRESS_T28 itself measured (4·K cells at 2560·K rows),
+    clamped to [16, 4096] (the static 16 was a fixture constant; at
+    n=10M it meant ~600k-row cells whose pair products explode even
+    under good pruning, and 4096 caps the driver's K×K angle matrix at
+    ~128 MB). Before launching the confirm join, Σ|A|·|B| over the
+    surviving cell pairs is ESTIMATED from driver-resident cell sizes
+    (the radii agg already returns them): past `warn_pair_budget` it
+    warns, past `max_pair_budget` it refuses loudly (VERDICT r13 #3 —
+    the house style; silently degrading to the quadratic join in the
+    un-prunable isotropic regime is how a 3-day job gets launched by
+    accident) with the estimate in the message and a pointer to the
+    t06/t08 LSH operators, which is what that regime actually needs."""
     import numpy as np
 
     n = df.count()
@@ -541,6 +595,8 @@ def pairwise_cosine_exact_blocked(
         return pairwise_cosine_exact(
             df, threshold, id_col, vec_col, max_rows=max(n, 1)
         )
+    if n_cells is None:
+        n_cells = _auto_n_cells(n)
     frac = min(1.0, max_train / n)
     train = df.select(to_double_array(vec_col).alias("_v"))
     if frac < 1.0:
@@ -606,15 +662,62 @@ def pairwise_cosine_exact_blocked(
         _assign,
         f"{id_col} {id_t}, {vec_col} {vec_t}, _cell int, _dist double",
     )
-    radii = {
-        r["_cell"]: r["r"]
-        for r in assigned.groupBy("_cell")
-        .agg(F.max("_dist").alias("r"))
+    # persist: the kernel output feeds the radii agg AND both confirm
+    # join sides — unpersisted, the Arrow kernel re-runs over the full
+    # corpus 3× (ADVICE r13 #4). MEMORY_AND_DISK so big corpora spill
+    # instead of evicting; the radii collect below materializes it.
+    # Spark's ContextCleaner unpersists the blocks once the returned
+    # plan is garbage-collected.
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    radii = {}
+    sizes = {}
+    for r in (
+        assigned.groupBy("_cell")
+        .agg(F.max("_dist").alias("r"), F.count(F.lit(1)).alias("n"))
         .collect()
-    }
+    ):
+        radii[r["_cell"]] = r["r"]
+        sizes[r["_cell"]] = r["n"]
     # Radii over the FULL table (not the training sample): the bound
     # must cover every member, including ones the sample never saw.
     cand_cells = _blocked_cell_pairs(cents, radii, threshold)
+    # Work-budget guard (VERDICT r13 #3): the confirm join's pair count
+    # is exactly Σ|A|·|B| over candidate cell pairs (each unordered
+    # pair counted once — cand_cells carries both orientations), known
+    # driver-side BEFORE any executor work is launched.
+    est_pairs = 0.0
+    for a, b in cand_cells:
+        if a < b:
+            est_pairs += float(sizes[a]) * float(sizes[b])
+        elif a == b:
+            est_pairs += float(sizes[a]) * (float(sizes[a]) - 1.0) / 2.0
+    if est_pairs > max_pair_budget:
+        assigned.unpersist()
+        raise ValueError(
+            f"pairwise_cosine_exact_blocked: estimated confirm-join "
+            f"work {est_pairs:.3g} pairs exceeds max_pair_budget "
+            f"{max_pair_budget:.3g} ({len(cand_cells)} candidate cell "
+            f"pairs over {len(sizes)} cells, n={n}, "
+            f"threshold={threshold}). The metric-ball bound cannot "
+            f"prune this input — typically isotropic high-dimensional "
+            f"data at a loose threshold, where EVERY exact blocking "
+            f"degrades to ~all pairs. Raise max_pair_budget to force "
+            f"the quadratic join, tighten the threshold, or use the "
+            f"approximate near-dup operators (minhash_lsh_pairs / "
+            f"embedding_near_pairs — t06/t08) built for that regime."
+        )
+    if est_pairs > warn_pair_budget:
+        import warnings
+
+        warnings.warn(
+            f"pairwise_cosine_exact_blocked: estimated confirm-join "
+            f"work {est_pairs:.3g} pairs exceeds warn_pair_budget "
+            f"{warn_pair_budget:.3g} — pruning is weak on this input; "
+            f"expect a long join stage.",
+            stacklevel=2,
+        )
     cellpairs = df.sparkSession.createDataFrame(
         cand_cells, "_ca int, _cb int"
     )
@@ -908,7 +1011,7 @@ def pq_topk(
     model: dict,
     query_vec: list,
     k: int = 10,
-    nprobe: int = 4,
+    nprobe: int | None = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ADC top-k over the codes table: probe-cell filter (partition
@@ -924,6 +1027,8 @@ def pq_topk(
     cents = np.asarray(model["centroids"], dtype=np.float64)
     books = np.asarray(model["codebooks"], dtype=np.float64)
     m, dsub = int(model["m"]), int(model["dsub"])
+    if nprobe is None:
+        nprobe = scale_nprobe(len(cents))
     q = _unit_rows(np.asarray([query_vec], dtype=np.float64))[0]
     dq = ((cents - q[None, :]) ** 2).sum(axis=1)
     probes = [int(i) for i in np.argsort(dq)[: int(nprobe)]]
@@ -994,8 +1099,8 @@ def pq_topk_rerank(
     model: dict,
     query_vec: list,
     k: int = 10,
-    nprobe: int = 4,
-    shortlist: int = 50,
+    nprobe: int | None = None,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int | None = 4,
@@ -1008,7 +1113,15 @@ def pq_topk_rerank(
     shortlist=5k) for the price of `shortlist` point lookups. At 100 TB
     the codes table (m bytes/vector) is the only thing scanned; the
     vector table is touched for `shortlist` rows via a broadcast
-    semi-join (id-keyed point reads on a real deployment)."""
+    semi-join (id-keyed point reads on a real deployment).
+
+    nprobe=None / shortlist=None derive the measured STRESS_ANN scale
+    rules (scale_nprobe / scale_shortlist — the shortlist derivation
+    costs one count over the codes table, trivial next to the ADC
+    scan it sizes); the old constants (4, 50) were fixture settings
+    that decay to 0.69-0.75 recall@10 at deployment cell counts."""
+    if shortlist is None:
+        shortlist = scale_shortlist(codes.count(), k)
     short = pq_topk(
         codes, model, query_vec, k=int(shortlist), nprobe=nprobe,
         id_col=id_col,
@@ -1046,8 +1159,8 @@ def pq_topk_clustered(
     model: dict,
     query_vec: list,
     k: int = 10,
-    nprobe: int = 4,
-    shortlist: int = 50,
+    nprobe: int | None = None,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:

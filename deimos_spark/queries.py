@@ -1707,7 +1707,7 @@ def all_queries() -> dict[str, QuerySpec]:
         ),
         QuerySpec(
             "b33c_simsearch_ivf", q_simsearch_ivf, None,
-            note="IVF (k-means coarse quantizer, nprobe=3/8) ANN — rows-only",
+            note="IVF (k-means coarse quantizer, nprobe=6/8) ANN — rows-only",
         ),
         QuerySpec(
             "b33b_simsearch_lsh", q_simsearch_lsh, None,

@@ -163,3 +163,48 @@ def test_dot_unrolled_nullprop_matches_fold(spark):
             assert r["unrolled"] is None
         else:
             assert r["fold"] == r["unrolled"]  # exact equality, not approx
+
+
+def test_budget_guard_refuses_unprunable_input(spark):
+    """VERDICT r13 #3: in the regime the triangle bound cannot prune
+    (isotropic high-dim at a loose threshold) the operator must refuse
+    LOUDLY with the pair estimate in the message — not silently launch
+    the quadratic join — and point at the approximate operators built
+    for that regime."""
+    rng = np.random.RandomState(3)
+    x = rng.standard_normal((400, 64))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(400, dtype=np.int64),
+                "embedding": [r.tolist() for r in x],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="max_pair_budget") as ei:
+        simsearch.pairwise_cosine_exact_blocked(
+            df, 0.1, n_cells=8, max_pair_budget=1_000
+        )
+    msg = str(ei.value)
+    assert "pairs" in msg and "t06/t08" in msg  # estimate + LSH pointer
+
+    # soft budget: warns but still returns the exact relation
+    with pytest.warns(UserWarning, match="warn_pair_budget"):
+        got = _pairs(
+            simsearch.pairwise_cosine_exact_blocked(
+                df, 0.1, n_cells=8, warn_pair_budget=1_000
+            )
+        )
+    assert got == _pairs(simsearch.pairwise_cosine_exact(df, 0.1))
+
+
+def test_auto_n_cells_scales_with_corpus():
+    """n_cells=None derives cells from n at STRESS_T28's measured
+    density (~640 rows/cell), clamped [16, 4096] — the static 16 was a
+    fixture constant that meant ~600k-row cells at n=10M."""
+    from deimos_spark.operators.simsearch import _auto_n_cells
+
+    assert _auto_n_cells(500) == 16
+    assert _auto_n_cells(2_560 * 30) == 120  # the STRESS_T28 K=30 point
+    assert _auto_n_cells(10_000_000) == 4096

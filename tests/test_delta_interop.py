@@ -1826,3 +1826,59 @@ def test_optimize_zorder_on_partitioned_table(spark, tmp_path):
         ).collect()
     )
     assert one == want and one
+
+
+def test_multipart_with_v2_checkpoint_refuses():
+    """ADVICE r13: checkpoint_part_actions applies to classic
+    checkpoints only — requesting it together with checkpoint_format
+    'v2' must refuse at construction, not silently write single-manifest
+    v2 checkpoints."""
+    from deimos_spark.operators.delta_interop import DeltaTableWriter
+
+    with pytest.raises(ValueError, match="classic checkpoints only"):
+        DeltaTableWriter(
+            None, "/nonexistent", checkpoint_format="v2",
+            checkpoint_part_actions=100,
+        )
+
+
+def test_optimize_zorder_all_null_column_falls_back(spark, tmp_path):
+    """ADVICE r13: OPTIMIZE ZORDER on a column that is entirely NULL
+    must degrade to the linear rewrite instead of failing the
+    maintenance job — compaction still has to happen even when the
+    curve key is undefined."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.delta_interop import (
+        DeltaTableReader,
+        DeltaTableWriter,
+    )
+
+    t = str(tmp_path / "allnull")
+    w = DeltaTableWriter(spark, t)
+    w.append(
+        spark.range(100).select(
+            F.lit(None).cast("long").alias("x"), F.col("id").alias("p")
+        )
+    )
+    w.optimize(zorder_by=["x"], n_files=4)  # must not raise
+    got = DeltaTableReader(spark, t).read()
+    assert got.count() == 100
+    assert got.agg(F.sum("p")).head()[0] == sum(range(100))
+
+
+def test_optimize_zorder_empty_live_rows_falls_back(spark, tmp_path):
+    """ADVICE r13: files present but every row DV-deleted — the rewrite
+    has an empty live row set; OPTIMIZE ZORDER must no-op cleanly (this
+    is exactly the state where compaction is most needed)."""
+    from deimos_spark.operators.delta_interop import DeltaKeyedTable
+
+    t = str(tmp_path / "alldv")
+    kt = DeltaKeyedTable(
+        spark, t, key_cols=["k"], schema="k long, x long", use_dvs=True
+    )
+    kt.merge(spark.createDataFrame([(1, 10), (2, 20)], "k long, x long"))
+    kt.delete(spark.createDataFrame([(1,), (2,)], "k long"))
+    assert kt.read().count() == 0
+    kt.writer.optimize(zorder_by=["x"], n_files=2)  # must not raise
+    assert kt.read().count() == 0

@@ -1963,3 +1963,33 @@ def test_iceberg_optimize_zorder_on_partitioned_table(spark, tmp_path):
         ).collect()
     )
     assert one == want and one
+
+
+def test_iceberg_optimize_zorder_degenerate_inputs_fall_back(spark, tmp_path):
+    """ADVICE r13: OPTIMIZE ZORDER must degrade to the linear rewrite —
+    not fail the maintenance job — when the curve key is undefined:
+    every live row deleted, or an all-NULL zorder column."""
+    from pyspark.sql import functions as F
+
+    from deimos_spark.operators.iceberg_interop import IcebergKeyedTable
+
+    # all rows deleted
+    t = str(tmp_path / "ice_empty")
+    kt = IcebergKeyedTable(spark, t, ["id"])
+    kt.upsert(spark.createDataFrame([(1, 2), (3, 4)], "id long, x long"))
+    kt.delete(spark.createDataFrame([(1,), (3,)], "id long"))
+    assert IcebergTableReader(spark, t).read().count() == 0
+    kt.optimize(zorder_by=["x"], n_files=2)  # must not raise
+    assert IcebergTableReader(spark, t).read().count() == 0
+
+    # all-NULL zorder column
+    t2 = str(tmp_path / "ice_null")
+    kt2 = IcebergKeyedTable(spark, t2, ["id"])
+    kt2.upsert(
+        spark.range(50).select(
+            F.col("id"), F.lit(None).cast("long").alias("x")
+        )
+    )
+    kt2.optimize(zorder_by=["x"], n_files=2)  # must not raise
+    got = IcebergTableReader(spark, t2).read()
+    assert got.count() == 50
