@@ -296,3 +296,205 @@ def bbox_intersects(
 
     c = F.col(col) if isinstance(col, str) else col
     return _pred(c)
+
+
+# ----------------------------------------- spherical (geography) envelopes
+# Iceberg v3 geography bounds use SPHERICAL edge semantics: an edge is the
+# shortest great-circle arc between consecutive vertices (< 180° by the
+# shortest-arc rule), so a vertex-only min/max is NOT a covering envelope —
+# a great-circle arc bulges poleward of its endpoints (Clairaut's relation
+# sin(azimuth)·cos(lat) = const gives the extremum), and the spec lets the
+# longitude bound WRAP the antimeridian (lower.x > upper.x). Until r14 the
+# writer emitted bounds only for all-POINT geography columns (points have
+# no edges); this section computes exact per-edge envelopes so LINESTRING /
+# POLYGON / MULTI* geography columns skip files too (VERDICT r13 #7).
+# Convention for a ring that winds a pole (Σ shortest-arc Δlon ≈ ±360°):
+# the enclosed cap is taken on the MINIMAL-AREA side (the interpretation
+# engines without ring-orientation rules use — e.g. BigQuery GEOGRAPHY),
+# i.e. the pole nearest the ring's vertices; latitude extends to that pole
+# and longitude covers the full circle. Bounds stay covering either way —
+# pruning can only be too loose, never wrong.
+
+
+def _walk_tagged(buf: bytes, off: int, acc: list) -> int:
+    """Like _walk but tags each coordinate run: ("point"|"line"|"ring",
+    pts) — spherical envelopes need to know rings (closed, winding can
+    enclose a pole) from open paths."""
+    en, base, dims, off = _header(buf, off)
+    if base == 1:
+        pts, off = _coords_block(buf, off, en, dims, 1)
+        acc.append(("point", pts))
+        return off
+    if len(buf) < off + 4:
+        raise WkbError(f"truncated WKB count at byte {off}")
+    (n,) = struct.unpack_from(en + "I", buf, off)
+    off += 4
+    if base == 2:
+        pts, off = _coords_block(buf, off, en, dims, n)
+        acc.append(("line", pts))
+        return off
+    if base == 3:
+        for _ in range(n):
+            (m,) = struct.unpack_from(en + "I", buf, off)
+            off += 4
+            pts, off = _coords_block(buf, off, en, dims, m)
+            acc.append(("ring", pts))
+        return off
+    for _ in range(n):
+        off = _walk_tagged(buf, off, acc)
+    return off
+
+
+def _edge_lat_extrema(lat1, lon1, lat2, lon2):
+    """(ymin, ymax) in degrees of the shortest great-circle arc between
+    two vertices (degrees in/out). Vectorized over numpy arrays. The
+    latitude extremum is interior iff the forward azimuth crosses 90°
+    (north vertex) or 270° (south vertex) along the arc; its value is
+    Clairaut's arccos(|sin(az)·cos(lat)|)."""
+    import numpy as np
+
+    p1, l1 = np.radians(lat1), np.radians(lon1)
+    p2, l2 = np.radians(lat2), np.radians(lon2)
+    dl = np.mod(l2 - l1 + np.pi, 2 * np.pi) - np.pi  # shortest arc
+    # forward azimuth at A toward B, and at B continuing from A
+    az1 = np.arctan2(
+        np.sin(dl) * np.cos(p2),
+        np.cos(p1) * np.sin(p2) - np.sin(p1) * np.cos(p2) * np.cos(dl),
+    )
+    # azimuth at B = reverse of bearing B->A
+    azb = np.arctan2(
+        np.sin(-dl) * np.cos(p1),
+        np.cos(p2) * np.sin(p1) - np.sin(p2) * np.cos(p1) * np.cos(-dl),
+    )
+    az2 = azb + np.pi
+    lat_ext = np.degrees(np.arccos(np.abs(np.sin(az1) * np.cos(p1))))
+    lo = np.minimum(lat1, lat2)
+    hi = np.maximum(lat1, lat2)
+    # north vertex interior: heading north at A (cos az1 > 0), south at B
+    north_in = (np.cos(az1) > 0) & (np.cos(az2) < 0)
+    south_in = (np.cos(az1) < 0) & (np.cos(az2) > 0)
+    hi = np.where(north_in, np.maximum(hi, lat_ext), hi)
+    lo = np.where(south_in, np.minimum(lo, -lat_ext), lo)
+    return lo, hi
+
+
+def _merge_arcs(arcs: list) -> "tuple[float, float] | None":
+    """Minimal covering longitude interval (lo, hi) in degrees of a set
+    of circle arcs (start, end) with end ≥ start, span ≤ 360. lo > hi
+    encodes antimeridian wrap; (-180, 180) when the arcs cover (or
+    nearly cover) the full circle. The cover is the complement of the
+    largest uncovered gap — exact, not heuristic."""
+    if not arcs:
+        return None
+    segs = []
+    for s, e in arcs:
+        span = min(e - s, 360.0)
+        s = ((s + 180.0) % 360.0) - 180.0
+        segs.append((s, s + span))
+    segs.sort()
+    merged = [list(segs[0])]
+    for s, e in segs[1:]:
+        if s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+        else:
+            merged.append([s, e])
+    # wrap: does the last run reach around to the first?
+    if len(merged) > 1 and merged[-1][1] - 360.0 >= merged[0][0]:
+        merged[0][0] = merged[-1][0] - 360.0
+        merged[0][1] = max(merged[0][1], merged[-1][1] - 360.0)
+        merged.pop()
+    if sum(e - s for s, e in merged) >= 360.0 - 1e-9:
+        return (-180.0, 180.0)
+    # largest gap between consecutive covered runs (cyclic)
+    best_gap, best_at = -1.0, 0
+    for i, (_, e) in enumerate(merged):
+        nxt = merged[(i + 1) % len(merged)][0] + (
+            360.0 if i + 1 == len(merged) else 0.0
+        )
+        if nxt - e > best_gap:
+            best_gap, best_at = nxt - e, i
+    lo = merged[(best_at + 1) % len(merged)][0]
+    hi = merged[best_at][1]
+    lo = ((lo + 180.0) % 360.0) - 180.0
+    hi = ((hi + 180.0) % 360.0) - 180.0
+    return (lo, hi)
+
+
+def spherical_lon_arcs_and_lat(buf: bytes):
+    """(arcs, ymin, ymax) of one WKB geometry under spherical edges:
+    `arcs` is a list of (start, end) longitude intervals (end ≥ start,
+    ≤360 span) whose union covers every point of the geometry; ymin /
+    ymax are covering latitude bounds including interior great-circle
+    extrema and wound-pole caps. None for an EMPTY geometry. Split from
+    spherical_envelope so a multi-VALUE writer can union arcs across
+    rows before picking the minimal cover (per-row covers don't
+    compose: the minimal cover of covers is not the cover of the
+    union's arcs)."""
+    import numpy as np
+
+    acc: list = []
+    buf = bytes(buf)
+    end = _walk_tagged(buf, 0, acc)
+    if end != len(buf):
+        raise WkbError(f"{len(buf) - end} trailing bytes after WKB geometry")
+    arcs: list = []
+    ymin, ymax = np.inf, -np.inf
+    seen = False
+    for kind, pts in acc:
+        xy = pts[:, :2]
+        xy = xy[~np.isnan(xy).any(axis=1)]
+        if not len(xy):
+            continue
+        seen = True
+        lon, lat = xy[:, 0].astype(float), xy[:, 1].astype(float)
+        ymin = min(ymin, float(lat.min()))
+        ymax = max(ymax, float(lat.max()))
+        for v in lon:
+            arcs.append((float(v), float(v)))
+        if kind == "point" or len(xy) < 2:
+            continue
+        la1, lo1 = lat[:-1], lon[:-1]
+        la2, lo2 = lat[1:], lon[1:]
+        elo, ehi = _edge_lat_extrema(la1, lo1, la2, lo2)
+        ymin = min(ymin, float(elo.min()))
+        ymax = max(ymax, float(ehi.max()))
+        dl = np.mod(lo2 - lo1 + 180.0, 360.0) - 180.0
+        # meridian edges with |Δlon| = 180 cross a pole: lat already
+        # extends to ±90 via the interior-extremum test; longitudes on
+        # the arc are exactly the two meridians (degenerate arcs above)
+        for s, d in zip(lo1, dl):
+            if d >= 0:
+                arcs.append((float(s), float(s + d)))
+            else:
+                arcs.append((float(s + d), float(s)))
+        if kind == "ring":
+            wind = float(dl.sum())
+            if not np.isclose(
+                float(lon[0]), float(lon[-1])
+            ) or not np.isclose(float(lat[0]), float(lat[-1])):
+                # unclosed ring data: close it for the winding sum
+                d = ((lon[0] - lon[-1] + 180.0) % 360.0) - 180.0
+                wind += float(d)
+            if abs(wind) > 180.0:  # winds a pole
+                arcs.append((-180.0, 180.0))
+                mean_lat = float(lat.mean())
+                if mean_lat >= 0:
+                    ymax = 90.0
+                else:
+                    ymin = -90.0
+    if not seen:
+        return None
+    return arcs, ymin, ymax
+
+
+def spherical_envelope(buf: bytes) -> tuple | None:
+    """(xmin, ymin, xmax, ymax) covering envelope of a WKB geometry
+    under SPHERICAL edge semantics (Iceberg v3 geography). xmin > xmax
+    encodes an antimeridian-wrapped longitude interval, per the spec's
+    geography bound rule. None for an EMPTY geometry."""
+    got = spherical_lon_arcs_and_lat(buf)
+    if got is None:
+        return None
+    arcs, ymin, ymax = got
+    lo, hi = _merge_arcs(arcs)
+    return (lo, ymin, hi, ymax)

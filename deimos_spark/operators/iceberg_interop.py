@@ -2479,16 +2479,19 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
 
     # geo bounds (v3): lower/upper are x/y-min/max WKB POINTs computed
     # from the DATA (parquet byte-order stats on WKB blobs are
-    # meaningless as envelopes). GEOMETRY always — planar min/max is
-    # exact. GEOGRAPHY only when every value is a POINT: points have
-    # no edges, so coordinate min/max is exact under ANY edge
-    # algorithm (the device-location case); any non-point geography
-    # value disables the column's bounds — its true envelope needs
-    # spherical-edge reasoning and antimeridian wrap this writer does
-    # not do, and readers treat missing bounds as non-prunable, never
-    # wrong. The column is read back COLUMN-PRUNED per freshly-written
-    # local file; a cluster writer would fold this accumulation into
-    # the write tasks themselves.
+    # meaningless as envelopes). GEOMETRY: planar min/max — exact.
+    # GEOGRAPHY: spherical-edge envelopes (r14, VERDICT r13 #7) —
+    # per-edge great-circle latitude extrema (Clairaut), wound-pole
+    # caps, and a minimal covering longitude interval that may WRAP the
+    # antimeridian (lower.x > upper.x per the spec), computed over the
+    # union of ALL values' longitude arcs (per-value covers don't
+    # compose — the minimal cover of covers can exclude longitudes a
+    # later value reaches through the gap). POINT-only columns reduce
+    # to the old exact point path by construction. An unparseable value
+    # still disables the column's bounds (missing bounds are
+    # non-prunable, never wrong). The column is read back COLUMN-PRUNED
+    # per freshly-written local file; a cluster writer would fold this
+    # accumulation into the write tasks themselves.
     geo_fields = [
         (f["name"], f["id"], (parse_geo_type(f["type"]) or {}).get("kind"))
         for f in ice_fields
@@ -2497,8 +2500,9 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
     ]
     if geo_fields:
         from deimos_spark.functions.geo import (
-            geometry_type_name,
+            _merge_arcs,
             parse_envelope,
+            spherical_lon_arcs_and_lat,
             wkb_point,
         )
 
@@ -2516,26 +2520,25 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                     continue
                 env = None
                 ok = True
-                lons: list = []  # geography-point lons, collected in
-                # the SAME parse pass (a point's envelope is the point)
+                arcs: list = []  # geography longitude arcs, all values
                 for v in tbl.column(name).to_pylist():
                     if v is None:
                         continue
                     try:
-                        if (
-                            kind == "geography"
-                            and geometry_type_name(v) != "Point"
-                        ):
-                            ok = False  # non-point geography: exact
-                            break  # bounds need spherical reasoning
-                        e = parse_envelope(v)
+                        if kind == "geography":
+                            got = spherical_lon_arcs_and_lat(v)
+                            if got is None:
+                                continue  # EMPTY geometry
+                            va, ylo, yhi = got
+                            arcs.extend(va)
+                            e = (0.0, ylo, 0.0, yhi)  # x from arcs below
+                        else:
+                            e = parse_envelope(v)
                     except Exception:
                         ok = False  # unparseable value: no bounds for
                         break  # this column (pruning stays safe)
                     if e is None:
                         continue
-                    if kind == "geography":
-                        lons.append(e[0])
                     env = e if env is None else (
                         min(env[0], e[0]), min(env[1], e[1]),
                         max(env[2], e[2]), max(env[3], e[3]),
@@ -2543,15 +2546,12 @@ def _file_column_bounds(path: str, ice_fields: list[dict]):
                 if ok and env is not None:
                     xlo, xhi = env[0], env[2]
                     if kind == "geography":
-                        # the spec allows geography x-bounds to WRAP
+                        # minimal covering interval of every value's
+                        # longitude arcs — may WRAP the antimeridian
                         # (lower.x > upper.x ⇒ [lo,180] ∪ [-180,hi]):
-                        # for a point set clustered at ±180 the naive
-                        # range spans the globe and prunes nothing —
-                        # emit the wrapped interval when the largest
-                        # longitude gap beats the naive span
-                        w = _wrapped_lon_bounds(lons)
-                        if w is not None:
-                            xlo, xhi = w
+                        # for data clustered at ±180 the naive range
+                        # spans the globe and prunes nothing
+                        xlo, xhi = _merge_arcs(arcs)
                     lower.append(
                         {"key": fid, "value": wkb_point(xlo, env[1])}
                     )
@@ -3921,7 +3921,7 @@ class IcebergKeyedTable:
                 if zorder_by:
                     from deimos_spark.operators import layout
 
-                    current = layout.cluster_arrange(
+                    current = layout.cluster_arrange_or_linear(
                         current, list(zorder_by), n_files=n_files,
                         curve=curve,
                     )

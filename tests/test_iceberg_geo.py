@@ -311,10 +311,13 @@ def test_engine_sql_geo_functions(spark):
     ]
 
 
-def test_geography_point_columns_get_bounds_nonpoint_do_not(spark, tmp_path):
-    """Geography write bounds: POINT-only columns are exactly boundable
-    under any edge algorithm (no edges to bulge); one non-point value
-    disables the column's bounds (missing bounds never mis-prune)."""
+def test_geography_nonpoint_columns_get_spherical_bounds(spark, tmp_path):
+    """r14 (VERDICT r13 #7): non-POINT geography values now get
+    covering SPHERICAL-edge bounds — per-edge great-circle latitude
+    extrema (an east-west arc at lat 60 bulges to ~73.9°, which a
+    vertex-only envelope would miss and then MIS-PRUNE) — instead of
+    disabling the column's bounds. Unparseable bytes still disable
+    (missing bounds never mis-prune)."""
     import struct as _s
 
     from deimos_spark.schemas.avro_ocf import ocf_read
@@ -323,15 +326,21 @@ def test_geography_point_columns_get_bounds_nonpoint_do_not(spark, tmp_path):
         r = IcebergTableReader(spark, path)
         snap = r.snapshot(None)
         _, manifests = ocf_read(r._local(snap["manifest-list"]))
-        out = []
+        out = {}
         for mf in manifests:
             _, entries = ocf_read(r._local(mf["manifest_path"]))
             for e in entries:
-                lows = e["data_file"].get("lower_bounds") or []
-                out.extend(x["key"] for x in lows)
+                df = e["data_file"]
+                lows = {x["key"]: x["value"] for x in df.get("lower_bounds") or []}
+                his = {x["key"]: x["value"] for x in df.get("upper_bounds") or []}
+                if 2 in lows:
+                    out[2] = (
+                        geo.parse_wkb_point(lows[2]),
+                        geo.parse_wkb_point(his[2]),
+                    )
         return out
 
-    # all points -> field 2 bounded
+    # all points -> field 2 bounded exactly
     p1 = str(tmp_path / "pts")
     w1 = IcebergTableWriter(
         spark, p1, format_version=3, geo_columns={"g": "geography"},
@@ -340,28 +349,46 @@ def test_geography_point_columns_get_bounds_nonpoint_do_not(spark, tmp_path):
         [(1, geo.wkb_point(10.0, 1.0)), (2, geo.wkb_point(20.0, 2.0))],
         "id long, g binary",
     ).coalesce(1))
-    assert 2 in bounds_for(p1)
+    b = bounds_for(p1)
+    assert 2 in b and b[2][0] == (10.0, 1.0) and b[2][1] == (20.0, 2.0)
 
-    # a linestring poisons the geography bounds
-    ls = _s.pack("<BII", 1, 2, 2) + _s.pack("<4d", 0, 0, 5, 5)
-    p2 = str(tmp_path / "mixed")
+    # a high-latitude east-west arc: bounds present AND cover the
+    # great-circle bulge (vertex max lat 60, true max ≈ 73.898)
+    arc = _s.pack("<BII", 1, 2, 2) + _s.pack("<4d", -60, 60, 60, 60)
+    p2 = str(tmp_path / "arc")
     w2 = IcebergTableWriter(
         spark, p2, format_version=3, geo_columns={"g": "geography"},
     )
     w2.append(spark.createDataFrame(
-        [(1, geo.wkb_point(10.0, 1.0)), (2, ls)], "id long, g binary",
+        [(1, geo.wkb_point(10.0, 1.0)), (2, arc)], "id long, g binary",
     ).coalesce(1))
-    assert 2 not in bounds_for(p2)
+    b = bounds_for(p2)
+    assert 2 in b
+    (xlo, _ylo), (xhi, yhi) = b[2]
+    assert (xlo, xhi) == (-60.0, 60.0)
+    assert 73.8 < yhi < 74.0  # Clairaut extremum, not the vertex 60
 
-    # the same linestring under GEOMETRY (planar) IS bounded
-    p3 = str(tmp_path / "geom")
+    # unparseable bytes still poison the geography bounds
+    p3 = str(tmp_path / "bad")
     w3 = IcebergTableWriter(
-        spark, p3, format_version=3, geo_columns={"g": "geometry"},
+        spark, p3, format_version=3, geo_columns={"g": "geography"},
     )
     w3.append(spark.createDataFrame(
-        [(1, ls)], "id long, g binary",
+        [(1, geo.wkb_point(10.0, 1.0)), (2, b"\x07nonsense")],
+        "id long, g binary",
     ).coalesce(1))
-    assert 2 in bounds_for(p3)
+    assert 2 not in bounds_for(p3)
+
+    # a linestring under GEOMETRY (planar) stays vertex-exact
+    p4 = str(tmp_path / "geom")
+    w4 = IcebergTableWriter(
+        spark, p4, format_version=3, geo_columns={"g": "geometry"},
+    )
+    w4.append(spark.createDataFrame(
+        [(1, arc)], "id long, g binary",
+    ).coalesce(1))
+    b = bounds_for(p4)
+    assert 2 in b and b[2][1] == (60.0, 60.0)  # planar: no bulge
 
 
 def test_geo_declaration_binds_at_creation_only(spark, tmp_path):
@@ -510,3 +537,75 @@ def test_engine_sql_bbox_null_bounds(spark):
         "ORDER BY id"
     ).collect()
     assert [r.id for r in rows] == [1]
+
+
+def _poly(rings):
+    b = struct.pack("<BII", 1, 3, len(rings))
+    for r in rings:
+        b += struct.pack("<I", len(r))
+        for x, y in r:
+            b += struct.pack("<dd", float(x), float(y))
+    return b
+
+
+def test_geography_wrapped_polygon_bounds_and_pruning(spark, tmp_path):
+    """VERDICT r13 #7 'done' check: a POLYGON straddling the
+    antimeridian gets write-side WRAPPED bounds (lower.x > upper.x) and
+    the reader's wrap-aware pruning keeps a mid-Pacific query box while
+    skipping a mid-Atlantic one."""
+    from deimos_spark.schemas.avro_ocf import ocf_read
+
+    path = str(tmp_path / "wrappoly")
+    w = IcebergTableWriter(
+        spark, path, format_version=3, geo_columns={"g": "geography"},
+    )
+    # a quad crossing ±180: lons 172 → -172 (16° wide through the
+    # antimeridian), lats 0..10
+    quad = _poly(
+        [[(172, 0), (-172, 0), (-172, 10), (172, 10), (172, 0)]]
+    )
+    w.append(
+        spark.createDataFrame([(1, quad)], "id long, g binary").coalesce(1)
+    )
+    r = IcebergTableReader(spark, path)
+    snap = r.snapshot(None)
+    _, manifests = ocf_read(r._local(snap["manifest-list"]))
+    lo = hi = None
+    for mf in manifests:
+        _, entries = ocf_read(r._local(mf["manifest_path"]))
+        for e in entries:
+            df = e["data_file"]
+            lows = {x["key"]: x["value"] for x in df["lower_bounds"]}
+            his = {x["key"]: x["value"] for x in df["upper_bounds"]}
+            if 2 in lows:
+                lo = geo.parse_wkb_point(lows[2])
+                hi = geo.parse_wkb_point(his[2])
+    assert lo is not None
+    assert lo[0] == 172.0 and hi[0] == -172.0  # wrapped, 16° not 344°
+    assert lo[1] == 0.0 and 10.0 <= hi[1] < 10.1  # top edge bulge ≥ 10
+    # read-side pruning: box on the antimeridian hits, mid-Atlantic skips
+    assert r.read(bbox_filter={"g": (179, 2, 180, 8)}).count() == 1
+    d_all, *_ = r._file_sets()
+    d_miss, *_ = r._file_sets(bbox_filter={"g": (-40, 2, -20, 8)})
+    assert len(d_miss) < len(d_all)
+
+
+def test_spherical_envelope_polar_cap_and_merge_arcs():
+    """The spherical envelope kernel directly: a ring winding a pole
+    covers the full longitude circle and extends latitude to that pole
+    (minimal-area interpretation, documented); _merge_arcs picks the
+    minimal circular cover exactly."""
+    from deimos_spark.functions.geo import _merge_arcs, spherical_envelope
+
+    ring = [(lon, 80.0) for lon in range(-180, 181, 30)]
+    env = spherical_envelope(_poly([ring]))
+    assert env == (-180.0, 80.0, 180.0, 90.0)
+
+    south = [(lon, -75.0) for lon in range(180, -181, -30)]
+    env = spherical_envelope(_poly([south]))
+    assert env[1] == -90.0 and (env[0], env[2]) == (-180.0, 180.0)
+
+    # merge: two arcs near ±180 wrap; a spread set doesn't
+    assert _merge_arcs([(170.0, 175.0), (-175.0, -170.0)]) == (170.0, -170.0)
+    assert _merge_arcs([(-10.0, 0.0), (5.0, 10.0)]) == (-10.0, 10.0)
+    assert _merge_arcs([(-180.0, 180.0)]) == (-180.0, 180.0)
