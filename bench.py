@@ -131,6 +131,18 @@ HEADLINE = [
     "x14_scd2_history",
 ]
 
+# Heavy tier (VERDICT r13 #5): the two most expensive operators in the
+# registry — iterative connected components (t20) and the metric-ball
+# blocked exact-pair dedup apply (t28). Tracked in their own totals line
+# so a regression in either is visible round-over-round WITHOUT folding
+# their multi-second cost into the headline total that HEAD2HEAD and
+# BASELINE.md compare (the bar predates them; mixing tiers would move
+# the series for non-engine reasons). Same timing protocol as HEADLINE.
+HEAVY = [
+    "t20_dup_clusters",
+    "t28_dedup_apply",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -195,6 +207,21 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[1], 3)  # median of 3: steady state
 
+    heavy_cold: dict[str, float] = {}
+    heavy: dict[str, float] = {}
+    for name in HEAVY:
+        spec = specs[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).collect()
+        heavy_cold[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(3):
+            clear_plan_cache()
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        heavy[name] = round(sorted(runs)[1], 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -205,6 +232,10 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total_sec": round(sum(cold.values()), 3),
+                # heavy tier: tracked, not folded into `value` (see HEAVY)
+                "heavy_queries": heavy,
+                "heavy_cold_queries": heavy_cold,
+                "heavy_total_sec": round(sum(heavy.values()), 3),
                 "sf": sf,
                 # fresh-lineage re-submission per timed run (no shuffle
                 # reuse) — see the module docstring; r1-r4 used cached

@@ -544,6 +544,7 @@ def pairwise_cosine_exact_blocked(
     max_train: int = 100_000,
     warn_pair_budget: float = 5e8,
     max_pair_budget: float = 5e9,
+    stage_timings: dict | None = None,
 ) -> DataFrame:
     """EXACT all-pairs cosine ≥ threshold without the Θ(n²) pair
     relation (VERDICT r12 #2 — lifts pairwise_cosine_exact's 20k cap).
@@ -588,9 +589,19 @@ def pairwise_cosine_exact_blocked(
     un-prunable isotropic regime is how a 3-day job gets launched by
     accident) with the estimate in the message and a pointer to the
     t06/t08 LSH operators, which is what that regime actually needs."""
+    import time as _time
+
     import numpy as np
 
+    # stage_timings (VERDICT r13 #4): when a dict is passed, the driver-
+    # side sync points record their wall time into it — the operator has
+    # natural stage boundaries (count / train collect / k-means fit /
+    # assignment+radii / candidate pairs), and the profile belongs HERE,
+    # not re-derived in a tool that would drift from the real plan.
+    st = stage_timings if stage_timings is not None else {}
+    t0 = _time.perf_counter()
     n = df.count()
+    st["count_sec"] = round(_time.perf_counter() - t0, 3)
     if n <= 1:
         return pairwise_cosine_exact(
             df, threshold, id_col, vec_col, max_rows=max(n, 1)
@@ -601,13 +612,17 @@ def pairwise_cosine_exact_blocked(
     train = df.select(to_double_array(vec_col).alias("_v"))
     if frac < 1.0:
         train = train.sample(fraction=frac, seed=seed)
+    t0 = _time.perf_counter()
     x = np.asarray(
         [r["_v"] for r in train.limit(max_train).collect()],
         dtype=np.float64,
     )
+    st["train_collect_sec"] = round(_time.perf_counter() - t0, 3)
+    t0 = _time.perf_counter()
     cents = _kmeans(
         _unit_rows(x), min(n_cells, len(x)), seed, max_iter
     )
+    st["kmeans_fit_sec"] = round(_time.perf_counter() - t0, 3)
 
     # ONE mapInPandas pass for (cell, geodesic dist): the struct-UDF
     # form (ivf_cell_dist_udf) evaluates the Arrow kernel once PER
@@ -671,6 +686,7 @@ def pairwise_cosine_exact_blocked(
     from pyspark import StorageLevel
 
     assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
+    t0 = _time.perf_counter()
     radii = {}
     sizes = {}
     for r in (
@@ -680,9 +696,12 @@ def pairwise_cosine_exact_blocked(
     ):
         radii[r["_cell"]] = r["r"]
         sizes[r["_cell"]] = r["n"]
+    st["assign_radii_sec"] = round(_time.perf_counter() - t0, 3)
     # Radii over the FULL table (not the training sample): the bound
     # must cover every member, including ones the sample never saw.
+    t0 = _time.perf_counter()
     cand_cells = _blocked_cell_pairs(cents, radii, threshold)
+    st["cand_pairs_sec"] = round(_time.perf_counter() - t0, 3)
     # Work-budget guard (VERDICT r13 #3): the confirm join's pair count
     # is exactly Σ|A|·|B| over candidate cell pairs (each unordered
     # pair counted once — cand_cells carries both orientations), known

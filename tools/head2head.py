@@ -122,34 +122,75 @@ def main() -> None:
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
 
-    rows: dict[str, dict] = {}
-    for name in HEADLINE:
-        spec = specs[name]
-        if spec.oracle is None:
-            continue  # approximate / non-SQL op: no DuckDB form to race
-        # warm both engines once (JIT, codegen, buffer pool, footers)
-        spec.builder(spark, sf_dir).collect()
-        con.execute(spec.oracle).fetchall()
-
-        def spark_run(spec=spec):
-            clear_plan_cache()
+    # Multi-SAMPLE regime (VERDICT r13 watch item: "commit the
+    # multi-sample spread with the cpu-probe fingerprint"): the host's
+    # absolute speed fluctuates faster than one 15-minute measurement
+    # (r13: probes 0.43-1.4s BETWEEN runs), so a single sample can't be
+    # told apart from a host regime. H2H_SAMPLES (default 3) full
+    # passes run back-to-back, each with its own probe + loadavg; the
+    # MEDIAN-full-set-ratio sample provides the committed per-query
+    # detail, and every sample's totals stay in-artifact.
+    n_samples = max(1, int(os.environ.get("H2H_SAMPLES", "3")))
+    samples = []
+    for si in range(n_samples):
+        waited_s = 0.0
+        while os.getloadavg()[0] > limit and waited_s < 300:
+            _time.sleep(5.0)
+            waited_s += 5.0
+        s_load = os.getloadavg()
+        s_probe = _cpu_probe()
+        rows: dict[str, dict] = {}
+        for name in HEADLINE:
+            spec = specs[name]
+            if spec.oracle is None:
+                continue  # approximate / non-SQL op: no DuckDB form
+            # warm both engines once (JIT, codegen, buffer pool, footers)
             spec.builder(spark, sf_dir).collect()
-
-        def duck_run(spec=spec):
             con.execute(spec.oracle).fetchall()
 
-        s, d = median5(spark_run), median5(duck_run)
-        rows[name] = {
-            "spark_sec": s,
-            "duckdb_sec": d,
-            "ratio": round(s / d, 2) if d > 0 else None,
-        }
+            def spark_run(spec=spec):
+                clear_plan_cache()
+                spec.builder(spark, sf_dir).collect()
 
-    s_tot = round(sum(r["spark_sec"] for r in rows.values()), 3)
-    d_tot = round(sum(r["duckdb_sec"] for r in rows.values()), 3)
+            def duck_run(spec=spec):
+                con.execute(spec.oracle).fetchall()
+
+            s, d = median5(spark_run), median5(duck_run)
+            rows[name] = {
+                "spark_sec": s,
+                "duckdb_sec": d,
+                "ratio": round(s / d, 2) if d > 0 else None,
+            }
+        st = round(sum(r["spark_sec"] for r in rows.values()), 3)
+        dt = round(sum(r["duckdb_sec"] for r in rows.values()), 3)
+        r5s = {k: v for k, v in rows.items() if k in R5_SET}
+        s5s = round(sum(r["spark_sec"] for r in r5s.values()), 3)
+        d5s = round(sum(r["duckdb_sec"] for r in r5s.values()), 3)
+        samples.append({
+            "rows": rows,
+            "spark_total_sec": st,
+            "duckdb_total_sec": dt,
+            "ratio": round(st / dt, 3) if dt else None,
+            "r5_ratio": round(s5s / d5s, 3) if d5s else None,
+            "r5_spark_total_sec": s5s,
+            "r5_duckdb_total_sec": d5s,
+            "cpu_probe_sec": s_probe,
+            "loadavg_before": [round(x, 2) for x in s_load],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        })
+        print(
+            f"sample {si}: full {samples[-1]['ratio']} "
+            f"r5 {samples[-1]['r5_ratio']} probe {s_probe}",
+            file=sys.stderr,
+        )
+
+    mid = sorted(samples, key=lambda s: s["ratio"])[len(samples) // 2]
+    rows = mid["rows"]
+    s_tot, d_tot = mid["spark_total_sec"], mid["duckdb_total_sec"]
     r5 = {k: v for k, v in rows.items() if k in R5_SET}
     s5 = round(sum(r["spark_sec"] for r in r5.values()), 3)
     d5 = round(sum(r["duckdb_sec"] for r in r5.values()), 3)
+    cpu_probe = mid["cpu_probe_sec"]
     print(
         json.dumps(
             {
@@ -171,6 +212,13 @@ def main() -> None:
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in os.getloadavg()],
                 "cpu_probe_sec": cpu_probe,
+                # every sample's totals + fingerprints; `queries` below
+                # is the MEDIAN-ratio sample's detail
+                "samples": [
+                    {k: v for k, v in s.items() if k != "rows"}
+                    for s in samples
+                ],
+                "n_samples": n_samples,
                 "queries": rows,
             },
             indent=1,

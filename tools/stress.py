@@ -273,11 +273,17 @@ def _t28_blocked_bench(spark, scratch: str, k: int) -> dict:
     # max_train caps the DRIVER training sample (exactness never depends
     # on centroid quality — radii come from the full table), keeping the
     # k-means term linear in K instead of n·K
+    stages: dict = {}
     pairs = pairwise_cosine_exact_blocked(
-        emb, 0.8, n_cells=2 * topics, max_iter=10, max_train=20_000
+        emb, 0.8, n_cells=2 * topics, max_iter=10, max_train=20_000,
+        stage_timings=stages,
     )
     n_pairs = pairs.count()
     pair_sec = time.perf_counter() - t0
+    # confirm join = what's left after the driver-side sync points
+    stages["confirm_join_sec"] = round(
+        pair_sec - sum(stages.values()), 2
+    )
     t0 = time.perf_counter()
     n_kept = keep_representatives(
         emb.select("vec_id"), pairs, id_col="vec_id"
@@ -288,6 +294,7 @@ def _t28_blocked_bench(spark, scratch: str, k: int) -> dict:
         "rows": topics * members,
         "pairs": n_pairs,
         "pair_sec": round(pair_sec, 2),
+        "pair_stages": stages,
         "kept": n_kept,
         "keep_sec": round(keep_sec, 2),
         "sec": round(pair_sec + keep_sec, 2),
