@@ -35,28 +35,46 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 25,
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """→ (node, component) where component = min node id reachable.
 
     Only nodes that appear in `edges` are labeled (isolated docs are
     their own cluster by definition — callers left-join and coalesce).
-    """
+
+    Every round MATERIALIZES its label relation (eager localCheckpoint)
+    before the convergence check. The r13 shape checkpointed every 5th
+    round only, which made each window quadratic in evaluations: round
+    i+1's joins re-executed round i's un-materialized plan, and the
+    per-round changed-count evaluated the same plan AGAIN — ~30
+    round-evaluations per 5-round window instead of 5 (measured as the
+    dominant term of t20's 187s heavy-tier cost at sf0.1). With the
+    round materialized, the changed probe is a scan of local shuffle-
+    free blocks and the next round starts from data, not lineage; old
+    checkpoint blocks are freed by the ContextCleaner as each round's
+    frame goes out of scope."""
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
-    # symmetric closure once; reused (cached) across every round
+    # Symmetric closure once; materialized and reused across every round.
+    # localCheckpoint PRESERVES outputPartitioning (LogicalRDD carries it
+    # — verified in the formatted plan), so both loop inputs are laid out
+    # on their join keys ONCE here: sym hash(b) and labels hash(node).
+    # Each round's inner join (b==node) and left join (node) then find
+    # both sides co-partitioned and the only per-round exchange left is
+    # the groupBy's b→a re-key — at 100 TB that removes two of the three
+    # shuffles from every iteration.
+    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    sym = sym.distinct().localCheckpoint(eager=True)
+    sym = sym.distinct().repartition(P, "b").localCheckpoint(eager=True)
 
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
-        .select("node", F.col("node").alias("comp"))
+        .withColumn("comp", F.col("node"))
         .localCheckpoint(eager=True)
     )
 
-    for i in range(max_iters):
+    for _ in range(max_iters):
         # smallest label in each node's neighborhood
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -72,9 +90,8 @@ def connected_components(
                 ).alias("comp"),
                 (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

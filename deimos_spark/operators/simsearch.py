@@ -437,7 +437,19 @@ def pairwise_cosine_exact(
 
     GUARDED against misuse as a production path: raises if the input
     exceeds `max_rows` (the count is a cheap metadata-only scan for parquet
-    sources). Sample or bucket first — don't raise the cap at scale."""
+    sources). Sample or bucket first — don't raise the cap at scale.
+
+    Execution shape (r14): the stream side of the broadcast NL join is
+    REPARTITIONED to the session's parallelism — a small parquet table
+    arrives as ONE input split, which serialized the whole n² pair scan
+    onto a single task (measured: 2k rows × 64 dims = 137s single-task
+    vs ~2s spread over 32) — and, when the column is uniform-width (the
+    embedding-table contract; probed with one bounded min/max-size agg),
+    the per-pair cosine is the codegen'd unrolled dot/norm split from
+    the blocked operator's confirm stage, bit-identical to the
+    interpreted fold (same association, NULL and ragged behavior —
+    pinned by tests/test_blocked_pairs.py) at ~25µs/pair less. Ragged
+    or >UNROLL_MAX_DIM columns keep the fold."""
     n = df.count()
     if n > max_rows:
         raise ValueError(
@@ -445,10 +457,38 @@ def pairwise_cosine_exact(
             f" has {n} rows > max_rows={max_rows}. Use pairwise_cosine_above"
             f" (LSH-bucketed) for production-scale data, or sample first."
         )
-    left = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    right = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
-    sim = cosine(to_double_array(F.col("va")), to_double_array(F.col("vb")))
+    sz = df.agg(
+        F.min(F.size(F.col(vec_col))).alias("mn"),
+        F.max(F.size(F.col(vec_col))).alias("mx"),
+    ).first()
+    dim = sz["mn"] if sz["mn"] == sz["mx"] else None
+    unroll = dim is not None and 0 < dim <= vectors.UNROLL_MAX_DIM
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if unroll:
+        na = vectors.norm_unrolled(vec_col, dim)
+        left = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            na.alias("_na"),
+        ).repartition(par)
+        right = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            na.alias("_nb"),
+        )
+        pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+        sim = vectors.dot_cols_unrolled_nullprop("va", "vb", dim) / (
+            F.col("_na") * F.col("_nb")
+        )
+    else:
+        left = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+        ).repartition(par)
+        right = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+        )
+        pairs = left.join(F.broadcast(right), F.col("id_a") < F.col("id_b"))
+        sim = cosine(to_double_array(F.col("va")), to_double_array(F.col("vb")))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
@@ -737,47 +777,204 @@ def pairwise_cosine_exact_blocked(
             f"expect a long join stage.",
             stacklevel=2,
         )
-    cellpairs = df.sparkSession.createDataFrame(
-        cand_cells, "_ca int, _cb int"
-    )
-    # Confirm-stage plan: norms are computed ONCE PER ROW on each join
-    # side (N evaluations), so the per-PAIR work is one unrolled dot —
-    # bit-identical to the fold cosine (dot/(norm_a·norm_b), same
-    # left-to-right association, same NULL propagation) but inside
-    # whole-stage codegen; the interpreted fold costs ~25µs/pair and
-    # dominated the operator before this split.
-    dim = x.shape[1] if x.ndim == 2 else 0
-    unroll = 0 < dim <= vectors.UNROLL_MAX_DIM
-    na = (
-        vectors.norm_unrolled(vec_col, dim)
-        if unroll
-        else vectors.norm(to_double_array(F.col(vec_col)))
-    )
-    left = assigned.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        na.alias("_na"),
-        F.col("_cell").alias("_ca"),
-    )
-    right = assigned.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        na.alias("_nb"),
-        F.col("_cell").alias("_cb"),
-    )
-    pairs = (
-        left.join(F.broadcast(cellpairs), "_ca")
-        .join(right, "_cb")
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
-    if unroll:
-        d = vectors.dot_cols_unrolled_nullprop("va", "vb", dim)
-    else:
+    # Confirm stage (r14): BLAS-style blocks instead of a per-pair JVM
+    # expression. The r13 shape — row-level equi-join + a 64-dim
+    # unrolled dot — generated 23 KB-bytecode methods that HotSpot
+    # REFUSES to JIT (DontCompileHugeMethods caps at 8 KB), so every
+    # pair paid the bytecode INTERPRETER: measured 52s for ~2M pairs at
+    # sf0.1 where the arithmetic is ~0.5s of vectorized work. Now each
+    # cell becomes ONE blob row (ids + row-major matrix), the broadcast
+    # candidate-pair list fans blobs into (A, B) tasks, and a mapInPandas
+    # kernel confirms each block with numpy.
+    #
+    # Bit-exactness contract (vs pairwise_cosine_exact, pinned by
+    # tests/test_blocked_pairs.py): the kernel reproduces the fold's
+    # EXACT IEEE sequence — dot and norms accumulate per-ELEMENT in
+    # index order over vectorized pair axes (acc += A[:,i]·B[:,i] is
+    # the fold's left-to-right association; no np.dot/BLAS, whose
+    # pairwise summation reassociates), div after norm-product in the
+    # same order, and round-half-up on the SHORTEST-DECIMAL repr
+    # (Python repr == Java Double.toString numerically; Spark's
+    # round(double, 4) is BigDecimal.valueOf(d).setScale(4, HALF_UP)).
+    # Fast path: scaled-integer rounding, with a Decimal re-check only
+    # inside the ±1e-6 band around the .00005 boundary where scaling
+    # error could disagree with decimal digits. NaN rows (null arrays /
+    # null elements / zero norms → 0/0) fail the >= filter exactly like
+    # the expression path's NULL propagation.
+    if x.ndim != 2:
+        # degenerate training sample (ragged / all-null vectors): keep
+        # the expression fallback — the fold handles any shape.
+        cellpairs = df.sparkSession.createDataFrame(
+            cand_cells, "_ca int, _cb int"
+        )
+        left = assigned.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("va"),
+            vectors.norm(to_double_array(F.col(vec_col))).alias("_na"),
+            F.col("_cell").alias("_ca"),
+        )
+        right = assigned.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vb"),
+            vectors.norm(to_double_array(F.col(vec_col))).alias("_nb"),
+            F.col("_cell").alias("_cb"),
+        )
+        pairs = (
+            left.join(F.broadcast(cellpairs), "_ca")
+            .join(right, "_cb")
+            .filter(F.col("id_a") < F.col("id_b"))
+        )
         d = dot(to_double_array(F.col("va")), to_double_array(F.col("vb")))
-    sim = d / (F.col("_na") * F.col("_nb"))
-    return pairs.select(
-        "id_a", "id_b", F.round(sim, 4).alias("sim")
-    ).filter(F.col("sim") >= threshold)
+        sim = d / (F.col("_na") * F.col("_nb"))
+        return pairs.select(
+            "id_a", "id_b", F.round(sim, 4).alias("sim")
+        ).filter(F.col("sim") >= threshold)
+
+    dim = int(x.shape[1])
+    # one unordered task per unordered cell pair — each doc pair lives
+    # in exactly one (cell(a), cell(b)) task, so no output dedup needed
+    upairs = sorted({(min(a, b), max(a, b)) for a, b in cand_cells})
+    taskpairs = df.sparkSession.createDataFrame(
+        upairs, "_ca int, _cb int"
+    )
+
+    def _blob(pdf):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        rows = [
+            np.full(dim, np.nan)
+            if v is None
+            else np.asarray(v, dtype=np.float64)
+            for v in pdf[vec_col]
+        ]
+        m = np.vstack(rows) if rows else np.zeros((0, dim))
+        return pd.DataFrame(
+            {
+                "_cell": [int(pdf["_cell"].iloc[0])],
+                "ids": [list(pdf[id_col])],
+                "vecs": [m.ravel().tolist()],
+            }
+        )
+
+    blobs = assigned.groupBy("_cell").applyInPandas(
+        _blob, f"_cell int, ids array<{id_t}>, vecs array<double>"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tasks = (
+        blobs.select(
+            F.col("_cell").alias("_ca"),
+            F.col("ids").alias("ids_a"),
+            F.col("vecs").alias("vecs_a"),
+        )
+        .join(F.broadcast(taskpairs), "_ca")
+        .join(
+            blobs.select(
+                F.col("_cell").alias("_cb"),
+                F.col("ids").alias("ids_b"),
+                F.col("vecs").alias("vecs_b"),
+            ),
+            "_cb",
+        )
+    )
+    thr = float(threshold)
+
+    def _confirm(batches):
+        from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        q4 = Decimal("0.0001")
+
+        def emit(ids_a, A, na, ids_b, B, nb, same):
+            # per-element accumulation = the fold's left-to-right
+            # association, vectorized over the PAIR axes
+            acc = np.zeros((len(ids_a), len(ids_b)))
+            for i in range(dim):
+                acc += A[:, i][:, None] * B[:, i][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = acc / (na[:, None] * nb[None, :])
+            if same:
+                mask = ids_a[:, None] < ids_b[None, :]
+            else:
+                mask = np.ones(sim.shape, dtype=bool)
+            # survivors with margin: anything that could round UP to
+            # >= threshold is >= threshold - 0.00005 (HALF_UP); NaN
+            # (null array/element, zero norm) fails the comparison,
+            # matching the expression path's NULL propagation
+            with np.errstate(invalid="ignore"):
+                mask &= sim >= thr - 1e-4
+            ia, ib = np.nonzero(mask)
+            if not len(ia):
+                return None
+            s = sim[ia, ib]
+            # scaled away-from-zero rounding; Decimal re-check only in
+            # the band where FP scaling could disagree with the
+            # decimal-digit HALF_UP
+            sc = np.abs(s) * 10000.0
+            base = np.floor(sc)
+            frac = sc - base
+            r = np.sign(s) * np.where(frac >= 0.5, base + 1.0, base) / 10000.0
+            near = np.abs(frac - 0.5) < 1e-6
+            if near.any():
+                r[near] = [
+                    float(
+                        Decimal(repr(float(v))).quantize(
+                            q4, rounding=ROUND_HALF_UP
+                        )
+                    )
+                    for v in s[near]
+                ]
+            keep = r >= thr
+            if not keep.any():
+                return None
+            ia, ib, r = ia[keep], ib[keep], r[keep]
+            xa, xb = ids_a[ia], ids_b[ib]
+            lo = np.where(xa < xb, xa, xb)
+            hi = np.where(xa < xb, xb, xa)
+            return lo, hi, r
+
+        def unpack(ids, vecs):
+            ids = np.asarray(ids)
+            m = np.asarray(vecs, dtype=np.float64).reshape(len(ids), dim)
+            n = np.zeros(len(ids))
+            for i in range(dim):
+                n += m[:, i] * m[:, i]
+            return ids, m, np.sqrt(n)
+
+        for pdf in batches:
+            outs = []
+            for ca, cb, il_a, vl_a, il_b, vl_b in zip(
+                pdf["_ca"], pdf["_cb"], pdf["ids_a"], pdf["vecs_a"],
+                pdf["ids_b"], pdf["vecs_b"],
+            ):
+                ids_a, A, na = unpack(il_a, vl_a)
+                ids_b, B, nb = unpack(il_b, vl_b)
+                # bound the sim block at ~32 MB regardless of cell
+                # sizes (the pair-budget guard bounds TOTAL work, not
+                # a single block)
+                step = max(1, 4_000_000 // max(1, len(ids_a)))
+                for j0 in range(0, len(ids_b), step):
+                    j1 = j0 + step
+                    got = emit(
+                        ids_a, A, na,
+                        ids_b[j0:j1], B[j0:j1], nb[j0:j1],
+                        same=(int(ca) == int(cb)),
+                    )
+                    if got is not None:
+                        outs.append(got)
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate([o[0] for o in outs]),
+                        "id_b": np.concatenate([o[1] for o in outs]),
+                        "sim": np.concatenate([o[2] for o in outs]),
+                    }
+                )
+
+    return tasks.mapInPandas(
+        _confirm, f"id_a {id_t}, id_b {id_t}, sim double"
+    )
 
 
 # ------------------------------------------------------------------ IVF-PQ

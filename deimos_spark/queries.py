@@ -1102,10 +1102,15 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     t09 near-dup pair relation (iterative min-label propagation), sized.
     The step a real dedup pipeline runs between pair generation and
     keep-one-per-cluster; oracle = DuckDB recursive-CTE transitive
-    closure over the identical pair SQL."""
+    closure over the identical pair SQL. Edges come from the
+    METRIC-BALL-BLOCKED exact operator (r14) — the same relation as
+    t09's BNLJ baseline bit-for-bit (tests/test_blocked_pairs.py), at
+    the subquadratic plan t28 already uses."""
     from deimos_spark.operators.graph import cluster_sizes
 
-    edges = simsearch.pairwise_cosine_exact(_emb(spark, sf_dir), threshold=0.4)
+    edges = simsearch.pairwise_cosine_exact_blocked(
+        _emb(spark, sf_dir), threshold=0.4
+    )
     return cluster_sizes(edges, "id_a", "id_b")
 
 
