@@ -228,29 +228,7 @@ def ivf_train(
     x = np.asarray(
         [r["_v"] for r in train.limit(max_train).collect()], dtype=np.float64
     )
-    rng = np.random.RandomState(seed)
-    cents = _kmeanspp_seeds(x, n_cells, rng)
-    # assign → recenter; empty cells re-seeded from distinct farthest
-    # points (see _kmeans for why the ranking is hoisted per iteration)
-    for _ in range(max_iter):
-        d2 = _sqdist(x, cents)
-        assign = d2.argmin(axis=1)
-        new = np.empty_like(cents)
-        empty = []
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                new[c] = members.mean(axis=0)
-            else:
-                empty.append(c)
-        if empty:
-            far = np.argsort(-d2.min(axis=1))
-            for i, c in enumerate(empty):
-                new[c] = x[far[i % len(far)]]
-        if np.allclose(new, cents):
-            break
-        cents = new
-    return cents.tolist()
+    return _kmeans(x, n_cells, seed, max_iter).tolist()
 
 
 def ivf_topk(
@@ -990,7 +968,7 @@ def pairwise_cosine_exact_blocked(
 # driver-side pattern ivf_train established.
 
 
-def _sqdist(x, cents):
+def _sqdist(x, cents, out=None):
     """(n, k) squared distances via the matmul identity
     |x|² + |c|² − 2x·c. The broadcast subtraction form
     ((x[:,None,:] − c[None,:,:])**2).sum(−1) materializes an
@@ -998,13 +976,27 @@ def _sqdist(x, cents):
     (100k × 256 × 8 float64) and multi-GiB at non-default n_cells —
     a driver MemoryError waiting to happen (ADVICE r12); this form
     only ever materializes (n, k). Tiny negatives from rounding are
-    clamped so downstream sqrt/min stay sane."""
+    clamped so downstream sqrt/min stay sane.
+
+    Composed IN PLACE into `out` (allocated if absent): matmul with
+    out= then in-place broadcast adds. The expression form allocated
+    three fresh (n, k) temps per call — at a 20k×3,840 fit that is
+    3×614 MB of first-touch page faults PER LLOYD ITERATION on hosts
+    with lazily-backed VM memory (this sandbox faults new pages at
+    ~40-75 MB/s; measured 69s for the temps vs 0.5s of arithmetic).
+    Callers that loop (Lloyd's) pass the same buffer every iteration
+    so the fault cost is paid once."""
     import numpy as np
 
     x2 = (x * x).sum(axis=1)
     c2 = (cents * cents).sum(axis=1)
-    d2 = x2[:, None] + c2[None, :] - 2.0 * (x @ cents.T)
-    return np.maximum(d2, 0.0, out=d2)
+    if out is None or out.shape != (len(x), len(cents)):
+        out = np.empty((len(x), len(cents)))
+    np.matmul(x, cents.T, out=out)
+    out *= -2.0
+    out += x2[:, None]
+    out += c2[None, :]
+    return np.maximum(out, 0.0, out=out)
 
 
 def _kmeanspp_seeds(x, k: int, rng):
@@ -1023,18 +1015,41 @@ def _kmeanspp_seeds(x, k: int, rng):
     n = len(x)
     k = min(k, n)
     x2 = (x * x).sum(axis=1)
+
+    # one reused n-length work buffer per purpose: the expression forms
+    # allocated 3-4 fresh n-vectors per seed (each > glibc's 128 KB
+    # mmap threshold at n >= 16k, so every one re-pays first-touch
+    # page faults on lazily-backed VM hosts — seeding read 7.7s of a
+    # 3,840-seed fit). rng draws are kept IDENTICAL to the previous
+    # rng.choice form (same cumsum/normalize/searchsorted recipe, one
+    # random_sample per seed), so seeds — and everything downstream —
+    # are bit-for-bit unchanged.
+    buf = np.empty(n)
+    cdf = np.empty(n)
+
+    def _dist_to(c, out):
+        np.matmul(x, c, out=out)
+        out *= -2.0
+        out += x2
+        out += (c * c).sum()
+        return np.maximum(out, 0.0, out=out)
+
     seeds = [int(rng.randint(n))]
-    c = x[seeds[0]]
-    mind = np.maximum(x2 + (c * c).sum() - 2.0 * (x @ c), 0.0)
+    mind = _dist_to(x[seeds[0]], np.empty(n))
     for _ in range(k - 1):
         tot = mind.sum()
         if tot > 0:
-            nxt = int(rng.choice(n, p=mind / tot))
+            np.divide(mind, tot, out=cdf)
+            np.cumsum(cdf, out=cdf)
+            cdf /= cdf[-1]
+            nxt = int(
+                min(np.searchsorted(cdf, rng.random_sample(), side="right"),
+                    n - 1)
+            )
         else:  # all remaining points coincide with a seed
             nxt = int(rng.randint(n))
         seeds.append(nxt)
-        c = x[nxt]
-        d = np.maximum(x2 + (c * c).sum() - 2.0 * (x @ c), 0.0)
+        d = _dist_to(x[nxt], buf)
         np.minimum(mind, d, out=mind)
     return x[np.asarray(seeds)].copy()
 
@@ -1052,18 +1067,27 @@ def _kmeans(x, k: int, seed: int, max_iter: int):
 
     rng = np.random.RandomState(seed)
     cents = _kmeanspp_seeds(x, k, rng)
+    d2 = None  # reused across iterations (see _sqdist's fault note)
     for _ in range(max_iter):
-        d2 = _sqdist(x, cents)
+        d2 = _sqdist(x, cents, out=d2)
         assign = d2.argmin(axis=1)
-        new = np.empty_like(cents)
-        empty = []
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                new[c] = members.mean(axis=0)
-            else:
-                empty.append(c)
-        if empty:
+        # vectorized mean step: one bincount per dim instead of a
+        # per-cell boolean-mask loop — the mask loop was O(cells·n)
+        # python-side work and dominated large fits (STRESS_T28 K=30
+        # warm profile: 33s of a 3,840-cell fit); bincount is O(n·d)
+        # C code with deterministic left-to-right accumulation
+        counts = np.bincount(assign, minlength=len(cents)).astype(
+            np.float64
+        )
+        new = np.zeros_like(cents)
+        for j in range(x.shape[1]):
+            new[:, j] = np.bincount(
+                assign, weights=x[:, j], minlength=len(cents)
+            )
+        nz = counts > 0
+        new[nz] /= counts[nz, None]
+        empty = np.nonzero(~nz)[0]
+        if len(empty):
             # reseed empty cells from DISTINCT farthest points, ranked
             # ONCE per iteration — the old per-cell d2.min(axis=1) scan
             # was a hidden O(cells × n) quadratic (87s of a 1280-cell
