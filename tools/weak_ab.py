@@ -102,10 +102,10 @@ def time_duck(sql: str, sf_dir: str, tables) -> tuple[float, int]:
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 32}")
     for t in tables:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"'{os.path.join(sf_dir, t + '.parquet')}'"
-        )
+        p = os.path.join(sf_dir, t + ".parquet")
+        # spark writes a parquet DIRECTORY; duckdb needs the part glob
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     runs, rows = [], 0
     for _ in range(3):
         t0 = time.perf_counter()
