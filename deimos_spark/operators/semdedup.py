@@ -83,6 +83,47 @@ def _gram_lr(x, y):
     return acc
 
 
+def _sim_round4_lr_fast(x, y, nx, ny):
+    """round4(left-to-right cosine matrix) at BLAS speed.
+
+    The d-pass accumulation loop (_gram_lr) exists only so the ROUNDED
+    value matches the engine convention; but it costs d× the memory
+    traffic of one dgemm plus a same-size temp per pass — 64× at
+    dim 64, and it dominated t27's quadratic regime (WEAK_AB r14:
+    138s for 450M pair sims where DuckDB took 22s). A BLAS gram
+    differs from the left-to-right sum by ≲1e-13 in sim units, which
+    can only flip round-to-4 for sims within that distance of a
+    .00005 decision boundary — so: dgemm, round, then recompute
+    EXACTLY (scalar left-to-right + _round4_half_up) just the entries
+    inside a ±1e-9 sim band around the boundary (~2e-5 of entries on
+    random data; the band is ~4 orders of magnitude wider than the
+    reassociation error). Output is bit-identical to
+    _round4_half_up(_gram_lr(x, y) / outer(nx, ny))."""
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        s = np.matmul(x, y.T)
+        # two in-place row/col divisions instead of one (B×M) norm-
+        # product temp: ((g/nx)/ny) differs from g/(nx·ny) by ≲1 ulp —
+        # far inside the fixup band, so the banded exact recompute
+        # (which uses the canonical single division) decides every
+        # boundary case
+        s /= nx[:, None]
+        s /= ny[None, :]
+    r = _round4_half_up(s)
+    t = np.abs(s) * 1e4
+    frac = t - np.floor(t)
+    ii, jj = np.nonzero(np.abs(frac - 0.5) < 1e-5)  # 1e-9 in sim units
+    if len(ii):
+        d = x.shape[1]
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            acc = 0.0
+            for k in range(d):
+                acc += x[i, k] * y[j, k]
+            r[i, j] = _round4_half_up(acc / (nx[i] * ny[j]))
+    return r
+
+
 def _norms_lr(x):
     import numpy as np
 
@@ -199,9 +240,7 @@ def semdedup_summary(
                     f" — cosine is undefined (NaN); filter zero vectors"
                     f" before semdedup_summary"
                 )
-            cs = _round4_half_up(
-                _gram_lr(x, c) / (xn[:, None] * cn[None, :])
-            )
+            cs = _sim_round4_lr_fast(x, c, xn, cn)
             best = cs.argmax(axis=1)  # first max -> lowest centroid id
             yield pd.DataFrame(
                 {
@@ -237,10 +276,7 @@ def semdedup_summary(
         # blockwise pair pass: peak extra memory O(block x n), not n^2
         for lo in range(0, n, PRUNE_BLOCK_ROWS):
             hi = min(lo + PRUNE_BLOCK_ROWS, n)
-            s = _round4_half_up(
-                _gram_lr(x[lo:hi], x)
-                / (nrm[lo:hi, None] * nrm[None, :])
-            )
+            s = _sim_round4_lr_fast(x[lo:hi], x, nrm[lo:hi], nrm)
             near = s >= thr
             near[np.arange(lo, hi) - lo, np.arange(lo, hi)] = False
             # dominated by j: near AND (j lower centroid-sim, tie lower id)

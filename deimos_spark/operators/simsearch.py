@@ -865,11 +865,16 @@ def pairwise_cosine_exact_blocked(
         q4 = Decimal("0.0001")
 
         def emit(ids_a, A, na, ids_b, B, nb, same):
-            # per-element accumulation = the fold's left-to-right
-            # association, vectorized over the PAIR axes
-            acc = np.zeros((len(ids_a), len(ids_b)))
-            for i in range(dim):
-                acc += A[:, i][:, None] * B[:, i][None, :]
+            # BLAS gram: reassociates the sum (pairwise/blocked), so it
+            # differs from the fold's left-to-right value by ≲1e-13 in
+            # sim units — which only matters within that distance of a
+            # .00005 rounding boundary, and every such entry is inside
+            # the ±1e-6 `near` band below, where the value is
+            # RECOMPUTED exactly (scalar left-to-right + Decimal) —
+            # see semdedup._sim_round4_lr_fast, the same recipe. The
+            # d-pass accumulation loop this replaces paid d× the
+            # memory traffic of one dgemm.
+            acc = np.matmul(A, B.T)
             with np.errstate(divide="ignore", invalid="ignore"):
                 sim = acc / (na[:, None] * nb[None, :])
             if same:
@@ -895,14 +900,26 @@ def pairwise_cosine_exact_blocked(
             r = np.sign(s) * np.where(frac >= 0.5, base + 1.0, base) / 10000.0
             near = np.abs(frac - 0.5) < 1e-6
             if near.any():
-                r[near] = [
-                    float(
-                        Decimal(repr(float(v))).quantize(
-                            q4, rounding=ROUND_HALF_UP
+                # boundary band: recompute the sim EXACTLY (the fold's
+                # left-to-right association, canonical single division)
+                # before the decimal-digit HALF_UP — this is where both
+                # the BLAS reassociation and the FP-scaled rounding
+                # could disagree with the expression path
+                fixed = []
+                for t_idx in np.nonzero(near)[0].tolist():
+                    i, j = int(ia[t_idx]), int(ib[t_idx])
+                    accv = 0.0
+                    for k in range(dim):
+                        accv += A[i, k] * B[j, k]
+                    sv = accv / (na[i] * nb[j])
+                    fixed.append(
+                        float(
+                            Decimal(repr(float(sv))).quantize(
+                                q4, rounding=ROUND_HALF_UP
+                            )
                         )
                     )
-                    for v in s[near]
-                ]
+                r[near] = fixed
             keep = r >= thr
             if not keep.any():
                 return None

@@ -182,3 +182,37 @@ def test_null_and_zero_norm_vectors_raise_naming_id(spark):
     )
     with pytest.raises(Exception, match="ragged.*id=5"):
         semdedup_summary(ragged, n_clusters=1).collect()
+
+
+def test_sim_round4_lr_fast_bit_identical_to_gram_lr():
+    """The BLAS+boundary-fixup gram (r14) must be BIT-identical to
+    round4(gram_lr / outer-norms) — including engineered sims that sit
+    exactly on and ~1e-12 off the .00005 rounding boundary, where the
+    dgemm reassociation error could otherwise flip the round."""
+    import numpy as np
+
+    from deimos_spark.operators.semdedup import (
+        _gram_lr,
+        _norms_lr,
+        _round4_half_up,
+        _sim_round4_lr_fast,
+    )
+
+    rng = np.random.RandomState(11)
+    x = rng.standard_normal((200, 64))
+    y = rng.standard_normal((300, 64))
+    # engineered boundary rows: unit-ish vectors whose pairwise cosine
+    # lands exactly on / within 1e-12 of a .00005 midpoint
+    base = np.zeros(64)
+    base[0] = 1.0
+    for eps, c in ((0.0, 0.12345), (1e-12, 0.00005), (-1e-12, 0.99995)):
+        v = np.zeros(64)
+        v[0] = c + eps
+        v[1] = np.sqrt(max(0.0, 1.0 - (c + eps) ** 2))
+        x = np.vstack([x, base])
+        y = np.vstack([y, v])
+    nx, ny = _norms_lr(x), _norms_lr(y)
+    want = _round4_half_up(_gram_lr(x, y) / (nx[:, None] * ny[None, :]))
+    got = _sim_round4_lr_fast(x, y, nx, ny)
+    assert got.shape == want.shape
+    assert np.array_equal(got, want)
