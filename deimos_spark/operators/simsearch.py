@@ -766,19 +766,19 @@ def pairwise_cosine_exact_blocked(
     # kernel confirms each block with numpy.
     #
     # Bit-exactness contract (vs pairwise_cosine_exact, pinned by
-    # tests/test_blocked_pairs.py): the kernel reproduces the fold's
-    # EXACT IEEE sequence — dot and norms accumulate per-ELEMENT in
-    # index order over vectorized pair axes (acc += A[:,i]·B[:,i] is
-    # the fold's left-to-right association; no np.dot/BLAS, whose
-    # pairwise summation reassociates), div after norm-product in the
-    # same order, and round-half-up on the SHORTEST-DECIMAL repr
+    # tests/test_blocked_pairs.py): the fast path is a BLAS gram +
+    # scaled-integer round-half-up; every entry whose rounding COULD
+    # differ from the fold convention — the ±1e-6 band around the
+    # .00005 boundary, which covers both the ≲1e-13 dgemm
+    # reassociation error and FP scaling error by ~4 orders of
+    # magnitude — is RECOMPUTED exactly: scalar left-to-right dot
+    # (the fold's association), canonical division by the
+    # left-to-right norms, then HALF_UP on the SHORTEST-DECIMAL repr
     # (Python repr == Java Double.toString numerically; Spark's
     # round(double, 4) is BigDecimal.valueOf(d).setScale(4, HALF_UP)).
-    # Fast path: scaled-integer rounding, with a Decimal re-check only
-    # inside the ±1e-6 band around the .00005 boundary where scaling
-    # error could disagree with decimal digits. NaN rows (null arrays /
-    # null elements / zero norms → 0/0) fail the >= filter exactly like
-    # the expression path's NULL propagation.
+    # Same recipe as semdedup._sim_round4_lr_fast. NaN rows (null
+    # arrays / null elements / zero norms → 0/0) fail the >= filter
+    # exactly like the expression path's NULL propagation.
     if x.ndim != 2:
         # degenerate training sample (ragged / all-null vectors): keep
         # the expression fallback — the fold handles any shape.
