@@ -208,3 +208,37 @@ def test_auto_n_cells_scales_with_corpus():
     assert _auto_n_cells(500) == 16
     assert _auto_n_cells(2_560 * 30) == 120  # the STRESS_T28 K=30 point
     assert _auto_n_cells(10_000_000) == 4096
+
+
+def test_blocked_boundary_sims_match_exact(spark):
+    """r14 regression: the BLAS confirm kernel rounds via scaled
+    arithmetic with an exact-recompute band; sims engineered to land
+    exactly ON and ~1e-12 OFF .00005 rounding midpoints must still be
+    bit-identical to the expression path (which rounds via Spark's
+    BigDecimal HALF_UP)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = []
+    vid = 0
+    base = [1.0] + [0.0] * 7
+    rows.append((vid, base))
+    vid += 1
+    # cos(base, v) == c exactly-ish for v = [c, sqrt(1-c^2), 0...]:
+    # pick c on/near round-4 midpoints, including the threshold's own
+    # boundary (0.39995 rounds UP to 0.4 under HALF_UP)
+    for c in (0.39995, 0.39995 - 1e-12, 0.40005, 0.12345,
+              0.99995, 0.00005, 0.5, 0.49995):
+        v = [float(c), float(np.sqrt(max(0.0, 1.0 - c * c)))] + [0.0] * 6
+        rows.append((vid, v))
+        vid += 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    )
+    for t in (0.4, 0.5, 0.0001):
+        exact = _pairs(simsearch.pairwise_cosine_exact(df, t))
+        blocked = _pairs(
+            simsearch.pairwise_cosine_exact_blocked(df, t, n_cells=3)
+        )
+        assert blocked == exact, t
