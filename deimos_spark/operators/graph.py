@@ -81,14 +81,41 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        # pointer jump (hash-min + path compression, r14): compose the
+        # stepped label with the PREVIOUS round's relation —
+        # comp ← comp_prev[comp] — so label distance to the component
+        # minimum roughly HALVES per round on chain-shaped components:
+        # O(log diameter) rounds instead of O(diameter). The sf0.1
+        # near-dup graph measured 17 rounds × ~0.35s under plain
+        # propagation (one long chain); jumping cuts it to ~6. Using
+        # the previous (already-checkpointed) relation as the lookup
+        # keeps the round a single linear pipeline — a same-round
+        # self-join would evaluate the step twice. comp values are
+        # always member ids, so the lookup hits (coalesce is
+        # empty-graph safety); labels only decrease, so
+        # comp_prev[comp] ≤ comp and convergence detection stays
+        # `final < previous`.
+        lk = labels.select(
+            F.col("node").alias("_jn"), F.col("comp").alias("_jc")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("comp").alias("_c0"),
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+            ).alias("_c1"),
+        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
+            stepped.join(lk, stepped["_c1"] == lk["_jn"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                    F.col("_c1"), F.coalesce("_jc", F.col("_c1"))
                 ).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("_changed"),
+                (
+                    F.least(F.col("_c1"), F.coalesce("_jc", F.col("_c1")))
+                    < F.col("_c0")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )

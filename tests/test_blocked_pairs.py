@@ -242,3 +242,47 @@ def test_blocked_boundary_sims_match_exact(spark):
             simsearch.pairwise_cosine_exact_blocked(df, t, n_cells=3)
         )
         assert blocked == exact, t
+
+
+def test_blocked_equals_exact_randomized_sweep(spark):
+    """r14 fuzz: the BLAS confirm kernel must reproduce the expression
+    path bit-for-bit across random corpus shapes — clustered and
+    isotropic, odd dims, dims above UNROLL_MAX_DIM (where exact falls
+    back to the interpreted fold), tight and loose thresholds, and
+    n_cells that force both intra- and cross-cell confirm tasks."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(20260816)
+    cases = [
+        # (n, dim, clustered, threshold, n_cells)
+        (60, 7, True, 0.6, 4),
+        (80, 16, False, 0.2, 5),
+        (50, 3, True, 0.9, 2),
+        (64, 300, False, 0.15, 4),   # dim > UNROLL_MAX_DIM: fold path
+        (40, 8, True, 0.0001, 3),    # near-zero threshold, dense output
+    ]
+    for n, dim, clustered, thr, cells in cases:
+        if clustered:
+            k = max(2, n // 12)
+            dirs = rng.standard_normal((k, dim))
+            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+            x = dirs[rng.randint(0, k, n)] + rng.standard_normal(
+                (n, dim)) * 0.05
+        else:
+            x = rng.standard_normal((n, dim))
+        nrm = np.linalg.norm(x, axis=1, keepdims=True)
+        x = x / np.where(nrm == 0, 1.0, nrm)
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": np.arange(n, dtype=np.int64),
+                 "embedding": [r.tolist() for r in x]}
+            )
+        )
+        exact = _pairs(simsearch.pairwise_cosine_exact(df, thr))
+        blocked = _pairs(
+            simsearch.pairwise_cosine_exact_blocked(
+                df, thr, n_cells=cells, max_iter=4
+            )
+        )
+        assert blocked == exact, (n, dim, clustered, thr, cells)
