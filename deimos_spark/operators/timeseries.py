@@ -103,6 +103,7 @@ def resample_ffill(
     value_col: str,
     interval: str = "1 day",
     order_col: str | None = None,
+    sorted_output: bool = False,
 ) -> DataFrame:
     """Resample `value_col` onto a per-key `interval` grid, carrying the
     last observation forward across empty buckets.
@@ -119,6 +120,29 @@ def resample_ffill(
     `last(_v, ignorenulls=True)` semantics of the classic grid-join
     formulation). A key's leading all-NULL buckets contribute no grid
     rows — the grid starts at the first non-null observation.
+
+    `sorted_output=True` returns the rows globally ordered by
+    (key, bucket) WITHOUT an order-by over the exploded relation. A
+    top-level `.orderBy` on the output would range-partition the
+    exploded grid (keys × buckets rows — the LARGEST relation in the
+    plan) and, worse, range partitioning's boundary-sampling pass
+    re-executes the whole upstream subtree (agg + window + explode) a
+    second time (guide §2.4: an orderBy "only to make output
+    deterministic" is an accidental exchange). Instead the SMALL
+    pre-explode relation (one row per observed bucket) is
+    range-partitioned on the key alone — RangePartitioning(_k)
+    satisfies the lead() window's ClusteredDistribution(_k), so ONE
+    exchange serves both the window and the output order — and the
+    window's own (_k, _b) intra-partition sort plus sequence()'s
+    ascending emission make the exploded output globally
+    (key, bucket)-ordered: explode is a narrow per-partition
+    transformation (order-preserving), equal keys never split across
+    range partitions, and each observed bucket's gap range precedes
+    the next observation's. Plan effect (r15): 3 Exchanges → 2, the
+    Generate moves to the final stage, and the exploded grid is never
+    shuffled or sample-executed; at the WEAK_AB K=30 scale the residual
+    gap vs DuckDB is the 1.34M-row driver fetch, not the plan (noop
+    sink 4.2–5.2s vs 8–17s with collect) — see OPTIMIZATION_r15.md.
     """
     ts = F.col(ts_col) if isinstance(ts_col, str) else ts_col
     bucket = F.date_trunc("day" if interval == "1 day" else "hour", ts)
@@ -148,6 +172,10 @@ def resample_ffill(
     # shuffles instead of 3-4 — at 100 TB the join's grid side (every
     # key × every bucket) never materializes as shuffle input, only as
     # codegen'd explode output.
+    if sorted_output:
+        # one exchange for window + output order (see docstring); the
+        # sampling pass only re-executes the cheap pre-explode agg
+        per_bucket = per_bucket.repartitionByRange(F.col("_k").asc())
     w = Window.partitionBy("_k").orderBy("_b")
     step = F.expr(f"interval {interval}")
     return per_bucket.withColumn(

@@ -353,12 +353,23 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts = F.timestamp_micros(F.expr("ts div 1000"))
     # no order_col tie-break: (user_id, ts) is collision-free in this data,
     # and DuckDB's arg_max can't take a composite ordering key
-    out = timeseries.resample_ffill(e, "user_id", ts, "value", interval="1 day")
+    out = timeseries.resample_ffill(
+        e, "user_id", ts, "value", interval="1 day", sorted_output=True
+    )
+    # identical rows in the identical (user_id, day_s) order as the former
+    # top-level .orderBy("user_id", "day_s"): sorted_output range-orders
+    # the PRE-explode relation on (user_id) with (user_id, bucket) sorted
+    # within partitions, explode preserves it, and ISO 'yyyy-MM-dd' day_s
+    # strings sort chronologically — while the exploded grid (the largest
+    # relation in the plan) is never exchanged or sampled (r15; the old
+    # plan's final rangepartitioning sampled — i.e. re-executed — the
+    # whole agg+window+explode subtree, then shuffled keys × buckets
+    # rows). Equivalence pinned by tests/test_timeseries.py.
     return out.select(
         "user_id",
         F.col("bucket").cast("date").cast("string").alias("day_s"),
         F.round("value_ff", 2).alias("value_ff"),
-    ).orderBy("user_id", "day_s")
+    )
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:

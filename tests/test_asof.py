@@ -131,6 +131,50 @@ def test_resample_ffill_null_buckets_and_clamped_interval(spark):
     assert {(r.bucket.hour, r.value_ff) for r in rows} == {(1, 1.0), (2, 2.0)}
 
 
+def test_resample_ffill_sorted_output_order_and_plan(spark):
+    """r15 x11 optimization: sorted_output=True must return EXACTLY the
+    rows of the unsorted variant under a top-level orderBy(key, bucket),
+    in that exact global order, while the physical plan keeps the
+    explode in the FINAL stage — no Exchange above the Generate (the
+    old shape range-partitioned the exploded grid and its sampling
+    pass re-executed the whole subtree)."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+
+    from deimos_spark.operators.timeseries import resample_ffill
+
+    rng = random.Random(7)
+    rows = []
+    for k in range(12):
+        days = sorted(rng.sample(range(1, 28), rng.randint(1, 9)))
+        for d in days:
+            rows.append(
+                Row(k=f"u{k:02d}", ts=dt.datetime(2024, 1, d),
+                    v=round(rng.uniform(-5, 5), 3))
+            )
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+
+    ref = (
+        resample_ffill(df, "k", "ts", "v", interval="1 day")
+        .orderBy("k", "bucket")
+        .collect()
+    )
+    got_df = resample_ffill(
+        df, "k", "ts", "v", interval="1 day", sorted_output=True
+    )
+    got = got_df.collect()
+    assert got == ref  # same rows, same global order
+
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    gen_at = plan.index("Generate")
+    assert "Exchange" not in plan[:gen_at], (
+        "exploded grid must not be exchanged: the only shuffles belong "
+        "below the Generate\n" + plan
+    )
+
+
 def test_state_history_runs_and_intervals(spark):
     """x14's core: consecutive equal states collapse into one run; a
     re-appearing state starts a NEW run (SCD2, not distinct states);
