@@ -724,12 +724,33 @@ def pairwise_cosine_exact_blocked(
     # is exactly Σ|A|·|B| over candidate cell pairs (each unordered
     # pair counted once — cand_cells carries both orientations), known
     # driver-side BEFORE any executor work is launched.
-    est_pairs = 0.0
-    for a, b in cand_cells:
-        if a < b:
-            est_pairs += float(sizes[a]) * float(sizes[b])
-        elif a == b:
-            est_pairs += float(sizes[a]) * (float(sizes[a]) - 1.0) / 2.0
+    # vectorized (VERDICT r14 nit): at the 4096-cell clamp a dense
+    # candidate set is ~8M (a, b) tuples — a pure-Python accumulation
+    # loop costs seconds of driver time before any executor work; the
+    # numpy form is a masked product over two index vectors (~ms)
+    if cand_cells:
+        _ca = np.fromiter(
+            (p[0] for p in cand_cells), dtype=np.int64, count=len(cand_cells)
+        )
+        _cb = np.fromiter(
+            (p[1] for p in cand_cells), dtype=np.int64, count=len(cand_cells)
+        )
+        # sizes can hold cells whose pairs were ALL pruned (absent from
+        # cand_cells) — size the lookup over both index spaces
+        _maxc = int(max(_ca.max(), _cb.max(), max(sizes))) + 1
+        _sz = np.zeros(_maxc, dtype=np.float64)
+        for c, sc in sizes.items():
+            _sz[c] = float(sc)
+        _sa, _sb = _sz[_ca], _sz[_cb]
+        est_pairs = float(
+            np.where(
+                _ca < _cb,
+                _sa * _sb,
+                np.where(_ca == _cb, _sa * (_sa - 1.0) / 2.0, 0.0),
+            ).sum()
+        )
+    else:
+        est_pairs = 0.0
     if est_pairs > max_pair_budget:
         assigned.unpersist()
         raise ValueError(
@@ -755,6 +776,28 @@ def pairwise_cosine_exact_blocked(
             f"expect a long join stage.",
             stacklevel=2,
         )
+    # Single-blob size bound (ADVICE r14): _blob serializes a whole cell
+    # as ONE row whose vecs field is cell_n*dim float64 in a single
+    # Arrow cell — a skewed cell at high dim can approach Arrow/JVM
+    # single-record limits and fail the applyInPandas stage with an
+    # opaque serialization error. Known driver-side before launch
+    # (sizes from the radii agg, dim from the training sample), so
+    # refuse loudly here instead: raising n_cells shrinks cells.
+    if sizes:
+        _max_cell = max(sizes.values())
+        _dim_guess = int(x.shape[1]) if x.ndim == 2 else 0
+        _blob_bytes = _max_cell * _dim_guess * 8
+        if _blob_bytes > (1 << 30):
+            assigned.unpersist()
+            raise ValueError(
+                f"pairwise_cosine_exact_blocked: largest cell holds "
+                f"{_max_cell} rows × {_dim_guess} dims = "
+                f"{_blob_bytes / (1 << 30):.2f} GiB in a single Arrow "
+                f"cell (limit 1 GiB) — a skewed cell this size would "
+                f"fail the blob stage at serialization. Raise n_cells "
+                f"(currently {n_cells}) so k-means splits the hot "
+                f"region, or reduce the input."
+            )
     # Confirm stage (r14): BLAS-style blocks instead of a per-pair JVM
     # expression. The r13 shape — row-level equi-join + a 64-dim
     # unrolled dot — generated 23 KB-bytecode methods that HotSpot
@@ -835,6 +878,12 @@ def pairwise_cosine_exact_blocked(
             }
         )
 
+    # persisted for the same reason as `assigned` (feeds BOTH join
+    # sides), and reclaimed the same way: no explicit unpersist path
+    # exists once the plan is returned to the caller, so Spark's
+    # ContextCleaner frees the blocks when the returned DataFrame (and
+    # with it this lineage) is garbage-collected (ADVICE r14). No error
+    # path can leak it — the budget guard raises before this point.
     blobs = assigned.groupBy("_cell").applyInPandas(
         _blob, f"_cell int, ids array<{id_t}>, vecs array<double>"
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -880,7 +929,11 @@ def pairwise_cosine_exact_blocked(
             if same:
                 mask = ids_a[:, None] < ids_b[None, :]
             else:
-                mask = np.ones(sim.shape, dtype=bool)
+                # cross-cell blocks: mask id equality too (ADVICE r14) —
+                # with a non-unique id column the expression path's
+                # id_a < id_b excludes equal-id pairs, and the blocked
+                # path must match it bit-for-bit
+                mask = ids_a[:, None] != ids_b[None, :]
             # survivors with margin: anything that could round UP to
             # >= threshold is >= threshold - 0.00005 (HALF_UP); NaN
             # (null array/element, zero norm) fails the comparison,
