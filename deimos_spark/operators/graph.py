@@ -41,8 +41,9 @@ def connected_components(
     Only nodes that appear in `edges` are labeled (isolated docs are
     their own cluster by definition — callers left-join and coalesce).
 
-    Every round MATERIALIZES its label relation (eager localCheckpoint)
-    before the convergence check. The r13 shape checkpointed every 5th
+    Every round MATERIALIZES its label relation (localCheckpoint whose
+    first action IS the convergence probe — one job per round, r15).
+    The r13 shape checkpointed every 5th
     round only, which made each window quadratic in evaluations: round
     i+1's joins re-executed round i's un-materialized plan, and the
     per-round changed-count evaluated the same plan AGAIN — ~30
@@ -63,14 +64,28 @@ def connected_components(
     # both sides co-partitioned and the only per-round exchange left is
     # the groupBy's b→a re-key — at 100 TB that removes two of the three
     # shuffles from every iteration.
-    P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # "spark.sql.shuffle.partitions" can be non-numeric on platforms that
+    # manage it themselves (e.g. "auto" under some AQE deployments) —
+    # fall back to the cluster's default parallelism (ADVICE r14)
+    try:
+        P = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        P = edges.sparkSession.sparkContext.defaultParallelism
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     sym = sym.distinct().repartition(P, "b").localCheckpoint(eager=True)
 
+    # Label init fused with round 1 (r15): starting from identity labels,
+    # the first round's nbr_min is just min-neighbor — so initialize
+    # comp = least(node, min(b)) directly. Same shuffle the old
+    # distinct-on-node init paid (hash on the node key), one fewer loop
+    # round: at sf0.1 that is one checkpoint+probe job pair (~0.6s);
+    # at 100 TB it is a full join+agg round over the edge relation.
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mb"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mb")).alias("comp")
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -117,9 +132,20 @@ def connected_components(
                     < F.col("_c0")
                 ).alias("_changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        # Probe FUSED into the materialization (r15): with a LAZY
+        # checkpoint, this full count is the first action on the round's
+        # relation — it computes and caches every partition (local
+        # checkpointing persists partitions as the job computes them;
+        # doCheckpoint() at job end finds none missing), truncates the
+        # lineage exactly as eager=True did, AND returns the changed
+        # count — one job per round instead of two. The old shape paid a
+        # second full scan of the labels relation per round just for the
+        # probe (limit(1) can't be used here: a partial-scan job would
+        # leave partitions uncached and the NEXT round would recompute
+        # them). Bit-identical labels either way.
+        changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
