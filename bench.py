@@ -223,38 +223,54 @@ def main() -> None:
         heavy[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_queries": cold,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                # heavy tier: tracked, not folded into `value` (see HEAVY)
-                "heavy_queries": heavy,
-                "heavy_cold_queries": heavy_cold,
-                "heavy_total_sec": round(sum(heavy.values()), 3),
-                "sf": sf,
-                # fresh-lineage re-submission per timed run (no shuffle
-                # reuse) — see the module docstring; r1-r4 used cached
-                # DataFrames, so totals are not comparable across that
-                # boundary
-                "regime": "resubmit",
-                # "idle" = 1-min load was under ncpus/4 when timing began
-                # (after the settle wait); "loaded" = it never dropped —
-                # treat cold deltas from such a run as noise
-                "load_regime": (
-                    "idle" if load_before[0] <= load_limit else "loaded"
-                ),
-                "load_settle_wait_sec": round(waited, 1),
-                "cpu_probe_sec": cpu_probe,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
-    )
+    # Key ORDER is deliberate (r15 measurement-artifact fix, VERDICT r14
+    # process defect #1): the driver archives only the TAIL of stdout, so
+    # BENCH_r13/r14 as committed lost the warm per-query dict and warm
+    # total — the very series the 2x baseline bar tracks — because they
+    # were printed FIRST. Same fields, same numbers, same methodology;
+    # the warm dict and `value` now come LAST so truncation drops cold
+    # detail instead of the headline. The full JSON is also written to
+    # BENCH_LOCAL.json beside this file so the artifact survives intact
+    # regardless of how stdout is captured.
+    payload = {
+        "metric": "total_wall_sec",
+        "unit": "sec",
+        "sf": sf,
+        # fresh-lineage re-submission per timed run (no shuffle
+        # reuse) — see the module docstring; r1-r4 used cached
+        # DataFrames, so totals are not comparable across that
+        # boundary
+        "regime": "resubmit",
+        # "idle" = 1-min load was under ncpus/4 when timing began
+        # (after the settle wait); "loaded" = it never dropped —
+        # treat cold deltas from such a run as noise
+        "load_regime": (
+            "idle" if load_before[0] <= load_limit else "loaded"
+        ),
+        "load_settle_wait_sec": round(waited, 1),
+        "cpu_probe_sec": cpu_probe,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "cold_queries": cold,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        # heavy tier: tracked, not folded into `value` (see HEAVY)
+        "heavy_cold_queries": heavy_cold,
+        "heavy_queries": heavy,
+        "heavy_total_sec": round(sum(heavy.values()), 3),
+        "queries": timings,
+        "value": total,
+    }
+    line = json.dumps(payload)
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"),
+            "w",
+        ) as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
+    print(line)
 
 
 if __name__ == "__main__":
