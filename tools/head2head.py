@@ -148,7 +148,12 @@ def main() -> None:
     while len(samples) < n_samples and attempts < max_attempts:
         attempts += 1
         waited_s = 0.0
-        while os.getloadavg()[0] > limit and waited_s < 300:
+        # settle to the ACCEPTANCE threshold, not the coarse run limit:
+        # a sample's own 32-thread tail leaves the 1-min loadavg above
+        # accept_load for minutes, so settling only to `limit` (2.0) and
+        # then gating at 1.5 burned attempts against the tool's own
+        # residue (first r15 run: 5 of 6 attempts self-rejected)
+        while os.getloadavg()[0] > accept_load and waited_s < 420:
             _time.sleep(5.0)
             waited_s += 5.0
         s_load = os.getloadavg()
@@ -168,7 +173,7 @@ def main() -> None:
                 f"(load {s_load[0]:.2f} probe {s_probe})",
                 file=sys.stderr,
             )
-            _time.sleep(10.0)
+            _time.sleep(30.0)
             continue
         rows: dict[str, dict] = {}
         for name in HEADLINE:
