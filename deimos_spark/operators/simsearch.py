@@ -1038,7 +1038,7 @@ def pairwise_cosine_exact_blocked(
 # driver-side pattern ivf_train established.
 
 
-def _sqdist(x, cents, out=None):
+def _sqdist(x, cents, out=None, x2=None):
     """(n, k) squared distances via the matmul identity
     |x|² + |c|² − 2x·c. The broadcast subtraction form
     ((x[:,None,:] − c[None,:,:])**2).sum(−1) materializes an
@@ -1055,10 +1055,16 @@ def _sqdist(x, cents, out=None):
     with lazily-backed VM memory (this sandbox faults new pages at
     ~40-75 MB/s; measured 69s for the temps vs 0.5s of arithmetic).
     Callers that loop (Lloyd's) pass the same buffer every iteration
-    so the fault cost is paid once."""
+    so the fault cost is paid once. For the same reason, loop callers
+    should pass a precomputed `x2 = (x*x).sum(axis=1)` (r15): x never
+    changes across Lloyd iterations, but recomputing it here allocated
+    a fresh (n, d) product temp per call — 37 MB per iteration at the
+    STRESS K=30 fit, each paying first-touch faults again on this
+    host. Same values either way — bit-identical distances."""
     import numpy as np
 
-    x2 = (x * x).sum(axis=1)
+    if x2 is None:
+        x2 = (x * x).sum(axis=1)
     c2 = (cents * cents).sum(axis=1)
     if out is None or out.shape != (len(x), len(cents)):
         out = np.empty((len(x), len(cents)))
@@ -1138,8 +1144,9 @@ def _kmeans(x, k: int, seed: int, max_iter: int):
     rng = np.random.RandomState(seed)
     cents = _kmeanspp_seeds(x, k, rng)
     d2 = None  # reused across iterations (see _sqdist's fault note)
+    x2 = (x * x).sum(axis=1)  # loop-invariant; computed once (r15)
     for _ in range(max_iter):
-        d2 = _sqdist(x, cents, out=d2)
+        d2 = _sqdist(x, cents, out=d2, x2=x2)
         assign = d2.argmin(axis=1)
         # vectorized mean step: one bincount per dim instead of a
         # per-cell boolean-mask loop — the mask loop was O(cells·n)
