@@ -46,20 +46,48 @@ RUNTIME_CONFS: dict[str, str] = {
     # and per-read set/restore can't work anyway — the scan is lazy and
     # reads the conf at execution, not plan, time.
     "spark.sql.parquet.fieldId.read.enabled": "true",
+    # PySpark 4 wraps EVERY DataFrame/Column API call to ship the Python
+    # call site to the JVM for richer error messages — ~4 py4j round
+    # trips plus a Python stack walk PER OPERATION (errors/utils.py
+    # _with_origin). Measured r15: a TPC-H builder (h08) spends most of
+    # its 553 py4j round trips there; plan-BUILD time is ~1/3 of the
+    # warm bench total. Error call-site enrichment is diagnostics, not
+    # semantics — results are identical. PySpark caches this flag on
+    # first use, so it must be set before the first DataFrame op
+    # (get_spark applies it right after getOrCreate; on foreign
+    # sessions apply_runtime_confs sets it best-effort).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
+
+# Sessions (by applicationId) that already received RUNTIME_CONFS: the
+# values are static, so re-applying them on every builder call only costs
+# py4j round trips — 8 conf.set trips per table load, 64 per TPC-H
+# 8-table build (measured r15, ~0.17s of h08's build). Keyed on
+# applicationId (not id(spark)) so a new session whose Python object
+# reuses a GC'd address still gets the confs.
+_runtime_confs_applied: set[str] = set()
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply deterministic runtime confs to an existing session.
 
     Safe on sessions we don't own (e.g. the verify driver's): every key in
-    RUNTIME_CONFS is a runtime-mutable SQL conf.
+    RUNTIME_CONFS is a runtime-mutable SQL conf. Idempotent per session —
+    see _runtime_confs_applied.
     """
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = None
+    if key is not None and key in _runtime_confs_applied:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-mutable in this deployment; keep going
+    if key is not None:
+        _runtime_confs_applied.add(key)
     return spark
 
 
@@ -253,6 +281,9 @@ def get_spark(app_name: str = "deimos_spark", shuffle_partitions: int | None = N
         # locally, small enough to parallelize; at 100 TB the same setting
         # yields ~800k input splits — fine for a 1000-executor cluster.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # set pre-launch too: PySpark caches the flag on first DataFrame
+        # op (see RUNTIME_CONFS comment)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     return apply_runtime_confs(spark)
