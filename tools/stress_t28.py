@@ -37,8 +37,19 @@ def main() -> None:
     _between_rounds(spark)
     load0 = os.getloadavg()
     curve = {}
+    from head2head import _cpu_probe  # noqa: E402
+
     for k in ks:
+        # per-K contention fingerprints (r15): this host's noisy
+        # neighbor runs multi-minute episodes that can hit one K point
+        # and not the others (two same-HEAD sweeps differed 1.8x on
+        # K=30 alone) — the probe + loadavg pair makes a polluted point
+        # auditable in-artifact instead of reading as a regression.
+        probe = _cpu_probe()
+        la = os.getloadavg()
         curve[k] = _t28_blocked_bench(spark, "/tmp/ds_t28", k)
+        curve[k]["cpu_probe_sec"] = probe
+        curve[k]["loadavg_before"] = [round(v, 2) for v in la]
         print(f"K={k}: {curve[k]}", file=sys.stderr)
         _between_rounds(spark)
     exp = _fit_exponent(ks, [curve[k]["sec"] for k in ks])
