@@ -81,6 +81,7 @@ def exploded_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    partition_by_shingle: bool = False,
 ) -> DataFrame:
     """Distinct word n-gram shingles in exploded form: (_id, _s).
 
@@ -93,6 +94,15 @@ def exploded_shingles(
     Docs with fewer than n tokens contribute their whole trimmed,
     whitespace-normalized text as the single shingle — byte-identical
     to the previous implementation and to `shingles()`.
+
+    partition_by_shingle=True hash-partitions the exploded rows on _s
+    BEFORE the distinct: HashPartitioning(_s) satisfies the distinct's
+    ClusteredDistribution((_id, _s)) (subset rule), so the dedup agg
+    adds NO exchange of its own and the returned relation is laid out
+    on the shingle key — a downstream per-shingle window or groupBy
+    then needs only a sort, not another full exchange of the exploded
+    relation (r15, duplicate_ngram_spans). Rows are identical either
+    way; only the physical layout differs.
     """
     parts = ", ".join(f"element_at(_ws, i + {k + 1})" for k in range(n))
     sh = (
@@ -101,15 +111,14 @@ def exploded_shingles(
         f"ELSE transform(sequence(0, size(_ws) - {n}), "
         f"i -> concat_ws(' ', {parts})) END"
     )
-    return (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(text_col),
-            F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_ws"),
-        )
-        .select("_id", F.explode(F.expr(sh)).alias("_s"))
-        .distinct()
-    )
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(text_col),
+        F.expr(f"split(trim({text_col}), '\\\\s+')").alias("_ws"),
+    ).select("_id", F.explode(F.expr(sh)).alias("_s"))
+    if partition_by_shingle:
+        ex = ex.repartition("_s")
+    return ex.distinct()
 
 
 def collapse_exact_duplicates(
@@ -566,28 +575,36 @@ def duplicate_ngram_spans(
     ever all-pairs, so the shape survives 100 TB. Downstream pipelines
     drop or trim documents with high dup_ngrams/n_ngrams ratios.
 
-    Integer outputs → exact DuckDB oracle comparison."""
-    ex = exploded_shingles(df, text_col, id_col, n)
-    df_freq = (
-        ex.groupBy("_s")
-        .agg(F.countDistinct("_id").alias("_df"))
-        .filter(F.col("_df") >= min_docs)
-        .select("_s")
+    Integer outputs → exact DuckDB oracle comparison.
+
+    Shape (r15): ONE pass over the exploded-shingle relation. The old
+    plan used it three times — document-frequency aggregate, per-doc
+    total, and a join back against the frequent-shingle set — which
+    re-executed the scan+explode subtree three times and paid ~10
+    exchanges (plans/r15/t15_duplicate_ngrams_before.txt). Since the
+    relation is distinct (_id, _s), countDistinct(_id) per shingle IS
+    the row count per shingle, so a count() window over the
+    _s-partitioned layout (established once, shared by the distinct —
+    see exploded_shingles(partition_by_shingle=True)) flags every row
+    with its shingle's document frequency in place, and one final
+    per-doc aggregate produces both counts: n_ngrams = rows,
+    dup_ngrams = flagged rows. 2 exchanges + a sort, explode computed
+    once, no join — bit-identical rows (oracle-checked at sf0.01 and
+    sf0.1)."""
+    from pyspark.sql import Window
+
+    ex = exploded_shingles(
+        df, text_col, id_col, n, partition_by_shingle=True
     )
-    tot = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
-    dup = (
-        ex.join(df_freq, "_s")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("dup_ngrams"))
+    w = Window.partitionBy("_s")
+    flagged = ex.select(
+        "_id", (F.count(F.lit(1)).over(w) >= min_docs).alias("_dup")
     )
-    return (
-        tot.join(dup, "_id", "left")
-        .na.fill({"dup_ngrams": 0})
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
-            F.col("dup_ngrams").cast("bigint").alias("dup_ngrams"),
-        )
+    return flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+        F.sum(F.col("_dup").cast("int")).cast("bigint").alias("dup_ngrams"),
+    ).select(
+        F.col("_id").alias(id_col), "n_ngrams", "dup_ngrams"
     )
 
 

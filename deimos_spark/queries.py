@@ -70,10 +70,14 @@ def clear_plan_cache() -> None:
 # tuning: any new query with that shape belongs in this set.
 RUNTIME_ADAPTIVE = {
     "t14_benchmark_contamination",
-    "t15_duplicate_ngrams",
     "t21_dsir_weights",
     "t23_unigram_ppl",
 }
+# t15_duplicate_ngrams left this set in r15: its explode→join shape is
+# gone (single-pass window plan, no join to convert — see
+# dedup.duplicate_ngram_spans), so AQE's stage barriers bought nothing
+# and cost 0.6s at sf0.1 (1.21s forced vs 0.57s autotuned). At >= 1 GiB
+# autotune turns AQE back on regardless, exactly like every other query.
 
 
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):

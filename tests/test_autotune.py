@@ -93,9 +93,10 @@ def test_runtime_adaptive_set_matches_explode_join_queries():
     broadcastable side); pin the membership so additions are deliberate."""
     from deimos_spark.queries import RUNTIME_ADAPTIVE
 
+    # t15 left the set in r15: its reshaped plan (single-pass window,
+    # no join) has nothing for AQE to re-decide — see queries.py.
     assert RUNTIME_ADAPTIVE == {
         "t14_benchmark_contamination",
-        "t15_duplicate_ngrams",
         "t21_dsir_weights",
         "t23_unigram_ppl",
     }
@@ -108,5 +109,5 @@ def test_registry_builders_apply_autotune(spark, tmp_path, fresh_state):
     sf = "/root/testdata/sf0.001"
     all_queries()["b01_scan_count"].builder(spark, sf)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    all_queries()["t15_duplicate_ngrams"].builder(spark, sf)
+    all_queries()["t14_benchmark_contamination"].builder(spark, sf)
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"

@@ -307,3 +307,18 @@ def test_x10_plan_is_long_sums_no_decimal_aggregate(spark):
     assert agg_lines, plan
     for ln in agg_lines:
         assert not _re.search(r"sum\([^)]*decimal", ln, _re.I), ln
+
+
+def test_t15_single_pass_no_join(spark):
+    """t15's r15 reshape: ONE scan+explode pass, no join — the old plan
+    evaluated the exploded-shingle subtree three times (df-frequency
+    aggregate, per-doc total, join back) and paid ~10 exchanges. The
+    window's per-shingle layout is established by the SAME exchange the
+    distinct uses (repartition(_s) satisfies the (_id,_s) clustering),
+    so the whole query is 2 hash exchanges + the output sort."""
+    plan = _plan(all_queries()["t15_duplicate_ngrams"].builder(spark, SF))
+    assert "Join" not in plan, plan
+    assert plan.count("Generate") == 1, plan
+    # spread (round-robin) + hash(_s) + hash(_id) + output range sort
+    assert plan.count("Exchange") <= 4, plan
+    assert "Window" in plan, plan
