@@ -636,27 +636,46 @@ def benchmark_contamination(
     overlap join becomes a map-side hash probe — the 100-TB corpus side
     is never shuffled for it. Set False when the benchmark side is too
     large for an executor-resident hash table (then it is a shuffle
-    equi-join on the shingle, still never all-pairs)."""
-    ex = exploded_shingles(df, text_col, id_col, n)
+    equi-join on the shingle, still never all-pairs).
+
+    Shape (r15): ONE pass over the corpus shingles. The old plan used
+    the corpus explode twice (per-doc total + overlap join) and joined
+    the two aggregates back together — three scan+explode evaluations
+    counting the benchmark side
+    (plans/r15/t14_benchmark_contamination_before.txt). Now the corpus
+    is hash-partitioned on the doc id BEFORE the explode (Generate
+    preserves its child's partitioning, and hash(_id) satisfies both
+    the distinct's (_id,_s) clustering and the final groupBy(_id)), the
+    benchmark set rides in as a broadcast LEFT join carrying a hit
+    marker, and one aggregate counts rows and non-null hits: corpus
+    explode once, ONE exchange on the corpus path, no aggregate-to-
+    aggregate join — bit-identical rows (oracle-checked at sf0.01 and
+    sf0.1)."""
     bench = (
-        ex.filter(F.col("_id") < benchmark_max_id).select("_s").distinct()
+        exploded_shingles(
+            df.filter(F.col(id_col) < benchmark_max_id), text_col, id_col, n
+        )
+        .select("_s")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    corpus = ex.filter(F.col("_id") >= benchmark_max_id)
-    tot = corpus.groupBy("_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ovl = (
-        corpus.join(bench, "_s")
-        .groupBy("_id")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    corpus = exploded_shingles(
+        df.filter(F.col(id_col) >= benchmark_max_id).repartition(id_col),
+        text_col,
+        id_col,
+        n,
     )
     return (
-        tot.join(ovl, "_id", "left")
-        .na.fill({"n_overlap": 0})
+        corpus.join(bench, "_s", "left")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("_hit").cast("bigint").alias("n_overlap"),
+        )
         .select(
-            F.col("_id").alias(id_col),
-            F.col("n_shingles").cast("bigint").alias("n_shingles"),
-            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            F.col("_id").alias(id_col), "n_shingles", "n_overlap"
         )
         .orderBy(F.col("n_overlap").desc(), id_col)
         .limit(k)

@@ -60,24 +60,21 @@ def clear_plan_cache() -> None:
     _plan_cache.clear()
 
 
-# Queries whose plans keep AQE on even at tiny input scale: each joins an
-# EXPLODED token/n-gram stream (cardinality unknowable at plan time)
+# Queries whose plans keep AQE on even at tiny input scale: an EXPLODED
+# token/n-gram stream (cardinality unknowable at plan time) joined
 # against a side whose runtime size enables AQE's SMJ→broadcast
-# conversion — t14's benchmark n-grams, t15's repeated-ngram counts,
-# t21/t23's hashed-bucket models. Measured 20-40% faster with AQE at
-# sf0.1 while the rest of the registry pays AQE's stage-barrier overhead
-# for nothing there. Semantically keyed (explode→join), not per-benchmark
-# tuning: any new query with that shape belongs in this set.
-RUNTIME_ADAPTIVE = {
-    "t14_benchmark_contamination",
-    "t21_dsir_weights",
-    "t23_unigram_ppl",
-}
-# t15_duplicate_ngrams left this set in r15: its explode→join shape is
-# gone (single-pass window plan, no join to convert — see
-# dedup.duplicate_ngram_spans), so AQE's stage barriers bought nothing
-# and cost 0.6s at sf0.1 (1.21s forced vs 0.57s autotuned). At >= 1 GiB
-# autotune turns AQE back on regardless, exactly like every other query.
+# conversion. EMPTY since r15: every such join in the registry now
+# carries an explicit F.broadcast hint (the side is known-small by
+# construction — benchmark shingles, ≤B-row bucket models), so the plan
+# is BroadcastHashJoin with or without AQE (verified: 0 SortMergeJoin
+# across t14/t21/t23 with AQE off) and the forced stage barriers only
+# cost: measured at sf0.1, t14 1.10→0.63s, t15 1.21→0.57s,
+# t23 1.38→1.07s, t21 1.02→0.92s with AQE off. At >= 1 GiB inputs
+# autotune turns AQE on for EVERY query regardless (the 100 TB
+# posture) — this set only ever governed the tiny-input regime. The
+# mechanism stays for any future query whose join side is genuinely
+# runtime-sized (no safe hint possible).
+RUNTIME_ADAPTIVE: set[str] = set()
 
 
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]):

@@ -162,7 +162,18 @@ def test_registry_wide_plan_gate_audit(spark):
             offenders.append((name, "unreviewed nested-loop join"))
         for line in plan.splitlines():
             if re.search(r"\bWindow \[", line):
-                if len(re.findall(r"\[[^\]]*\]", line)) == 2:
+                groups = re.findall(r"\[[^\]]*\]", line)
+                # 3 groups = [exprs], [partition], [order]. 2 groups is
+                # AMBIGUOUS: partitioned-unordered (frame-wide agg, e.g.
+                # t15's count() over partitionBy(_s)) prints
+                # [exprs], [partition]; unpartitioned-ordered prints
+                # [exprs], [order] — only the latter is the single-
+                # partition cliff. Order specs always carry ASC/DESC;
+                # partition specs never do.
+                if len(groups) < 2 or (
+                    len(groups) == 2
+                    and re.search(r"\b(ASC|DESC)\b", groups[1])
+                ):
                     offenders.append((name, "unpartitioned window"))
     assert not offenders, offenders
 
@@ -225,6 +236,11 @@ def test_decontamination_benchmark_side_broadcast(spark):
     plan = _plan(benchmark_contamination(docs, benchmark_max_id=50))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # r15 single-pass shape: corpus exploded ONCE (one Generate per
+    # side: corpus + benchmark), overlap counted in the same aggregate
+    # as the total — no aggregate-to-aggregate join back
+    assert plan.count("Generate") == 2, plan
+    assert "LeftOuter" in plan, plan
     plan_off = _plan(
         benchmark_contamination(docs, benchmark_max_id=50, broadcast_benchmark=False)
     )
