@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from deimos_spark.catalog import load_table
-from deimos_spark.session import apply_runtime_confs
+from deimos_spark.session import apply_runtime_confs, sort_small
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -216,7 +216,8 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .orderBy("c_mktsegment", "c_custkey")
+        # ≤3 rows per segment, segments are a dimension: local sort
+        .transform(sort_small, "c_mktsegment", "c_custkey")
         .select("c_mktsegment", "c_custkey")
     )
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from deimos_spark.catalog import load_table
-from deimos_spark.session import apply_runtime_confs
+from deimos_spark.session import apply_runtime_confs, sort_small
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,7 +63,9 @@ def h01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # flag×status is a bounded dimension: local single-partition
+        # sort, no rangepartitioning sampling job (session.sort_small)
+        .transform(sort_small, "l_returnflag", "l_linestatus")
     )
 
 
@@ -139,7 +141,7 @@ def h05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
-        .orderBy(F.desc("revenue"), "n_name")
+        .transform(sort_small, F.desc("revenue"), "n_name")
     )
 
 
@@ -232,7 +234,7 @@ def h08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        .transform(sort_small, "o_year")
     )
 
 
@@ -323,7 +325,8 @@ def h13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        # orders-per-customer histogram: bounded-size dimension
+        .transform(sort_small, F.desc("custdist"), F.desc("c_count"))
     )
 
 

@@ -29,6 +29,7 @@ from deimos_spark.operators import asof, dedup, funnel, relational, simsearch, t
 from deimos_spark.session import (
     apply_runtime_confs,
     autotune_for_dir,
+    sort_small,
     spread_small,
 )
 
@@ -328,7 +329,7 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("docs"),
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
-        .orderBy("split")
+        .transform(sort_small, "split")
     )
 
 
@@ -342,7 +343,9 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir), "lang", "doc_id",
         rates={"en": 0.25, "de": 1.0}, default_rate=0.5,
     )
-    return d.groupBy("lang").agg(F.count("*").alias("kept")).orderBy("lang")
+    return sort_small(
+        d.groupBy("lang").agg(F.count("*").alias("kept")), "lang"
+    )
 
 
 def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -390,7 +393,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         sessions.groupBy("n_events")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
-        .orderBy("n_events")
+        .transform(sort_small, "n_events")
     )
 
 
@@ -421,7 +424,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_current"),
         )
-        .orderBy("event_type")
+        .transform(sort_small, "event_type")
     )
 
 
@@ -536,7 +539,7 @@ def q_decimal_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(18,2)")
             .alias("gross"),
         )
-        .orderBy("l_returnflag")
+        .transform(sort_small, "l_returnflag")
     )
 
 
@@ -693,7 +696,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("repetitive_docs"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -795,7 +798,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("chars_redacted"),
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -851,7 +854,7 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kept.groupBy("lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("kept"))
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -872,7 +875,7 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for name, f in flags.items()
             ],
         )
-        .orderBy("lang")
+        .transform(sort_small, "lang")
     )
 
 
@@ -1048,7 +1051,7 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "shared_contents"
             ),
         )
-        .orderBy("source_a", "source_b")
+        .transform(sort_small, "source_a", "source_b")
     )
 
 
@@ -1269,7 +1272,7 @@ def q_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     # model); 25 merges keeps frequent words whole and rare words split,
     # which is the behavior the stats are meant to surface
     merges = bpe.train_bpe(d, "text", num_merges=25, vocab_words=4096)
-    return bpe.bpe_token_stats(d, merges, "text", "lang").orderBy("lang")
+    return sort_small(bpe.bpe_token_stats(d, merges, "text", "lang"), "lang")
 
 
 # SURVEY §7 Phase 0 `run_sql`: the SQL-string entry point. ONE ANSI

@@ -221,6 +221,25 @@ def spread_small(df, sf_dir: str):
     return df.repartition(max(8, n))
 
 
+def sort_small(df, *cols):
+    """Deterministic output order for a DIMENSION-SIZED result.
+
+    `orderBy` plans a rangepartitioning exchange whose boundary-sampling
+    pass is a SEPARATE job that re-executes the final stage before the
+    real job runs — pure overhead when the relation being ordered is an
+    aggregate over a bounded dimension (languages, sources, calendar
+    years, split names, small histograms: tens of rows at ANY corpus
+    scale). For those, a single-partition local sort produces the exact
+    same row order with one job and no sampling (the t27 precedent,
+    tests/test_plan_shapes.py::test_semdedup_plan_has_no_crossjoin...).
+
+    Do NOT use on results that grow with the data (per-document
+    relations, pair lists): funneling an unbounded result through one
+    task is a scale cliff — those keep the parallel range sort.
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def _mem_to_bytes(mem: str) -> int:
     """Spark byte-string → bytes: both suffix spellings Spark's own
     byteStringAs accepts ('2g' AND '2gb') must keep working here —
