@@ -209,6 +209,15 @@ def minhash_lsh_pairs(
             F.col("_h1s").alias("_h1"),
             F.col("_h2s").alias("_h2"),
         )
+        # ONE exchange for the whole shingle-hash relation (r15):
+        # hash(_id) satisfies both the distinct's (_id,_h1,_h2)
+        # clustering (subset rule) and the signature aggregate's
+        # groupBy(_id) — the old plan exchanged this relation twice
+        # (hash(_id,_h1,_h2) for the distinct, then hash(_id) for the
+        # signature). The relation is materialized once and reused by
+        # the two verify joins, so the saved exchange is a full pass
+        # over every shingle hash. Rows identical; layout only.
+        .repartition("_id")
         .distinct()
     )
     # signature: num_hashes mins in ONE hash aggregate (map-side combine
