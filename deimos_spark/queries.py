@@ -671,7 +671,14 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order sensitivity. Plan: explode -> two hash aggregates (doc-token,
     then doc) -> one per-lang aggregate; every shuffle is on keys whose
     cardinality grows with the corpus."""
-    d = _docs_spread(spark, sf_dir)
+    # spread by doc_id hash (r15): hash(doc_id) satisfies BOTH
+    # downstream aggregates' clustering ((doc_id,lang,tok) and
+    # (doc_id,lang) — subset rule), so the small-scale plan's two
+    # full token-relation exchanges disappear; only the tiny per-lang
+    # aggregate still shuffles. At scale the spread is identity and
+    # the map-side-combined agg exchanges return — the right shape
+    # for both regimes.
+    d = spread_small(_docs(spark, sf_dir), sf_dir, by="doc_id")
     toks = d.select(
         "doc_id",
         "lang",

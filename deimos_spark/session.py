@@ -196,7 +196,7 @@ def autotune_for_dir(
         pass
 
 
-def spread_small(df, sf_dir: str):
+def spread_small(df, sf_dir: str, by: str | None = None):
     """Redistribute a CPU-heavy small input across the executor threads.
 
     A tiny parquet file is ONE row group, so the scan is ONE task no
@@ -205,15 +205,26 @@ def spread_small(df, sf_dir: str):
     a single core while the rest idle. At scale this problem does not
     exist: a 100 TB table has ~800k input splits and the scan stage is
     already wide. So the fix is gated on the SAME signal autotune uses:
-    below AQE_MIN_INPUT_BYTES a round-robin repartition (shuffle bytes
-    bounded by the tiny input itself) unlocks the cores; at or above it
-    this is the identity — no shuffle is ever added to a big input.
+    below AQE_MIN_INPUT_BYTES a repartition (shuffle bytes bounded by
+    the tiny input itself) unlocks the cores; at or above it this is
+    the identity — no shuffle is ever added to a big input.
+
+    `by` (r15): spread by HASH of a key column instead of round-robin.
+    When the downstream aggregates group by that key (or a superset —
+    hash on a subset of the grouping keys satisfies their clustering),
+    the spread exchange doubles as the aggregation layout and the
+    post-explode agg exchanges disappear from the small-scale plan
+    (t13: two full token-relation exchanges → zero). Key cardinality
+    must be ≥ ~20× the thread count for an even spread (doc ids are);
+    identical gating, identity at scale.
     """
     try:
         if dir_input_bytes(sf_dir) >= AQE_MIN_INPUT_BYTES:
             return df
     except Exception:
         return df
+    if by is not None:
+        return df.repartition(by)
     try:
         n = df.sparkSession.sparkContext.defaultParallelism
     except Exception:
