@@ -20,6 +20,14 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _final(plan: str) -> str:
+    """The FINAL plan section only: an AdaptiveSparkPlan's toString
+    repeats the whole tree under '== Initial Plan ==', so node COUNT
+    assertions double when a session happens to have AQE on. Presence/
+    absence assertions don't care; exact counts must use this."""
+    return plan.split("== Initial Plan ==")[0]
+
+
 def test_filter_pushdown_reaches_scan(spark):
     plan = _plan(r.filter_predicates(spark, SF))
     assert "PushedFilters: [IsNotNull" in plan
@@ -239,7 +247,7 @@ def test_decontamination_benchmark_side_broadcast(spark):
     # r15 single-pass shape: corpus exploded ONCE (one Generate per
     # side: corpus + benchmark), overlap counted in the same aggregate
     # as the total — no aggregate-to-aggregate join back
-    assert plan.count("Generate") == 2, plan
+    assert _final(plan).count("Generate") == 2, plan
     assert "LeftOuter" in plan, plan
     plan_off = _plan(
         benchmark_contamination(docs, benchmark_max_id=50, broadcast_benchmark=False)
@@ -334,7 +342,7 @@ def test_t15_single_pass_no_join(spark):
     so the whole query is 2 hash exchanges + the output sort."""
     plan = _plan(all_queries()["t15_duplicate_ngrams"].builder(spark, SF))
     assert "Join" not in plan, plan
-    assert plan.count("Generate") == 1, plan
+    assert _final(plan).count("Generate") == 1, plan
     # spread (round-robin) + hash(_s) + hash(_id) + output range sort
-    assert plan.count("Exchange") <= 4, plan
+    assert _final(plan).count("Exchange") <= 4, plan
     assert "Window" in plan, plan
