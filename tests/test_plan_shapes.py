@@ -17,14 +17,17 @@ SF = "/root/testdata/sf0.001"
 
 def _plan(df) -> str:
     df.collect()  # run so AQE finalizes (isFinalPlan=true, codegen visible)
-    return df._jdf.queryExecution().executedPlan().toString()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # FINAL plan section only: an AdaptiveSparkPlan's toString repeats
+    # the whole tree under '== Initial Plan ==', so node COUNTS double
+    # whenever the shared test session happens to have AQE on (conf
+    # leaks between tests; autotune's idempotency cache deliberately
+    # does not re-read externally-changed confs). Every real node is in
+    # the final section, so presence assertions are unaffected.
+    return plan.split("== Initial Plan ==")[0]
 
 
-def _final(plan: str) -> str:
-    """The FINAL plan section only: an AdaptiveSparkPlan's toString
-    repeats the whole tree under '== Initial Plan ==', so node COUNT
-    assertions double when a session happens to have AQE on. Presence/
-    absence assertions don't care; exact counts must use this."""
+def _final(plan: str) -> str:  # kept for explicit call sites
     return plan.split("== Initial Plan ==")[0]
 
 
