@@ -150,7 +150,12 @@ def autotune_for_dir(
       yields thousands of splits and is restored untouched.
 
     Idempotent and cheap: the decision is cached per session so repeated
-    builder calls don't pay py4j conf round-trips."""
+    builder calls don't pay py4j conf round-trips. INVARIANT: the cache
+    assumes these three confs are mutated only through this function —
+    code that sets them directly on a session autotune manages (tests,
+    notebooks) must either clear this session's _last_autotune entry or
+    restore the confs to the cached tuple, or later builders will skip
+    the re-apply and silently run under the leaked values."""
     try:
         nbytes = dir_input_bytes(sf_dir)
     except Exception:

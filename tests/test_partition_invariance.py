@@ -129,10 +129,29 @@ def _run_under(spark, fn, base_sp, mpb, aqe_min):
             else:
                 d[key] = v
         S.AQE_MIN_INPUT_BYTES = saved[2]
+        # Restore the CONFS in lockstep with the cache: autotune's
+        # idempotency trusts that nothing mutates its three confs
+        # behind its back, so putting back the cached tuple while the
+        # session still carries this run's values (e.g. adaptive=true
+        # from a lowered AQE_MIN) would make every later builder SKIP
+        # the re-apply and silently run the rest of the session-scoped
+        # suite under the leaked conf. (Masked before r15 by
+        # RUNTIME_ADAPTIVE members toggling the tuple; surfaced when
+        # that set emptied.)
         if saved[3] is None:
             S._last_autotune.pop(key, None)
         else:
             S._last_autotune[key] = saved[3]
+            adaptive, sp, mpb_saved = saved[3]
+            for k, v in (
+                ("spark.sql.adaptive.enabled", str(adaptive).lower()),
+                ("spark.sql.shuffle.partitions", str(sp)),
+                ("spark.sql.files.maxPartitionBytes", mpb_saved),
+            ):
+                try:
+                    spark.conf.set(k, v)
+                except Exception:
+                    pass
         clear_plan_cache()
 
 
