@@ -130,14 +130,22 @@ def collapse_exact_duplicates(
     bucket and produces O(cluster²) candidate pairs. Collapsing first makes
     the near-dup cost a function of UNIQUE content — the only shape that
     survives 100 TB. Pairs within an exact cluster are jaccard=1.0 by
-    definition and don't need scoring."""
+    definition and don't need scoring.
+
+    Shape (r16): group by the TEXT itself, not xxhash64(text). The old
+    groupBy(hash) + first(text) planned as two SortAggregates (First's
+    var-length buffer disqualifies HashAggregateExec) with a full sort
+    of the text-carrying input BEFORE the exchange; grouping keys may be
+    var-length, so groupBy(text).agg(min(id)) is a pure HashAggregate —
+    zero sorts (plans/r16/t06_minhash_pairs_{before,after}.txt). Shuffle
+    bytes are the same or less: the old partial rows carried
+    (hash, min_id, first_text); the new ones carry (text, min_id). It is
+    also strictly more exact — a 64-bit hash collision between two
+    DIFFERENT texts no longer merges them into one "exact" group."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("_ch"))
-        .agg(
-            F.min(id_col).alias(id_col),
-            F.first(text_col).alias(text_col),
-        )
-        .drop("_ch")
+        df.groupBy(F.col(text_col))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, text_col)
     )
 
 
@@ -390,16 +398,19 @@ def levenshtein_near_pairs(
     from deimos_spark.operators.sampling import hash_bucket
 
     if collapse_exact:
-        # group by text hash (8-byte shuffle key, not the full string);
-        # identical texts share lang, min() keeps it deterministic anyway
+        # group by the text itself (r16, the collapse_exact_duplicates
+        # rationale: var-length GROUPING keys hash-aggregate fine, a
+        # var-length first() BUFFER forces SortAggregate + a full
+        # pre-exchange sort); identical texts share lang, min() keeps it
+        # deterministic anyway — and GROUP BY text is exactly what the
+        # declared t11 oracle SQL does
         df = (
-            df.groupBy(F.xxhash64(F.col(text_col)).alias("_ch"))
+            df.groupBy(F.col(text_col))
             .agg(
                 F.min(id_col).alias(id_col),
-                F.first(text_col).alias(text_col),
                 F.min(lang_col).alias(lang_col),
             )
-            .drop("_ch")
+            .select(id_col, text_col, lang_col)
         )
 
     pbkt = hash_bucket(
