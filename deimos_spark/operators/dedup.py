@@ -668,9 +668,9 @@ def benchmark_contamination(
     the distinct's (_id,_s) clustering and the final groupBy(_id)), the
     benchmark set rides in as a broadcast LEFT join carrying a hit
     marker, and one aggregate counts rows and non-null hits: corpus
-    explode once, ONE exchange on the corpus path, no aggregate-to-
-    aggregate join — bit-identical rows (oracle-checked at sf0.01 and
-    sf0.1)."""
+    explode once, ONE exchange on the corpus path (broadcast path only
+    — see the r16 gating note in the body), no aggregate-to-aggregate
+    join — bit-identical rows (oracle-checked at sf0.01 and sf0.1)."""
     bench = (
         exploded_shingles(
             df.filter(F.col(id_col) < benchmark_max_id), text_col, id_col, n
@@ -681,12 +681,28 @@ def benchmark_contamination(
     )
     if broadcast_benchmark:
         bench = F.broadcast(bench)
-    corpus = exploded_shingles(
-        df.filter(F.col(id_col) >= benchmark_max_id).repartition(id_col),
-        text_col,
-        id_col,
-        n,
-    )
+        # Pre-explode repartition on the doc id — ONLY on the broadcast
+        # path, where it is the corpus's single exchange: hash(_id)
+        # satisfies the shingle distinct's (_id,_s) clustering AND the
+        # final groupBy(_id), and the broadcast overlap join adds no
+        # exchange of its own. It deliberately shuffles raw text rather
+        # than bytes-gating: the alternative layouts exchange the
+        # EXPLODED relation — n words of text per shingle ≈ n× the
+        # corpus bytes (and the pre-r15 plan paid that twice) — so at
+        # every scale the pre-explode shuffle moves strictly fewer
+        # bytes than any post-explode one; it is skew-free (doc ids)
+        # and AQE splits/coalesces it at the 100 TB posture. On the
+        # non-broadcast path the overlap join re-shuffles the exploded
+        # relation on _s regardless, so the corpus repartition would be
+        # a pure extra full-text exchange — exactly the large-benchmark
+        # regime that flag exists for — and is skipped (the distinct
+        # then clusters on hash(_id,_s) as before).
+        corpus_src = df.filter(
+            F.col(id_col) >= benchmark_max_id
+        ).repartition(id_col)
+    else:
+        corpus_src = df.filter(F.col(id_col) >= benchmark_max_id)
+    corpus = exploded_shingles(corpus_src, text_col, id_col, n)
     return (
         corpus.join(bench, "_s", "left")
         .groupBy("_id")

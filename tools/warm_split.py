@@ -53,12 +53,17 @@ def main() -> None:
         builds, execs, trips = [], [], []
         for _ in range(3):
             clear_plan_cache()
+            # try/finally: a raising builder must not leave the
+            # process-global counting shim installed for every later
+            # py4j call (r16, ADVICE)
             GatewayClient.send_command = counting
             counter["n"] = 0
-            t0 = time.perf_counter()
-            df = spec.builder(spark, sf_dir)
-            tb = time.perf_counter() - t0
-            GatewayClient.send_command = orig
+            try:
+                t0 = time.perf_counter()
+                df = spec.builder(spark, sf_dir)
+                tb = time.perf_counter() - t0
+            finally:
+                GatewayClient.send_command = orig
             nt = counter["n"]
             t0 = time.perf_counter()
             df.collect()
