@@ -581,6 +581,7 @@ def duplicate_ngram_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    single_pass: bool = True,
 ) -> DataFrame:
     """Per-document verbatim-duplication signal: how many of a doc's
     distinct word n-grams also appear in ≥ min_docs-1 OTHER documents.
@@ -589,37 +590,77 @@ def duplicate_ngram_spans(
     the public "Deduplicating Training Data Makes Language Models
     Better" line of work: instead of a suffix array (pointer-chasing,
     single-machine), duplicated spans are found as n-grams whose
-    document frequency exceeds a threshold — one exploded-shingle
-    relation, one document-frequency aggregate, one join back. Every
-    step is a hash shuffle on the shingle or the doc id; nothing is
-    ever all-pairs, so the shape survives 100 TB. Downstream pipelines
-    drop or trim documents with high dup_ngrams/n_ngrams ratios.
+    document frequency exceeds a threshold. Every step is a hash
+    shuffle on the shingle or the doc id; nothing is ever all-pairs.
+    Downstream pipelines drop or trim documents with high
+    dup_ngrams/n_ngrams ratios. Integer outputs → exact DuckDB oracle
+    comparison. Both shapes below return bit-identical rows
+    (oracle-checked at sf0.01 and sf0.1; identity pinned by
+    tests/test_neardup_gates.py).
 
-    Integer outputs → exact DuckDB oracle comparison.
+    single_pass=True (r15; the SMALL-INPUT shape — callers gate it on
+    input bytes, see queries.q_duplicate_ngrams): ONE pass over the
+    exploded-shingle relation. Since the relation is distinct (_id,_s),
+    countDistinct(_id) per shingle IS the row count per shingle, so a
+    count() window over the _s-partitioned layout (established once,
+    shared by the distinct — exploded_shingles(partition_by_shingle=
+    True)) flags every row in place and one per-doc aggregate produces
+    both counts: 2 exchanges + a sort, explode computed once, no join
+    (plans/r16/t15_duplicate_ngrams_smallregime.txt). NOT safe at
+    corpus scale: repartition("_s") colocates EVERY row of a shingle,
+    and WindowExec has no partial aggregation and buffers each
+    partition-by group — a boilerplate n-gram present in a large
+    fraction of documents lands its entire row set in ONE task (AQE
+    skew handling covers joins only, not windows).
 
-    Shape (r15): ONE pass over the exploded-shingle relation. The old
-    plan used it three times — document-frequency aggregate, per-doc
-    total, and a join back against the frequent-shingle set — which
-    re-executed the scan+explode subtree three times and paid ~10
-    exchanges (plans/r15/t15_duplicate_ngrams_before.txt). Since the
-    relation is distinct (_id, _s), countDistinct(_id) per shingle IS
-    the row count per shingle, so a count() window over the
-    _s-partitioned layout (established once, shared by the distinct —
-    see exploded_shingles(partition_by_shingle=True)) flags every row
-    with its shingle's document frequency in place, and one final
-    per-doc aggregate produces both counts: n_ngrams = rows,
-    dup_ngrams = flagged rows. 2 exchanges + a sort, explode computed
-    once, no join — bit-identical rows (oracle-checked at sf0.01 and
-    sf0.1)."""
-    from pyspark.sql import Window
+    single_pass=False (r16; the AT-SCALE shape): partial-agg document
+    frequency + a join back of the frequent-shingle set. The distinct
+    clusters on hash(_id,_s) — well spread even for hot shingles — and
+    the groupBy("_s").count() reduces map-side first, so a hot shingle
+    crosses the wire as one (shingle, partial) row PER MAP PARTITION,
+    not one row per document; the flag join on _s is a real join, which
+    AQE's skew-join splitting covers at the 100 TB posture. The
+    frequent set is NOT force-broadcast (its size grows with corpus
+    duplication; the planner broadcasts it when it fits). The exploded
+    relation is referenced twice (frequency + join left), but the two
+    references are the same subtree, so exchange reuse materializes
+    the scan+explode+distinct once (ReusedExchange in
+    plans/r16/t15_duplicate_ngrams_bigregime.txt) — still cheaper than
+    the pre-r15 THREE-reference shape with its aggregate-to-aggregate
+    join."""
+    if single_pass:
+        from pyspark.sql import Window
 
-    ex = exploded_shingles(
-        df, text_col, id_col, n, partition_by_shingle=True
-    )
-    w = Window.partitionBy("_s")
-    flagged = ex.select(
-        "_id", (F.count(F.lit(1)).over(w) >= min_docs).alias("_dup")
-    )
+        ex = exploded_shingles(
+            df, text_col, id_col, n, partition_by_shingle=True
+        )
+        w = Window.partitionBy("_s")
+        flagged = ex.select(
+            "_id", (F.count(F.lit(1)).over(w) >= min_docs).alias("_dup")
+        )
+    else:
+        ex = exploded_shingles(df, text_col, id_col, n)
+        freq = (
+            ex.groupBy("_s")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_docs)
+            .select(F.col("_s").alias("_fs"), F.lit(True).alias("_hit"))
+        )
+        # NULL-SAFE join key, for two load-bearing reasons: (1) semantic
+        # identity with the window shape — groupBy and Window.partitionBy
+        # both treat NULL as a key value, so a null shingle (null text)
+        # must match its frequency row, which a plain equi-join would
+        # drop; (2) a plain key lets Catalyst infer isnotnull(_s) on the
+        # frequency branch ONLY, making the two exploded-shingle subtrees
+        # canonically unequal and defeating exchange reuse — with <=>
+        # both branches are identical and the scan+explode+distinct
+        # exchange materializes ONCE (ReusedExchange in the big-regime
+        # plan).
+        flagged = ex.join(
+            freq, F.col("_s").eqNullSafe(F.col("_fs")), "left"
+        ).select(
+            "_id", F.coalesce(F.col("_hit"), F.lit(False)).alias("_dup")
+        )
     return flagged.groupBy("_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
         F.sum(F.col("_dup").cast("int")).cast("bigint").alias("dup_ngrams"),

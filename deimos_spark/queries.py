@@ -27,8 +27,10 @@ from deimos_spark.functions.text import (
 )
 from deimos_spark.operators import asof, dedup, funnel, relational, simsearch, tpch
 from deimos_spark.session import (
+    AQE_MIN_INPUT_BYTES,
     apply_runtime_confs,
     autotune_for_dir,
+    dir_input_bytes,
     sort_small,
     spread_small,
 )
@@ -762,8 +764,17 @@ def q_duplicate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the public dedup-training-data line of work, reshaped as shingle
     document-frequency: exploded shingles → DF aggregate → join back;
     hash shuffles only, never all-pairs)."""
+    # scale gate (r16, same bytes signal as spread_small/autotune): the
+    # single-pass window shape wins at tiny input but concentrates a hot
+    # shingle's entire row set in one WindowExec task; at >= 1 GiB the
+    # partial-agg + skew-join-coverable shape takes over. Rows identical
+    # either way (see dedup.duplicate_ngram_spans).
+    try:
+        small = dir_input_bytes(sf_dir) < AQE_MIN_INPUT_BYTES
+    except Exception:
+        small = False  # unknown input: take the scale-safe shape
     return dedup.duplicate_ngram_spans(
-        _docs_spread(spark, sf_dir), n=5, min_docs=2
+        _docs_spread(spark, sf_dir), n=5, min_docs=2, single_pass=small
     ).orderBy("doc_id")
 
 

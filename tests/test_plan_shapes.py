@@ -357,3 +357,47 @@ def test_t15_single_pass_no_join(spark):
     # spread (round-robin) + hash(_s) + hash(_id) + output range sort
     assert plan.count("Exchange") <= 4, plan
     assert "Window" in plan, plan
+
+
+def test_t15_big_regime_shape_no_window_skew(spark, monkeypatch):
+    """t15's r16 scale gate: at >= AQE_MIN_INPUT_BYTES the builder must
+    switch from the count()-over-Window.partitionBy(_s) single pass
+    (which lands a hot shingle's ENTIRE row set in one WindowExec task —
+    no partial aggregation, and AQE skew handling covers joins only) to
+    the partial-agg document-frequency + flag-join shape, where a hot
+    shingle crosses the wire as one (shingle, partial) row per map
+    partition and the join is AQE-skew-splittable. Pinned here on a
+    deliberately skewed corpus: one boilerplate 5-gram in 50% of docs."""
+    import deimos_spark.queries as q
+    from deimos_spark.operators.dedup import duplicate_ngram_spans
+
+    # skewed corpus: half the docs share one boilerplate 5-gram
+    hot = "the quick brown fox jumps"
+    docs = spark.range(400).selectExpr(
+        "id AS doc_id",
+        f"concat(CASE WHEN id % 2 = 0 THEN '{hot} ' ELSE '' END, "
+        "'u', id, ' v', id, ' w', id, ' x', id, ' y', id, ' z', id) AS text",
+    )
+    small = duplicate_ngram_spans(docs, n=5, min_docs=2, single_pass=True)
+    big = duplicate_ngram_spans(docs, n=5, min_docs=2, single_pass=False)
+    assert sorted(small.collect()) == sorted(big.collect())
+    plan = _plan(big)
+    assert "Window" not in plan, plan
+    assert "partial_count" in plan, plan  # map-side reduction of the hot key
+
+    # the BUILDER gate: below the bytes threshold the declared query
+    # plans the window shape (asserted above); force the threshold to 0
+    # and it must plan the big-regime shape — with the exploded-shingle
+    # subtree materialized once, not twice (exchange reuse; kept
+    # possible by the null-safe flag join, see duplicate_ngram_spans)
+    q.clear_plan_cache()
+    monkeypatch.setattr(q, "AQE_MIN_INPUT_BYTES", 0)
+    try:
+        plan_big = _plan(all_queries()["t15_duplicate_ngrams"].builder(spark, SF))
+    finally:
+        q.clear_plan_cache()
+    assert "Window" not in plan_big, plan_big
+    assert "Join" in plan_big, plan_big
+    assert (
+        "ReusedExchange" in plan_big or "ReusedShuffle" in plan_big
+    ), plan_big
