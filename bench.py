@@ -185,6 +185,44 @@ def main() -> None:
     spark = get_spark("deimos_spark_bench")
     spark.range(1).collect()  # warm the JVM / executor threads
 
+    # Scaling-contract legibility (r16, VERDICT r15 item 2): at sf0.1
+    # every headline query is job-floor-bound, so the driver's 8-vs-32
+    # core comparison sees ratios ≈ 1 and cannot distinguish "honored
+    # but floor-bound" from "$SPARK_GRAFT_CPUS ignored". Three additive
+    # fields make it falsifiable:
+    #   - "cpus": the env value the session was built with (master
+    #     local[cpus], session.get_spark);
+    #   - "default_parallelism": what the live SparkContext actually
+    #     reports;
+    #   - queries["calib_cpu_scaling"]: a fixed-work CPU-bound
+    #     calibration job (256M-element xxhash64 chain over
+    #     defaultParallelism partitions, fully parallel, input-free) —
+    #     its time moves with the core count (measured ~2x between
+    #     local[8] and local[32] on this 16-physical-core host) while
+    #     floor-bound queries stay ≈ 1x.
+    # The calibration entry is NOT an engine query and is excluded from
+    # `value` (declared in "calibration_queries") so the headline total
+    # stays comparable across rounds; all pre-existing entries are
+    # unchanged.
+    try:
+        cpus_env: int | None = int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        cpus_env = None
+    parallelism = spark.sparkContext.defaultParallelism
+    _calib_expr = (
+        "sum(xxhash64(xxhash64(xxhash64(xxhash64(id) + id) + id) + id)) AS s"
+    )
+
+    def _calib_run() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 256_000_000, 1, parallelism).selectExpr(
+            _calib_expr
+        ).collect()
+        return time.perf_counter() - t0
+
+    _calib_run()  # codegen warm-up, not timed
+    calib_sec = round(sorted(_calib_run() for _ in range(3))[1], 3)
+
     specs = all_queries()
     # warm-up pass doubles as the cold timing: first build+collect per query
     # (JIT + codegen compilation + parquet footer cache + plan build)
@@ -251,13 +289,23 @@ def main() -> None:
         "cpu_probe_sec": cpu_probe,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # scaling legibility (see the calibration block above): the env
+        # core count the session was built with, the live parallelism,
+        # and the name of the one queries entry that is a calibration
+        # probe rather than an engine query (excluded from `value`)
+        "cpus": cpus_env,
+        "default_parallelism": parallelism,
+        "calibration_queries": ["calib_cpu_scaling"],
         "cold_queries": cold,
         "cold_total_sec": round(sum(cold.values()), 3),
         # heavy tier: tracked, not folded into `value` (see HEAVY)
         "heavy_cold_queries": heavy_cold,
         "heavy_queries": heavy,
         "heavy_total_sec": round(sum(heavy.values()), 3),
-        "queries": timings,
+        # timings + the calibration entry; `value` (and every
+        # round-over-round comparison) remains the sum over HEADLINE
+        # only — calib_cpu_scaling is a core-count probe, not a query
+        "queries": {**timings, "calib_cpu_scaling": calib_sec},
         "value": total,
     }
     line = json.dumps(payload)
