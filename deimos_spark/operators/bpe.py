@@ -91,6 +91,43 @@ def words_relation(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).filter(F.length("word") > 0)
 
 
+def grouped_word_counts(
+    df: DataFrame, text_col: str = "text", group_col: str = "lang"
+) -> DataFrame:
+    """(group, word, _n occurrences) — ONE tokenize pass over the corpus
+    that serves BOTH training and stats (r16). Training reduces it to
+    global word frequencies (sum _n per word); stats join the trained
+    segmentation back per (group, word). The aggregate has map-side
+    partial combine, so at 100 TB the shuffle carries distinct
+    (group, word) pairs, never occurrence rows — and the caller can
+    checkpoint this bounded relation so the corpus tokenize runs once
+    instead of once per consumer (see queries.q_bpe_real)."""
+    return (
+        words_relation(df.select(group_col, text_col), text_col)
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
+def train_bpe_from_counts(
+    wf: DataFrame, num_merges: int = 200, vocab_words: int = 4096
+) -> list[tuple[str, str]]:
+    """Train merges from a (.., word, _n) counts relation — the shared
+    grouped_word_counts output. Identical frequencies to train_bpe's
+    direct aggregate (sum of per-group counts per word), so the trained
+    merges are identical too."""
+    freqs = (
+        wf.groupBy("word")
+        .agg(F.sum("_n").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word"))
+        .limit(int(vocab_words))
+        .collect()
+    )
+    return train_merges_from_freqs(
+        [(r["word"], int(r["freq"])) for r in freqs], num_merges
+    )
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
@@ -158,23 +195,48 @@ def segmented_words(
     )
 
 
+def bpe_token_stats_from_counts(
+    wf: DataFrame,
+    merges: list[tuple[str, str]],
+    group_col: str = "lang",
+) -> DataFrame:
+    """Per-group tokenizer stats from a (group, word, _n) counts
+    relation (grouped_word_counts): words, total trained-BPE pieces,
+    avg pieces/word.
+
+    The join back carries one row per DISTINCT (group, word), weighted
+    by _n — not one row per occurrence as the pre-r16 shape did: at
+    100 TB the join input shrinks from the token stream to the
+    group-vocabulary. The aggregates are occurrence-weighted sums of
+    exact integers (< 2^53, so the double arithmetic is exact), making
+    n_words/total_pieces/avg bit-identical to the per-occurrence
+    formulation: avg = Σ(_n·pieces) / Σ(_n) is the same two exact
+    doubles Spark's avg(n_pieces) over occurrences divides."""
+    seg = segmented_words(wf, merges)
+    wp = F.col("_n") * F.col("n_pieces")
+    return (
+        wf.join(seg.select("word", "n_pieces"), "word")
+        .groupBy(group_col)
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_words"),
+            F.sum(wp).cast("bigint").alias("total_pieces"),
+            F.round(
+                F.sum(wp).cast("double") / F.sum("_n").cast("double"), 4
+            ).alias("avg_pieces_per_word"),
+        )
+    )
+
+
 def bpe_token_stats(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
-    group_col: str | Column = "lang",
+    group_col: str = "lang",
 ) -> DataFrame:
     """Per-group tokenizer stats: words, total trained-BPE pieces,
-    avg pieces/word. tokenize-once-per-distinct-word + join-back; the
-    distinct-word side is the small one, so AQE broadcast-joins it."""
-    words = words_relation(df, text_col)
-    seg = segmented_words(words, merges)
-    return (
-        words.join(seg.select("word", "n_pieces"), "word")
-        .groupBy(group_col)
-        .agg(
-            F.count("*").cast("bigint").alias("n_words"),
-            F.sum("n_pieces").cast("bigint").alias("total_pieces"),
-            F.round(F.avg("n_pieces"), 4).alias("avg_pieces_per_word"),
-        )
+    avg pieces/word. tokenize-once-per-distinct-word + join-back over
+    the (group, word) counts relation (see bpe_token_stats_from_counts
+    for the shuffle-size and exactness argument)."""
+    return bpe_token_stats_from_counts(
+        grouped_word_counts(df, text_col, group_col), merges, group_col
     )

@@ -1284,13 +1284,26 @@ def q_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deimos_spark.operators import bpe
 
     d = _docs(spark, sf_dir)
-    # merge budget sized to the corpus: the synthetic documents table
+    # ONE tokenize pass (r16): training and stats both consume the
+    # (lang, word, _n) counts relation, checkpointed so the corpus
+    # explode+aggregate runs once instead of once per consumer (the
+    # training collect is a SEPARATE action, so exchange reuse cannot
+    # span it — only a materialized intermediate can). The relation is
+    # group-vocabulary-sized (distinct (lang, word) pairs — bounded,
+    # never occurrence rows), so pinning it is cheap at any corpus
+    # scale; the checkpoint lives inside one prepared plan and is
+    # rebuilt from parquet whenever the builder runs (the bench clears
+    # the plan cache per timed run, so every timed run recomputes).
+    # Merge budget sized to the corpus: the synthetic documents table
     # draws from a ~31-word pool, so a GPT-style 10k-merge budget would
     # fully merge every word (constant 1 piece/word — a degenerate
     # model); 25 merges keeps frequent words whole and rare words split,
-    # which is the behavior the stats are meant to surface
-    merges = bpe.train_bpe(d, "text", num_merges=25, vocab_words=4096)
-    return sort_small(bpe.bpe_token_stats(d, merges, "text", "lang"), "lang")
+    # which is the behavior the stats are meant to surface.
+    wf = bpe.grouped_word_counts(d, "text", "lang").localCheckpoint()
+    merges = bpe.train_bpe_from_counts(wf, num_merges=25, vocab_words=4096)
+    return sort_small(
+        bpe.bpe_token_stats_from_counts(wf, merges, "lang"), "lang"
+    )
 
 
 # SURVEY §7 Phase 0 `run_sql`: the SQL-string entry point. ONE ANSI
