@@ -153,6 +153,28 @@ class Engine:
                 else:
                     cat.dropTempView(name)
 
+    # -------------------------------------------------------- result fetch
+
+    @staticmethod
+    def fetch_arrow(df):
+        """The engine's documented LARGE-RESULT fetch path: one Arrow
+        batch stream to the driver (`DataFrame.toArrow()`) instead of
+        py4j row serialization.
+
+        `collect()` pickles every row through the py4j socket — fine
+        for the dimension-sized outputs most declared queries return,
+        but it DOMINATES wide fetches: x11 resample_ffill at the K=30
+        stress scale computes in ~2s (noop sink) yet spends 4-12s
+        collecting its 1.34M-row grid (WEAK_AB.json r16 carries both
+        numbers). Arrow transfer is columnar, zero-copy on the Python
+        side, and orders of magnitude faster for anything non-trivial;
+        the session already enables spark.sql.execution.arrow.pyspark.
+        Returns a pyarrow.Table (rows identical to collect(); pinned by
+        tests/test_engine.py). The bench deliberately KEEPS collect()
+        so its series stays comparable across rounds — this is the path
+        a consumer of bulk results should use."""
+        return df.toArrow()
+
     # ------------------------------------------------------------- topics
 
     def register_topic(

@@ -153,3 +153,20 @@ def test_events_ts_normalized_to_epoch_ns_under_any_tz(spark, tmp_path):
         f"FROM read_parquet('{sfdir}/events.parquet/*.parquet')"
     ).fetchone()[0]
     assert got == want == 1709296245123456000
+
+
+def test_fetch_arrow_rows_identical_to_collect(spark):
+    """Engine.fetch_arrow is the documented bulk-fetch path: same rows
+    as collect(), transferred as Arrow batches instead of py4j-pickled
+    rows (r16, the x11 K=30 fetch-cost fix)."""
+    from deimos_spark.engine import Engine
+    from deimos_spark.queries import all_queries
+
+    df = all_queries()["x11_resample_ffill"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    via_collect = [tuple(r) for r in df.collect()]
+    tbl = Engine.fetch_arrow(df)
+    via_arrow = list(zip(*(c.to_pylist() for c in tbl.columns)))
+    assert via_arrow == via_collect
+    assert tbl.column_names == df.columns

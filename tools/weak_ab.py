@@ -84,8 +84,15 @@ def scale_table(spark, table: str, k: int, dst_dir: str) -> str:
     return dst
 
 
-def time_spark(spec, spark, sf_dir: str) -> tuple[float, float, int]:
-    """(cold_sec, median-of-3 warm sec, rows)."""
+def time_spark(spec, spark, sf_dir: str) -> tuple[float, float, float, int]:
+    """(cold_sec, median-of-3 warm collect sec, median-of-3 warm
+    Arrow-fetch sec, rows). The collect series is the bench-comparable
+    number; the Arrow series times the SAME fresh-lineage computation
+    fetched through the engine's documented bulk path
+    (Engine.fetch_arrow → DataFrame.toArrow) — the difference is pure
+    py4j row-serialization cost (r16, VERDICT r15 item 3)."""
+    from deimos_spark.engine import Engine
+
     t0 = time.perf_counter()
     rows = len(spec.builder(spark, sf_dir).collect())
     cold = time.perf_counter() - t0
@@ -95,7 +102,18 @@ def time_spark(spec, spark, sf_dir: str) -> tuple[float, float, int]:
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).collect()
         runs.append(time.perf_counter() - t0)
-    return round(cold, 3), round(sorted(runs)[1], 3), rows
+    aruns = []
+    for _ in range(3):
+        clear_plan_cache()
+        t0 = time.perf_counter()
+        Engine.fetch_arrow(spec.builder(spark, sf_dir))
+        aruns.append(time.perf_counter() - t0)
+    return (
+        round(cold, 3),
+        round(sorted(runs)[1], 3),
+        round(sorted(aruns)[1], 3),
+        rows,
+    )
 
 
 def time_duck(sql: str, sf_dir: str, tables) -> tuple[float, int]:
@@ -143,13 +161,14 @@ def main() -> None:
             scale_table(spark, t, k, kdir)
         for q, tables in QUERIES.items():
             spec = specs[q]
-            cold, warm, n_s = time_spark(spec, spark, kdir)
+            cold, warm, warm_arrow, n_s = time_spark(spec, spark, kdir)
             row = {
                 "k": k,
                 "rows_in": k * {"events": 100_000, "documents": 5_000,
                                 "embeddings": 2_000}[tables[0]],
                 "spark_cold_sec": cold,
                 "spark_sec": warm,
+                "spark_arrow_sec": warm_arrow,
                 "rows_out_spark": n_s,
             }
             if spec.oracle and not duck_skip[q]:
@@ -157,6 +176,9 @@ def main() -> None:
                 row["duck_sec"] = d_sec
                 row["rows_out_duck"] = n_d
                 row["ratio"] = round(warm / d_sec, 3) if d_sec else None
+                row["ratio_arrow"] = (
+                    round(warm_arrow / d_sec, 3) if d_sec else None
+                )
                 if d_sec > DUCK_CUTOFF:
                     duck_skip[q] = True  # don't burn minutes at next K
             print(f"{q} K={k}: {row}", file=sys.stderr)
