@@ -60,6 +60,39 @@ def main() -> None:
 
     # --- no-op job floor
     out["noop_job_sec"] = _median_of(lambda: spark.range(1).collect())
+
+    # --- floor DECOMPOSITION (r16, VERDICT r15 item 8): where does the
+    # ~0.09s/job go? Measured slices, fresh-lineage regime:
+    #   - py4j_ping_sec: one JVM round trip (~0.2ms — NOT the floor)
+    #   - plan_only_sec: analysis+optimization+physical planning of a
+    #     trivial plan (~5ms — optimizer passes are NOT the floor, so
+    #     trimming excludedRules has nothing to win)
+    #   - jvm_job_sec: a full scheduler round for an already-prepared
+    #     plan (noop write of range(1), no Python result path)
+    #   - reexec_same_df_sec: re-collect of the SAME DataFrame (cached
+    #     QueryExecution): job + fetch only
+    #   - fresh_exec_extra_sec: fresh-plan collect minus the re-collect
+    #     — first-execution setup (codegen source generation, exec
+    #     preparations, SQL-metrics wiring), the other real floor slice
+    df_same = spark.range(1)
+    df_same.collect()
+    reexec = _median_of(lambda: df_same.collect())
+    out["py4j_ping_sec"] = _median_of(
+        lambda: spark._jsc.sc().defaultParallelism()
+    )
+    out["plan_only_sec"] = _median_of(
+        lambda: spark.range(1)._jdf.queryExecution().executedPlan()
+    )
+    out["jvm_job_sec"] = _median_of(
+        lambda: spark.range(1)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    out["reexec_same_df_sec"] = reexec
+    out["fresh_exec_extra_sec"] = round(
+        max(0.0, out["noop_job_sec"] - reexec), 4
+    )
     sc = spark.sparkContext
     rdd1 = sc.parallelize(range(32), 1)
     rdd32 = sc.parallelize(range(32), 32)
